@@ -1,13 +1,365 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, MinHash, Relational, Similarity, TextOps}
+
+/** Driver contract — see SURVEY.md §7 and the build prompt.
+  *
+  * Every operator from SURVEY.md §2 plus the north-star extension surface
+  * (relational analytics, text analysis, minhash/simhash near-dedup,
+  * embedding similarity) is registered here with equivalent DuckDB oracle
+  * SQL. Determinism rules: FIXTURES.md §3 (decimal-exact sums, pinned
+  * "now", total orders on every top-k).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private val eventCols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+  private val dedupNow = java.sql.Timestamp.valueOf("2024-01-20 00:00:00")
+  private val TtlSeconds = 1209600L // 14 days
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("dedup_first_wins")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ── dedup core (SURVEY §2 O1-O11, set-oriented translation §2.1) ──
+    "dedup_first_wins" -> ((s, d) =>
+      Dedup.firstWins(Tables.events(s, d), Seq("user_id", "event_type"), Seq("ts", "event_id"))),
+    "dedup_audit_states" -> ((s, d) =>
+      Dedup.auditStates(Tables.events(s, d), Seq("user_id", "event_type"), Seq("ts", "event_id"))),
+    "dedup_counts" -> ((s, d) =>
+      Dedup.counts(Tables.events(s, d), Seq("user_id", "event_type"), Seq("ts", "event_id"))),
+    "dedup_ttl_first_wins" -> ((s, d) =>
+      Dedup.firstWins(
+        Dedup.ttlFilter(Tables.events(s, d), "ts", TtlSeconds, dedupNow),
+        Seq("user_id", "event_type"), Seq("ts", "event_id"))),
+    "dedup_absorber" -> ((s, d) =>
+      Dedup.absorberFirstWins(Tables.events(s, d), Seq("user_id", "event_type"), Seq("ts", "event_id"))),
+    // ── relational analytics (SURVEY §7 M3) ──
+    "q1_pricing_summary"    -> (Relational.q1PricingSummary _),
+    "q3_shipping_priority"  -> (Relational.q3ShippingPriority _),
+    "q5_local_supplier"     -> (Relational.q5LocalSupplier _),
+    "q10_returned_items"    -> (Relational.q10ReturnedItems _),
+    "q4_priority_exists"    -> (Relational.q4PriorityExists _),
+    "q_customers_no_orders" -> (Relational.qCustomersNoOrders _),
+    "q_top_parts_per_brand" -> (Relational.qTopPartsPerBrand _),
+    "q_rollup_returns"      -> (Relational.qRollupReturns _),
+    "q_region_revenue"      -> (Relational.qRegionRevenue _),
+    "q_events_sessionize"   -> (Relational.qEventsSessionize _),
+    "q_events_props"        -> (Relational.qEventsProps _),
+    "q_set_ops"             -> (Relational.qSetOps _),
+    // ── text analysis ──
+    "text_quality"       -> (TextOps.qualityScore _),
+    "text_langid"        -> (TextOps.langId _),
+    "text_token_count"   -> (TextOps.tokenCount _),
+    "text_fingerprint"   -> (TextOps.fingerprint _),
+    "text_corpus_profile" -> (TextOps.corpusProfile _),
+    "dedup_exact_text"   -> (TextOps.exactDedup _),
+    // ── near-dup dedup at scale ──
+    "dedup_minhash_lsh"       -> ((s, d) => MinHash.minhashDedup(s, d)),
+    "dedup_minhash_survivors" -> ((s, d) => MinHash.minhashSurvivors(s, d)),
+    "dedup_ngram_jaccard"     -> ((s, d) => MinHash.ngramJaccardPairs(s, d)),
+    "text_simhash"            -> (MinHash.simhash _),
+    // ── embedding similarity ──
+    "ann_cosine_topk"         -> ((s, d) => Similarity.cosineTopK(s, d)),
+    "ann_lsh_topk"            -> ((s, d) => Similarity.lshBucketTopK(s, d)),
+    "dedup_embedding_cosine"  -> ((s, d) => Similarity.cosineNearDupPairs(s, d)),
+    // ── multimodal plumbing (decode itself is a stubbed fake; see Multimodal) ──
+    "multimodal_stats"        -> (operators.Multimodal.mediaStats _))
+
+  // ───────────────────────── oracle SQL ─────────────────────────
+
+  private val eventColsSql = eventCols.mkString(", ")
+  private val dedupWin =
+    "row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id)"
+  private val discPrice =
+    "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"
+
+  /** Shared CTE prefix for shingle-based text ops. */
+  private val shingleCte =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+      |       FROM toks, unnest(range(1, len(t) - 1)) u(i))""".stripMargin
+
+  private val jaccardFromSh =
+    """pairj AS (
+      |  SELECT i.doc_a, i.doc_b,
+      |         CAST(i.inter AS DOUBLE) / CAST(sa.n + sb.n - i.inter AS DOUBLE) AS jaccard
+      |  FROM inter i
+      |  JOIN (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1) sa ON i.doc_a = sa.doc_id
+      |  JOIN (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1) sb ON i.doc_b = sb.doc_id)""".stripMargin
+
+  private val cosineSql =
+    """round(
+      |  list_sum(list_transform(list_zip(a.embedding, b.embedding), z -> z[1]::DOUBLE * z[2]::DOUBLE)) /
+      |  (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE))) *
+      |   sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE)))), 6)""".stripMargin
+
+  private val lshBucketCte =
+    """w AS (SELECT p, d,
+      |        CAST(CAST(('0x' || substr(md5(CAST(p AS VARCHAR) || '_' || CAST(d AS VARCHAR)), 1, 15)) AS UBIGINT) % 2001 AS BIGINT) - 1000 AS wt
+      |      FROM unnest(range(0, 8)) u(p), unnest(range(0, 64)) v(d)),
+      |proj AS (SELECT e.vec_id, w.p,
+      |           CAST(SUM(w.wt * CAST(floor(e.embedding[w.d + 1]::DOUBLE * 1000) AS BIGINT)) AS BIGINT) AS pr
+      |         FROM embeddings e, w GROUP BY e.vec_id, w.p),
+      |bk AS (SELECT vec_id,
+      |         CAST(SUM(CASE WHEN pr > 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS bucket
+      |       FROM proj GROUP BY vec_id),
+      |emb AS (SELECT e.vec_id, e.embedding, bk.bucket FROM embeddings e JOIN bk USING (vec_id))""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "dedup_first_wins" ->
+      s"SELECT $eventColsSql FROM events QUALIFY $dedupWin = 1",
+    "dedup_audit_states" ->
+      s"SELECT $eventColsSql, CAST(CASE WHEN $dedupWin = 1 THEN 1 ELSE 2 END AS SMALLINT) AS state FROM events",
+    "dedup_counts" ->
+      """SELECT user_id, event_type, count(*) AS n_attempts,
+        |       min(ts) AS first_time, max(ts) AS last_time
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "dedup_ttl_first_wins" ->
+      s"""SELECT $eventColsSql FROM events
+         |WHERE ts + INTERVAL 1209600 SECOND > TIMESTAMP '2024-01-20 00:00:00'
+         |QUALIFY $dedupWin = 1""".stripMargin,
+    "dedup_absorber" ->
+      s"SELECT $eventColsSql FROM events QUALIFY $dedupWin = 1",
+    "q1_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
+         |  CAST(SUM($discPrice) AS DECIMAL(38,4)) AS sum_disc_price,
+         |  CAST(SUM($discPrice * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DECIMAL(38,6)) AS sum_charge,
+         |  count(*) AS count_order
+         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         |GROUP BY 1, 2""".stripMargin,
+    "q3_shipping_priority" ->
+      s"""SELECT l_orderkey, o_orderdate, CAST(SUM($discPrice) AS DECIMAL(38,4)) AS revenue
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+         |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+         |GROUP BY 1, 2 ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q5_local_supplier" ->
+      s"""SELECT n_name, CAST(SUM($discPrice) AS DECIMAL(38,4)) AS revenue
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+         |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin,
+    "q10_returned_items" ->
+      s"""SELECT c_custkey, c_name, n_name, CAST(SUM($discPrice) AS DECIMAL(38,4)) AS revenue
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |WHERE l_returnflag = 'R'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+         |GROUP BY 1, 2, 3 ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q4_priority_exists" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY 1""".stripMargin,
+    "q_customers_no_orders" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+    "q_top_parts_per_brand" ->
+      """SELECT p_brand, p_partkey, p_name,
+        |  CAST(CAST(p_retailprice AS DECIMAL(18,2)) AS DECIMAL(38,2)) AS retail_price,
+        |  CAST(rk AS BIGINT) AS rk
+        |FROM (SELECT *, row_number() OVER (PARTITION BY p_brand
+        |        ORDER BY p_retailprice DESC, p_partkey) AS rk FROM part)
+        |WHERE rk <= 3""".stripMargin,
+    "q_rollup_returns" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+    "q_region_revenue" ->
+      s"""SELECT r_name, CAST(SUM($discPrice) AS DECIMAL(38,4)) AS revenue,
+         |  count(DISTINCT o_orderkey) AS n_orders
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY 1""".stripMargin,
+    "q_events_sessionize" ->
+      """WITH l AS (SELECT user_id, event_id, ts,
+        |             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |           FROM events),
+        |e AS (SELECT *, CASE WHEN prev_ts IS NULL
+        |                       OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1
+        |                     ELSE 0 END AS new_session FROM l),
+        |s AS (SELECT *, CAST(SUM(new_session) OVER (PARTITION BY user_id
+        |        ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM e)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |       min(ts) AS session_start, max(ts) AS session_end
+        |FROM s GROUP BY 1, 2""".stripMargin,
+    "q_events_props" ->
+      """SELECT event_type, count(*) AS n, CAST(SUM(k) AS BIGINT) AS sum_k,
+        |       min(k) AS min_k, max(k) AS max_k
+        |FROM (SELECT event_type,
+        |        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
+        |GROUP BY 1""".stripMargin,
+    "q_set_ops" ->
+      """WITH early AS (SELECT DISTINCT event_type FROM events
+        |               WHERE ts < TIMESTAMP '2024-01-08 00:00:00'),
+        |late AS (SELECT DISTINCT event_type FROM events
+        |         WHERE ts >= TIMESTAMP '2024-01-24 00:00:00')
+        |SELECT event_type, 'both' AS which
+        |  FROM (SELECT * FROM early INTERSECT SELECT * FROM late)
+        |UNION ALL
+        |SELECT event_type, 'early_only' FROM (SELECT * FROM early EXCEPT SELECT * FROM late)
+        |UNION ALL
+        |SELECT event_type, 'late_only' FROM (SELECT * FROM late EXCEPT SELECT * FROM early)""".stripMargin,
+    "text_quality" ->
+      """SELECT doc_id, n_chars, n_tokens, n_types, n_stopwords,
+        |  CAST(n_stopwords AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stopword_ratio,
+        |  CAST(n_chars - (n_tokens - 1) AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS avg_token_len,
+        |  (n_tokens >= 10 AND n_tokens <= 1000
+        |   AND CAST(n_stopwords AS DOUBLE) / CAST(n_tokens AS DOUBLE) < 0.5
+        |   AND CAST(n_chars - (n_tokens - 1) AS DOUBLE) / CAST(n_tokens AS DOUBLE) < 12.0) AS is_quality
+        |FROM (SELECT doc_id,
+        |        CAST(length(text) AS BIGINT) AS n_chars,
+        |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |        CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_types,
+        |        CAST(len(list_filter(string_split(text, ' '),
+        |          t -> t IN ('the','a','of','and','is','to','in'))) AS BIGINT) AS n_stopwords
+        |      FROM documents)""".stripMargin,
+    "text_langid" ->
+      """SELECT doc_id, labeled_lang,
+        |  CASE WHEN s_en >= greatest(s_de, s_es, s_fr, s_zh) THEN 'en'
+        |       WHEN s_de >= greatest(s_es, s_fr, s_zh) THEN 'de'
+        |       WHEN s_es >= greatest(s_fr, s_zh) THEN 'es'
+        |       WHEN s_fr >= s_zh THEN 'fr'
+        |       ELSE 'zh' END AS predicted_lang,
+        |  s_en, s_de, s_es, s_fr, s_zh
+        |FROM (SELECT doc_id, lang AS labeled_lang,
+        |  CAST(len(list_filter(string_split(text,' '), t -> t IN ('the','a','is','of','and'))) AS BIGINT) AS s_en,
+        |  CAST(len(list_filter(string_split(text,' '), t -> t IN ('der','die','und','ist','das'))) AS BIGINT) AS s_de,
+        |  CAST(len(list_filter(string_split(text,' '), t -> t IN ('el','la','los','es','y'))) AS BIGINT) AS s_es,
+        |  CAST(len(list_filter(string_split(text,' '), t -> t IN ('le','les','et','est','du'))) AS BIGINT) AS s_fr,
+        |  CAST(len(list_filter(string_split(text,' '), t -> t IN ('de5','shi4','le5'))) AS BIGINT) AS s_zh
+        |FROM documents)""".stripMargin,
+    "text_token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+        |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_bpe_tokens
+        |FROM documents""".stripMargin,
+    "text_fingerprint" ->
+      """SELECT doc_id, md5(text) AS fp_md5,
+        |  CAST(CAST(('0x' || substr(md5(text), 1, 15)) AS UBIGINT) AS BIGINT) AS fp_60bit
+        |FROM documents""".stripMargin,
+    "text_corpus_profile" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(SUM(CASE WHEN n_tokens >= 10 AND n_tokens <= 1000
+        |        AND CAST(n_stopwords AS DOUBLE) / CAST(n_tokens AS DOUBLE) < 0.5
+        |        AND CAST(n_chars - (n_tokens - 1) AS DOUBLE) / CAST(n_tokens AS DOUBLE) < 12.0
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_quality
+        |FROM (SELECT doc_id, lang,
+        |        CAST(length(text) AS BIGINT) AS n_chars,
+        |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |        CAST(len(list_filter(string_split(text, ' '),
+        |          t -> t IN ('the','a','of','and','is','to','in'))) AS BIGINT) AS n_stopwords
+        |      FROM documents)
+        |GROUP BY 1""".stripMargin,
+    "dedup_exact_text" ->
+      """SELECT min(doc_id) AS doc_id, md5(lower(trim(text))) AS fp, count(*) AS n_copies
+        |FROM documents GROUP BY md5(lower(trim(text)))""".stripMargin,
+    "dedup_minhash_lsh" ->
+      s"""$shingleCte,
+         |sig AS (SELECT doc_id, j, min(md5(CAST(j AS VARCHAR) || '|' || shingle)) AS h
+         |        FROM sh, unnest(range(0, 12)) v(j) GROUP BY doc_id, j),
+         |band AS (SELECT doc_id, j // 4 AS band_id,
+         |           md5(string_agg(h, '|' ORDER BY j)) AS band_key
+         |         FROM sig GROUP BY doc_id, j // 4),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM band a JOIN band b
+         |           ON a.band_id = b.band_id AND a.band_key = b.band_key
+         |          AND a.doc_id < b.doc_id),
+         |inter AS (SELECT s1.doc_id AS doc_a, s2.doc_id AS doc_b, count(*) AS inter
+         |          FROM sh s1 JOIN sh s2 ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id
+         |          JOIN cand ON cand.doc_a = s1.doc_id AND cand.doc_b = s2.doc_id
+         |          GROUP BY 1, 2),
+         |$jaccardFromSh
+         |SELECT doc_a, doc_b, jaccard FROM pairj WHERE jaccard >= 0.5""".stripMargin,
+    "dedup_minhash_survivors" ->
+      s"""$shingleCte,
+         |sig AS (SELECT doc_id, j, min(md5(CAST(j AS VARCHAR) || '|' || shingle)) AS h
+         |        FROM sh, unnest(range(0, 12)) v(j) GROUP BY doc_id, j),
+         |band AS (SELECT doc_id, j // 4 AS band_id,
+         |           md5(string_agg(h, '|' ORDER BY j)) AS band_key
+         |         FROM sig GROUP BY doc_id, j // 4),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM band a JOIN band b
+         |           ON a.band_id = b.band_id AND a.band_key = b.band_key
+         |          AND a.doc_id < b.doc_id),
+         |inter AS (SELECT s1.doc_id AS doc_a, s2.doc_id AS doc_b, count(*) AS inter
+         |          FROM sh s1 JOIN sh s2 ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id
+         |          JOIN cand ON cand.doc_a = s1.doc_id AND cand.doc_b = s2.doc_id
+         |          GROUP BY 1, 2),
+         |$jaccardFromSh
+         |SELECT doc_id, n_chars FROM documents
+         |WHERE doc_id NOT IN (SELECT doc_b FROM pairj WHERE jaccard >= 0.5)""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      s"""$shingleCte,
+         |inter AS (SELECT s1.doc_id AS doc_a, s2.doc_id AS doc_b, count(*) AS inter
+         |          FROM sh s1 JOIN sh s2 ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id
+         |          GROUP BY 1, 2),
+         |$jaccardFromSh
+         |SELECT doc_a, doc_b, jaccard FROM pairj WHERE jaccard >= 0.5""".stripMargin,
+    "text_simhash" ->
+      """WITH toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+        |              FROM documents),
+        |h AS (SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 15)) AS UBIGINT) AS h FROM toks),
+        |votes AS (SELECT doc_id, b,
+        |            SUM(CAST((h >> b) & 1 AS BIGINT) * 2 - 1) AS vote
+        |          FROM h, unnest(range(0, 60)) u(b) GROUP BY 1, 2)
+        |SELECT doc_id,
+        |  CAST(SUM(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+        |FROM votes GROUP BY 1""".stripMargin,
+    "ann_cosine_topk" ->
+      s"""WITH s AS (
+         |  SELECT a.vec_id AS q_id, b.vec_id AS vec_id, $cosineSql AS sim
+         |  FROM embeddings a, embeddings b
+         |  WHERE a.vec_id % 50 = 0 AND b.vec_id <> a.vec_id)
+         |SELECT q_id, vec_id, sim, CAST(rk AS BIGINT) AS rnk
+         |FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rk
+         |      FROM s)
+         |WHERE rk <= 5""".stripMargin,
+    "ann_lsh_topk" ->
+      s"""WITH $lshBucketCte,
+         |s AS (
+         |  SELECT a.vec_id AS q_id, b.vec_id AS vec_id, $cosineSql AS sim
+         |  FROM emb a JOIN emb b ON a.bucket = b.bucket
+         |  WHERE a.vec_id % 50 = 0 AND b.vec_id <> a.vec_id)
+         |SELECT q_id, vec_id, sim, CAST(rk AS BIGINT) AS rnk
+         |FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rk
+         |      FROM s)
+         |WHERE rk <= 5""".stripMargin,
+    "dedup_embedding_cosine" ->
+      s"""WITH $lshBucketCte,
+         |p AS (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, $cosineSql AS sim
+         |  FROM emb a JOIN emb b ON a.bucket = b.bucket
+         |  WHERE a.vec_id < b.vec_id)
+         |SELECT vec_a, vec_b, sim FROM p WHERE sim >= 0.95""".stripMargin,
+    "multimodal_stats" ->
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |       ELSE 'video' END AS modality,
+        |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+        |  CAST(n_chars % 640 + 16 AS BIGINT) AS width,
+        |  CAST(n_chars % 480 + 16 AS BIGINT) AS height,
+        |  CAST(n_chars % 30 + 1 AS BIGINT) AS n_frames
+        |FROM documents""".stripMargin)
 }

@@ -1,0 +1,178 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Record states of the dedup protocol.
+  *
+  * Values mirror the reference's `RecordState` enum
+  * (reference: src/main/kotlin/com/stroiker/distributed/deduplicator/
+  * provider/DeduplicationProvider.kt:250-257).
+  */
+object RecordState {
+  val Success: Short   = 1
+  val Duplicate: Short = 2
+  val Retry: Short     = 3
+  val Failed: Short    = 4
+}
+
+/** Set-oriented deduplication operators.
+  *
+  * The reference implements a per-call, keyed, first-writer-wins dedup
+  * protocol over Cassandra: one partition per key, attempts time-ordered
+  * by a `(time_uuid, record_uuid)` clustering key, winner = earliest
+  * attempt (reference: DeduplicationProvider.kt:35-123, clustering order
+  * :230-233, winner pick :68-69). Spark's shuffle gives that ordering
+  * deterministically per key, so the batch translation needs no retry
+  * loop: hash-partition by key, pick the minimum by the ordering columns.
+  *
+  * Scale notes (100 TB):
+  *  - `firstWins` uses `min_by` aggregation, NOT a window. A window
+  *    (`row_number over partition by key`) must sort every partition's
+  *    full attempt list; `min_by` is a hash aggregation with map-side
+  *    partial combine — the shuffle carries one row per key per input
+  *    partition instead of every attempt. That partial combine is the
+  *    built-in analog of the reference's in-process "burst absorber"
+  *    (reference: absorber/impl/CachedDuplicateBurstAbsorber.kt:16-19),
+  *    which exists to suppress duplicate storage round-trips the same way
+  *    a combiner suppresses duplicate shuffle rows.
+  *  - `auditStates` genuinely needs every attempt labeled, so it uses the
+  *    window; it shuffles all rows by construction.
+  */
+object Dedup {
+
+  /** Deterministic total order for attempts: time first, unique id as the
+    * tie-break — mirrors the reference's compound clustering key
+    * `(time_uuid ASC, record_uuid)` (DeduplicationProvider.kt:230-233).
+    */
+  private def orderStruct(orderCols: Seq[String]): Column =
+    struct(orderCols.map(col): _*)
+
+  /** First-writer-wins dedup: for each key keep exactly the earliest row
+    * by `orderCols` (lexicographic). Exactly-one-winner-per-key is the
+    * invariant the reference's whole protocol converges to
+    * (DeduplicationProvider.kt:67-95).
+    *
+    * Implemented as `min_by(struct(*), struct(orderCols))` — a hash
+    * aggregation with partial (map-side) combine; one shuffle on the key.
+    */
+  def firstWins(df: DataFrame, keyCols: Seq[String], orderCols: Seq[String]): DataFrame = {
+    val cols = df.columns
+    val winner = df
+      .groupBy(keyCols.map(col): _*)
+      .agg(min_by(struct(cols.map(col): _*), orderStruct(orderCols)).as("w"))
+    winner.select(cols.map(c => winner.col(s"w.$c").as(c)): _*)
+  }
+
+  /** Audit-log variant: keep every attempt, labeled with its protocol
+    * state — rank 1 by the time order → SUCCESS(1), later attempts →
+    * DUPLICATE(2) (reference outcome after the dust settles:
+    * DeduplicationProviderTest.kt:104-143). RETRY is a transient artifact
+    * of the per-call protocol (see graft.provider.DedupProvider) and does
+    * not appear in batch output; FAILED rows come in via `failedCol`.
+    *
+    * @param failedCol optional boolean column marking attempts whose
+    *        business block failed → FAILED(4), excluded from winner
+    *        selection (reference filters FAILED out at read:
+    *        DeduplicationProvider.kt:132).
+    */
+  def auditStates(df: DataFrame, keyCols: Seq[String], orderCols: Seq[String],
+                  failedCol: Option[Column] = None): DataFrame = {
+    val failed = failedCol.getOrElse(lit(false))
+    val w = Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy((col("__failed") +: orderCols.map(col)): _*)
+    df.withColumn("__failed", failed)
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("state",
+        when(col("__failed"), lit(RecordState.Failed))
+          .when(col("__rn") === 1, lit(RecordState.Success))
+          .otherwise(lit(RecordState.Duplicate)).cast("smallint"))
+      .drop("__failed", "__rn")
+  }
+
+  /** TTL expiry filter: keep rows whose `eventTimeCol + ttlSeconds` is
+    * still in the future relative to a *pinned* `now`. `ttlSeconds = 0`
+    * means immortal — the reference's `USING TTL 0` contract
+    * (DeduplicationProvider.kt:147,203; README.md:44). `now` is a
+    * parameter, never `current_timestamp()`, so results are reproducible
+    * (FIXTURES.md §3).
+    */
+  def ttlFilter(df: DataFrame, eventTimeCol: String, ttlSeconds: Long,
+                now: java.sql.Timestamp): DataFrame =
+    if (ttlSeconds == 0L) df
+    else df.filter(
+      col(eventTimeCol) + expr(s"INTERVAL $ttlSeconds SECONDS") > lit(now))
+
+  /** Per-key attempt histogram — the observable the reference's
+    * integration tests assert on (row count + state values per key,
+    * DeduplicationProviderTest.kt:78-284), as one aggregation.
+    */
+  def counts(df: DataFrame, keyCols: Seq[String], orderCols: Seq[String]): DataFrame =
+    df.groupBy(keyCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_attempts"),
+        min(orderStruct(orderCols)).as("first_attempt"),
+        max(orderStruct(orderCols)).as("last_attempt"))
+      .select(
+        (keyCols.map(col) ++ Seq(
+          col("n_attempts"),
+          col("first_attempt").getField(orderCols.head).as("first_time"),
+          col("last_attempt").getField(orderCols.head).as("last_time"))): _*)
+
+  /** Explicit map-side pre-dedup (the reference's burst absorber, O11,
+    * made visible): inside each input partition keep only the first row
+    * per key (bounded hash map = the absorber's bounded cache), then run
+    * the global `firstWins`. Output is identical to `firstWins` alone —
+    * verified by DedupSpec — the pre-pass only shrinks the shuffle, as
+    * the absorber only shrinks storage round-trips
+    * (CachedDuplicateBurstAbsorber.kt:16-19, README.md:73).
+    */
+  def absorberFirstWins(df: DataFrame, keyCols: Seq[String], orderCols: Seq[String],
+                        maxCacheSize: Int = 1 << 20): DataFrame = {
+    val pre = mapSideFirstWins(df, keyCols, orderCols, maxCacheSize)
+    firstWins(pre, keyCols, orderCols)
+  }
+
+  /** The map-side pass alone: per-partition first-row-per-key with a
+    * bounded cache (rows past the bound pass through un-absorbed — safe,
+    * because the global aggregation re-checks; mirrors the absorber being
+    * an optimization, not a correctness gate).
+    */
+  private[graft] def mapSideFirstWins(df: DataFrame, keyCols: Seq[String],
+                                      orderCols: Seq[String], maxCacheSize: Int): DataFrame = {
+    import org.apache.spark.sql.Row
+    val schema = df.schema
+    val keyIdx = keyCols.map(schema.fieldIndex)
+    val ordIdx = orderCols.map(schema.fieldIndex)
+    implicit val enc: org.apache.spark.sql.Encoder[Row] =
+      org.apache.spark.sql.Encoders.row(schema)
+    // Typed lexicographic compare on the order columns — must agree with
+    // Catalyst's struct ordering so the local winner is the global winner.
+    def earlier(a: Row, b: Row): Boolean = {
+      var i = 0
+      while (i < ordIdx.length) {
+        val x = a.get(ordIdx(i)).asInstanceOf[Comparable[Any]]
+        val c = x.compareTo(b.get(ordIdx(i)))
+        if (c != 0) return c < 0
+        i += 1
+      }
+      false
+    }
+    df.mapPartitions { it =>
+      val seen = new java.util.HashMap[Seq[Any], Row]()
+      val passThrough = scala.collection.mutable.ArrayBuffer.empty[Row]
+      it.foreach { row =>
+        val k = keyIdx.map(row.get)
+        val prev = seen.get(k)
+        if (prev == null) {
+          if (seen.size < maxCacheSize) seen.put(k, row)
+          else passThrough += row // absorber full: fall through to global agg
+        } else if (earlier(row, prev)) seen.put(k, row)
+      }
+      import scala.jdk.CollectionConverters._
+      seen.values().iterator().asScala ++ passThrough.iterator
+    }
+  }
+}

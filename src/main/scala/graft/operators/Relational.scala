@@ -1,0 +1,206 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+
+/** Relational analytics surface over the TPC-H-ish tables (SURVEY.md §7 M3).
+  *
+  * The reference library has no relational operators (SURVEY.md §2, "does
+  * NOT implement"); this layer is the north-star extension, built entirely
+  * from Catalyst-optimized built-ins: scans with pushdown, hash
+  * aggregations with partial combine, broadcast joins for the small
+  * dimensions, window functions for top-k.
+  *
+  * Determinism discipline (oracle hash-compare, FIXTURES.md §3):
+  *  - Money/quantity doubles are cast to DECIMAL(18,2) BEFORE summing —
+  *    decimal arithmetic is exact, so results are independent of partition
+  *    count and accumulation order (a double sum is neither). The final
+  *    value is cast to a fixed decimal type matching the oracle SQL.
+  *  - Every top-k has a total order: measure first, then a unique key.
+  *
+  * Scale notes (100 TB):
+  *  - `region`/`nation` are constant-size (5/25 rows) → always broadcast.
+  *  - Other dimension joins are left to AQE, which broadcasts at runtime
+  *    when the build side is small; at 100 TB customer/part/supplier are
+  *    shuffle-hash/sort-merge joined on their keys, which is correct.
+  *  - All aggregations are partial-aggregated map-side before the shuffle.
+  */
+object Relational {
+
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+  private def d382(c: Column): Column = c.cast(DecimalType(38, 2))
+  private def d384(c: Column): Column = c.cast(DecimalType(38, 4))
+  private def d386(c: Column): Column = c.cast(DecimalType(38, 6))
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+
+  /** TPC-H Q1-style pricing summary: single scan, hash agg, decimal-exact. */
+  def q1PricingSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit(ts("1998-09-02")))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        d382(sum(dec(col("l_quantity")))).as("sum_qty"),
+        d382(sum(dec(col("l_extendedprice")))).as("sum_base_price"),
+        d384(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))).as("sum_disc_price"),
+        d386(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))
+          * (lit(1) + dec(col("l_tax"))))).as("sum_charge"),
+        count(lit(1)).as("count_order"))
+
+  /** TPC-H Q3-style: top 10 unshipped orders by revenue in one segment. */
+  def q3ShippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = ts("1998-01-01")
+    val c = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(spark, dir).filter(col("o_orderdate") < lit(cutoff))
+    val l = Tables.lineitem(spark, dir).filter(col("l_shipdate") > lit(cutoff))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(d384(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5-style: revenue by nation where customer and supplier are in
+    * the same nation, one region, one year. region+nation broadcast.
+    */
+  def q5LocalSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val r = broadcast(Tables.region(spark, dir).filter(col("r_name") === "ASIA"))
+    val n = broadcast(Tables.nation(spark, dir))
+    val c = Tables.customer(spark, dir)
+    val s = Tables.supplier(spark, dir)
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit(ts("1996-01-01")) &&
+              col("o_orderdate") < lit(ts("1997-01-01")))
+    val l = Tables.lineitem(spark, dir)
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(s, col("l_suppkey") === col("s_suppkey") &&
+               col("c_nationkey") === col("s_nationkey"))
+      .join(n, col("s_nationkey") === col("n_nationkey"))
+      .join(r, col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(d384(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** TPC-H Q10-style: top 20 customers by returned-item revenue. */
+  def q10ReturnedItems(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val n = broadcast(Tables.nation(spark, dir))
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit(ts("1996-01-01")) &&
+              col("o_orderdate") < lit(ts("1996-07-01")))
+    val l = Tables.lineitem(spark, dir).filter(col("l_returnflag") === "R")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(n, col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(d384(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** TPC-H Q4-style via semi join: order count per priority where at least
+    * one lineitem was returned. Semi join = EXISTS, no row multiplication.
+    */
+  def q4PriorityExists(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit(ts("1996-01-01")) &&
+              col("o_orderdate") < lit(ts("1997-01-01")))
+    val l = Tables.lineitem(spark, dir).filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"))
+    o.join(l, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Anti join: customers that never placed an order (NOT EXISTS). */
+  def qCustomersNoOrders(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir).select(col("o_custkey"))
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+  }
+
+  /** Window top-k per group: 3 priciest parts per brand, deterministic
+    * tie-break on p_partkey.
+    */
+  def qTopPartsPerBrand(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("p_brand"))
+      .orderBy(col("p_retailprice").desc, col("p_partkey"))
+    Tables.part(spark, dir)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("p_brand"), col("p_partkey"), col("p_name"),
+              d382(dec(col("p_retailprice"))).as("retail_price"), col("rk"))
+  }
+
+  /** ROLLUP aggregation (grouping-sets family). */
+  def qRollupReturns(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), d382(sum(dec(col("l_quantity")))).as("sum_qty"))
+
+  /** Revenue by region: the full 6-table star-join chain. */
+  def qRegionRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val r = broadcast(Tables.region(spark, dir))
+    val n = broadcast(Tables.nation(spark, dir))
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val l = Tables.lineitem(spark, dir)
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(n, col("c_nationkey") === col("n_nationkey"))
+      .join(r, col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(
+        d384(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))).as("revenue"),
+        countDistinct(col("o_orderkey")).as("n_orders"))
+      .orderBy(col("r_name"))
+  }
+
+  /** Sessionization over the events stream table: windows + lag + running
+    * sum. A new session starts after a >30 min gap per user.
+    */
+  def qEventsSessionize(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+             unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+           min(col("ts")).as("session_start"),
+           max(col("ts")).as("session_end"))
+  }
+
+  /** Semi-structured: parse the JSON `props` column and aggregate. */
+  def qEventsProps(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("bigint"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("k")).as("sum_k"),
+           min(col("k")).as("min_k"),
+           max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+
+  /** Set operations: event types seen in the first week vs the last week. */
+  def qSetOps(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val early = e.filter(col("ts") < lit(ts("2024-01-08"))).select(col("event_type")).distinct()
+    val late  = e.filter(col("ts") >= lit(ts("2024-01-24"))).select(col("event_type")).distinct()
+    early.intersect(late).withColumn("which", lit("both"))
+      .union(early.except(late).withColumn("which", lit("early_only")))
+      .union(late.except(early).withColumn("which", lit("late_only")))
+      .orderBy(col("event_type"))
+  }
+}

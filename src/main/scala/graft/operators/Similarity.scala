@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Approximate-nearest-neighbor / similarity search over the
+  * `embeddings` table (`embedding: array<float>`, 64 dims).
+  *
+  * Two paths:
+  *  - `cosineTopK`: brute-force cosine top-k for a query subset — the
+  *    correctness baseline. Queries are broadcast; candidates stream; no
+  *    shuffle except the final per-query top-k aggregation. At 100 TB the
+  *    broadcast side stays small (queries), so the scan side never
+  *    shuffles its vectors.
+  *  - `lshBucketTopK`: random-hyperplane LSH. Each vector gets a bucket
+  *    id from the signs of 8 pseudo-random hyperplane projections;
+  *    exact cosine runs only within a bucket — a hash-partitioned join on
+  *    bucket instead of a cross product. The hyperplane weights derive
+  *    from md5, and projections use integer-quantized arithmetic, so the
+  *    bucket assignment is bit-for-bit reproducible in the DuckDB oracle
+  *    (order-independent integer sums — float sums would not be).
+  *
+  * Float discipline: dot products accumulate left-to-right in double via
+  * `aggregate` (matching DuckDB's list_sum over list_transform), and
+  * similarity is rounded to 6 decimals BEFORE ranking, with vec_id as
+  * final tie-break, so ranking never depends on sub-ulp differences.
+  */
+object Similarity {
+
+  val NumPlanes = 8
+  val Dims      = 64
+
+  private def toDouble(c: Column): Column = transform(c, x => x.cast("double"))
+
+  /** Sequential double dot product of two float arrays. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(toDouble(a), toDouble(b), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force cosine top-k: queries = every `queryStride`-th vector.
+    * Output: (q_id, vec_id, sim, rank).
+    */
+  def cosineTopK(spark: SparkSession, dir: String, k: Int = 5,
+                 queryStride: Int = 50): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val q = emb.filter(col("vec_id") % queryStride === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val joined = emb.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(cosine(col("q_emb"), col("embedding")), 6).as("sim"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
+    joined.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
+  /** Deterministic pseudo-random hyperplane weight for (plane, dim):
+    * integer in [-1000, 1000] from an md5 prefix — same formula the
+    * oracle SQL uses.
+    */
+  private[graft] def planeWeight(p: Int, d: Int): Long = {
+    val hex = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(s"${p}_$d".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    (java.lang.Long.parseLong(hex.substring(0, 15), 16) % 2001L) - 1000L
+  }
+
+  /** vec_id, bucket: signs of the 8 hyperplane projections packed into an
+    * int. Projections are Σ_d w(p,d) · floor(x_d·1000) — pure integer,
+    * so order-independent and oracle-exact.
+    */
+  def lshBuckets(emb: DataFrame): DataFrame = {
+    // quantize once, then one compact zip_with/aggregate per plane — NOT
+    // 8×64 scalar terms, which makes Catalyst/codegen quadratically slow
+    val quantized = transform(col("embedding"),
+      x => floor(x.cast("double") * 1000).cast("bigint"))
+    val bucket = (0 until NumPlanes).map { p =>
+      val w = typedLit((0 until Dims).map(d => planeWeight(p, d)))
+      val proj = aggregate(zip_with(w, col("__q"), (a, b) => a * b),
+        lit(0L), (acc, x) => acc + x)
+      when(proj > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    emb.withColumn("__q", quantized)
+      .select(col("vec_id"), col("embedding"), bucket.as("bucket"))
+  }
+
+  /** LSH-bucketed ANN: exact cosine top-k within each vector's bucket.
+    * Output: (q_id, vec_id, sim, rank) for the same query subset as
+    * `cosineTopK` — recall vs the brute-force baseline is measured in
+    * SimilaritySpec.
+    */
+  def lshBucketTopK(spark: SparkSession, dir: String, k: Int = 5,
+                    queryStride: Int = 50): DataFrame = {
+    val b = lshBuckets(Tables.embeddings(spark, dir))
+    val q = b.filter(col("vec_id") % queryStride === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("bucket"))
+    val cand = b.join(q, Seq("bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(cosine(col("q_emb"), col("embedding")), 6).as("sim"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
+    cand.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs: all pairs in the same LSH
+    * bucket with cosine ≥ threshold (the embedding analog of
+    * MinHash.minhashDedup).
+    */
+  def cosineNearDupPairs(spark: SparkSession, dir: String,
+                         threshold: Double = 0.95): DataFrame = {
+    val b = lshBuckets(Tables.embeddings(spark, dir))
+    val l = b.select(col("bucket"), col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
+    val r = b.select(col("bucket"), col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
+    l.join(r, Seq("bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        round(cosine(col("emb_a"), col("emb_b")), 6).as("sim"))
+      .filter(col("sim") >= threshold)
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+}

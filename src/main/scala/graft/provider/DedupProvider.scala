@@ -1,0 +1,181 @@
+package graft.provider
+
+import java.util.UUID
+import java.util.concurrent.{CompletableFuture, ExecutorService, Executors}
+import scala.concurrent.duration.Duration
+import graft.operators.RecordState
+
+/** Per-call, keyed, exactly-once dedup provider — API parity with the
+  * reference's `DeduplicationProvider.process` (reference:
+  * provider/DeduplicationProvider.kt:35-123; normative protocol
+  * SURVEY.md §2.1). The storage backend is pluggable (`DedupLog`); the
+  * set-oriented Spark engine (graft.operators.Dedup) computes the same
+  * converged outcome over a bag of attempts.
+  *
+  * Protocol per call:
+  *  1. generate a fresh attempt UUID;
+  *  2. absorber gate: first in-process caller inserts SUCCESS, racers get
+  *     the winner's UUID and are declared DUPLICATE without a storage
+  *     read (reference :44-65);
+  *  3. read back all live SUCCESS attempts for the key;
+  *  4. >1 SUCCESS ⇒ conflict: the time-order winner demotes itself to
+  *     RETRY and throws RetryException (strategy re-runs with a fresh
+  *     UUID); losers demote to DUPLICATE and throw DuplicateException
+  *     (reference :67-95);
+  *  5. exactly one SUCCESS (self) ⇒ run the block; a block failure marks
+  *     the attempt FAILED and rethrows; if that update itself fails, the
+  *     update error is thrown with the business error suppressed
+  *     (reference :96-114);
+  *  6. a FailedException evicts the absorber entry (reference :117-122).
+  */
+class DedupProvider(
+    val log: DedupLog,
+    val strategy: RetryStrategy,
+    val absorber: DuplicateBurstAbsorber,
+    clockMicros: () => Long = () => System.currentTimeMillis() * 1000) {
+
+  def process[T](key: String, table: String, keyspace: String,
+                 ttl: Duration, block: () => T): T =
+    strategy.retry(() => processOnce(key, table, keyspace, ttl, block))
+
+  protected def processOnce[T](key: String, table: String, keyspace: String,
+                               ttl: Duration, block: () => T): T = {
+    try {
+      val selfUuid = UUID.randomUUID().toString
+      val cacheKey = s"$keyspace:$table:$key"
+      var selfTimeMicros = 0L
+
+      val absorbedUuid = absorber.absorb(cacheKey, () => {
+        selfTimeMicros = clockMicros()
+        insert(keyspace, table, key, selfTimeMicros, selfUuid, RecordState.Success, ttl)
+        selfUuid
+      })
+
+      if (absorbedUuid != selfUuid) {
+        // lost the in-process race: record the duplicate attempt, skip storage read
+        insert(keyspace, table, key, clockMicros(), selfUuid, RecordState.Duplicate, ttl)
+        throw new DuplicateException(key, table, keyspace)
+      }
+
+      val now = clockMicros()
+      val successes = log.read(keyspace, table, key, now)
+        .filter(_.state == RecordState.Success)
+
+      if (successes.size > 1) {
+        val winner = successes.head // read is (time, uuid)-ordered
+        if (winner.recordUuid == selfUuid) {
+          update(keyspace, table, key, selfTimeMicros, selfUuid, RecordState.Retry)
+          throw new RetryException(key, table, keyspace)
+        } else {
+          update(keyspace, table, key, selfTimeMicros, selfUuid, RecordState.Duplicate)
+          throw new DuplicateException(key, table, keyspace)
+        }
+      } else if (successes.isEmpty || successes.head.recordUuid != selfUuid) {
+        // our SUCCESS row is gone or superseded (e.g. expired mid-flight,
+        // or an earlier attempt already holds SUCCESS): duplicate
+        throw new DuplicateException(key, table, keyspace)
+      }
+
+      try block()
+      catch {
+        case business: Throwable =>
+          try update(keyspace, table, key, selfTimeMicros, selfUuid, RecordState.Failed)
+          catch {
+            case updateErr: Throwable =>
+              updateErr.addSuppressed(business) // reference :109-112
+              throw updateErr
+          }
+          throw business
+      }
+    } catch {
+      case e: FailedException =>
+        absorber.evict(s"$keyspace:$table:$key") // reference :117-122
+        throw e
+    }
+  }
+
+  private def insert(ks: String, t: String, key: String, timeMicros: Long,
+                     uuid: String, state: Short, ttl: Duration): Unit = {
+    val expires =
+      if (!ttl.isFinite || ttl.toSeconds == 0) None // ttl=0 ⇒ immortal (README.md:44)
+      else Some(timeMicros + ttl.toMicros)
+    try log.append(ks, t, AttemptRecord(key, timeMicros, uuid, state, expires))
+    catch { case _: Throwable => throw new FailedException(key, t, ks) }
+  }
+
+  private def update(ks: String, t: String, key: String, timeMicros: Long,
+                     uuid: String, state: Short): Unit =
+    try log.updateState(ks, t, key, timeMicros, uuid, state)
+    catch { case _: Throwable => throw new FailedException(key, t, ks) }
+}
+
+/** Async façade: `processAsync` = async-retry around the sync protocol;
+  * direct `process` calls are rejected, and the inherited sync retry is
+  * neutralized to identity so retry policy lives only in the async
+  * strategy (reference: provider/DeduplicationProviderAsync.kt:10-32).
+  */
+class DedupProviderAsync(
+    log: DedupLog,
+    val asyncStrategy: RetryStrategyAsync,
+    absorber: DuplicateBurstAbsorber,
+    clockMicros: () => Long = () => System.currentTimeMillis() * 1000)
+    extends DedupProvider(log,
+      new RetryStrategy { override def retry[T](a: () => T): T = a() }, // identity adapter (:29-31)
+      absorber, clockMicros) {
+
+  override def process[T](key: String, table: String, keyspace: String,
+                          ttl: Duration, block: () => T): T =
+    throw new UnsupportedOperationException(
+      "use processAsync on DedupProviderAsync") // reference :25-27
+
+  def processAsync[T](key: String, table: String, keyspace: String,
+                      ttl: Duration, block: () => T): CompletableFuture[T] =
+    asyncStrategy.retryAsync(() => processOnce(key, table, keyspace, ttl, block))
+}
+
+/** Builder with the reference's defaults: sync strategy
+  * ExponentialDelayRetryStrategy(3, 2×requestTimeout); async
+  * ExponentialDelayRetryStrategyAsync(3, 2×requestTimeout,
+  * workStealingPool); absorber no-op
+  * (reference: builder/DeduplicationProviderBuilder.kt:21-103,
+  * Utils.kt:7-11).
+  */
+object DedupProviderBuilder {
+  val DefaultRetries = 3
+  val DefaultRequestTimeoutMillis = 2000L
+
+  class SyncBuilder private[DedupProviderBuilder] () {
+    private var log: DedupLog = new InMemoryDedupLog
+    private var strategy: RetryStrategy =
+      new ExponentialDelayRetryStrategy(DefaultRetries, 2 * DefaultRequestTimeoutMillis)
+    private var absorber: DuplicateBurstAbsorber = new NoDuplicateBurstAbsorber
+
+    def withLog(l: DedupLog): SyncBuilder = { log = l; this }
+    def withRetryStrategy(s: RetryStrategy): SyncBuilder = { strategy = s; this }
+    def withDuplicateAbsorber(size: Int, absorbMillis: Long): SyncBuilder = {
+      absorber = new CachedDuplicateBurstAbsorber(size, absorbMillis); this
+    }
+    def build(): DedupProvider = new DedupProvider(log, strategy, absorber)
+  }
+
+  class AsyncBuilder private[DedupProviderBuilder] () {
+    private var log: DedupLog = new InMemoryDedupLog
+    private var executor: ExecutorService = Executors.newWorkStealingPool()
+    private var strategy: Option[RetryStrategyAsync] = None
+    private var absorber: DuplicateBurstAbsorber = new NoDuplicateBurstAbsorber
+
+    def withLog(l: DedupLog): AsyncBuilder = { log = l; this }
+    def withExecutor(e: ExecutorService): AsyncBuilder = { executor = e; this }
+    def withRetryStrategy(s: RetryStrategyAsync): AsyncBuilder = { strategy = Some(s); this }
+    def withDuplicateAbsorber(size: Int, absorbMillis: Long): AsyncBuilder = {
+      absorber = new CachedDuplicateBurstAbsorber(size, absorbMillis); this
+    }
+    def build(): DedupProviderAsync = new DedupProviderAsync(log,
+      strategy.getOrElse(new ExponentialDelayRetryStrategyAsync(
+        DefaultRetries, 2 * DefaultRequestTimeoutMillis, executor)),
+      absorber)
+  }
+
+  def newProviderBuilder(): SyncBuilder = new SyncBuilder
+  def newAsyncProviderBuilder(): AsyncBuilder = new AsyncBuilder
+}

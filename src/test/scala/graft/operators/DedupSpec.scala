@@ -1,0 +1,106 @@
+package graft.operators
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Dedup operator invariants (SURVEY.md §5 engine test plan): exactly one
+  * winner per key, winner = min by (event_time, record_uuid), idempotence,
+  * partitioning-invariance, absorber-equivalence, TTL semantics — the
+  * set-oriented translation of the reference's five integration outcomes
+  * (reference: DeduplicationProviderTest.kt:78-284).
+  */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def t(s: String) = Timestamp.valueOf(s)
+
+  /** FIXTURES.md §1 canonical fixture. */
+  private lazy val fixture = Seq(
+    ("k1", t("2024-01-01 00:00:00"), "u1"),
+    ("k2", t("2024-01-01 00:00:00"), "u2"),
+    ("k2", t("2024-01-01 00:00:01"), "u3"),
+    ("k3", t("2024-01-01 00:00:00"), "u4"),
+    ("k3", t("2024-01-01 00:00:01"), "u5"),
+    ("k4", t("2024-01-01 00:00:00"), "u6")
+  ).toDF("key", "event_time", "record_uuid")
+
+  test("firstWins keeps exactly one row per key, the time-order winner") {
+    val got = Dedup.firstWins(fixture, Seq("key"), Seq("event_time", "record_uuid"))
+      .select("key", "record_uuid").as[(String, String)].collect().toMap
+    assert(got === Map("k1" -> "u1", "k2" -> "u2", "k3" -> "u4", "k4" -> "u6"))
+  }
+
+  test("firstWins breaks timestamp ties by record_uuid") {
+    val tied = Seq(
+      ("k", t("2024-01-01 00:00:00"), "zz"),
+      ("k", t("2024-01-01 00:00:00"), "aa")
+    ).toDF("key", "event_time", "record_uuid")
+    val got = Dedup.firstWins(tied, Seq("key"), Seq("event_time", "record_uuid"))
+      .select("record_uuid").as[String].collect()
+    assert(got.toSeq === Seq("aa"))
+  }
+
+  test("auditStates labels rank-1 SUCCESS and the rest DUPLICATE") {
+    val got = Dedup.auditStates(fixture, Seq("key"), Seq("event_time", "record_uuid"))
+      .select("record_uuid", "state").as[(String, Short)].collect().toMap
+    assert(got("u2") === RecordState.Success)
+    assert(got("u3") === RecordState.Duplicate)
+    assert(got("u1") === RecordState.Success)
+  }
+
+  test("auditStates marks failed attempts FAILED and excludes them from winning") {
+    val withFailed = fixture.withColumn("failed", col("record_uuid") === "u2")
+    val got = Dedup.auditStates(withFailed, Seq("key"), Seq("event_time", "record_uuid"),
+        failedCol = Some(col("failed")))
+      .select("record_uuid", "state").as[(String, Short)].collect().toMap
+    assert(got("u2") === RecordState.Failed)
+    assert(got("u3") === RecordState.Success) // u2 failed, so u3 wins k2
+  }
+
+  test("dedup is idempotent: dedup(dedup(x)) == dedup(x)") {
+    val once = Dedup.firstWins(fixture, Seq("key"), Seq("event_time", "record_uuid"))
+    val twice = Dedup.firstWins(once, Seq("key"), Seq("event_time", "record_uuid"))
+    assert(once.except(twice).isEmpty && twice.except(once).isEmpty)
+  }
+
+  test("result is independent of input partitioning") {
+    val events = graft.Tables.events(spark, sfDir)
+    val a = Dedup.firstWins(events.repartition(1), Seq("user_id", "event_type"), Seq("ts", "event_id"))
+    val b = Dedup.firstWins(events.repartition(13), Seq("user_id", "event_type"), Seq("ts", "event_id"))
+    assert(a.except(b).isEmpty && b.except(a).isEmpty)
+  }
+
+  test("absorberFirstWins ≡ firstWins (map-side pre-dedup is pure optimization)") {
+    val events = graft.Tables.events(spark, sfDir)
+    val plain = Dedup.firstWins(events, Seq("user_id", "event_type"), Seq("ts", "event_id"))
+    val absorbed = Dedup.absorberFirstWins(events, Seq("user_id", "event_type"), Seq("ts", "event_id"))
+    assert(plain.except(absorbed).isEmpty && absorbed.except(plain).isEmpty)
+  }
+
+  test("absorber with tiny cache still ≡ firstWins (overflow falls through)") {
+    val events = graft.Tables.events(spark, sfDir)
+    val plain = Dedup.firstWins(events, Seq("user_id", "event_type"), Seq("ts", "event_id"))
+    val absorbed = Dedup.absorberFirstWins(events, Seq("user_id", "event_type"),
+      Seq("ts", "event_id"), maxCacheSize = 7)
+    assert(plain.except(absorbed).isEmpty && absorbed.except(plain).isEmpty)
+  }
+
+  test("ttlFilter: ttl=0 keeps everything; finite ttl drops expired rows") {
+    val now = t("2024-01-03 00:00:00")
+    val df = Seq(
+      ("old", t("2024-01-01 00:00:00"), "u1"),
+      ("new", t("2024-01-02 12:00:00"), "u2")
+    ).toDF("key", "event_time", "record_uuid")
+    assert(Dedup.ttlFilter(df, "event_time", 0L, now).count() === 2)
+    val day = 86400L
+    val kept = Dedup.ttlFilter(df, "event_time", day, now).select("key").as[String].collect()
+    assert(kept.toSeq === Seq("new"))
+  }
+
+  test("counts: per-key histogram matches") {
+    val got = Dedup.counts(fixture, Seq("key"), Seq("event_time", "record_uuid"))
+      .select("key", "n_attempts").as[(String, Long)].collect().toMap
+    assert(got === Map("k1" -> 1L, "k2" -> 2L, "k3" -> 2L, "k4" -> 1L))
+  }
+}

@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Text-analysis + near-dup operator specs over sf0.001. */
+class TextSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("qualityScore: consistent counts and ratios") {
+    val rows = TextOps.qualityScore(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nTok = r.getAs[Long]("n_tokens")
+      val nStop = r.getAs[Long]("n_stopwords")
+      assert(nTok > 0 && nStop >= 0 && nStop <= nTok)
+      assert(math.abs(r.getAs[Double]("stopword_ratio") - nStop.toDouble / nTok) < 1e-12)
+      assert(r.getAs[Long]("n_types") <= nTok)
+    }
+  }
+
+  test("langId covers every doc with a prediction from the marker set") {
+    val preds = TextOps.langId(spark, sfDir).select("predicted_lang").as[String].collect()
+    assert(preds.length > 0)
+    assert(preds.toSet.subsetOf(Set("en", "de", "es", "fr", "zh")))
+  }
+
+  test("fingerprint is deterministic and unique per distinct text") {
+    val fp = TextOps.fingerprint(spark, sfDir)
+    val n = fp.count()
+    assert(fp.select("fp_md5").distinct().count() === n) // corpus has no exact dups
+    val again = TextOps.fingerprint(spark, sfDir)
+    assert(fp.except(again).isEmpty)
+  }
+
+  test("exactDedup keeps one winner per content hash") {
+    val d = TextOps.exactDedup(spark, sfDir)
+    assert(d.groupBy("fp").count().filter(col("count") > 1).isEmpty)
+  }
+
+  test("shingles: count = n_tokens - k + 1 before dedup, all k words long") {
+    val docs = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+    val sh = MinHash.shingles(docs).as[(Long, String)].collect()
+    assert(sh.length === 3)
+    assert(sh.forall(_._2.split(" ").length === 3))
+  }
+
+  test("signatures have NumHashes elements, stable across runs") {
+    val sh = MinHash.shingles(graft.Tables.documents(spark, sfDir))
+    val sig = MinHash.signatures(sh)
+    val row = sig.limit(1).collect()(0)
+    assert(row.getAs[Seq[String]]("sig").length === MinHash.NumHashes)
+  }
+
+  test("minhash-LSH finds the planted near-dups and they verify ≥ threshold") {
+    val pairs = MinHash.minhashDedup(spark, sfDir).collect()
+    assert(pairs.nonEmpty, "corpus has planted near-dups; LSH must find some")
+    pairs.foreach { r =>
+      assert(r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b"))
+      assert(r.getAs[Double]("jaccard") >= 0.5)
+    }
+  }
+
+  test("minhash candidates ⊇ exact jaccard pairs at high similarity (LSH recall)") {
+    val exact = MinHash.ngramJaccardPairs(spark, sfDir, threshold = 0.9)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val lsh = MinHash.minhashDedup(spark, sfDir, threshold = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // j≥0.9 collides in some band with prob ≈ 1 - (1-0.9^4)^3 ≈ 0.97;
+    // with the small corpus the planted pairs all collide in practice
+    val missed = exact -- lsh
+    assert(missed.size <= math.max(1, exact.size / 10),
+      s"LSH missed too many high-sim pairs: $missed")
+  }
+
+  test("survivors = docs minus greedy-dominated dupes") {
+    val total = graft.Tables.documents(spark, sfDir).count()
+    val dropped = MinHash.minhashDedup(spark, sfDir)
+      .select("doc_b").distinct().count()
+    assert(MinHash.minhashSurvivors(spark, sfDir).count() === total - dropped)
+  }
+
+  test("simhash: near-dup docs have small hamming distance, random pairs large") {
+    val sh = MinHash.simhash(spark, sfDir).as[(Long, Long)].collect().toMap
+    val near = MinHash.minhashDedup(spark, sfDir)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    assert(near.nonEmpty)
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val nearDist = near.map { case (a, b) => ham(sh(a), sh(b)) }
+    val ids = sh.keys.toSeq.sorted
+    val farDist = ids.take(40).sliding(2, 2).collect {
+      case Seq(a, b) if !near.contains((a, b)) => ham(sh(a), sh(b))
+    }.toSeq
+    assert(nearDist.sum.toDouble / nearDist.length <
+           farDist.sum.toDouble / farDist.length,
+      s"near avg ${nearDist.sum / nearDist.length} !< far avg ${farDist.sum / farDist.length}")
+  }
+}

@@ -1,0 +1,77 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.SparkSpec
+import graft.operators.RecordState
+
+/** Streaming dedup specs: watermark dedup and the flatMapGroupsWithState
+  * state lattice, driven synchronously with MemoryStream (SURVEY §7 M4).
+  */
+class StreamingDedupSpec extends SparkSpec {
+  import StreamingDedup._
+
+  private def t(s: String) = Timestamp.valueOf(s)
+
+  test("auditStream: first attempt per key SUCCESS, later DUPLICATE, across batches") {
+    implicit val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    val input = MemoryStream[Attempt]
+    val q = auditStream(input.toDS(), ttlMillis = 0)
+      .writeStream.format("memory").queryName("audit").outputMode("append").start()
+    try {
+      input.addData(
+        Attempt("k1", t("2024-01-01 00:00:00"), "u1"),
+        Attempt("k2", t("2024-01-01 00:00:00"), "u2"),
+        Attempt("k2", t("2024-01-01 00:00:01"), "u3"))
+      q.processAllAvailable()
+      input.addData(Attempt("k1", t("2024-01-01 00:01:00"), "u4")) // later batch dup
+      q.processAllAvailable()
+      val got = spark.table("audit").as[Audited].collect()
+        .map(a => a.record_uuid -> a.state).toMap
+      assert(got("u1") === RecordState.Success)
+      assert(got("u2") === RecordState.Success)
+      assert(got("u3") === RecordState.Duplicate)
+      assert(got("u4") === RecordState.Duplicate) // state persisted across batches
+    } finally q.stop()
+  }
+
+  test("auditStream: within-batch ordering is (event_time, record_uuid)") {
+    implicit val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    val input = MemoryStream[Attempt]
+    val q = auditStream(input.toDS(), ttlMillis = 0)
+      .writeStream.format("memory").queryName("audit2").outputMode("append").start()
+    try {
+      // arrival order deliberately reversed; time order must win
+      input.addData(
+        Attempt("k", t("2024-01-01 00:00:05"), "late"),
+        Attempt("k", t("2024-01-01 00:00:01"), "early"))
+      q.processAllAvailable()
+      val got = spark.table("audit2").as[Audited].collect()
+        .map(a => a.record_uuid -> a.state).toMap
+      assert(got("early") === RecordState.Success)
+      assert(got("late") === RecordState.Duplicate)
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesStream deduplicates keyed events within the watermark") {
+    implicit val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    val input = MemoryStream[Attempt]
+    val deduped = dropDuplicatesStream(input.toDF(), "event_time", Seq("key"), "10 minutes")
+    val q = deduped.writeStream.format("memory").queryName("wm").outputMode("append").start()
+    try {
+      input.addData(
+        Attempt("a", t("2024-01-01 00:00:00"), "u1"),
+        Attempt("a", t("2024-01-01 00:00:30"), "u2"),
+        Attempt("b", t("2024-01-01 00:01:00"), "u3"))
+      q.processAllAvailable()
+      assert(spark.table("wm").select("key").as[String].collect().sorted.toSeq === Seq("a", "b"))
+    } finally q.stop()
+  }
+}
