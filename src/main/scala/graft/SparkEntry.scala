@@ -42,6 +42,10 @@ object SparkEntry {
     "q5_local_supplier"     -> (Relational.q5LocalSupplier _),
     "q10_returned_items"    -> (Relational.q10ReturnedItems _),
     "q4_priority_exists"    -> (Relational.q4PriorityExists _),
+    "q6_forecast_revenue"   -> (Relational.q6ForecastRevenue _),
+    "q7_nation_trade"       -> (Relational.q7NationTrade _),
+    "q14_promo_revenue"     -> (Relational.q14PromoRevenue _),
+    "q18_large_orders"      -> (Relational.q18LargeOrders _),
     "q_customers_no_orders" -> (Relational.qCustomersNoOrders _),
     "q_top_parts_per_brand" -> (Relational.qTopPartsPerBrand _),
     "q_rollup_returns"      -> (Relational.qRollupReturns _),
@@ -64,6 +68,7 @@ object SparkEntry {
     // ── embedding similarity ──
     "ann_cosine_topk"         -> ((s, d) => Similarity.cosineTopK(s, d)),
     "ann_lsh_topk"            -> ((s, d) => Similarity.lshBucketTopK(s, d)),
+    "ann_ivf_topk"            -> ((s, d) => Similarity.ivfTopK(s, d)),
     "dedup_embedding_cosine"  -> ((s, d) => Similarity.cosineNearDupPairs(s, d)),
     // ── multimodal plumbing (decode itself is a stubbed fake; see Multimodal) ──
     "multimodal_stats"        -> (operators.Multimodal.mediaStats _))
@@ -90,11 +95,12 @@ object SparkEntry {
       |  JOIN (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1) sa ON i.doc_a = sa.doc_id
       |  JOIN (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1) sb ON i.doc_b = sb.doc_id)""".stripMargin
 
-  private val cosineSql =
-    """round(
-      |  list_sum(list_transform(list_zip(a.embedding, b.embedding), z -> z[1]::DOUBLE * z[2]::DOUBLE)) /
-      |  (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE))) *
-      |   sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE)))), 6)""".stripMargin
+  private def cosSql(a: String, b: String): String =
+    s"""round(
+       |  list_sum(list_transform(list_zip($a, $b), z -> z[1]::DOUBLE * z[2]::DOUBLE)) /
+       |  (sqrt(list_sum(list_transform($a, x -> x::DOUBLE * x::DOUBLE))) *
+       |   sqrt(list_sum(list_transform($b, x -> x::DOUBLE * x::DOUBLE)))), 6)""".stripMargin
+  private val cosineSql = cosSql("a.embedding", "b.embedding")
 
   private val lshBucketCte =
     """w AS (SELECT p, d,
@@ -168,6 +174,41 @@ object SparkEntry {
         |  AND EXISTS (SELECT 1 FROM lineitem
         |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
         |GROUP BY 1""".stripMargin,
+    "q6_forecast_revenue" ->
+      s"""SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS revenue,
+         |  count(*) AS n_rows
+         |FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+         |  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin,
+    "q7_nation_trade" ->
+      s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+         |  CAST(SUM($discPrice) AS DECIMAL(38,4)) AS revenue
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         |WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+         |   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+         |GROUP BY 1, 2, 3""".stripMargin,
+    "q14_promo_revenue" ->
+      s"""SELECT
+         |  CAST(SUM(CASE WHEN p_type LIKE 'PROMO%' THEN $discPrice ELSE 0 END) AS DECIMAL(38,4)) AS promo_revenue,
+         |  CAST(SUM($discPrice) AS DECIMAL(38,4)) AS total_revenue
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+         |  AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'""".stripMargin,
+    "q18_large_orders" ->
+      """SELECT c_custkey, c_name, o_orderkey, o_orderdate, total_qty
+        |FROM (SELECT l_orderkey,
+        |        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_qty
+        |      FROM lineitem GROUP BY 1) big
+        |JOIN orders ON big.l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE total_qty > 150
+        |ORDER BY total_qty DESC, o_orderkey LIMIT 50""".stripMargin,
     "q_customers_no_orders" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
@@ -342,6 +383,31 @@ object SparkEntry {
          |  SELECT a.vec_id AS q_id, b.vec_id AS vec_id, $cosineSql AS sim
          |  FROM emb a JOIN emb b ON a.bucket = b.bucket
          |  WHERE a.vec_id % 50 = 0 AND b.vec_id <> a.vec_id)
+         |SELECT q_id, vec_id, sim, CAST(rk AS BIGINT) AS rnk
+         |FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rk
+         |      FROM s)
+         |WHERE rk <= 5""".stripMargin,
+    "ann_ivf_topk" ->
+      s"""WITH cent AS (SELECT vec_id AS cent_id, embedding AS cent_emb
+         |              FROM embeddings WHERE vec_id % 100 = 1),
+         |assigned AS (
+         |  SELECT vec_id, embedding, cent_id AS list_id FROM (
+         |    SELECT e.vec_id, e.embedding, c.cent_id,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cosSql("e.embedding", "c.cent_emb")} DESC, c.cent_id) AS arnk
+         |    FROM embeddings e, cent c)
+         |  WHERE arnk = 1),
+         |probes AS (
+         |  SELECT q_id, q_emb, cent_id AS list_id FROM (
+         |    SELECT e.vec_id AS q_id, e.embedding AS q_emb, c.cent_id,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cosSql("e.embedding", "c.cent_emb")} DESC, c.cent_id) AS prnk
+         |    FROM embeddings e, cent c WHERE e.vec_id % 50 = 0)
+         |  WHERE prnk <= 4),
+         |s AS (
+         |  SELECT p.q_id, a.vec_id, ${cosSql("p.q_emb", "a.embedding")} AS sim
+         |  FROM probes p JOIN assigned a ON p.list_id = a.list_id
+         |  WHERE a.vec_id <> p.q_id)
          |SELECT q_id, vec_id, sim, CAST(rk AS BIGINT) AS rnk
          |FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rk
          |      FROM s)

@@ -30,31 +30,38 @@ object MinHash {
   val NumHashes   = 12
   val BandRows    = 4 // => 3 bands
 
-  /** doc_id, shingle (distinct word k-grams). */
-  def shingles(docs: DataFrame, k: Int = ShingleSize): DataFrame = {
-    val toks = split(col("text"), " ")
-    val n = size(toks) - (k - 1) // #shingles; sequence(1,0) would count DOWN, so guard
+  /** doc_id, shingle (distinct word k-grams).
+    *
+    * Distinctness is PER DOC, so `array_distinct` before the explode gives
+    * the same rows as a global `.distinct()` — without the distinct's
+    * two-exchange shuffle. element_at instead of slice(): slice copies a
+    * sub-array per shingle (O(k) alloc each); element_at reads in place.
+    */
+  def shingles(docs: DataFrame, k: Int = ShingleSize): DataFrame =
+    shingleArray(docs, k)
+      .select(col("doc_id"), explode(col("shingles")).as("shingle"))
+
+  /** doc_id, shingles: the same k-grams as `shingles` but as one array
+    * per doc — no row explosion, so signature computation needs no
+    * shuffle at all.
+    */
+  def shingleArray(docs: DataFrame, k: Int = ShingleSize): DataFrame =
     docs.select(
-        col("doc_id"),
-        explode(when(n >= 1,
-          transform(sequence(lit(1), n), i => concat_ws(" ", slice(toks, i, lit(k)))))
-          .otherwise(array())).as("shingle"))
-      .distinct()
-  }
+      col("doc_id"),
+      graft.functions.functions.word_shingles(col("text"), k).as("shingles"))
 
   /** doc_id, sig: array of NumHashes minhash values. Hash family j is
     * md5(j || '|' || shingle); the signature element is the lexicographic
     * minimum hex digest per family.
+    *
+    * Computed per-row by the custom [[graft.functions.MinHashSig]]
+    * expression (single pass over the shingle array, stays in codegen) —
+    * semantically identical to the groupBy(doc).agg(min(md5...)×k)
+    * formulation the oracle SQL uses, but with ZERO shuffle.
     */
-  def signatures(sh: DataFrame): DataFrame = {
-    val hashCols = (0 until NumHashes).map { j =>
-      min(md5(concat(lit(s"$j|"), col("shingle")))).as(s"h$j")
-    }
-    sh.groupBy(col("doc_id"))
-      .agg(hashCols.head, hashCols.tail: _*)
-      .select(col("doc_id"),
-        array((0 until NumHashes).map(j => col(s"h$j")): _*).as("sig"))
-  }
+  def signatures(docs: DataFrame): DataFrame =
+    shingleArray(docs).select(col("doc_id"),
+      graft.functions.functions.minhash_sig(col("shingles"), NumHashes).as("sig"))
 
   /** doc_id, band_id, band_key — one row per band; band_key = md5 of the
     * band's concatenated signature rows.
@@ -99,10 +106,21 @@ object MinHash {
           (col("n_a") + col("n_b") - col("inter")).cast("double")).as("jaccard"))
   }
 
-  /** MinHash-LSH near-dup pairs, exact-verified at `threshold`. */
+  /** MinHash-LSH near-dup pairs, exact-verified at `threshold`.
+    *
+    * `sh` feeds four joins (inverted index both sides + two size lookups)
+    * and `cand` two — persist them so each shuffles once instead of being
+    * recomputed per branch. (On a cluster this is the classic
+    * materialize-the-inverted-index step; at 100 TB it would be a bucketed
+    * table, not an in-memory cache.)
+    */
   def minhashDedup(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
-    val sh = shingles(Tables.documents(spark, dir))
-    val cand = candidatePairs(bands(signatures(sh)))
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val docs = Tables.documents(spark, dir)
+    val sh = shingles(docs).persist(MEMORY_AND_DISK)
+    // signatures persisted too: the band self-join reads them twice
+    val sigs = signatures(docs).persist(MEMORY_AND_DISK)
+    val cand = candidatePairs(bands(sigs)).persist(MEMORY_AND_DISK)
     exactJaccard(cand, sh)
       .filter(col("jaccard") >= threshold)
       .orderBy(col("doc_a"), col("doc_b"))
@@ -123,6 +141,7 @@ object MinHash {
     */
   def ngramJaccardPairs(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
     val sh = shingles(Tables.documents(spark, dir))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val allPairs = sh.select(col("doc_id").as("doc_a"), col("shingle"))
       .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("shingle"))
       .filter(col("doc_a") < col("doc_b"))
@@ -141,22 +160,14 @@ object MinHash {
 
   /** 60-bit SimHash per document from distinct whitespace tokens.
     * Token hash = first 15 hex chars of md5 (60 bits); simhash bit b is
-    * the majority vote of token bits. Declarative (explode over bit
-    * positions) so the DuckDB oracle can replay it exactly; see
-    * graft.functions.SimHash64 for the single-pass expression variant.
+    * the majority vote of token bits. Computed in one pass per row by
+    * the custom [[graft.functions.SimHash60]] expression (no explode, no
+    * shuffle); the DuckDB oracle replays the equivalent declarative
+    * vote pipeline and matches exactly.
     */
-  def simhash(spark: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .distinct()
-      .withColumn("h", conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("bigint"))
-    toks
-      .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(59))).as("b"))
-      .groupBy(col("doc_id"), col("b"))
-      .agg(sum(expr("(shiftright(h, b) & 1) * 2 - 1")).as("vote"))
-      .groupBy(col("doc_id"))
-      .agg(sum(when(col("vote") > 0,
-        expr("shiftleft(1L, b)")).otherwise(0L)).as("simhash"))
+  def simhash(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        graft.functions.functions.simhash60(split(col("text"), " ")).as("simhash"))
       .orderBy(col("doc_id"))
-  }
 }

@@ -163,6 +163,80 @@ object Relational {
       .orderBy(col("r_name"))
   }
 
+  /** TPC-H Q6-style: pure scan-filter-aggregate — the pushdown showcase
+    * (predicates and the 3-column projection reach the parquet scan).
+    */
+  def q6ForecastRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit(ts("1996-01-01")) &&
+              col("l_shipdate") < lit(ts("1997-01-01")) &&
+              col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+              col("l_quantity") < 24)
+      .agg(d384(sum(dec(col("l_extendedprice")) * dec(col("l_discount")))).as("revenue"),
+           count(lit(1)).as("n_rows"))
+
+  /** TPC-H Q7-style: bilateral trade volume between two nations by year.
+    * Exercises join-of-joins with a disjunctive cross-nation predicate.
+    */
+  def q7NationTrade(spark: SparkSession, dir: String): DataFrame = {
+    val n1 = broadcast(Tables.nation(spark, dir))
+      .select(col("n_nationkey").as("supp_nk"), col("n_name").as("supp_nation"))
+    val n2 = broadcast(Tables.nation(spark, dir))
+      .select(col("n_nationkey").as("cust_nk"), col("n_name").as("cust_nation"))
+    val s = Tables.supplier(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val l = Tables.lineitem(spark, dir)
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(s, col("l_suppkey") === col("s_suppkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(n1, col("s_nationkey") === col("supp_nk"))
+      .join(n2, col("c_nationkey") === col("cust_nk"))
+      .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+              (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("bigint").as("l_year"))
+      .agg(d384(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))).as("revenue"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  /** TPC-H Q14-style: promo revenue share. Ratio of two decimal-exact
+    * sums, emitted as both numerator and denominator (deterministic) plus
+    * the double ratio (single division — IEEE-deterministic).
+    */
+  def q14PromoRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+    val l = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit(ts("1996-09-01")) &&
+              col("l_shipdate") < lit(ts("1996-10-01")))
+    val rev = dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))
+    // No double ratio column: decimal→double conversion can differ by an
+    // ulp between engines (single vs double rounding); numerator and
+    // denominator are exact, callers divide.
+    l.join(p, col("l_partkey") === col("p_partkey"))
+      .agg(
+        d384(sum(when(col("p_type").startsWith("PROMO"), rev).otherwise(lit(0)))).as("promo_revenue"),
+        d384(sum(rev)).as("total_revenue"))
+  }
+
+  /** TPC-H Q18-style: large-volume orders — aggregate-then-join with a
+    * having filter.
+    */
+  def q18LargeOrders(spark: SparkSession, dir: String): DataFrame = {
+    val big = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(d382(sum(dec(col("l_quantity")))).as("total_qty"))
+      .filter(col("total_qty") > 150)
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    big.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate"), col("total_qty"))
+      .orderBy(col("total_qty").desc, col("o_orderkey"))
+      .limit(50)
+  }
+
   /** Sessionization over the events stream table: windows + lag + running
     * sum. A new session starts after a >30 min gap per user.
     */

@@ -41,7 +41,15 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Declarative cosine — reference formulation; kept for tests. */
+  def cosineDeclarative(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Cosine via the custom [[graft.functions.CosineSim]] expression: one
+    * codegen'd pass per pair instead of three higher-order-function
+    * chains; bit-identical accumulation order, so oracle SQL is
+    * unchanged.
+    */
+  def cosine(a: Column, b: Column): Column = graft.functions.functions.cosine_sim(a, b)
 
   /** Brute-force cosine top-k: queries = every `queryStride`-th vector.
     * Output: (q_id, vec_id, sim, rank).
@@ -108,6 +116,58 @@ object Similarity {
         round(cosine(col("q_emb"), col("embedding")), 6).as("sim"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
     cand.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
+  /** IVF-style ANN (the other classic scale path besides LSH): a coarse
+    * quantizer partitions vectors into inverted lists; queries search only
+    * their nProbe nearest lists.
+    *
+    * Training-free, deterministic quantizer: centroids are the vectors
+    * with `vec_id % centroidStride == 1` (no k-means — float centroid
+    * averaging would be order-dependent and oracle-hostile). Assignment =
+    * argmax cosine over centroids with (rounded sim, centroid_id)
+    * tie-break — fully reproducible in DuckDB.
+    *
+    * Scale: the assignment pass is a broadcast of the (tiny) centroid set
+    * against a linear scan; the search shuffles on list_id only — the
+    * inverted-list layout is exactly how a 100 TB vector corpus would be
+    * bucketed on disk.
+    */
+  def ivfTopK(spark: SparkSession, dir: String, k: Int = 5,
+              queryStride: Int = 50, centroidStride: Int = 100,
+              nProbe: Int = 4): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val cent = emb.filter(col("vec_id") % centroidStride === 1)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
+    // inverted lists: every vector assigned to its best centroid
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("csim").desc, col("cent_id"))
+    val assigned = emb.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("embedding"), col("cent_id"),
+        round(cosine(col("embedding"), col("cent_emb")), 6).as("csim"))
+      .withColumn("arnk", row_number().over(wAssign))
+      .filter(col("arnk") === 1)
+      .select(col("vec_id"), col("embedding"), col("cent_id").as("list_id"))
+    // queries probe their nProbe nearest lists
+    val q = emb.filter(col("vec_id") % queryStride === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val wProbe = Window.partitionBy(col("q_id"))
+      .orderBy(col("qsim").desc, col("cent_id"))
+    val probes = q.crossJoin(broadcast(cent))
+      .select(col("q_id"), col("q_emb"), col("cent_id"),
+        round(cosine(col("q_emb"), col("cent_emb")), 6).as("qsim"))
+      .withColumn("prnk", row_number().over(wProbe))
+      .filter(col("prnk") <= nProbe)
+      .select(col("q_id"), col("q_emb"), col("cent_id").as("list_id"))
+    // exact cosine inside probed lists only
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
+    probes.join(assigned, Seq("list_id"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(cosine(col("q_emb"), col("embedding")), 6).as("sim"))
+      .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .orderBy(col("q_id"), col("rnk"))
   }

@@ -1,0 +1,91 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.operators.Dedup
+
+/** File-backed dedup log — the engine's analog of the reference's
+  * Cassandra table (reference: DeduplicationProvider.kt:226-236):
+  *
+  *  - append-only attempt sink (O1 `insertRecord`): `df.write.append`,
+  *  - per-(keyspace, table) namespaces as path convention (SURVEY §1.3),
+  *  - auto-create-on-first-write (O17 `createTableIfNotExist` — a file
+  *    sink creates its directory implicitly),
+  *  - TTL-filtered keyed read (O2+O10),
+  *  - converged state view via the set-oriented dedup core (O9).
+  *
+  * Formats: parquet (default), orc, json, csv — csv/json round-trip with
+  * an explicit schema (csv cannot infer timestamps/nulls reliably).
+  *
+  * Scale: the log is partitioned by `key_bucket` (hash(key) % nBuckets) —
+  * the file-layout analog of Cassandra's partition key. Readers that
+  * filter on `key_bucket` prune directories; the converged-state
+  * aggregation shuffles on (already co-located) buckets.
+  */
+class DedupLogStore(spark: SparkSession, root: String,
+                    format: String = "parquet", nBuckets: Int = 64) {
+
+  val schema: StructType = StructType(Seq(
+    StructField("key", StringType, nullable = false),
+    StructField("event_time", TimestampType, nullable = false),
+    StructField("record_uuid", StringType, nullable = false),
+    StructField("state", ShortType, nullable = false),
+    StructField("expires_at", TimestampType, nullable = true)))
+
+  private def path(keyspace: String, table: String) = s"$root/$keyspace/$table"
+
+  /** O1: append attempt rows. Creates the table path on first write. */
+  def append(keyspace: String, table: String, attempts: DataFrame): Unit =
+    attempts
+      .select(col("key"), col("event_time"), col("record_uuid"),
+        col("state").cast("smallint"), col("expires_at"))
+      .withColumn("key_bucket", pmod(hash(col("key")), lit(nBuckets)))
+      .write.mode(SaveMode.Append)
+      .partitionBy("key_bucket")
+      .format(format).save(path(keyspace, table))
+
+  /** O2+O10: all live attempts, optionally for one key (key lookups prune
+    * to one bucket directory before touching data).
+    */
+  def read(keyspace: String, table: String, now: java.sql.Timestamp,
+           key: Option[String] = None): DataFrame = {
+    val base = spark.read.format(format).schema(
+        schema.add(StructField("key_bucket", IntegerType)))
+      .load(path(keyspace, table))
+    val keyed = key match {
+      case Some(k) =>
+        base.filter(col("key_bucket") === pmod(hash(lit(k)), lit(nBuckets)) &&
+                    col("key") === k)
+      case None => base
+    }
+    keyed.filter(col("expires_at").isNull || col("expires_at") > lit(now))
+      .drop("key_bucket")
+  }
+
+  /** O9: the converged per-key state — exactly one SUCCESS winner per
+    * key by (event_time, record_uuid); losers DUPLICATE; FAILED rows
+    * excluded from winner selection (reference filters them at read,
+    * DeduplicationProvider.kt:132).
+    */
+  def stateView(keyspace: String, table: String, now: java.sql.Timestamp): DataFrame =
+    Dedup.auditStates(
+      read(keyspace, table, now).withColumnRenamed("state", "recorded_state"),
+      Seq("key"), Seq("event_time", "record_uuid"),
+      failedCol = Some(col("recorded_state") === graft.operators.RecordState.Failed))
+      .drop("recorded_state")
+
+  /** Compaction (the TTL reclaim the reference delegates to Cassandra):
+    * rewrite the log keeping only live rows; returns the compacted view.
+    */
+  def compact(keyspace: String, table: String, now: java.sql.Timestamp,
+              targetDir: String): DataFrame = {
+    val live = read(keyspace, table, now)
+    live.withColumn("key_bucket", pmod(hash(col("key")), lit(nBuckets)))
+      .write.mode(SaveMode.Overwrite).partitionBy("key_bucket")
+      .format(format).save(targetDir)
+    spark.read.format(format)
+      .schema(schema.add(StructField("key_bucket", IntegerType)))
+      .load(targetDir).drop("key_bucket")
+  }
+}

@@ -1,0 +1,87 @@
+package graft.operators
+
+import java.sql.Timestamp
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** ScalaCheck-generated property tests for the dedup invariants the
+  * reference's protocol guarantees (SURVEY.md §5): exactly one SUCCESS
+  * per key, winner = min by (event_time, record_uuid), idempotence, and
+  * partitioning-invariance. Keys are random base-36 strings like the
+  * reference's test fixtures (reference: src/test/.../Utils.kt:5-7).
+  * (Raw ScalaCheck generators driven from ScalaTest — the scalatestplus
+  * bridge isn't available offline.)
+  */
+class DedupPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val keyGen: Gen[String] =
+    Gen.listOfN(8, Gen.alphaNumChar).map(_.mkString.toLowerCase)
+
+  /** Bags of attempts: some keys repeated, some unique, random times with
+    * deliberate collisions (coarse 0..50 offsets force time ties so the
+    * record_uuid tie-break is exercised).
+    */
+  private val attemptsGen: Gen[List[(String, Long, String)]] = for {
+    keys <- Gen.nonEmptyListOf(keyGen)
+    dups <- Gen.someOf(keys)
+    all = keys ++ dups ++ dups
+    attempts <- Gen.sequence[List[(String, Long, String)], (String, Long, String)](
+      all.map(k => Gen.zip(Gen.const(k), Gen.chooseNum(0L, 50L), Gen.uuid.map(_.toString))).toList)
+  } yield attempts
+
+  private def samples(n: Int): Seq[List[(String, Long, String)]] =
+    (1 to n).flatMap(i => attemptsGen.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  private def toDf(attempts: List[(String, Long, String)]) =
+    attempts.map { case (k, off, u) =>
+      (k, new Timestamp(1704067200000L + off * 1000), u)
+    }.toDF("key", "event_time", "record_uuid")
+
+  test("property: auditStates emits exactly one SUCCESS per key") {
+    samples(8).foreach { attempts =>
+      val audited = Dedup.auditStates(toDf(attempts), Seq("key"),
+        Seq("event_time", "record_uuid"))
+      val successPerKey = audited
+        .filter(col("state") === RecordState.Success)
+        .groupBy("key").count().select("count").as[Long].collect()
+      assert(successPerKey.forall(_ === 1L))
+      assert(successPerKey.length === attempts.map(_._1).distinct.length)
+    }
+  }
+
+  test("property: firstWins winner is the lexicographic minimum attempt") {
+    samples(8).foreach { attempts =>
+      val got = Dedup.firstWins(toDf(attempts), Seq("key"), Seq("event_time", "record_uuid"))
+        .select("key", "record_uuid").as[(String, String)].collect().toMap
+      val expected = attempts
+        .map { case (k, off, u) => (k, (off, u)) }
+        .groupBy(_._1)
+        .map { case (k, as) => k -> as.map(_._2).min._2 }
+      assert(got === expected)
+    }
+  }
+
+  test("property: dedup is idempotent and partitioning-invariant") {
+    samples(5).foreach { attempts =>
+      val df = toDf(attempts)
+      val once = Dedup.firstWins(df.repartition(7), Seq("key"), Seq("event_time", "record_uuid"))
+      val twice = Dedup.firstWins(once, Seq("key"), Seq("event_time", "record_uuid"))
+      val single = Dedup.firstWins(df.repartition(1), Seq("key"), Seq("event_time", "record_uuid"))
+      assert(once.except(twice).isEmpty && twice.except(once).isEmpty)
+      assert(once.except(single).isEmpty && single.except(once).isEmpty)
+    }
+  }
+
+  test("property: absorber pre-pass never changes the result") {
+    samples(5).foreach { attempts =>
+      val df = toDf(attempts)
+      val plain = Dedup.firstWins(df, Seq("key"), Seq("event_time", "record_uuid"))
+      val absorbed = Dedup.absorberFirstWins(df, Seq("key"), Seq("event_time", "record_uuid"),
+        maxCacheSize = 3)
+      assert(plain.except(absorbed).isEmpty && absorbed.except(plain).isEmpty)
+    }
+  }
+}

@@ -48,6 +48,27 @@ class SimilaritySpec extends SparkSpec {
     info(s"LSH top-1 recall: $hits/${brute.size}")
   }
 
+  test("ivfTopK: every vector lands in exactly one list; results ranked") {
+    val topk = Similarity.ivfTopK(spark, sfDir, k = 5).collect()
+    assert(topk.nonEmpty)
+    topk.groupBy(_.getAs[Long]("q_id")).foreach { case (q, rows) =>
+      assert(rows.map(_.getAs[Int]("rnk")).sorted.toSeq === (1 to rows.length))
+      assert(!rows.exists(_.getAs[Long]("vec_id") == q))
+      val sims = rows.sortBy(_.getAs[Int]("rnk")).map(_.getAs[Double]("sim"))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("IVF recall vs brute force (informational)") {
+    val brute = Similarity.cosineTopK(spark, sfDir, k = 1)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toMap
+    val ivf = Similarity.ivfTopK(spark, sfDir, k = 1)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toMap
+    val hits = brute.count { case (q, v) => ivf.get(q).contains(v) }
+    info(s"IVF top-1 recall: $hits/${brute.size}")
+    assert(ivf.nonEmpty)
+  }
+
   test("planeWeight matches the md5 formula the oracle SQL uses") {
     // spot value computed independently: md5('0_0') prefix
     val md = java.security.MessageDigest.getInstance("MD5")

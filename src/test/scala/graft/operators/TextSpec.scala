@@ -46,10 +46,43 @@ class TextSpec extends SparkSpec {
   }
 
   test("signatures have NumHashes elements, stable across runs") {
-    val sh = MinHash.shingles(graft.Tables.documents(spark, sfDir))
-    val sig = MinHash.signatures(sh)
+    val sig = MinHash.signatures(graft.Tables.documents(spark, sfDir))
     val row = sig.limit(1).collect()(0)
     assert(row.getAs[Seq[String]]("sig").length === MinHash.NumHashes)
+  }
+
+  test("MinHashSig expression ≡ groupBy-min-md5 declarative formulation") {
+    val docs = graft.Tables.documents(spark, sfDir)
+    val fast = MinHash.signatures(docs)
+      .select(col("doc_id"), explode(col("sig")).as("h"))
+    val sh = MinHash.shingles(docs)
+    val slow = sh.groupBy(col("doc_id"))
+      .agg((0 until MinHash.NumHashes).map(j =>
+        min(md5(concat(lit(s"$j|"), col("shingle")))).as(s"h$j")).head,
+        (1 until MinHash.NumHashes).map(j =>
+          min(md5(concat(lit(s"$j|"), col("shingle")))).as(s"h$j")): _*)
+      .select(col("doc_id"),
+        explode(array((0 until MinHash.NumHashes).map(j => col(s"h$j")): _*)).as("h"))
+    assert(fast.except(slow).isEmpty && slow.except(fast).isEmpty)
+  }
+
+  test("SimHash60 expression ≡ declarative bit-vote pipeline") {
+    val docs = graft.Tables.documents(spark, sfDir).limit(50)
+    val fast = MinHash.simhash(spark, sfDir).limit(0) // plan compiles
+    val toks = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok")).distinct()
+      .withColumn("h", conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("bigint"))
+    val slow = toks
+      .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(59))).as("b"))
+      .groupBy(col("doc_id"), col("b"))
+      .agg(sum(expr("(shiftright(h, b) & 1) * 2 - 1")).as("vote"))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("vote") > 0, expr("shiftleft(1L, b)")).otherwise(0L)).as("simhash"))
+    val fastMap = docs.select(col("doc_id"),
+        graft.functions.functions.simhash60(split(col("text"), " ")).as("simhash"))
+      .as[(Long, Long)].collect().toMap
+    val slowMap = slow.as[(Long, Long)].collect().toMap
+    assert(fastMap === slowMap)
   }
 
   test("minhash-LSH finds the planted near-dups and they verify ≥ threshold") {
