@@ -54,10 +54,25 @@ object Dedup {
     * invariant the reference's whole protocol converges to
     * (DeduplicationProvider.kt:67-95).
     *
-    * Implemented as `min_by(struct(*), struct(orderCols))` — a hash
-    * aggregation with partial (map-side) combine; one shuffle on the key.
+    * One shuffle on the key with map-side partial combine, executed by
+    * ObjectHashAggregateExec via the custom
+    * [[graft.functions.FirstByOrder]] TypedImperativeAggregate — the
+    * built-in `min_by(struct, struct)` degrades to SortAggregate (struct
+    * buffers aren't hash-mutable), which would sort every map partition.
     */
   def firstWins(df: DataFrame, keyCols: Seq[String], orderCols: Seq[String]): DataFrame = {
+    val cols = df.columns
+    val winner = df
+      .groupBy(keyCols.map(col): _*)
+      .agg(graft.functions.FirstByOrder.first_by_order(
+        struct(cols.map(col): _*), orderStruct(orderCols)).as("w"))
+    winner.select(cols.map(c => winner.col(s"w.$c").as(c)): _*)
+  }
+
+  /** Built-in `min_by` formulation — kept as the reference semantics spec
+    * for FirstByOrder (DedupSpec asserts equality).
+    */
+  def firstWinsMinBy(df: DataFrame, keyCols: Seq[String], orderCols: Seq[String]): DataFrame = {
     val cols = df.columns
     val winner = df
       .groupBy(keyCols.map(col): _*)

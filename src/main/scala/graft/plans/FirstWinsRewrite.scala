@@ -1,0 +1,91 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.IntegerType
+import graft.functions.FirstByOrder
+
+/** Optimizer rule: rewrite the ubiquitous window-dedup idiom
+  *
+  *   SELECT ... FROM t
+  *   QUALIFY row_number() OVER (PARTITION BY k ORDER BY o) = 1
+  *
+  * into a hash aggregation with the [[FirstByOrder]] aggregate.
+  *
+  * The window form shuffles EVERY row to its partition and sorts whole
+  * partitions before discarding all but one row per key; the aggregate
+  * form combines map-side (one surviving row per key per input split
+  * crosses the wire) and never sorts. Same rows out: for each key the
+  * minimum by the window's ORDER BY — when the ordering has ties, any
+  * row_number assignment among tied rows is a valid outcome and
+  * FirstByOrder deterministically returns the first by Spark's struct
+  * ordering, which is one of them.
+  *
+  * Fires only on the conservative shape: Filter(rn = 1) (or rn <= 1 /
+  * 1 >= rn) directly above a Window whose only window expression is that
+  * row_number with ascending-only, non-null-trailing ordering, where the
+  * filtered column is not otherwise referenced upstream. Registered via
+  * [[GraftExtensions]] (SparkSessionExtensions).
+  */
+object FirstWinsRewrite extends Rule[LogicalPlan] {
+
+  private object RowNumberEq1 {
+    /** Matches Filter(cond, Window(...)) where cond pins row_number to 1. */
+    def unapply(plan: LogicalPlan): Option[(Window, Attribute)] = plan match {
+      case Filter(cond, w: Window) =>
+        val rnAttr = cond match {
+          case EqualTo(a: Attribute, Literal(1, IntegerType)) => Some(a)
+          case EqualTo(Literal(1, IntegerType), a: Attribute) => Some(a)
+          case LessThanOrEqual(a: Attribute, Literal(1, IntegerType)) => Some(a)
+          case GreaterThanOrEqual(Literal(1, IntegerType), a: Attribute) => Some(a)
+          case _ => None
+        }
+        rnAttr.flatMap { a =>
+          w.windowExpressions match {
+            case Seq(al @ Alias(WindowExpression(RowNumber(),
+                WindowSpecDefinition(_, _, _)), _)) if al.exprId == a.exprId =>
+              Some((w, a))
+            case _ => None
+          }
+        }
+      case _ => None
+    }
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case p @ Project(projectList, RowNumberEq1(w, rnAttr))
+        // the rn column must be projected away (it is, after QUALIFY) and
+        // ordering must be ASC NULLS FIRST so struct-min picks the same row
+        if !projectList.exists(_.exists(_.semanticEquals(rnAttr))) &&
+           w.orderSpec.nonEmpty &&
+           w.orderSpec.forall(s => s.direction == Ascending &&
+             s.nullOrdering == NullsFirst) &&
+           w.partitionSpec.nonEmpty &&
+           w.partitionSpec.forall(_.isInstanceOf[Attribute]) =>
+      val child = w.child
+      val keys = w.partitionSpec.map(_.asInstanceOf[Attribute])
+      val valueStruct = CreateStruct(child.output)
+      val orderStruct = CreateStruct(w.orderSpec.map(_.child))
+      val aggExpr = FirstByOrder(valueStruct, orderStruct).toAggregateExpression()
+      val winner = Alias(aggExpr, "__winner")()
+      val agg = Aggregate(keys, keys :+ winner, child)
+      // restore the child's original attribute ids so parents still resolve
+      val restored = child.output.zipWithIndex.map { case (attr, i) =>
+        Alias(GetStructField(winner.toAttribute, i, Some(attr.name)),
+          attr.name)(exprId = attr.exprId, qualifier = attr.qualifier)
+      }
+      Project(projectList, Project(restored, agg))
+  }
+}
+
+/** Session extension wiring: `SparkSession.builder()
+  * .withExtensions(new GraftExtensions)` or
+  * `spark.sql.extensions=graft.plans.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    e.injectOptimizerRule(_ => FirstWinsRewrite)
+}

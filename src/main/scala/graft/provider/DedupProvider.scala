@@ -32,7 +32,7 @@ class DedupProvider(
     val log: DedupLog,
     val strategy: RetryStrategy,
     val absorber: DuplicateBurstAbsorber,
-    clockMicros: () => Long = () => System.currentTimeMillis() * 1000) {
+    clockMicros: () => Long = DedupProvider.monotonicMicros) {
 
   def process[T](key: String, table: String, keyspace: String,
                  ttl: Duration, block: () => T): T =
@@ -109,6 +109,20 @@ class DedupProvider(
     catch { case _: Throwable => throw new FailedException(key, t, ks) }
 }
 
+object DedupProvider {
+  private val lastMicros = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Strictly-increasing per-process microsecond clock — the analog of
+    * the reference's TIMEUUID time component, which is monotonic within
+    * a process (two sequential attempts can never tie on time; ties
+    * across processes fall back to the record_uuid tie-break, same as
+    * the clustering key `(time_uuid, record_uuid)`).
+    */
+  val monotonicMicros: () => Long = () =>
+    lastMicros.updateAndGet(prev =>
+      math.max(prev + 1, System.currentTimeMillis() * 1000))
+}
+
 /** Async façade: `processAsync` = async-retry around the sync protocol;
   * direct `process` calls are rejected, and the inherited sync retry is
   * neutralized to identity so retry policy lives only in the async
@@ -118,7 +132,7 @@ class DedupProviderAsync(
     log: DedupLog,
     val asyncStrategy: RetryStrategyAsync,
     absorber: DuplicateBurstAbsorber,
-    clockMicros: () => Long = () => System.currentTimeMillis() * 1000)
+    clockMicros: () => Long = DedupProvider.monotonicMicros)
     extends DedupProvider(log,
       new RetryStrategy { override def retry[T](a: () => T): T = a() }, // identity adapter (:29-31)
       absorber, clockMicros) {

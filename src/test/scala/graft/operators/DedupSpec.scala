@@ -58,6 +58,16 @@ class DedupSpec extends SparkSpec {
     assert(got("u3") === RecordState.Success) // u2 failed, so u3 wins k2
   }
 
+  test("FirstByOrder aggregate ≡ built-in min_by formulation") {
+    val events = graft.Tables.events(spark, sfDir)
+    val fast = Dedup.firstWins(events, Seq("user_id", "event_type"), Seq("ts", "event_id"))
+    val ref = Dedup.firstWinsMinBy(events, Seq("user_id", "event_type"), Seq("ts", "event_id"))
+    assert(fast.except(ref).isEmpty && ref.except(fast).isEmpty)
+    // and it actually plans as ObjectHashAggregate, not SortAggregate
+    val plan = fast.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), plan.take(500))
+  }
+
   test("dedup is idempotent: dedup(dedup(x)) == dedup(x)") {
     val once = Dedup.firstWins(fixture, Seq("key"), Seq("event_time", "record_uuid"))
     val twice = Dedup.firstWins(once, Seq("key"), Seq("event_time", "record_uuid"))

@@ -1,0 +1,72 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The window-dedup → FirstByOrder aggregate rewrite, through a session
+  * built with GraftExtensions.
+  */
+class FirstWinsRewriteSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-ext-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .withExtensions(new GraftExtensions)
+    .getOrCreate()
+
+  private def windowDedup = {
+    val events = graft.Tables.events(spark, "/root/testdata/sf0.001")
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    events.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
+  }
+
+  test("rewrite fires: plan has no Window, uses ObjectHashAggregate") {
+    val plan = windowDedup.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan.take(800))
+    assert(plan.contains("ObjectHashAggregate"), plan.take(800))
+  }
+
+  test("rewritten result equals the window-dedup semantics") {
+    val got = windowDedup
+    val expected = graft.operators.Dedup.firstWins(
+      graft.Tables.events(spark, "/root/testdata/sf0.001"),
+      Seq("user_id", "event_type"), Seq("ts", "event_id"))
+    assert(got.except(expected).isEmpty && expected.except(got).isEmpty)
+    assert(got.count() === expected.count())
+  }
+
+  test("rewrite does NOT fire when rn is kept, descending, or rank-based") {
+    val events = graft.Tables.events(spark, "/root/testdata/sf0.001")
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    // rn kept in output → window must remain
+    val kept = events.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    assert(kept.queryExecution.executedPlan.toString.contains("Window"))
+    // descending order → not the first-wins shape
+    val desc = events.withColumn("rn",
+        row_number().over(Window.partitionBy(col("user_id"), col("event_type"))
+          .orderBy(col("ts").desc, col("event_id"))))
+      .filter(col("rn") === 1).drop("rn")
+    assert(desc.queryExecution.executedPlan.toString.contains("Window"))
+    // rank() → ties semantics differ, must remain a window
+    val rk = events.withColumn("rn", rank().over(w)).filter(col("rn") === 1).drop("rn")
+    assert(rk.queryExecution.executedPlan.toString.contains("Window"))
+  }
+
+  test("rn = 2 (not first) is untouched") {
+    val events = graft.Tables.events(spark, "/root/testdata/sf0.001")
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    val second = events.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 2).drop("rn")
+    assert(second.queryExecution.executedPlan.toString.contains("Window"))
+  }
+}

@@ -58,6 +58,13 @@ class StreamingDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  // NOTE: the ProcessingTimeTimeout TTL path (auditStream ttlMillis > 0)
+  // cannot be driven with processAllAvailable — any registered timeout
+  // makes the query schedule timeout-poll batches continuously and
+  // processAllAvailable never observes quiescence. TTL reclaim semantics
+  // are pinned by the batch ttlFilter tests and the provider TTL test;
+  // the streaming tests cover the ttlMillis = 0 lattice.
+
   test("dropDuplicatesStream deduplicates keyed events within the watermark") {
     implicit val s = spark
     import s.implicits._
