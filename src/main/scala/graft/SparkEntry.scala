@@ -52,6 +52,8 @@ object SparkEntry {
     "q_region_revenue"      -> (Relational.qRegionRevenue _),
     "q_events_sessionize"   -> (Relational.qEventsSessionize _),
     "q_events_props"        -> (Relational.qEventsProps _),
+    "q_events_value_stats"  -> (Relational.qEventsValueStats _),
+    "text_ngram_freq"       -> ((s, d) => graft.operators.TextOps.ngramFreq(s, d)),
     "q_set_ops"             -> (Relational.qSetOps _),
     // ── text analysis ──
     "text_quality"       -> (TextOps.qualityScore _),
@@ -249,6 +251,14 @@ object SparkEntry {
         |FROM (SELECT event_type,
         |        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
         |GROUP BY 1""".stripMargin,
+    "q_events_value_stats" ->
+      """SELECT event_type, count(*) AS n, min(value) AS min_value,
+        |  max(value) AS max_value, count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1""".stripMargin,
+    "text_ngram_freq" ->
+      s"""$shingleCte
+         |SELECT shingle, count(*) AS n_docs FROM sh
+         |GROUP BY 1 ORDER BY n_docs DESC, shingle LIMIT 20""".stripMargin,
     "q_set_ops" ->
       """WITH early AS (SELECT DISTINCT event_type FROM events
         |               WHERE ts < TIMESTAMP '2024-01-08 00:00:00'),

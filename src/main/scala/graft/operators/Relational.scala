@@ -136,7 +136,7 @@ object Relational {
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 3)
       .select(col("p_brand"), col("p_partkey"), col("p_name"),
-              d382(dec(col("p_retailprice"))).as("retail_price"), col("rk"))
+              d382(dec(col("p_retailprice"))).as("retail_price"), col("rk").cast("bigint").as("rk"))
   }
 
   /** ROLLUP aggregation (grouping-sets family). */
@@ -255,6 +255,19 @@ object Relational {
            min(col("ts")).as("session_start"),
            max(col("ts")).as("session_end"))
   }
+
+  /** Events value profile: count/min/max per type. Double min/max are
+    * pure comparisons (deterministic); no double sums (FIXTURES.md §3).
+    */
+  def qEventsValueStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("event_type"))
 
   /** Semi-structured: parse the JSON `props` column and aggregate. */
   def qEventsProps(spark: SparkSession, dir: String): DataFrame =

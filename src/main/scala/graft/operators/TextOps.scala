@@ -113,6 +113,17 @@ object TextOps {
       .select(col("doc_id"), col("fp"), col("n_copies"))
   }
 
+  /** Corpus-wide n-gram frequency: top 20 word trigrams with counts —
+    * inverted-index shape: shingle explode, hash agg, deterministic
+    * top-k (count desc, shingle asc).
+    */
+  def ngramFreq(spark: SparkSession, dir: String, k: Int = 20): DataFrame =
+    MinHash.shingles(Tables.documents(spark, dir))
+      .groupBy(col("shingle"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("n_docs").desc, col("shingle"))
+      .limit(k)
+
   /** Per-language corpus profile: an aggregation over quality stats. */
   def corpusProfile(spark: SparkSession, dir: String): DataFrame =
     qualityScore(spark, dir)

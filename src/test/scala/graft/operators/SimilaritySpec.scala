@@ -20,8 +20,8 @@ class SimilaritySpec extends SparkSpec {
     val byQ = topk.groupBy(_.getAs[Long]("q_id"))
     byQ.foreach { case (q, rows) =>
       assert(rows.length === 5)
-      assert(rows.map(_.getAs[Int]("rnk")).sorted.toSeq === Seq(1, 2, 3, 4, 5))
-      val sims = rows.sortBy(_.getAs[Int]("rnk")).map(_.getAs[Double]("sim"))
+      assert(rows.map(_.getAs[Long]("rnk").toInt).sorted.toSeq === Seq(1, 2, 3, 4, 5))
+      val sims = rows.sortBy(_.getAs[Long]("rnk").toInt).map(_.getAs[Double]("sim"))
       assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
       assert(!rows.exists(_.getAs[Long]("vec_id") == q))
     }
@@ -52,9 +52,9 @@ class SimilaritySpec extends SparkSpec {
     val topk = Similarity.ivfTopK(spark, sfDir, k = 5).collect()
     assert(topk.nonEmpty)
     topk.groupBy(_.getAs[Long]("q_id")).foreach { case (q, rows) =>
-      assert(rows.map(_.getAs[Int]("rnk")).sorted.toSeq === (1 to rows.length))
+      assert(rows.map(_.getAs[Long]("rnk").toInt).sorted.toSeq === (1 to rows.length))
       assert(!rows.exists(_.getAs[Long]("vec_id") == q))
-      val sims = rows.sortBy(_.getAs[Int]("rnk")).map(_.getAs[Double]("sim"))
+      val sims = rows.sortBy(_.getAs[Long]("rnk").toInt).map(_.getAs[Double]("sim"))
       assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
     }
   }
