@@ -30,6 +30,12 @@ object SparkEntry {
       Dedup.auditStates(Tables.events(s, d), Seq("user_id", "event_type"), Seq("ts", "event_id"))),
     "dedup_counts" -> ((s, d) =>
       Dedup.counts(Tables.events(s, d), Seq("user_id", "event_type"), Seq("ts", "event_id"))),
+    // full state lattice incl. FAILED: attempts with value < 10 are
+    // treated as failed business blocks (excluded from winner selection,
+    // reference DeduplicationProvider.kt:132)
+    "dedup_audit_failures" -> ((s, d) =>
+      Dedup.auditStates(Tables.events(s, d), Seq("user_id", "event_type"),
+        Seq("ts", "event_id"), failedCol = Some(col("value") < 10.0))),
     "dedup_ttl_first_wins" -> ((s, d) =>
       Dedup.firstWins(
         Dedup.ttlFilter(Tables.events(s, d), "ts", TtlSeconds, dedupNow),
@@ -125,6 +131,13 @@ object SparkEntry {
       """SELECT user_id, event_type, count(*) AS n_attempts,
         |       min(ts) AS first_time, max(ts) AS last_time
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "dedup_audit_failures" ->
+      s"""SELECT $eventColsSql,
+         |  CAST(CASE WHEN value < 10.0 THEN 4
+         |            WHEN row_number() OVER (PARTITION BY user_id, event_type
+         |              ORDER BY (value < 10.0), ts, event_id) = 1 THEN 1
+         |            ELSE 2 END AS SMALLINT) AS state
+         |FROM events""".stripMargin,
     "dedup_ttl_first_wins" ->
       s"""SELECT $eventColsSql FROM events
          |WHERE ts + INTERVAL 1209600 SECOND > TIMESTAMP '2024-01-20 00:00:00'

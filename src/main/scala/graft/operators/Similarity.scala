@@ -141,15 +141,20 @@ object Similarity {
     val emb = Tables.embeddings(spark, dir)
     val cent = emb.filter(col("vec_id") % centroidStride === 1)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
-    // inverted lists: every vector assigned to its best centroid
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("csim").desc, col("cent_id"))
-    val assigned = emb.crossJoin(broadcast(cent))
+    // inverted lists: every vector assigned to its best centroid.
+    // argmax via FirstByOrder (hash agg, no per-vector window sort);
+    // ordering key (1.0 - csim, cent_id): x ↦ 1-x is strictly decreasing
+    // and collision-free for 6-decimal-rounded sims (spacing 1e-6 ≫ ulp),
+    // so min(1-csim) selects exactly the window's csim DESC winner.
+    val scored = emb.crossJoin(broadcast(cent))
       .select(col("vec_id"), col("embedding"), col("cent_id"),
         round(cosine(col("embedding"), col("cent_emb")), 6).as("csim"))
-      .withColumn("arnk", row_number().over(wAssign))
-      .filter(col("arnk") === 1)
-      .select(col("vec_id"), col("embedding"), col("cent_id").as("list_id"))
+    val winner = scored.groupBy(col("vec_id"))
+      .agg(graft.functions.FirstByOrder.first_by_order(
+        struct(col("embedding"), col("cent_id")),
+        struct((lit(1.0) - col("csim")).as("inv"), col("cent_id"))).as("w"))
+    val assigned = winner.select(col("vec_id"),
+      col("w.embedding").as("embedding"), col("w.cent_id").as("list_id"))
     // queries probe their nProbe nearest lists
     val q = emb.filter(col("vec_id") % queryStride === 0)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
