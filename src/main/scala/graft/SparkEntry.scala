@@ -53,6 +53,13 @@ object SparkEntry {
     "q14_promo_revenue"     -> (Relational.q14PromoRevenue _),
     "q18_large_orders"      -> (Relational.q18LargeOrders _),
     "q_customers_no_orders" -> (Relational.qCustomersNoOrders _),
+    "q_min_cost_per_brand"  -> (operators.SqlQueries.qMinCostPerBrand _),
+    "q_cube_returns"        -> (operators.SqlQueries.qCubeReturns _),
+    "dedup_counts_salted"   -> ((s, d) =>
+      operators.Skew.saltedAggregate(Tables.events(s, d), Seq("user_id", "event_type"),
+        Seq(operators.Skew.SaltedCount("n_attempts"),
+            operators.Skew.SaltedMin("ts", "first_time"),
+            operators.Skew.SaltedMax("ts", "last_time")))),
     "q_top_parts_per_brand" -> (Relational.qTopPartsPerBrand _),
     "q_rollup_returns"      -> (Relational.qRollupReturns _),
     "q_region_revenue"      -> (Relational.qRegionRevenue _),
@@ -227,6 +234,15 @@ object SparkEntry {
     "q_customers_no_orders" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+    // same SQL text both engines: Spark runs it via spark.sql
+    "q_min_cost_per_brand" -> operators.SqlQueries.minCostPerBrandSql,
+    "q_cube_returns"       -> operators.SqlQueries.cubeReturnsSql,
+    // salted two-phase aggregation must equal the direct aggregation —
+    // same oracle as dedup_counts
+    "dedup_counts_salted" ->
+      """SELECT user_id, event_type, count(*) AS n_attempts,
+        |       min(ts) AS first_time, max(ts) AS last_time
+        |FROM events GROUP BY 1, 2""".stripMargin,
     "q_top_parts_per_brand" ->
       """SELECT p_brand, p_partkey, p_name,
         |  CAST(CAST(p_retailprice AS DECIMAL(18,2)) AS DECIMAL(38,2)) AS retail_price,

@@ -25,7 +25,7 @@ class DedupLogStoreSpec extends SparkSpec {
       Some(t("2024-01-05 00:00:00"))) // expired before `now`
   ).toDF("key", "event_time", "record_uuid", "state", "expires_at")
 
-  for (fmt <- Seq("parquet", "json", "csv")) {
+  for (fmt <- Seq("parquet", "orc", "json", "csv")) {
     test(s"append/read round-trip with TTL filtering [$fmt]") {
       val root = Files.createTempDirectory(s"dlog-$fmt").toString
       val store = new DedupLogStore(spark, root, fmt)
