@@ -1,0 +1,61 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.functions.{functions => gf}
+
+/** Bit-for-bit equivalence of the custom expression kernels with their
+  * declarative (higher-order-function) formulations — the property the
+  * DuckDB oracle parity rests on. Guards future kernel edits.
+  */
+class ExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("CosineSim kernel ≡ aggregate/zip_with declarative cosine, bit-exact") {
+    val emb = graft.Tables.embeddings(spark, sfDir).limit(100)
+    val a = emb.select(col("vec_id"), col("embedding").as("e1"))
+    val b = emb.select((col("vec_id") + 1).as("vec_id"), col("embedding").as("e2"))
+    val pairs = a.join(b, "vec_id")
+    val diff = pairs.select(
+        gf.cosine_sim(col("e1"), col("e2")).as("fast"),
+        graft.operators.Similarity.cosineDeclarative(col("e1"), col("e2")).as("slow"))
+      .filter(col("fast") =!= col("slow")) // exact double equality
+    assert(diff.isEmpty)
+  }
+
+  test("WordShingles kernel ≡ transform/array_distinct declarative shingling") {
+    val docs = graft.Tables.documents(spark, sfDir).limit(100)
+    val toks = split(col("text"), " ")
+    val n = size(toks) - 2
+    val declarative = array_distinct(when(n >= 1,
+      transform(sequence(lit(1), n),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1),
+          element_at(toks, i + 2)))).otherwise(array()))
+    val diff = docs.select(
+        gf.word_shingles(col("text"), 3).as("fast"),
+        declarative.as("slow"))
+      .filter(col("fast") =!= col("slow"))
+    assert(diff.isEmpty)
+  }
+
+  test("kernels handle degenerate inputs: empty text, short text") {
+    val df = Seq((1L, ""), (2L, "one"), (3L, "one two")).toDF("id", "text")
+    val sh = df.select(col("id"), gf.word_shingles(col("text"), 3).as("s"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(sh(2) === Seq.empty)
+    assert(sh(3) === Seq.empty)
+    // simhash of single-token text = that token's bit pattern
+    val h = df.filter(col("id") === 2)
+      .select(gf.simhash60(split(col("text"), " "))).as[Long].head()
+    val expected = ExpressionKernels.md5Prefix60("one")
+    assert(h === expected)
+  }
+
+  test("md5Prefix60 matches Spark's conv(substring(md5)) formulation") {
+    val df = Seq("hello", "a", "spark engine").toDF("s")
+    val sparkSide = df.select(
+      conv(substring(md5(col("s")), 1, 15), 16, 10).cast("bigint")).as[Long].collect()
+    val kernelSide = Seq("hello", "a", "spark engine").map(ExpressionKernels.md5Prefix60)
+    assert(sparkSide.toSeq === kernelSide)
+  }
+}
