@@ -66,6 +66,7 @@ object SparkEntry {
     "q_events_sessionize"   -> (Relational.qEventsSessionize _),
     "q_events_props"        -> (Relational.qEventsProps _),
     "q_events_value_stats"  -> (Relational.qEventsValueStats _),
+    "q_asof_attribution"    -> (operators.AsOf.purchaseAttribution _),
     "text_ngram_freq"       -> ((s, d) => graft.operators.TextOps.ngramFreq(s, d)),
     "q_set_ops"             -> (Relational.qSetOps _),
     // ── text analysis ──
@@ -280,6 +281,18 @@ object SparkEntry {
         |FROM (SELECT event_type,
         |        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
         |GROUP BY 1""".stripMargin,
+    "q_asof_attribution" ->
+      """WITH u AS (
+        |  SELECT user_id, ts, event_id, 1 AS is_left, NULL::BIGINT AS rv
+        |  FROM events WHERE event_type = 'purchase'
+        |  UNION ALL
+        |  SELECT user_id, ts, event_id, 0, event_id
+        |  FROM events WHERE event_type = 'view'),
+        |w AS (SELECT *, last_value(rv IGNORE NULLS) OVER (PARTITION BY user_id
+        |        ORDER BY ts, is_left, event_id ROWS UNBOUNDED PRECEDING) AS vw
+        |      FROM u)
+        |SELECT event_id AS purchase_id, user_id, ts, vw AS view_event_id
+        |FROM w WHERE is_left = 1""".stripMargin,
     "q_events_value_stats" ->
       """SELECT event_type, count(*) AS n, min(value) AS min_value,
         |  max(value) AS max_value, count(DISTINCT user_id) AS n_users
