@@ -94,8 +94,13 @@ object SparkEntry {
   private val eventColsSql = eventCols.mkString(", ")
   private val dedupWin =
     "row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id)"
-  private val discPrice =
-    "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"
+  // Fixed-point integer money (see Relational Scaladoc): per-row snap to
+  // cents via DECIMAL(18,2) — the one cast both engines round identically —
+  // then pure int64 arithmetic, which is hash-stable in any output format.
+  private def centsSql(c: String) =
+    s"CAST(CAST($c AS DECIMAL(18,2)) * 100 AS BIGINT)"
+  private val discPriceC =
+    s"${centsSql("l_extendedprice")} * (100 - ${centsSql("l_discount")})"
 
   /** Shared CTE prefix for shingle-based text ops. */
   private val shingleCte =
@@ -154,15 +159,15 @@ object SparkEntry {
       s"SELECT $eventColsSql FROM events QUALIFY $dedupWin = 1",
     "q1_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
-         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
-         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
-         |  CAST(SUM($discPrice) AS DECIMAL(38,4)) AS sum_disc_price,
-         |  CAST(SUM($discPrice * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DECIMAL(38,6)) AS sum_charge,
+         |  CAST(SUM(${centsSql("l_quantity")}) AS BIGINT) AS sum_qty,
+         |  CAST(SUM(${centsSql("l_extendedprice")}) AS BIGINT) AS sum_base_price,
+         |  CAST(SUM($discPriceC) AS BIGINT) AS sum_disc_price,
+         |  CAST(SUM($discPriceC * (100 + ${centsSql("l_tax")})) AS BIGINT) AS sum_charge,
          |  count(*) AS count_order
          |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
          |GROUP BY 1, 2""".stripMargin,
     "q3_shipping_priority" ->
-      s"""SELECT l_orderkey, o_orderdate, CAST(SUM($discPrice) AS DECIMAL(38,4)) AS revenue
+      s"""SELECT l_orderkey, o_orderdate, CAST(SUM($discPriceC) AS BIGINT) AS revenue
          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          |JOIN customer ON o_custkey = c_custkey
          |WHERE c_mktsegment = 'BUILDING'
@@ -170,7 +175,7 @@ object SparkEntry {
          |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
          |GROUP BY 1, 2 ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
     "q5_local_supplier" ->
-      s"""SELECT n_name, CAST(SUM($discPrice) AS DECIMAL(38,4)) AS revenue
+      s"""SELECT n_name, CAST(SUM($discPriceC) AS BIGINT) AS revenue
          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          |JOIN customer ON o_custkey = c_custkey
          |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -181,7 +186,7 @@ object SparkEntry {
          |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
          |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin,
     "q10_returned_items" ->
-      s"""SELECT c_custkey, c_name, n_name, CAST(SUM($discPrice) AS DECIMAL(38,4)) AS revenue
+      s"""SELECT c_custkey, c_name, n_name, CAST(SUM($discPriceC) AS BIGINT) AS revenue
          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          |JOIN customer ON o_custkey = c_custkey
          |JOIN nation ON c_nationkey = n_nationkey
@@ -198,7 +203,7 @@ object SparkEntry {
         |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
         |GROUP BY 1""".stripMargin,
     "q6_forecast_revenue" ->
-      s"""SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS revenue,
+      s"""SELECT CAST(SUM(${centsSql("l_extendedprice")} * ${centsSql("l_discount")}) AS BIGINT) AS revenue,
          |  count(*) AS n_rows
          |FROM lineitem
          |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -207,7 +212,7 @@ object SparkEntry {
     "q7_nation_trade" ->
       s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
          |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
-         |  CAST(SUM($discPrice) AS DECIMAL(38,4)) AS revenue
+         |  CAST(SUM($discPriceC) AS BIGINT) AS revenue
          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          |JOIN supplier ON l_suppkey = s_suppkey
          |JOIN customer ON o_custkey = c_custkey
@@ -218,20 +223,20 @@ object SparkEntry {
          |GROUP BY 1, 2, 3""".stripMargin,
     "q14_promo_revenue" ->
       s"""SELECT
-         |  CAST(SUM(CASE WHEN p_type LIKE 'PROMO%' THEN $discPrice ELSE 0 END) AS DECIMAL(38,4)) AS promo_revenue,
-         |  CAST(SUM($discPrice) AS DECIMAL(38,4)) AS total_revenue
+         |  CAST(SUM(CASE WHEN p_type LIKE 'PROMO%' THEN $discPriceC ELSE 0 END) AS BIGINT) AS promo_revenue,
+         |  CAST(SUM($discPriceC) AS BIGINT) AS total_revenue
          |FROM lineitem JOIN part ON l_partkey = p_partkey
          |WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
          |  AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'""".stripMargin,
     "q18_large_orders" ->
-      """SELECT c_custkey, c_name, o_orderkey, o_orderdate, total_qty
-        |FROM (SELECT l_orderkey,
-        |        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_qty
-        |      FROM lineitem GROUP BY 1) big
-        |JOIN orders ON big.l_orderkey = o_orderkey
-        |JOIN customer ON o_custkey = c_custkey
-        |WHERE total_qty > 150
-        |ORDER BY total_qty DESC, o_orderkey LIMIT 50""".stripMargin,
+      s"""SELECT c_custkey, c_name, o_orderkey, o_orderdate, total_qty
+         |FROM (SELECT l_orderkey,
+         |        CAST(SUM(${centsSql("l_quantity")}) AS BIGINT) AS total_qty
+         |      FROM lineitem GROUP BY 1) big
+         |JOIN orders ON big.l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |WHERE total_qty > 15000
+         |ORDER BY total_qty DESC, o_orderkey LIMIT 50""".stripMargin,
     "q_customers_no_orders" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
@@ -245,18 +250,18 @@ object SparkEntry {
         |       min(ts) AS first_time, max(ts) AS last_time
         |FROM events GROUP BY 1, 2""".stripMargin,
     "q_top_parts_per_brand" ->
-      """SELECT p_brand, p_partkey, p_name,
-        |  CAST(CAST(p_retailprice AS DECIMAL(18,2)) AS DECIMAL(38,2)) AS retail_price,
+      s"""SELECT p_brand, p_partkey, p_name,
+        |  ${centsSql("p_retailprice")} AS retail_price,
         |  CAST(rk AS BIGINT) AS rk
         |FROM (SELECT *, row_number() OVER (PARTITION BY p_brand
         |        ORDER BY p_retailprice DESC, p_partkey) AS rk FROM part)
         |WHERE rk <= 3""".stripMargin,
     "q_rollup_returns" ->
-      """SELECT l_returnflag, l_linestatus, count(*) AS n,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty
+      s"""SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(SUM(${centsSql("l_quantity")}) AS BIGINT) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
     "q_region_revenue" ->
-      s"""SELECT r_name, CAST(SUM($discPrice) AS DECIMAL(38,4)) AS revenue,
+      s"""SELECT r_name, CAST(SUM($discPriceC) AS BIGINT) AS revenue,
          |  count(DISTINCT o_orderkey) AS n_orders
          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          |JOIN customer ON o_custkey = c_custkey

@@ -15,10 +15,15 @@ import graft.Tables
   * dimensions, window functions for top-k.
   *
   * Determinism discipline (oracle hash-compare, FIXTURES.md §3):
-  *  - Money/quantity doubles are cast to DECIMAL(18,2) BEFORE summing —
-  *    decimal arithmetic is exact, so results are independent of partition
-  *    count and accumulation order (a double sum is neither). The final
-  *    value is cast to a fixed decimal type matching the oracle SQL.
+  *  - Money/quantity doubles are snapped to cents per row (double →
+  *    DECIMAL(18,2) rounds identically in Spark and DuckDB — value-exact
+  *    per the round-1 audit) and then ALL arithmetic runs in int64:
+  *    sums are partition-order independent, whole-stage-codegen friendly,
+  *    and hash-stable across engines (the same numeric value can render
+  *    differently as Decimal vs float64; an int64 cannot). Output money
+  *    columns are therefore fixed-point integers: ×100 for plain
+  *    cents, ×10^4 for discounted prices (cents × percent), ×10^6 for
+  *    tax-adjusted charges (cents × percent × percent).
   *  - Every top-k has a total order: measure first, then a unique key.
   *
   * Scale notes (100 TB):
@@ -30,23 +35,26 @@ import graft.Tables
   */
 object Relational {
 
-  private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
-  private def d382(c: Column): Column = c.cast(DecimalType(38, 2))
-  private def d384(c: Column): Column = c.cast(DecimalType(38, 4))
-  private def d386(c: Column): Column = c.cast(DecimalType(38, 6))
+  /** Per-row fixed-point snap: double → DECIMAL(18,2) (same rounding both
+    * engines) → int64 cents. Everything downstream is integer arithmetic.
+    */
+  private def cents(c: Column): Column =
+    (c.cast(DecimalType(18, 2)) * lit(100)).cast("long")
+  /** Discounted price in 10^-4 units: cents × (100 - discount_cents). */
+  private def discPriceC: Column =
+    cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))
   private def ts(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
 
-  /** TPC-H Q1-style pricing summary: single scan, hash agg, decimal-exact. */
+  /** TPC-H Q1-style pricing summary: single scan, hash agg, int64-exact. */
   def q1PricingSummary(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .filter(col("l_shipdate") <= lit(ts("1998-09-02")))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        d382(sum(dec(col("l_quantity")))).as("sum_qty"),
-        d382(sum(dec(col("l_extendedprice")))).as("sum_base_price"),
-        d384(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))).as("sum_disc_price"),
-        d386(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))
-          * (lit(1) + dec(col("l_tax"))))).as("sum_charge"),
+        sum(cents(col("l_quantity"))).as("sum_qty"),
+        sum(cents(col("l_extendedprice"))).as("sum_base_price"),
+        sum(discPriceC).as("sum_disc_price"),
+        sum(discPriceC * (lit(100L) + cents(col("l_tax")))).as("sum_charge"),
         count(lit(1)).as("count_order"))
 
   /** TPC-H Q3-style: top 10 unshipped orders by revenue in one segment. */
@@ -58,7 +66,7 @@ object Relational {
     l.join(o, col("l_orderkey") === col("o_orderkey"))
       .join(c, col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"))
-      .agg(d384(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))).as("revenue"))
+      .agg(sum(discPriceC).as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
       .limit(10)
   }
@@ -82,7 +90,7 @@ object Relational {
       .join(n, col("s_nationkey") === col("n_nationkey"))
       .join(r, col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("n_name"))
-      .agg(d384(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))).as("revenue"))
+      .agg(sum(discPriceC).as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
@@ -98,7 +106,7 @@ object Relational {
       .join(c, col("o_custkey") === col("c_custkey"))
       .join(n, col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
-      .agg(d384(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))).as("revenue"))
+      .agg(sum(discPriceC).as("revenue"))
       .orderBy(col("revenue").desc, col("c_custkey"))
       .limit(20)
   }
@@ -136,14 +144,14 @@ object Relational {
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 3)
       .select(col("p_brand"), col("p_partkey"), col("p_name"),
-              d382(dec(col("p_retailprice"))).as("retail_price"), col("rk").cast("bigint").as("rk"))
+              cents(col("p_retailprice")).as("retail_price"), col("rk").cast("bigint").as("rk"))
   }
 
   /** ROLLUP aggregation (grouping-sets family). */
   def qRollupReturns(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .rollup(col("l_returnflag"), col("l_linestatus"))
-      .agg(count(lit(1)).as("n"), d382(sum(dec(col("l_quantity")))).as("sum_qty"))
+      .agg(count(lit(1)).as("n"), sum(cents(col("l_quantity"))).as("sum_qty"))
 
   /** Revenue by region: the full 6-table star-join chain. */
   def qRegionRevenue(spark: SparkSession, dir: String): DataFrame = {
@@ -158,7 +166,7 @@ object Relational {
       .join(r, col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"))
       .agg(
-        d384(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))).as("revenue"),
+        sum(discPriceC).as("revenue"),
         countDistinct(col("o_orderkey")).as("n_orders"))
       .orderBy(col("r_name"))
   }
@@ -172,7 +180,7 @@ object Relational {
               col("l_shipdate") < lit(ts("1997-01-01")) &&
               col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
               col("l_quantity") < 24)
-      .agg(d384(sum(dec(col("l_extendedprice")) * dec(col("l_discount")))).as("revenue"),
+      .agg(sum(cents(col("l_extendedprice")) * cents(col("l_discount"))).as("revenue"),
            count(lit(1)).as("n_rows"))
 
   /** TPC-H Q7-style: bilateral trade volume between two nations by year.
@@ -196,7 +204,7 @@ object Relational {
               (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
       .groupBy(col("supp_nation"), col("cust_nation"),
         year(col("l_shipdate")).cast("bigint").as("l_year"))
-      .agg(d384(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))).as("revenue"))
+      .agg(sum(discPriceC).as("revenue"))
       .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
   }
 
@@ -209,14 +217,14 @@ object Relational {
     val l = Tables.lineitem(spark, dir)
       .filter(col("l_shipdate") >= lit(ts("1996-09-01")) &&
               col("l_shipdate") < lit(ts("1996-10-01")))
-    val rev = dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))
-    // No double ratio column: decimal→double conversion can differ by an
+    val rev = discPriceC
+    // No double ratio column: numeric→double conversion can differ by an
     // ulp between engines (single vs double rounding); numerator and
-    // denominator are exact, callers divide.
+    // denominator are exact int64, callers divide.
     l.join(p, col("l_partkey") === col("p_partkey"))
       .agg(
-        d384(sum(when(col("p_type").startsWith("PROMO"), rev).otherwise(lit(0)))).as("promo_revenue"),
-        d384(sum(rev)).as("total_revenue"))
+        sum(when(col("p_type").startsWith("PROMO"), rev).otherwise(lit(0L))).as("promo_revenue"),
+        sum(rev).as("total_revenue"))
   }
 
   /** TPC-H Q18-style: large-volume orders — aggregate-then-join with a
@@ -225,8 +233,8 @@ object Relational {
   def q18LargeOrders(spark: SparkSession, dir: String): DataFrame = {
     val big = Tables.lineitem(spark, dir)
       .groupBy(col("l_orderkey"))
-      .agg(d382(sum(dec(col("l_quantity")))).as("total_qty"))
-      .filter(col("total_qty") > 150)
+      .agg(sum(cents(col("l_quantity"))).as("total_qty"))
+      .filter(col("total_qty") > 15000L) // 150 units, in cents
     val o = Tables.orders(spark, dir)
     val c = Tables.customer(spark, dir)
     big.join(o, col("l_orderkey") === col("o_orderkey"))

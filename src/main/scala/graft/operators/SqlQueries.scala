@@ -12,10 +12,11 @@ object SqlQueries {
 
   def registerViews(spark: SparkSession, dir: String): Unit =
     Tables.names.foreach { n =>
-      Tables.load(spark, dir, n) match {
-        case _ if n == "events" => Tables.events(spark, dir).createOrReplaceTempView(n)
-        case df                 => df.createOrReplaceTempView(n)
-      }
+      // events.parquet stores TIMESTAMP(NANOS): it must only ever be read
+      // through Tables.events (which sets nanosAsLong first) — a raw
+      // schema read throws PARQUET_TYPE_ILLEGAL on a fresh session.
+      val df = if (n == "events") Tables.events(spark, dir) else Tables.load(spark, dir, n)
+      df.createOrReplaceTempView(n)
     }
 
   /** Correlated scalar subquery: parts priced at their brand's minimum.
@@ -23,7 +24,7 @@ object SqlQueries {
     */
   val minCostPerBrandSql: String =
     """SELECT p_brand, p_partkey,
-      |  CAST(CAST(p_retailprice AS DECIMAL(18,2)) AS DECIMAL(38,2)) AS retail_price
+      |  CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS retail_price
       |FROM part p
       |WHERE p_retailprice = (SELECT min(p2.p_retailprice) FROM part p2
       |                       WHERE p2.p_brand = p.p_brand)""".stripMargin
