@@ -164,13 +164,19 @@ object Dedup {
     implicit val enc: org.apache.spark.sql.Encoder[Row] =
       org.apache.spark.sql.Encoders.row(schema)
     // Typed lexicographic compare on the order columns — must agree with
-    // Catalyst's struct ordering so the local winner is the global winner.
+    // Catalyst's struct ordering (nulls first) so the local winner is the
+    // global winner, including on null order values.
     def earlier(a: Row, b: Row): Boolean = {
       var i = 0
       while (i < ordIdx.length) {
-        val x = a.get(ordIdx(i)).asInstanceOf[Comparable[Any]]
-        val c = x.compareTo(b.get(ordIdx(i)))
-        if (c != 0) return c < 0
+        val x = a.get(ordIdx(i))
+        val y = b.get(ordIdx(i))
+        if (x == null || y == null) {
+          if ((x == null) != (y == null)) return x == null // null < non-null
+        } else {
+          val c = x.asInstanceOf[Comparable[Any]].compareTo(y)
+          if (c != 0) return c < 0
+        }
         i += 1
       }
       false

@@ -72,10 +72,18 @@ object FirstWinsRewrite extends Rule[LogicalPlan] {
       val aggExpr = FirstByOrder(valueStruct, orderStruct).toAggregateExpression()
       val winner = Alias(aggExpr, "__winner")()
       val agg = Aggregate(keys, keys :+ winner, child)
-      // restore the child's original attribute ids so parents still resolve
-      val restored = child.output.zipWithIndex.map { case (attr, i) =>
-        Alias(GetStructField(winner.toAttribute, i, Some(attr.name)),
-          attr.name)(exprId = attr.exprId, qualifier = attr.qualifier)
+      // Restore the child's original attribute ids so parents still
+      // resolve. Grouping keys pass through as the Aggregate's own output
+      // attributes (aliasing them to their own exprId would duplicate
+      // expression ids within the subtree — unsound under self-joins or
+      // later rules that assume exprId uniqueness); only non-key columns
+      // are re-aliased out of the winner struct.
+      val keyIds = keys.map(_.exprId).toSet
+      val restored: Seq[NamedExpression] = child.output.zipWithIndex.map {
+        case (attr, _) if keyIds.contains(attr.exprId) => attr
+        case (attr, i) =>
+          Alias(GetStructField(winner.toAttribute, i, Some(attr.name)),
+            attr.name)(exprId = attr.exprId, qualifier = attr.qualifier)
       }
       Project(projectList, Project(restored, agg))
   }

@@ -63,13 +63,22 @@ class InMemoryDedupLog extends DedupLog {
     import scala.jdk.CollectionConverters._
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
+    // Full microsecond precision: the monotonic clock spaces sequential
+    // attempts 1 µs apart, so truncating to millis would tie same-ms
+    // attempts on event_time and let the set engine crown a different
+    // winner than the per-call protocol recorded.
+    def microsToTs(m: Long): java.sql.Timestamp = {
+      val ts = new java.sql.Timestamp(Math.floorDiv(m, 1000000L) * 1000L)
+      ts.setNanos((Math.floorMod(m, 1000000L) * 1000L).toInt)
+      ts
+    }
     val rows = data.asScala.toSeq.flatMap { case (ns, recs) =>
       val Array(ks, t, _*) = ns.split(":", 3)
       recs.values().asScala.map { r =>
         Row(ks, t, r.key,
-          new java.sql.Timestamp(r.eventTimeMicros / 1000),
+          microsToTs(r.eventTimeMicros),
           r.recordUuid, r.state,
-          r.expiresAtMicros.map(m => new java.sql.Timestamp(m / 1000)).orNull)
+          r.expiresAtMicros.map(microsToTs).orNull)
       }
     }
     val schema = StructType(Seq(

@@ -70,9 +70,14 @@ class DedupProvider(
           update(keyspace, table, key, selfTimeMicros, selfUuid, RecordState.Duplicate)
           throw new DuplicateException(key, table, keyspace)
         }
-      } else if (successes.isEmpty || successes.head.recordUuid != selfUuid) {
-        // our SUCCESS row is gone or superseded (e.g. expired mid-flight,
-        // or an earlier attempt already holds SUCCESS): duplicate
+      } else if (successes.isEmpty) {
+        // own SUCCESS row vanished (e.g. TTL-expired mid-flight): nobody
+        // ran the block, so this is a retryable condition — the strategy
+        // re-runs the protocol with a fresh UUID. Throwing Duplicate here
+        // would tell the caller the key was processed when no one did.
+        throw new RetryException(key, table, keyspace)
+      } else if (successes.head.recordUuid != selfUuid) {
+        // a single non-self SUCCESS: an earlier attempt holds the key
         throw new DuplicateException(key, table, keyspace)
       }
 
@@ -158,18 +163,36 @@ object DedupProviderBuilder {
   val DefaultRetries = 3
   val DefaultRequestTimeoutMillis = 2000L
 
+  /** Config key for the request timeout, the analog of the reference's
+    * driver-profile lookup of `basic.request.timeout`
+    * (reference: Utils.kt:7-11, builder/DeduplicationProviderBuilder.kt:28-33).
+    * Resolved lazily at build() — like the reference's lazy defaults —
+    * from the active SparkSession's runtime conf, then JVM system
+    * properties, then the built-in default.
+    */
+  val RequestTimeoutConfKey = "spark.graft.dedup.requestTimeoutMs"
+
+  def requestTimeoutMillis: Long =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .flatMap(s => scala.util.Try(s.conf.get(RequestTimeoutConfKey)).toOption)
+      .orElse(sys.props.get(RequestTimeoutConfKey))
+      .map(_.toLong)
+      .getOrElse(DefaultRequestTimeoutMillis)
+
   class SyncBuilder private[DedupProviderBuilder] () {
     private var log: DedupLog = new InMemoryDedupLog
-    private var strategy: RetryStrategy =
-      new ExponentialDelayRetryStrategy(DefaultRetries, 2 * DefaultRequestTimeoutMillis)
+    private var strategy: Option[RetryStrategy] = None
     private var absorber: DuplicateBurstAbsorber = new NoDuplicateBurstAbsorber
 
     def withLog(l: DedupLog): SyncBuilder = { log = l; this }
-    def withRetryStrategy(s: RetryStrategy): SyncBuilder = { strategy = s; this }
+    def withRetryStrategy(s: RetryStrategy): SyncBuilder = { strategy = Some(s); this }
     def withDuplicateAbsorber(size: Int, absorbMillis: Long): SyncBuilder = {
       absorber = new CachedDuplicateBurstAbsorber(size, absorbMillis); this
     }
-    def build(): DedupProvider = new DedupProvider(log, strategy, absorber)
+    def build(): DedupProvider = new DedupProvider(log,
+      strategy.getOrElse(
+        new ExponentialDelayRetryStrategy(DefaultRetries, 2 * requestTimeoutMillis)),
+      absorber)
   }
 
   class AsyncBuilder private[DedupProviderBuilder] () {
@@ -186,7 +209,7 @@ object DedupProviderBuilder {
     }
     def build(): DedupProviderAsync = new DedupProviderAsync(log,
       strategy.getOrElse(new ExponentialDelayRetryStrategyAsync(
-        DefaultRetries, 2 * DefaultRequestTimeoutMillis, executor)),
+        DefaultRetries, 2 * requestTimeoutMillis, executor)),
       absorber)
   }
 

@@ -48,7 +48,7 @@ class FixedDelayRetryStrategy(times: Int, delayMillis: Long) extends RetryStrate
   * delay(n) = initialDelay · e^n — natural exp, NOT 2^n
   * (reference: strategy/sync/impl/ExponentialDelayRetryStrategy.kt:29-30).
   */
-class ExponentialDelayRetryStrategy(times: Int, initialDelayMillis: Long) extends RetryStrategy {
+class ExponentialDelayRetryStrategy(times: Int, private[provider] val initialDelayMillis: Long) extends RetryStrategy {
   private[provider] def delayFor(attempt: Int): Long =
     if (attempt == 0) initialDelayMillis
     else (initialDelayMillis * math.exp(attempt.toDouble)).toLong
@@ -129,7 +129,8 @@ class FixedDelayRetryStrategyAsync(times: Int, delayMillis: Long, executor: Exec
 /** Async exponential delay, e^n law
   * (reference: strategy/async/impl/ExponentialDelayRetryStrategyAsync.kt:38-39).
   */
-class ExponentialDelayRetryStrategyAsync(times: Int, initialDelayMillis: Long,
+class ExponentialDelayRetryStrategyAsync(times: Int,
+                                         private[provider] val initialDelayMillis: Long,
                                          executor: ExecutorService)
     extends DelayedRetryBase(executor) {
   override protected def budget: Int = times

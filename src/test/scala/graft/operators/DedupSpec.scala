@@ -113,4 +113,39 @@ class DedupSpec extends SparkSpec {
       .select("key", "n_attempts").as[(String, Long)].collect().toMap
     assert(got === Map("k1" -> 1L, "k2" -> 2L, "k3" -> 2L, "k4" -> 1L))
   }
+
+  test("absorberFirstWins matches firstWins on null order values (nulls-first)") {
+    val withNulls = Seq(
+      ("k", Option(t("2024-01-01 00:00:01")), "u1"),
+      ("k", Option.empty[Timestamp], "u2"), // null ts sorts first
+      ("k2", Option(t("2024-01-01 00:00:00")), "u3")
+    ).toDF("key", "event_time", "record_uuid")
+    val plain = Dedup.firstWins(withNulls, Seq("key"), Seq("event_time", "record_uuid"))
+    val absorbed = Dedup.absorberFirstWins(withNulls, Seq("key"), Seq("event_time", "record_uuid"))
+    assert(plain.except(absorbed).isEmpty && absorbed.except(plain).isEmpty)
+    val winner = plain.filter(col("key") === "k").select("record_uuid").as[String].collect()
+    assert(winner.toSeq === Seq("u2"))
+  }
+
+  test("per-call log bridged to the set engine crowns the protocol's winner (µs precision)") {
+    import graft.provider._
+    import scala.concurrent.duration._
+    val log = new InMemoryDedupLog
+    val p = new DedupProvider(log, new NoRetryStrategy, new NoDuplicateBurstAbsorber)
+    // sequential attempts land ~1 µs apart — same millisecond, so a
+    // millis-truncating bridge would tie them and let record_uuid decide
+    p.process("kb", "t", "ks", Duration.Zero, () => "ran")
+    (1 to 5).foreach { _ =>
+      intercept[DuplicateException] { p.process("kb", "t", "ks", Duration.Zero, () => "again") }
+    }
+    val protocolWinner = log.read("ks", "t", "kb", Long.MaxValue)
+      .filter(_.state == RecordState.Success).head.recordUuid
+    val bridged = log.toDataFrame(spark)
+    val engineWinner = Dedup.firstWins(bridged, Seq("key"), Seq("event_time", "record_uuid"))
+      .select("record_uuid").as[String].collect()
+    assert(engineWinner.toSeq === Seq(protocolWinner))
+    // and the bridge did not collapse distinct micros onto one timestamp
+    val distinctTimes = bridged.select("event_time").distinct().count()
+    assert(distinctTimes === 6L)
+  }
 }

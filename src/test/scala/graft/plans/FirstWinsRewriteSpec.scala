@@ -1,23 +1,12 @@
 package graft.plans
 
-import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.scalatest.funsuite.AnyFunSuite
 
-/** The window-dedup → FirstByOrder aggregate rewrite, through a session
-  * built with GraftExtensions.
+/** The window-dedup → FirstByOrder aggregate rewrite, through the shared
+  * session built with GraftExtensions (SparkSpec).
   */
-class FirstWinsRewriteSpec extends AnyFunSuite {
-
-  lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
-    .appName("graft-ext-test")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
-    .withExtensions(new GraftExtensions)
-    .getOrCreate()
+class FirstWinsRewriteSpec extends graft.SparkSpec {
 
   private def windowDedup = {
     val events = graft.Tables.events(spark, "/root/testdata/sf0.001")

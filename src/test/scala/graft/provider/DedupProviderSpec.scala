@@ -248,4 +248,49 @@ class DedupProviderSpec extends AnyFunSuite {
     val a = DedupProviderBuilder.newAsyncProviderBuilder().build()
     assert(a.asyncStrategy.isInstanceOf[ExponentialDelayRetryStrategyAsync])
   }
+
+  // config-profile timeout lookup (ref Utils.kt:7-11 reads
+  // basic.request.timeout from the driver profile; here the profile is the
+  // session/JVM config chain) — default delay must obey the 2× law
+  test("builder derives the default initial delay as 2× the configured request timeout") {
+    val key = DedupProviderBuilder.RequestTimeoutConfKey
+    // no config set → built-in default
+    sys.props -= key
+    assert(DedupProviderBuilder.requestTimeoutMillis ===
+      DedupProviderBuilder.DefaultRequestTimeoutMillis)
+    val d = DedupProviderBuilder.newProviderBuilder().build()
+      .strategy.asInstanceOf[ExponentialDelayRetryStrategy]
+    assert(d.initialDelayMillis === 2 * DedupProviderBuilder.DefaultRequestTimeoutMillis)
+    try {
+      sys.props(key) = "750"
+      assert(DedupProviderBuilder.requestTimeoutMillis === 750L)
+      val p = DedupProviderBuilder.newProviderBuilder().build()
+        .strategy.asInstanceOf[ExponentialDelayRetryStrategy]
+      assert(p.initialDelayMillis === 1500L) // 2× law, resolved at build()
+      val a = DedupProviderBuilder.newAsyncProviderBuilder().build()
+        .asyncStrategy.asInstanceOf[ExponentialDelayRetryStrategyAsync]
+      assert(a.initialDelayMillis === 1500L)
+    } finally sys.props -= key
+  }
+
+  test("processOnce with vanished SUCCESS row retries instead of declaring duplicate") {
+    // the log loses the row between insert and read-back (TTL analog):
+    // the protocol must surface a retryable condition, not Duplicate —
+    // nobody ran the block
+    val amnesiacLog = new InMemoryDedupLog {
+      override def read(ks: String, t: String, key: String, nowMicros: Long): Seq[AttemptRecord] =
+        Seq.empty
+    }
+    val n = new AtomicInteger
+    val p = new DedupProvider(amnesiacLog,
+      new RetryStrategy { // counts RetryExceptions, never succeeds
+        override def retry[T](a: () => T): T =
+          try a() catch { case _: RetryException => n.incrementAndGet(); throw new RetriesExceededException("k", "t", "ks") }
+      },
+      new NoDuplicateBurstAbsorber)
+    intercept[RetriesExceededException] {
+      p.process("k9", "t", "ks", Duration.Zero, () => "never")
+    }
+    assert(n.get === 1)
+  }
 }
