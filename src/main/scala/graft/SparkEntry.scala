@@ -239,7 +239,8 @@ object SparkEntry {
          |ORDER BY total_qty DESC, o_orderkey LIMIT 50""".stripMargin,
     "q_customers_no_orders" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |  AND o_orderdate >= TIMESTAMP '1998-06-01 00:00:00')""".stripMargin,
     // same SQL text both engines: Spark runs it via spark.sql
     "q_min_cost_per_brand" -> operators.SqlQueries.minCostPerBrandSql,
     "q_cube_returns"       -> operators.SqlQueries.cubeReturnsSql,
@@ -475,7 +476,7 @@ object SparkEntry {
          |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, $cosineSql AS sim
          |  FROM emb a JOIN emb b ON a.bucket = b.bucket
          |  WHERE a.vec_id < b.vec_id)
-         |SELECT vec_a, vec_b, sim FROM p WHERE sim >= 0.95""".stripMargin,
+         |SELECT vec_a, vec_b, sim FROM p WHERE sim >= 0.35""".stripMargin,
     "multimodal_stats" ->
       """SELECT doc_id,
         |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'

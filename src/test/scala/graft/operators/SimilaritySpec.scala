@@ -69,6 +69,15 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf.nonEmpty)
   }
 
+  test("cosineNearDupPairs is non-vacuous at the default threshold") {
+    val pairs = Similarity.cosineNearDupPairs(spark, sfDir).collect()
+    assert(pairs.nonEmpty) // a green oracle row must attest actual pairs
+    pairs.foreach { r =>
+      assert(r.getAs[Long]("vec_a") < r.getAs[Long]("vec_b"))
+      assert(r.getAs[Double]("sim") >= 0.35)
+    }
+  }
+
   test("planeWeight matches the md5 formula the oracle SQL uses") {
     // spot value computed independently: md5('0_0') prefix
     val md = java.security.MessageDigest.getInstance("MD5")
