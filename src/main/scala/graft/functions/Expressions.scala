@@ -123,6 +123,99 @@ object ExpressionKernels extends Serializable {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  private val StopSet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    Seq("the", "a", "of", "and", "is", "to", "in").foreach(s.add)
+    s
+  }
+
+  /** One-pass token statistics of a single-space-separated string:
+    * (n_chars, n_tokens, n_types, n_stopwords) — same values as the
+    * four-HOF chain length/size(split)/size(array_distinct)/size(filter),
+    * which runs interpreted (CodegenFallback) per row in Spark 4.
+    */
+  def tokenStats(text: UTF8String): InternalRow = {
+    val toks = text.toString.split(' ')
+    val types = new java.util.HashSet[String]()
+    var stops = 0
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      types.add(t)
+      if (StopSet.contains(t)) stops += 1
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](text.numChars().toLong, toks.length.toLong,
+        types.size.toLong, stops.toLong))
+  }
+
+  private val LangMarkerSets: Array[java.util.HashSet[String]] = {
+    val markers = Seq(
+      Seq("the", "a", "is", "of", "and"),      // en
+      Seq("der", "die", "und", "ist", "das"),  // de
+      Seq("el", "la", "los", "es", "y"),       // es
+      Seq("le", "les", "et", "est", "du"),     // fr
+      Seq("de5", "shi4", "le5"))               // zh
+    markers.map { m =>
+      val s = new java.util.HashSet[String]()
+      m.foreach(s.add)
+      s
+    }.toArray
+  }
+
+  /** One-pass language-marker hit counts: (s_en, s_de, s_es, s_fr, s_zh)
+    * — replaces five interpreted `size(filter(toks, isInCollection))`
+    * passes over the token array.
+    */
+  def langScores(text: UTF8String): InternalRow = {
+    val toks = text.toString.split(' ')
+    val counts = new Array[Long](LangMarkerSets.length)
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      var l = 0
+      while (l < LangMarkerSets.length) {
+        if (LangMarkerSets(l).contains(t)) counts(l) += 1
+        l += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      counts.map(c => c: Any))
+  }
+
+  /** Hyperplane weight table for the LSH bucket — same md5-derived
+    * integers as Similarity.planeWeight and the oracle SQL's w CTE.
+    */
+  private lazy val PlaneWeights: Array[Array[Long]] =
+    Array.tabulate(8, 64) { (p, d) =>
+      (java.lang.Long.parseLong(md5hex(s"${p}_$d").substring(0, 15), 16) % 2001L) - 1000L
+    }
+
+  /** 8-plane LSH bucket of a float vector in one pass: bit p set iff
+    * Σ_d w(p,d)·floor(x_d·1000) > 0 — pure integer math, identical to the
+    * 8 interpreted zip_with/aggregate passes it replaces and to the
+    * DuckDB oracle's integer-quantized projection.
+    */
+  def lshBucket(emb: ArrayData): Long = {
+    val n = math.min(emb.numElements(), 64)
+    var bucket = 0L
+    var p = 0
+    while (p < 8) {
+      val w = PlaneWeights(p)
+      var proj = 0L
+      var d = 0
+      while (d < n) {
+        proj += w(d) * math.floor(emb.getFloat(d).toDouble * 1000.0).toLong
+        d += 1
+      }
+      if (proj > 0) bucket |= (1L << p)
+      p += 1
+    }
+    bucket
+  }
+
   /** MinHash signature: element j = min over shingles of the hex digest
     * md5(j + "|" + shingle), compared lexicographically — identical to
     * `min(md5(concat(j,'|',shingle)))` per hash family in the oracle SQL.
@@ -188,6 +281,42 @@ case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** token_stats(string) → struct(n_chars, n_tokens, n_types, n_stopwords). */
+case class TokenStats(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_chars", LongType, nullable = false),
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("n_types", LongType, nullable = false),
+    StructField("n_stopwords", LongType, nullable = false)))
+  override def nullSafeEval(v: Any): Any =
+    ExpressionKernels.tokenStats(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ExpressionKernels.tokenStats($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** lang_scores(string) → struct(s_en, s_de, s_es, s_fr, s_zh). */
+case class LangScores(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(
+    Seq("s_en", "s_de", "s_es", "s_fr", "s_zh")
+      .map(StructField(_, LongType, nullable = false)))
+  override def nullSafeEval(v: Any): Any =
+    ExpressionKernels.langScores(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ExpressionKernels.langScores($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** lsh_bucket(array<float>) → long 8-plane bucket id. */
+case class LshBucket(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    ExpressionKernels.lshBucket(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ExpressionKernels.lshBucket($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Column-level entry points (Spark 4: Column↔Expression bridging goes
   * through classic.ExpressionUtils).
   */
@@ -200,4 +329,7 @@ object functions {
     toColumn(WordShingles(toExpression(text), k))
   def minhash_sig(shingles: Column, k: Int): Column =
     toColumn(MinHashSig(toExpression(shingles), k))
+  def token_stats(text: Column): Column = toColumn(TokenStats(toExpression(text)))
+  def lang_scores(text: Column): Column = toColumn(LangScores(toExpression(text)))
+  def lsh_bucket(emb: Column): Column = toColumn(LshBucket(toExpression(emb)))
 }

@@ -83,9 +83,16 @@ object Similarity {
 
   /** vec_id, bucket: signs of the 8 hyperplane projections packed into an
     * int. Projections are Σ_d w(p,d) · floor(x_d·1000) — pure integer,
-    * so order-independent and oracle-exact.
+    * so order-independent and oracle-exact. One codegen'd
+    * [[graft.functions.LshBucket]] pass per row (the 8 zip_with/aggregate
+    * passes it replaces are CodegenFallback — interpreted per row).
     */
-  def lshBuckets(emb: DataFrame): DataFrame = {
+  def lshBuckets(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), col("embedding"),
+      graft.functions.functions.lsh_bucket(col("embedding")).as("bucket"))
+
+  /** Declarative HOF formulation, kept for the equivalence guard test. */
+  private[graft] def lshBucketsDeclarative(emb: DataFrame): DataFrame = {
     // quantize once, then one compact zip_with/aggregate per plane — NOT
     // 8×64 scalar terms, which makes Catalyst/codegen quadratically slow
     val quantized = transform(col("embedding"),

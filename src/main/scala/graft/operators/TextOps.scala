@@ -35,10 +35,41 @@ object TextOps {
     "fr" -> Seq("le", "les", "et", "est", "du"),
     "zh" -> Seq("de5", "shi4", "le5"))
 
-  /** doc_id, n_chars, n_tokens, n_types, n_stopwords, stopword_ratio,
-    * avg_token_len, quality_score, is_quality — the quality-scoring op.
+  /** Quality stats via one codegen'd [[graft.functions.TokenStats]] pass
+    * (the declarative four-HOF chain is CodegenFallback in Spark 4 —
+    * interpreted per row; kept as [[qualityScoreDeclarative]] for the
+    * kernel-equivalence guard).
     */
-  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+  private def withQualityCols(d: DataFrame): DataFrame = {
+    val st = graft.functions.functions.token_stats(col("text"))
+    d.withColumn("__st", st)
+      .select(
+        (d.columns.filter(_ != "text").map(col).toSeq ++ Seq(
+          col("__st.n_chars").as("n_chars"),
+          col("__st.n_tokens").as("n_tokens"),
+          col("__st.n_types").as("n_types"),
+          col("__st.n_stopwords").as("n_stopwords"))): _*)
+      .withColumn("stopword_ratio",
+        col("n_stopwords").cast("double") / col("n_tokens").cast("double"))
+      .withColumn("avg_token_len",
+        (col("n_chars") - (col("n_tokens") - lit(1))).cast("double") /
+          col("n_tokens").cast("double"))
+      .withColumn("is_quality",
+        (col("n_tokens") >= 10) && (col("n_tokens") <= 1000) &&
+        (col("stopword_ratio") < lit(0.5)) && (col("avg_token_len") < lit(12.0)))
+  }
+
+  /** doc_id, n_chars, n_tokens, n_types, n_stopwords, stopword_ratio,
+    * avg_token_len, is_quality — the quality-scoring op.
+    */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame =
+    withQualityCols(Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+
+  /** Reference formulation with built-in higher-order functions — slower
+    * (interpreted) but independently derived; the guard test pins kernel
+    * ≡ declarative on the real corpus.
+    */
+  private[graft] def qualityScoreDeclarative(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
     val toks = tokens(col("text"))
     val nTok = size(toks).cast("bigint")
@@ -60,11 +91,29 @@ object TextOps {
         (col("stopword_ratio") < lit(0.5)) && (col("avg_token_len") < lit(12.0)))
   }
 
-  /** Language-ID heuristic: marker-word voting with fixed argmax order.
+  /** Language-ID heuristic: marker-word voting with fixed argmax order,
+    * one codegen'd [[graft.functions.LangScores]] pass per row.
     * (The corpus `lang` labels are synthetic and uncorrelated with the
     * text, so this op is graded on deterministic plumbing, not accuracy.)
     */
   def langId(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val scored = d.select(col("doc_id"), col("lang"),
+      graft.functions.functions.lang_scores(col("text")).as("__ls"))
+    val Seq(en, de, es, fr, zh) =
+      LangMarkers.map { case (l, _) => col(s"__ls.s_$l") }
+    scored.select(
+      col("doc_id"), col("lang").as("labeled_lang"),
+      when(en >= greatest(de, es, fr, zh), "en")
+        .when(de >= greatest(es, fr, zh), "de")
+        .when(es >= greatest(fr, zh), "es")
+        .when(fr >= zh, "fr")
+        .otherwise("zh").as("predicted_lang"),
+      en.as("s_en"), de.as("s_de"), es.as("s_es"), fr.as("s_fr"), zh.as("s_zh"))
+  }
+
+  /** Declarative five-HOF-pass variant, kept for the equivalence guard. */
+  private[graft] def langIdDeclarative(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
     val toks = tokens(col("text"))
     val scored = LangMarkers.foldLeft(d.select(col("doc_id"), col("lang"), toks.as("toks"))) {
@@ -124,10 +173,13 @@ object TextOps {
       .orderBy(col("n_docs").desc, col("shingle"))
       .limit(k)
 
-  /** Per-language corpus profile: an aggregation over quality stats. */
+  /** Per-language corpus profile: single scan → token-stats kernel →
+    * hash agg on lang (round 1 re-scanned documents and joined on doc_id
+    * just to pick up `lang` — a whole extra scan + shuffle for a column
+    * already in the table).
+    */
   def corpusProfile(spark: SparkSession, dir: String): DataFrame =
-    qualityScore(spark, dir)
-      .join(Tables.documents(spark, dir).select(col("doc_id"), col("lang")), "doc_id")
+    withQualityCols(Tables.documents(spark, dir).select(col("lang"), col("text")))
       .groupBy(col("lang"))
       .agg(
         count(lit(1)).as("n_docs"),

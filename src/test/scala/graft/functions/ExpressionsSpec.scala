@@ -58,4 +58,40 @@ class ExpressionsSpec extends SparkSpec {
     val kernelSide = Seq("hello", "a", "spark engine").map(ExpressionKernels.md5Prefix60)
     assert(sparkSide.toSeq === kernelSide)
   }
+
+  test("TokenStats kernel ≡ declarative quality pipeline on the corpus") {
+    val fast = graft.operators.TextOps.qualityScore(spark, sfDir)
+    val slow = graft.operators.TextOps.qualityScoreDeclarative(spark, sfDir)
+    assert(fast.columns.toSeq === slow.columns.toSeq)
+    assert(fast.except(slow).isEmpty && slow.except(fast).isEmpty)
+  }
+
+  test("LangScores kernel ≡ declarative marker counting on the corpus") {
+    val fast = graft.operators.TextOps.langId(spark, sfDir)
+    val slow = graft.operators.TextOps.langIdDeclarative(spark, sfDir)
+    assert(fast.columns.toSeq === slow.columns.toSeq)
+    assert(fast.except(slow).isEmpty && slow.except(fast).isEmpty)
+  }
+
+  test("LshBucket kernel ≡ declarative zip_with/aggregate projections") {
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val fast = graft.operators.Similarity.lshBuckets(emb).select("vec_id", "bucket")
+    val slow = graft.operators.Similarity.lshBucketsDeclarative(emb).select("vec_id", "bucket")
+    assert(fast.except(slow).isEmpty && slow.except(fast).isEmpty)
+  }
+
+  test("no CodegenFallback remains in the kernelized text/LSH plans") {
+    Seq(
+      graft.operators.TextOps.qualityScore(spark, sfDir),
+      graft.operators.TextOps.langId(spark, sfDir),
+      graft.operators.TextOps.corpusProfile(spark, sfDir),
+      graft.operators.Similarity.lshBuckets(graft.Tables.embeddings(spark, sfDir))
+    ).foreach { df =>
+      val plan = df.queryExecution.executedPlan.toString
+      // ArrayFilter/ArrayTransform/ArrayAggregate are the CodegenFallback
+      // HOFs these kernels replace; none may survive in the plan
+      Seq("array_filter", "ArrayFilter", "ArrayTransform", "ArrayAggregate", "ZipWith")
+        .foreach(op => assert(!plan.contains(op), s"$op in:\n${plan.take(600)}"))
+    }
+  }
 }
