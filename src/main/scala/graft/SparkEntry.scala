@@ -409,12 +409,22 @@ object SparkEntry {
          |$jaccardFromSh
          |SELECT doc_id, n_chars FROM documents
          |WHERE doc_id NOT IN (SELECT doc_b FROM pairj WHERE jaccard >= 0.5)""".stripMargin,
+    // df cap 128 on the inverted index, same as MinHash.DfCap — applied
+    // consistently to intersections AND set sizes on both sides
     "dedup_ngram_jaccard" ->
       s"""$shingleCte,
+         |shc AS (SELECT sh.doc_id, sh.shingle FROM sh
+         |        JOIN (SELECT shingle FROM sh GROUP BY 1 HAVING count(*) <= 128) ok
+         |        USING (shingle)),
          |inter AS (SELECT s1.doc_id AS doc_a, s2.doc_id AS doc_b, count(*) AS inter
-         |          FROM sh s1 JOIN sh s2 ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id
+         |          FROM shc s1 JOIN shc s2 ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id
          |          GROUP BY 1, 2),
-         |$jaccardFromSh
+         |pairj AS (
+         |  SELECT i.doc_a, i.doc_b,
+         |         CAST(i.inter AS DOUBLE) / CAST(sa.n + sb.n - i.inter AS DOUBLE) AS jaccard
+         |  FROM inter i
+         |  JOIN (SELECT doc_id, count(*) AS n FROM shc GROUP BY 1) sa ON i.doc_a = sa.doc_id
+         |  JOIN (SELECT doc_id, count(*) AS n FROM shc GROUP BY 1) sb ON i.doc_b = sb.doc_id)
          |SELECT doc_a, doc_b, jaccard FROM pairj WHERE jaccard >= 0.5""".stripMargin,
     "text_simhash" ->
       """WITH toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok

