@@ -38,19 +38,40 @@ object StreamingDedup {
 
   /** Full state lattice as a stream: emits every attempt labeled with its
     * protocol state. `GroupState[String]` holds the winning record_uuid
-    * per key; `ttlMillis` ⇒ `GroupStateTimeout.ProcessingTimeTimeout`
-    * reclaims it (0 ⇒ keep forever, like the reference's TTL 0).
+    * per key; `ttlMillis > 0` sets an EVENT-TIME timeout at
+    * success_event_time + ttl — write-relative expiry exactly like the
+    * reference's per-row `USING TTL` (README.md:44), measured on the
+    * stream's own clock (the watermark), so expiry is deterministic and
+    * testable without wall-clock sleeps. 0 ⇒ keep forever (reference
+    * TTL 0). A processing-time timeout would also livelock
+    * `processAllAvailable` in tests by scheduling poll batches forever.
+    *
+    * When `ttlMillis > 0` the caller must have a watermark on
+    * `event_time` (applied here via `watermarkDelay`).
     */
-  def auditStream(attempts: Dataset[Attempt], ttlMillis: Long)
+  def auditStream(attempts: Dataset[Attempt], ttlMillis: Long,
+                  watermarkDelay: String = "0 seconds")
                  (implicit spark: SparkSession): Dataset[Audited] = {
     import spark.implicits._
-    attempts
+    val src =
+      if (ttlMillis > 0) attempts.withWatermark("event_time", watermarkDelay)
+      else attempts
+    // state = (winning record_uuid, expiry epoch-ms; Long.MaxValue = never).
+    // The expiry must live IN the state: Spark clears a group's timeout on
+    // every invocation that sees data, so the duplicate branch has to
+    // re-arm the winner's original write-relative expiry each time.
+    src
       .groupByKey(_.key)
-      .flatMapGroupsWithState[String, Audited](
+      .flatMapGroupsWithState[(String, Long), Audited](
         OutputMode.Append,
-        if (ttlMillis > 0) GroupStateTimeout.ProcessingTimeTimeout
+        if (ttlMillis > 0) GroupStateTimeout.EventTimeTimeout
         else GroupStateTimeout.NoTimeout) {
-        (key: String, rows: Iterator[Attempt], state: GroupState[String]) =>
+        (key: String, rows: Iterator[Attempt], state: GroupState[(String, Long)]) =>
+          // Spark requires event-time timeouts strictly beyond the watermark
+          def arm(expiresAtMs: Long): Unit =
+            if (ttlMillis > 0 && expiresAtMs != Long.MaxValue)
+              state.setTimeoutTimestamp(
+                math.max(expiresAtMs, state.getCurrentWatermarkMs() + 1))
           if (state.hasTimedOut) {
             state.remove() // TTL expiry: key becomes claimable again
             Iterator.empty
@@ -61,11 +82,13 @@ object StreamingDedup {
               if (state.exists) {
                 out += Audited(a.key, a.event_time, a.record_uuid, RecordState.Duplicate)
               } else {
-                state.update(a.record_uuid)
-                if (ttlMillis > 0) state.setTimeoutDuration(ttlMillis)
+                val expiresAt =
+                  if (ttlMillis > 0) a.event_time.getTime + ttlMillis else Long.MaxValue
+                state.update((a.record_uuid, expiresAt))
                 out += Audited(a.key, a.event_time, a.record_uuid, RecordState.Success)
               }
             }
+            arm(state.get._2)
             out.iterator
           }
       }

@@ -58,12 +58,59 @@ class StreamingDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  // NOTE: the ProcessingTimeTimeout TTL path (auditStream ttlMillis > 0)
-  // cannot be driven with processAllAvailable — any registered timeout
-  // makes the query schedule timeout-poll batches continuously and
-  // processAllAvailable never observes quiescence. TTL reclaim semantics
-  // are pinned by the batch ttlFilter tests and the provider TTL test;
-  // the streaming tests cover the ttlMillis = 0 lattice.
+  test("auditStream TTL: SUCCESS → (event-time expiry) → SUCCESS for the same key") {
+    implicit val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    val input = MemoryStream[Attempt]
+    // 1-minute write-relative TTL, driven purely by the watermark clock
+    val q = auditStream(input.toDS(), ttlMillis = 60_000)
+      .writeStream.format("memory").queryName("ttl").outputMode("append").start()
+    try {
+      input.addData(Attempt("k1", t("2024-01-01 00:00:00"), "u1"))
+      q.processAllAvailable() // u1 SUCCESS; k1 expires at 00:01:00 event time
+      input.addData(Attempt("k1", t("2024-01-01 00:00:30"), "u2"))
+      q.processAllAvailable() // still alive (watermark 00:00:00) → DUPLICATE
+      // unrelated keys push the watermark past k1's expiry: the first
+      // batch advances the watermark to 00:02:00, the second runs with it
+      // and fires k1's timeout (state.remove)
+      input.addData(Attempt("w1", t("2024-01-01 00:02:00"), "w1"))
+      q.processAllAvailable()
+      input.addData(Attempt("w2", t("2024-01-01 00:02:10"), "w2"))
+      q.processAllAvailable()
+      input.addData(Attempt("w3", t("2024-01-01 00:02:20"), "w3"))
+      q.processAllAvailable()
+      // k1 is claimable again: a fresh attempt wins
+      input.addData(Attempt("k1", t("2024-01-01 00:02:30"), "u3"))
+      q.processAllAvailable()
+      val got = spark.table("ttl").as[Audited].collect()
+        .map(a => a.record_uuid -> a.state).toMap
+      assert(got("u1") === RecordState.Success)
+      assert(got("u2") === RecordState.Duplicate) // within TTL: suppressed
+      assert(got("u3") === RecordState.Success)   // after expiry: re-claimed
+    } finally q.stop()
+  }
+
+  test("auditStream TTL: key re-claimed within TTL stays DUPLICATE (no premature expiry)") {
+    implicit val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    val input = MemoryStream[Attempt]
+    val q = auditStream(input.toDS(), ttlMillis = 600_000) // 10 min
+      .writeStream.format("memory").queryName("ttl2").outputMode("append").start()
+    try {
+      input.addData(Attempt("k", t("2024-01-01 00:00:00"), "u1"))
+      q.processAllAvailable()
+      input.addData(Attempt("w", t("2024-01-01 00:05:00"), "w1")) // watermark → 00:05
+      q.processAllAvailable()
+      input.addData(Attempt("k", t("2024-01-01 00:05:30"), "u2")) // still inside TTL
+      q.processAllAvailable()
+      val got = spark.table("ttl2").as[Audited].collect()
+        .map(a => a.record_uuid -> a.state).toMap
+      assert(got("u1") === RecordState.Success)
+      assert(got("u2") === RecordState.Duplicate)
+    } finally q.stop()
+  }
 
   test("dropDuplicatesStream deduplicates keyed events within the watermark") {
     implicit val s = spark
