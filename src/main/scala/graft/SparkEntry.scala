@@ -86,8 +86,10 @@ object SparkEntry {
     "ann_lsh_topk"            -> ((s, d) => Similarity.lshBucketTopK(s, d)),
     "ann_ivf_topk"            -> ((s, d) => Similarity.ivfTopK(s, d)),
     "dedup_embedding_cosine"  -> ((s, d) => Similarity.cosineNearDupPairs(s, d)),
-    // ── multimodal plumbing (decode itself is a stubbed fake; see Multimodal) ──
-    "multimodal_stats"        -> (operators.Multimodal.mediaStats _))
+    // ── multimodal: metadata pruning path + real container decode ──
+    "multimodal_stats"        -> (operators.Multimodal.mediaStats _),
+    "multimodal_decode"       -> ((s, d) =>
+      operators.Multimodal.decodeMeta(operators.Multimodal.mediaTable(s, d))))
 
   // ───────────────────────── oracle SQL ─────────────────────────
 
@@ -487,13 +489,32 @@ object SparkEntry {
          |  FROM emb a JOIN emb b ON a.bucket = b.bucket
          |  WHERE a.vec_id < b.vec_id)
          |SELECT vec_a, vec_b, sim FROM p WHERE sim >= 0.35""".stripMargin,
-    "multimodal_stats" ->
-      """SELECT doc_id,
-        |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
-        |       ELSE 'video' END AS modality,
-        |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
-        |  CAST(n_chars % 640 + 16 AS BIGINT) AS width,
-        |  CAST(n_chars % 480 + 16 AS BIGINT) AS height,
-        |  CAST(n_chars % 30 + 1 AS BIGINT) AS n_frames
-        |FROM documents""".stripMargin)
+    // Expected media geometry recomputed INDEPENDENTLY from doc stats
+    // (same formulas as Multimodal.geometry / MediaCodec sizes). The
+    // decode query parses real BMP/WAV/GRV0 containers; matching this
+    // oracle proves the encode→decode round trip byte-exactly.
+    "multimodal_stats"  -> multimodalGeometrySql,
+    "multimodal_decode" -> multimodalGeometrySql)
+
+  private val multimodalGeometrySql: String =
+    """SELECT doc_id,
+      |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+      |       ELSE 'video' END AS modality,
+      |  CAST(CASE CAST(doc_id % 3 AS INT)
+      |    WHEN 0 THEN 54 + ((n_chars % 64 + 4) * 3 + 3) // 4 * 4 * (n_chars % 48 + 4)
+      |    WHEN 1 THEN 44 + 2 * (n_chars % 256 + 16)
+      |    ELSE 16 + (n_chars % 32 + 4) * (n_chars % 24 + 4) * (n_chars % 30 + 1)
+      |    END AS BIGINT) AS n_bytes,
+      |  CAST(CASE CAST(doc_id % 3 AS INT)
+      |    WHEN 0 THEN n_chars % 64 + 4 WHEN 1 THEN 0
+      |    ELSE n_chars % 32 + 4 END AS BIGINT) AS width,
+      |  CAST(CASE CAST(doc_id % 3 AS INT)
+      |    WHEN 0 THEN n_chars % 48 + 4 WHEN 1 THEN 0
+      |    ELSE n_chars % 24 + 4 END AS BIGINT) AS height,
+      |  CAST(CASE CAST(doc_id % 3 AS INT)
+      |    WHEN 0 THEN 1 WHEN 1 THEN 0
+      |    ELSE n_chars % 30 + 1 END AS BIGINT) AS n_frames,
+      |  CAST(CASE CAST(doc_id % 3 AS INT)
+      |    WHEN 1 THEN 8000 + (n_chars % 8) * 1000 ELSE 0 END AS BIGINT) AS sample_rate
+      |FROM documents""".stripMargin
 }

@@ -1,0 +1,160 @@
+package graft.operators
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+/** Pure-JVM encoders/decoders for the three media containers the
+  * multimodal surface carries. The decoders are REAL header/sample
+  * parsers (byte-level, no codec libraries needed):
+  *
+  *  - image: uncompressed 24-bit BMP (BITMAPINFOHEADER, bottom-up,
+  *    4-byte row padding) — the classic "decodable without a library"
+  *    raster format.
+  *  - audio: 16-bit mono PCM WAV (RIFF/fmt/data chunks).
+  *  - video: a minimal raw-frame container `GRV0 | w | h | n_frames |
+  *    gray8 frames` — stands in for a codec container while keeping the
+  *    frame geometry genuinely parseable and sliceable.
+  *
+  * All fields little-endian, as the real formats demand.
+  */
+object MediaCodec {
+
+  // ── BMP (24bpp, BITMAPINFOHEADER) ──────────────────────────────────
+
+  def bmpRowSize(width: Int): Int = (width * 3 + 3) / 4 * 4
+
+  def bmpSize(width: Int, height: Int): Int = 54 + bmpRowSize(width) * height
+
+  /** Encode a 24-bit BMP; pixel (x, y, channel) bytes come from `pix`. */
+  def encodeBmp(width: Int, height: Int, pix: Int => Byte): Array[Byte] = {
+    val rowSize = bmpRowSize(width)
+    val size = 54 + rowSize * height
+    val b = ByteBuffer.allocate(size).order(ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte)
+    b.putInt(size)          // file size
+    b.putInt(0)             // reserved
+    b.putInt(54)            // pixel data offset
+    b.putInt(40)            // BITMAPINFOHEADER size
+    b.putInt(width)
+    b.putInt(height)
+    b.putShort(1)           // planes
+    b.putShort(24)          // bits per pixel
+    b.putInt(0)             // compression = BI_RGB
+    b.putInt(rowSize * height)
+    b.putInt(2835)          // 72 DPI in pixels/metre
+    b.putInt(2835)
+    b.putInt(0)             // palette colors
+    b.putInt(0)             // important colors
+    var i = 0
+    val dataBytes = rowSize * height
+    while (i < dataBytes) {
+      // row padding bytes are zero, pixel bytes from the generator
+      val inRow = i % rowSize
+      b.put(if (inRow < width * 3) pix(i) else 0: Byte)
+      i += 1
+    }
+    b.array()
+  }
+
+  /** (width, height, bitsPerPixel) from a BMP header; rejects non-BMP. */
+  def decodeBmpHeader(bytes: Array[Byte]): (Int, Int, Int) = {
+    require(bytes.length >= 54 && bytes(0) == 'B' && bytes(1) == 'M',
+      "not a BMP payload")
+    val b = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val width = b.getInt(18)
+    val height = b.getInt(22)
+    val bpp = b.getShort(28).toInt
+    (width, height, bpp)
+  }
+
+  /** Iterate the pixel bytes of a 24-bit BMP (skips row padding). */
+  def bmpPixelBytes(bytes: Array[Byte]): Iterator[Byte] = {
+    val (w, h, bpp) = decodeBmpHeader(bytes)
+    require(bpp == 24, s"expected 24bpp, got $bpp")
+    val offset = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN).getInt(10)
+    val rowSize = bmpRowSize(w)
+    for {
+      y <- Iterator.range(0, h)
+      x <- Iterator.range(0, w * 3)
+    } yield bytes(offset + y * rowSize + x)
+  }
+
+  // ── WAV (RIFF, 16-bit mono PCM) ────────────────────────────────────
+
+  def wavSize(nSamples: Int): Int = 44 + 2 * nSamples
+
+  def encodeWav(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val b = ByteBuffer.allocate(44 + dataLen).order(ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII"))
+    b.putInt(36 + dataLen)  // chunk size
+    b.put("WAVE".getBytes("US-ASCII"))
+    b.put("fmt ".getBytes("US-ASCII"))
+    b.putInt(16)            // fmt chunk size
+    b.putShort(1)           // PCM
+    b.putShort(1)           // mono
+    b.putInt(sampleRate)
+    b.putInt(sampleRate * 2) // byte rate
+    b.putShort(2)           // block align
+    b.putShort(16)          // bits per sample
+    b.put("data".getBytes("US-ASCII"))
+    b.putInt(dataLen)
+    samples.foreach(b.putShort)
+    b.array()
+  }
+
+  /** (sampleRate, channels, bitsPerSample, nSamples) from a WAV header. */
+  def decodeWavHeader(bytes: Array[Byte]): (Int, Int, Int, Int) = {
+    require(bytes.length >= 44 &&
+      new String(bytes, 0, 4, "US-ASCII") == "RIFF" &&
+      new String(bytes, 8, 4, "US-ASCII") == "WAVE", "not a WAV payload")
+    val b = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val channels = b.getShort(22).toInt
+    val sampleRate = b.getInt(24)
+    val bits = b.getShort(34).toInt
+    val dataLen = b.getInt(40)
+    (sampleRate, channels, bits, dataLen / (channels * bits / 8))
+  }
+
+  /** PCM samples of a 16-bit mono WAV. */
+  def wavSamples(bytes: Array[Byte]): Array[Short] = {
+    val (_, channels, bits, n) = decodeWavHeader(bytes)
+    require(channels == 1 && bits == 16, "expected 16-bit mono")
+    val b = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    Array.tabulate(n)(i => b.getShort(44 + 2 * i))
+  }
+
+  // ── raw gray8 frame container ("GRV0") ─────────────────────────────
+
+  def rawVideoSize(width: Int, height: Int, nFrames: Int): Int =
+    16 + width * height * nFrames
+
+  def encodeRawVideo(width: Int, height: Int, nFrames: Int,
+                     pix: Int => Byte): Array[Byte] = {
+    val dataLen = width * height * nFrames
+    val b = ByteBuffer.allocate(16 + dataLen).order(ByteOrder.LITTLE_ENDIAN)
+    b.put("GRV0".getBytes("US-ASCII"))
+    b.putInt(width)
+    b.putInt(height)
+    b.putInt(nFrames)
+    var i = 0
+    while (i < dataLen) { b.put(pix(i)); i += 1 }
+    b.array()
+  }
+
+  /** (width, height, nFrames) from the raw-video header. */
+  def decodeRawVideoHeader(bytes: Array[Byte]): (Int, Int, Int) = {
+    require(bytes.length >= 16 &&
+      new String(bytes, 0, 4, "US-ASCII") == "GRV0", "not a GRV0 payload")
+    val b = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    (b.getInt(4), b.getInt(8), b.getInt(12))
+  }
+
+  /** One gray8 frame's bytes. */
+  def rawVideoFrame(bytes: Array[Byte], frameIdx: Int): Array[Byte] = {
+    val (w, h, n) = decodeRawVideoHeader(bytes)
+    require(frameIdx >= 0 && frameIdx < n, s"frame $frameIdx of $n")
+    val frameLen = w * h
+    java.util.Arrays.copyOfRange(bytes,
+      16 + frameIdx * frameLen, 16 + (frameIdx + 1) * frameLen)
+  }
+}

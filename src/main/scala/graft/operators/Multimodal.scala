@@ -8,11 +8,12 @@ import graft.Tables
 /** Multimodal column plumbing: image/audio/video as opaque `binary`
   * columns with typed metadata (the training-data-pipeline pattern).
   *
-  * The container has no media codecs, so DECODE IS A DETERMINISTIC FAKE
-  * (clearly marked below): it derives "features" from the payload bytes.
-  * Everything around it — schema, batch iteration via mapPartitions
-  * (the Scala analog of mapInPandas' batch shape), frame sampling,
-  * partition-friendly layout — is real and tested.
+  * Payloads are REAL containers built and parsed by [[MediaCodec]]
+  * (24-bit BMP, 16-bit PCM WAV, raw gray8 frames) — byte-level
+  * encode/decode in pure JVM, no codec libraries. The decode step
+  * genuinely parses the bytes; `multimodal_decode`'s oracle recomputes
+  * the expected geometry independently from doc stats, so a green row
+  * proves the parser round-trips the container.
   *
   * Scale: payloads stay opaque binary end-to-end (no row explosion until
   * frame sampling); per-partition batch processing keeps the decode
@@ -24,39 +25,108 @@ object Multimodal {
   val mediaSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("modality", StringType),     // image | audio | video
-    StructField("payload", BinaryType),      // opaque encoded bytes
+    StructField("payload", BinaryType),      // real encoded container bytes
     StructField("media_meta", StructType(Seq(
       StructField("width", IntegerType),
       StructField("height", IntegerType),
       StructField("n_frames", IntegerType),
       StructField("sample_rate", IntegerType))))))
 
-  /** Synthesize a media table from `documents`: payload = utf8 bytes of
-    * the text (a stand-in for encoded media), modality round-robins, and
-    * metadata derives deterministically from doc stats.
+  /** Deterministic media geometry from doc stats — the single source of
+    * truth shared by the encoder, the metadata column, and the oracle SQL
+    * (SparkEntry `multimodal_stats` / `multimodal_decode`).
     */
-  def mediaTable(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir).select(
-      col("doc_id"),
-      element_at(array(lit("image"), lit("audio"), lit("video")),
-        (col("doc_id") % 3 + 1).cast("int")).as("modality"),
-      col("text").cast("binary").as("payload"),
-      struct(
-        (col("n_chars") % 640 + 16).cast("int").as("width"),
-        (col("n_chars") % 480 + 16).cast("int").as("height"),
-        (col("n_chars") % 30 + 1).cast("int").as("n_frames"),
-        lit(16000).as("sample_rate")).as("media_meta"))
+  private[operators] def geometry(docId: Long, nChars: Long): (String, Int, Int, Int, Int) =
+    (docId % 3) match {
+      case 0 => ("image", (nChars % 64 + 4).toInt, (nChars % 48 + 4).toInt, 1, 0)
+      case 1 => ("audio", 0, 0, 0, (8000 + (nChars % 8) * 1000).toInt)
+      case _ => ("video", (nChars % 32 + 4).toInt, (nChars % 24 + 4).toInt,
+                 (nChars % 30 + 1).toInt, 0)
+    }
 
-  /** Byte-level stats on the opaque payload — pure column expressions,
-    * fully pushdown/codegen friendly.
+  /** Audio sample count, also formula-derived (oracle-expressible). */
+  private[operators] def audioSamples(nChars: Long): Int = (nChars % 256 + 16).toInt
+
+  /** Synthesize the media table from `documents`: payload is a genuinely
+    * encoded container (BMP / WAV / raw frames) whose content bytes cycle
+    * the document's utf8 text; metadata mirrors the encoded geometry.
+    * (In production this table IS the input — parquet with a binary
+    * column; the synth step stands in for ingestion.)
     */
+  def mediaTable(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select("doc_id", "text", "n_chars")
+    implicit val enc: org.apache.spark.sql.Encoder[Row] =
+      org.apache.spark.sql.Encoders.row(mediaSchema)
+    docs.mapPartitions { it =>
+      it.map { r =>
+        val docId = r.getLong(0)
+        val text = r.getString(1)
+        val nChars = r.getLong(2)
+        val content = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        def pix(i: Int): Byte =
+          if (content.isEmpty) 0 else content(i % content.length)
+        val (modality, w, h, f, rate) = geometry(docId, nChars)
+        val payload = modality match {
+          case "image" => MediaCodec.encodeBmp(w, h, pix)
+          case "audio" =>
+            val n = audioSamples(nChars)
+            MediaCodec.encodeWav(rate,
+              Array.tabulate(n)(i => (((pix(i) & 0xff) - 128) << 8).toShort))
+          case _ => MediaCodec.encodeRawVideo(w, h, f, pix)
+        }
+        Row(docId, modality, payload, Row(w, h, f, rate))
+      }
+    }
+  }
+
+  /** Metadata-only stats — no payload bytes touched (the pruning path). */
   def mediaStats(spark: SparkSession, dir: String): DataFrame =
     mediaTable(spark, dir).select(
       col("doc_id"), col("modality"),
       length(col("payload")).cast("bigint").as("n_bytes"),
       col("media_meta.width").cast("bigint").as("width"),
       col("media_meta.height").cast("bigint").as("height"),
-      col("media_meta.n_frames").cast("bigint").as("n_frames"))
+      col("media_meta.n_frames").cast("bigint").as("n_frames"),
+      col("media_meta.sample_rate").cast("bigint").as("sample_rate"))
+
+  private val decodedSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("modality", StringType),
+    StructField("n_bytes", LongType),
+    StructField("width", LongType),
+    StructField("height", LongType),
+    StructField("n_frames", LongType),
+    StructField("sample_rate", LongType)))
+
+  /** REAL decode: parse each payload's container header and emit the
+    * geometry read from the BYTES (not from media_meta). The oracle
+    * recomputes the same values from doc stats — agreement proves the
+    * encode→decode round trip.
+    */
+  def decodeMeta(media: DataFrame): DataFrame = {
+    implicit val enc: org.apache.spark.sql.Encoder[Row] =
+      org.apache.spark.sql.Encoders.row(decodedSchema)
+    media.select(col("doc_id"), col("modality"), col("payload"))
+      .mapPartitions { batch =>
+        batch.map { row =>
+          val docId = row.getAs[Long]("doc_id")
+          val modality = row.getAs[String]("modality")
+          val bytes = row.getAs[Array[Byte]]("payload")
+          val (w, h, f, rate) = modality match {
+            case "image" =>
+              val (bw, bh, _) = MediaCodec.decodeBmpHeader(bytes)
+              (bw.toLong, bh.toLong, 1L, 0L)
+            case "audio" =>
+              val (sr, _, _, _) = MediaCodec.decodeWavHeader(bytes)
+              (0L, 0L, 0L, sr.toLong)
+            case _ =>
+              val (vw, vh, vf) = MediaCodec.decodeRawVideoHeader(bytes)
+              (vw.toLong, vh.toLong, vf.toLong, 0L)
+          }
+          Row(docId, modality, bytes.length.toLong, w, h, f, rate)
+        }
+      }
+  }
 
   /** Frame sampling: one row per sampled frame index (every `stride`-th
     * frame) — row explosion happens AFTER metadata filtering, so only
@@ -69,15 +139,11 @@ object Multimodal {
         explode(sequence(lit(0), col("media_meta.n_frames") - 1,
           lit(stride))).as("frame_idx"))
 
-  /** Batch "decode" + feature extraction over partitions — the Scala
-    * analog of a Pandas `mapInPandas` UDF: iterate a partition's rows as
-    * one batch, emit fixed-width feature vectors.
-    *
-    * ─── STUB: deterministic fake decoder ───
-    * A real deployment would decode `payload` with an image/audio codec
-    * here; this container has none, so features are derived from payload
-    * bytes (mean/min/max per quarter-chunk). The signature, schema and
-    * batch shape are the real thing.
+  /** Batch decode + feature extraction over partitions — the Scala analog
+    * of a Pandas `mapInPandas` UDF: iterate a partition's rows as one
+    * batch, emit a fixed-width feature vector per row computed from the
+    * DECODED samples (BMP pixel bytes, WAV PCM amplitudes, video frame
+    * pixels — all parsed from the container, not from raw payload bytes).
     */
   def decodeFeatures(media: DataFrame): DataFrame = {
     val schema = StructType(Seq(
@@ -90,23 +156,53 @@ object Multimodal {
       .mapPartitions { batch =>
         batch.map { row =>
           val bytes = row.getAs[Array[Byte]]("payload")
-          val feat = fakeDecode(bytes)
+          val feat = row.getAs[String]("modality") match {
+            case "image" => imageFeatures(bytes)
+            case "audio" => audioFeatures(bytes)
+            case _       => videoFeatures(bytes)
+          }
           Row(row.getAs[Long]("doc_id"), row.getAs[String]("modality"), feat)
         }
       }
   }
 
-  /** STUB (`???`-equivalent with a deterministic fake so tests can run):
-    * 8 doubles from byte-chunk statistics.
-    */
-  private[operators] def fakeDecode(bytes: Array[Byte]): Seq[Double] = {
-    if (bytes.isEmpty) Seq.fill(8)(0.0)
-    else {
-      val chunks = bytes.grouped(math.max(1, bytes.length / 4)).take(4).toSeq
-      chunks.flatMap { c =>
-        Seq(c.map(b => (b & 0xff).toDouble).sum / c.length,
-            c.map(b => (b & 0xff).toDouble).max)
-      }.padTo(8, 0.0)
+  private def stats(values: Iterator[Double]): (Double, Double, Double, Double, Long) = {
+    var n = 0L; var sum = 0.0; var sumSq = 0.0
+    var mn = Double.MaxValue; var mx = Double.MinValue
+    values.foreach { v =>
+      n += 1; sum += v; sumSq += v * v
+      if (v < mn) mn = v
+      if (v > mx) mx = v
     }
+    if (n == 0) (0.0, 0.0, 0.0, 0.0, 0L)
+    else (sum / n, mn, mx, math.sqrt(sumSq / n), n)
+  }
+
+  /** [width, height, bpp, nPixelBytes, mean, min, max, rms] of pixel bytes. */
+  private[operators] def imageFeatures(bytes: Array[Byte]): Seq[Double] = {
+    val (w, h, bpp) = MediaCodec.decodeBmpHeader(bytes)
+    val (mean, mn, mx, rms, n) =
+      stats(MediaCodec.bmpPixelBytes(bytes).map(b => (b & 0xff).toDouble))
+    Seq(w, h, bpp, n.toDouble, mean, mn, mx, rms)
+  }
+
+  /** [sampleRate, channels, bits, nSamples, mean, min, max, rms] of PCM. */
+  private[operators] def audioFeatures(bytes: Array[Byte]): Seq[Double] = {
+    val (rate, channels, bits, _) = MediaCodec.decodeWavHeader(bytes)
+    val samples = MediaCodec.wavSamples(bytes)
+    val (mean, mn, mx, rms, n) = stats(samples.iterator.map(_.toDouble))
+    Seq(rate, channels, bits, n.toDouble, mean, mn, mx, rms)
+  }
+
+  /** [width, height, nFrames, nPixels, mean, min, max, rms] of gray8. */
+  private[operators] def videoFeatures(bytes: Array[Byte]): Seq[Double] = {
+    val (w, h, f) = MediaCodec.decodeRawVideoHeader(bytes)
+    val frameLen = w * h
+    val pixels = Iterator.range(0, f).flatMap { fi =>
+      MediaCodec.rawVideoFrame(bytes, fi).iterator.map(b => (b & 0xff).toDouble)
+    }
+    val (mean, mn, mx, rms, n) = stats(pixels)
+    require(n == frameLen.toLong * f)
+    Seq(w, h, f, n.toDouble, mean, mn, mx, rms)
   }
 }

@@ -3,9 +3,39 @@ package graft.operators
 import org.apache.spark.sql.functions._
 import graft.SparkSpec
 
-/** Multimodal plumbing specs: schema, frame sampling, batch decode. */
+/** Multimodal specs: container codecs, schema, frame sampling, real
+  * decode round trips.
+  */
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
+
+  test("BMP codec round trip: header fields and pixel bytes survive") {
+    val bytes = MediaCodec.encodeBmp(5, 3, i => (i % 251).toByte)
+    assert(bytes.length === MediaCodec.bmpSize(5, 3))
+    assert(MediaCodec.decodeBmpHeader(bytes) === ((5, 3, 24)))
+    val pix = MediaCodec.bmpPixelBytes(bytes).toSeq
+    assert(pix.length === 5 * 3 * 3)
+    assert(pix.take(15) === (0 until 15).map(i => (i % 251).toByte))
+    intercept[IllegalArgumentException] {
+      MediaCodec.decodeBmpHeader("not a bitmap at all".getBytes)
+    }
+  }
+
+  test("WAV codec round trip: rate, geometry, samples") {
+    val samples = Array.tabulate(100)(i => (i * 17 - 800).toShort)
+    val bytes = MediaCodec.encodeWav(12000, samples)
+    assert(bytes.length === MediaCodec.wavSize(100))
+    assert(MediaCodec.decodeWavHeader(bytes) === ((12000, 1, 16, 100)))
+    assert(MediaCodec.wavSamples(bytes).toSeq === samples.toSeq)
+  }
+
+  test("raw video codec: header and frame slicing") {
+    val bytes = MediaCodec.encodeRawVideo(4, 3, 5, i => i.toByte)
+    assert(MediaCodec.decodeRawVideoHeader(bytes) === ((4, 3, 5)))
+    val frame2 = MediaCodec.rawVideoFrame(bytes, 2)
+    assert(frame2.toSeq === (24 until 36).map(_.toByte))
+    intercept[IllegalArgumentException] { MediaCodec.rawVideoFrame(bytes, 5) }
+  }
 
   test("mediaTable: binary payload + typed metadata, all docs covered") {
     val m = Multimodal.mediaTable(spark, sfDir)
@@ -15,10 +45,12 @@ class MultimodalSpec extends SparkSpec {
       === Set("image", "audio", "video"))
   }
 
-  test("mediaStats: byte length equals n_chars for ascii corpus") {
-    val joined = Multimodal.mediaStats(spark, sfDir)
-      .join(graft.Tables.documents(spark, sfDir), "doc_id")
-    assert(joined.filter(col("n_bytes") =!= col("n_chars")).isEmpty)
+  test("decodeMeta parses payload bytes back to the encoded geometry") {
+    val media = Multimodal.mediaTable(spark, sfDir)
+    val decoded = Multimodal.decodeMeta(media)
+    val meta = Multimodal.mediaStats(spark, sfDir)
+    // bytes-parsed geometry must equal the metadata the encoder wrote
+    assert(decoded.except(meta).isEmpty && meta.except(decoded).isEmpty)
   }
 
   test("frameSample explodes only videos, stride-spaced frame indexes") {
@@ -34,16 +66,35 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
-  test("decodeFeatures: fixed-width deterministic feature vectors") {
-    val media = Multimodal.mediaTable(spark, sfDir).limit(20)
-    val f1 = Multimodal.decodeFeatures(media).collect()
-    val f2 = Multimodal.decodeFeatures(media).collect()
-    assert(f1.length === 20)
-    f1.foreach(r => assert(r.getAs[Seq[Double]]("feature").length === 8))
-    assert(f1.map(_.toString).sorted.toSeq === f2.map(_.toString).sorted.toSeq)
-  }
-
-  test("fakeDecode is total: empty payload yields zero vector") {
-    assert(Multimodal.fakeDecode(Array.emptyByteArray) === Seq.fill(8)(0.0))
+  test("decodeFeatures: fixed-width vectors from genuinely decoded samples") {
+    val media = Multimodal.mediaTable(spark, sfDir).limit(30).cache()
+    val feats = Multimodal.decodeFeatures(media).collect()
+    assert(feats.length === 30)
+    val byId = feats.map(r =>
+      r.getAs[Long]("doc_id") -> r.getSeq[Double](r.fieldIndex("feature"))).toMap
+    val metas = Multimodal.decodeMeta(media).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    byId.foreach { case (id, f) =>
+      assert(f.length === 8)
+      val m = metas(id)
+      m.getAs[String]("modality") match {
+        case "image" => // [w, h, bpp, ...]
+          assert(f(0) === m.getAs[Long]("width").toDouble)
+          assert(f(1) === m.getAs[Long]("height").toDouble)
+          assert(f(2) === 24.0)
+        case "audio" => // [rate, channels, bits, ...]
+          assert(f(0) === m.getAs[Long]("sample_rate").toDouble)
+          assert(f(1) === 1.0 && f(2) === 16.0)
+        case "video" => // [w, h, frames, ...]
+          assert(f(0) === m.getAs[Long]("width").toDouble)
+          assert(f(2) === m.getAs[Long]("n_frames").toDouble)
+      }
+      // pixel/sample stats are within byte/short range and consistent
+      assert(f(5) <= f(4) && f(4) <= f(6)) // min <= mean <= max
+    }
+    // deterministic across runs
+    val again = Multimodal.decodeFeatures(media).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getSeq[Double](r.fieldIndex("feature"))).toMap
+    assert(again === byId)
   }
 }
