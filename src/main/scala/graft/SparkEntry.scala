@@ -61,6 +61,15 @@ object SparkEntry {
             operators.Skew.SaltedMin("ts", "first_time"),
             operators.Skew.SaltedMax("ts", "last_time")))),
     "q_top_parts_per_brand" -> (Relational.qTopPartsPerBrand _),
+    "q9_profit_by_nation"   -> (Relational.q9ProfitByNation _),
+    "q12_late_shipments"    -> (Relational.q12LateShipments _),
+    "q13_order_distribution" -> (Relational.q13OrderDistribution _),
+    "q15_top_supplier"      -> (Relational.q15TopSupplier _),
+    "q16_supplier_variety"  -> (Relational.q16SupplierVariety _),
+    "q17_small_qty_revenue" -> (Relational.q17SmallQuantityRevenue _),
+    "q19_disjunctive_revenue" -> (Relational.q19DisjunctiveRevenue _),
+    "q11_nation_balance_share" -> (Relational.q11NationBalanceShare _),
+    "q22_wealthy_inactive"  -> (Relational.q22WealthyInactive _),
     "q_rollup_returns"      -> (Relational.qRollupReturns _),
     "q_region_revenue"      -> (Relational.qRegionRevenue _),
     "q_events_sessionize"   -> (Relational.qEventsSessionize _),
@@ -74,6 +83,7 @@ object SparkEntry {
     "text_langid"        -> (TextOps.langId _),
     "text_token_count"   -> (TextOps.tokenCount _),
     "text_fingerprint"   -> (TextOps.fingerprint _),
+    "text_winnow"        -> ((s, d) => TextOps.winnowFingerprints(s, d)),
     "text_corpus_profile" -> (TextOps.corpusProfile _),
     "dedup_exact_text"   -> (TextOps.exactDedup _),
     // ── near-dup dedup at scale ──
@@ -271,6 +281,82 @@ object SparkEntry {
          |JOIN nation ON c_nationkey = n_nationkey
          |JOIN region ON n_regionkey = r_regionkey
          |GROUP BY 1""".stripMargin,
+    "q9_profit_by_nation" ->
+      s"""SELECT n_name AS nation, CAST(year(l_shipdate) AS BIGINT) AS o_year,
+         |  CAST(SUM($discPriceC) AS BIGINT) AS profit
+         |FROM lineitem
+         |JOIN part ON l_partkey = p_partkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |WHERE p_name LIKE '%widget%'
+         |GROUP BY 1, 2""".stripMargin,
+    "q12_late_shipments" ->
+      """SELECT l_linestatus,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |GROUP BY 1""".stripMargin,
+    "q13_order_distribution" ->
+      """SELECT c_count, count(*) AS custdist
+        |FROM (SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+        |      FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+        |      GROUP BY c_custkey)
+        |GROUP BY c_count""".stripMargin,
+    "q15_top_supplier" ->
+      s"""WITH rev AS (
+         |  SELECT l_suppkey, CAST(SUM($discPriceC) AS BIGINT) AS total_revenue
+         |  FROM lineitem
+         |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |    AND l_shipdate < TIMESTAMP '1996-07-01 00:00:00'
+         |  GROUP BY 1)
+         |SELECT s_suppkey, s_name, total_revenue
+         |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+         |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)""".stripMargin,
+    "q16_supplier_variety" ->
+      """SELECT p_brand, p_type,
+        |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#1'
+        |GROUP BY 1, 2""".stripMargin,
+    "q17_small_qty_revenue" ->
+      s"""WITH per_part AS (
+         |  SELECT l_partkey AS pk,
+         |    CAST(SUM(${centsSql("l_quantity")}) AS BIGINT) AS sum_qty_c,
+         |    count(*) AS n
+         |  FROM lineitem GROUP BY 1)
+         |SELECT CAST(SUM(${centsSql("l_extendedprice")}) AS BIGINT) AS total_price,
+         |  count(*) AS n_rows
+         |FROM lineitem JOIN per_part ON l_partkey = pk
+         |WHERE ${centsSql("l_quantity")} * 5 * n < sum_qty_c""".stripMargin,
+    "q19_disjunctive_revenue" ->
+      s"""SELECT CAST(SUM($discPriceC) AS BIGINT) AS revenue, count(*) AS n_rows
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 11 AND p_size BETWEEN 1 AND 5)
+         |   OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 10)
+         |   OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 30 AND p_size BETWEEN 1 AND 15)""".stripMargin,
+    "q11_nation_balance_share" ->
+      s"""WITH by_nation AS (
+         |  SELECT s_nationkey,
+         |    CAST(SUM(${centsSql("s_acctbal")}) AS BIGINT) AS nation_bal
+         |  FROM supplier GROUP BY 1)
+         |SELECT n_name, nation_bal
+         |FROM by_nation JOIN nation ON s_nationkey = n_nationkey
+         |WHERE nation_bal * 50 > (SELECT CAST(SUM(nation_bal) AS BIGINT) FROM by_nation)""".stripMargin,
+    "q22_wealthy_inactive" ->
+      s"""WITH bal AS (SELECT c_custkey, c_mktsegment,
+         |               ${centsSql("c_acctbal")} AS bal_c FROM customer),
+         |pos AS (SELECT CAST(SUM(bal_c) AS BIGINT) AS sum_bal, count(*) AS n_bal
+         |        FROM bal WHERE bal_c > 0)
+         |SELECT c_mktsegment, count(*) AS numcust,
+         |  CAST(SUM(bal_c) AS BIGINT) AS total_bal
+         |FROM bal, pos
+         |WHERE bal_c * n_bal > sum_bal
+         |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+         |                  AND o_orderdate >= TIMESTAMP '1998-06-01 00:00:00')
+         |GROUP BY 1""".stripMargin,
     "q_events_sessionize" ->
       """WITH l AS (SELECT user_id, event_id, ts,
         |             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
@@ -358,6 +444,21 @@ object SparkEntry {
       """SELECT doc_id, md5(text) AS fp_md5,
         |  CAST(CAST(('0x' || substr(md5(text), 1, 15)) AS UBIGINT) AS BIGINT) AS fp_60bit
         |FROM documents""".stripMargin,
+    // winnowing (MOSS): positional trigram hashes, min per full window of
+    // 4, distinct values — window-min by VALUE, so tie order is moot
+    "text_winnow" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |pos AS (SELECT doc_id, i, array_to_string(t[i:i+2], ' ') AS shingle
+        |        FROM toks, unnest(range(1, len(t) - 1)) u(i)),
+        |h AS (SELECT doc_id, i,
+        |        CAST(('0x' || substr(md5(shingle), 1, 15)) AS UBIGINT) AS hv,
+        |        count(*) OVER (PARTITION BY doc_id) AS n_sh
+        |      FROM pos),
+        |wm AS (SELECT doc_id, i, n_sh,
+        |         CAST(min(hv) OVER (PARTITION BY doc_id ORDER BY i
+        |           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS BIGINT) AS fp
+        |       FROM h)
+        |SELECT DISTINCT doc_id, fp FROM wm WHERE i <= n_sh - 3""".stripMargin,
     "text_corpus_profile" ->
       """SELECT lang, count(*) AS n_docs,
         |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,

@@ -216,6 +216,50 @@ object ExpressionKernels extends Serializable {
     bucket
   }
 
+  /** Winnowing fingerprints (the MOSS scheme: Schleimer, Wilkerson &
+    * Aiken, SIGMOD'03): hash every positional word k-gram (md5Prefix60),
+    * slide a window of `w` consecutive hashes, take the minimum of each
+    * FULL window, return the distinct minima sorted ascending. One pass,
+    * O(n) via a monotonic deque. Selecting minima by VALUE (not by
+    * position) makes the output independent of tie-breaking, so a SQL
+    * `min() OVER (ROWS w-1 FOLLOWING)` + DISTINCT reproduces it exactly.
+    */
+  def winnow(text: UTF8String, k: Int, w: Int): ArrayData = {
+    val toks = text.toString.split(' ')
+    val n = toks.length - (k - 1)
+    if (n < w)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val hs = new Array[Long](n)
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i < n) {
+      sb.setLength(0)
+      var o = 0
+      while (o < k) {
+        if (o > 0) sb.append(' ')
+        sb.append(toks(i + o))
+        o += 1
+      }
+      hs(i) = md5Prefix60(sb.toString)
+      i += 1
+    }
+    val out = new java.util.TreeSet[java.lang.Long]()
+    val deque = new java.util.ArrayDeque[Int]()
+    i = 0
+    while (i < n) {
+      while (!deque.isEmpty && hs(deque.peekLast()) >= hs(i)) deque.pollLast()
+      deque.addLast(i)
+      if (deque.peekFirst() <= i - w) deque.pollFirst()
+      if (i >= w - 1) out.add(hs(deque.peekFirst()))
+      i += 1
+    }
+    val arr = new Array[Any](out.size)
+    val it = out.iterator()
+    var j = 0
+    while (it.hasNext) { arr(j) = it.next().longValue(); j += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+  }
+
   /** MinHash signature: element j = min over shingles of the hex digest
     * md5(j + "|" + shingle), compared lexicographically — identical to
     * `min(md5(concat(j,'|',shingle)))` per hash family in the oracle SQL.
@@ -307,6 +351,16 @@ case class LangScores(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** winnow(string, k, w) → array<long> of distinct window-min fingerprints. */
+case class WinnowFingerprints(child: Expression, k: Int, w: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    ExpressionKernels.winnow(v.asInstanceOf[UTF8String], k, w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ExpressionKernels.winnow($c, $k, $w)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** lsh_bucket(array<float>) → long 8-plane bucket id. */
 case class LshBucket(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -330,6 +384,8 @@ object functions {
   def minhash_sig(shingles: Column, k: Int): Column =
     toColumn(MinHashSig(toExpression(shingles), k))
   def token_stats(text: Column): Column = toColumn(TokenStats(toExpression(text)))
+  def winnow_fingerprints(text: Column, k: Int, w: Int): Column =
+    toColumn(WinnowFingerprints(toExpression(text), k, w))
   def lang_scores(text: Column): Column = toColumn(LangScores(toExpression(text)))
   def lsh_bucket(emb: Column): Column = toColumn(LshBucket(toExpression(emb)))
 }

@@ -252,6 +252,157 @@ object Relational {
       .limit(50)
   }
 
+  /** TPC-H Q9-style: profit (discounted revenue) by supplier nation and
+    * ship year for one part family — LIKE-filter pushdown into the part
+    * scan, star join, two-column aggregation.
+    */
+  def q9ProfitByNation(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir).filter(col("p_name").contains("widget"))
+      .select(col("p_partkey"))
+    val s = Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_nationkey"))
+    val n = broadcast(Tables.nation(spark, dir))
+    Tables.lineitem(spark, dir)
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .join(s, col("l_suppkey") === col("s_suppkey"))
+      .join(n, col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("l_shipdate")).cast("bigint").as("o_year"))
+      .agg(sum(discPriceC).as("profit"))
+      .orderBy(col("nation"), col("o_year"))
+  }
+
+  /** TPC-H Q12-style: late shipments (> 60 days after order date) split
+    * into high/low priority counts per line status — the CASE-aggregation
+    * shape.
+    */
+  def q12LateShipments(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    val l = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linestatus"), col("l_shipdate"))
+    val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      .groupBy(col("l_linestatus"))
+      .agg(
+        sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(!high, 1L).otherwise(0L)).as("low_line_count"))
+      .orderBy(col("l_linestatus"))
+  }
+
+  /** TPC-H Q13-style: customer distribution by order count — left outer
+    * join (customers with zero orders count too) then a histogram of the
+    * per-customer counts.
+    */
+  def q13OrderDistribution(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).select(col("c_custkey"))
+    val o = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** TPC-H Q15-style: the top-revenue supplier(s) of a half-year — global
+    * max via a single-row broadcast join (no window over the whole
+    * aggregate, no second scan).
+    */
+  def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit(ts("1996-01-01")) &&
+              col("l_shipdate") < lit(ts("1996-07-01")))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(discPriceC).as("total_revenue"))
+    val top = rev.agg(max(col("total_revenue")).as("max_rev"))
+    rev.join(broadcast(top), col("total_revenue") === col("max_rev"))
+      .join(Tables.supplier(spark, dir), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** TPC-H Q16-style (partsupp-free): distinct-supplier variety per
+    * (brand, type) through the lineitem bridge — the count-distinct
+    * two-phase aggregation shape.
+    */
+  def q16SupplierVariety(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+      .filter(col("p_brand") =!= "Brand#1")
+      .select(col("p_partkey"), col("p_brand"), col("p_type"))
+    Tables.lineitem(spark, dir).select(col("l_partkey"), col("l_suppkey"))
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"))
+  }
+
+  /** TPC-H Q17-style: revenue of small-quantity lineitems (below 20% of
+    * the part's average order quantity). The avg comparison stays in
+    * exact integer arithmetic: qty·5·n < Σqty  ⇔  qty < 0.2·avg.
+    */
+  def q17SmallQuantityRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val perPart = l.groupBy(col("l_partkey").as("pk"))
+      .agg(sum(cents(col("l_quantity"))).as("sum_qty_c"), count(lit(1)).as("n"))
+    l.join(perPart, col("l_partkey") === col("pk"))
+      .filter(cents(col("l_quantity")) * lit(5L) * col("n") < col("sum_qty_c"))
+      .agg(sum(cents(col("l_extendedprice"))).as("total_price"),
+           count(lit(1)).as("n_rows"))
+  }
+
+  /** TPC-H Q19-style: disjunctive brand/quantity/size predicates — the
+    * OR-pushdown shape (each disjunct prunes on both tables).
+    */
+  def q19DisjunctiveRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir).select(col("p_partkey"), col("p_brand"), col("p_size"))
+    val l = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+    l.join(p, col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#1" && col("l_quantity").between(1, 11) && col("p_size").between(1, 5)) ||
+        (col("p_brand") === "Brand#2" && col("l_quantity").between(10, 20) && col("p_size").between(1, 10)) ||
+        (col("p_brand") === "Brand#3" && col("l_quantity").between(20, 30) && col("p_size").between(1, 15)))
+      .agg(sum(discPriceC).as("revenue"), count(lit(1)).as("n_rows"))
+  }
+
+  /** TPC-H Q11-style (supplier balances for partsupp-free data): nations
+    * holding more than 2% of global supplier account balance. The share
+    * test is integer-exact: nation_sum · 50 > global_sum.
+    */
+  def q11NationBalanceShare(spark: SparkSession, dir: String): DataFrame = {
+    val s = Tables.supplier(spark, dir)
+      .select(col("s_nationkey"), cents(col("s_acctbal")).as("bal_c"))
+    val byNation = s.groupBy(col("s_nationkey")).agg(sum(col("bal_c")).as("nation_bal"))
+    val global = byNation.agg(sum(col("nation_bal")).as("global_bal"))
+    byNation.crossJoin(broadcast(global))
+      .filter(col("nation_bal") * lit(50L) > col("global_bal"))
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("nation_bal"))
+      .orderBy(col("nation_bal").desc, col("n_name"))
+  }
+
+  /** TPC-H Q22-style: wealthy inactive customers — above-average balance
+    * (integer-exact: bal·n > Σbal over positive balances) with no orders
+    * on/after the cutoff; grouped by market segment.
+    */
+  def q22WealthyInactive(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"), cents(col("c_acctbal")).as("bal_c"))
+    val positive = c.filter(col("bal_c") > 0)
+      .agg(sum(col("bal_c")).as("sum_bal"), count(lit(1)).as("n_bal"))
+    val recent = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit(ts("1998-06-01")))
+      .select(col("o_custkey"))
+    c.crossJoin(broadcast(positive))
+      .filter(col("bal_c") * col("n_bal") > col("sum_bal"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("numcust"), sum(col("bal_c")).as("total_bal"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   /** Sessionization over the events stream table: windows + lag + running
     * sum. A new session starts after a >30 min gap per user.
     */
@@ -295,11 +446,18 @@ object Relational {
            max(col("k")).as("max_k"))
       .orderBy(col("event_type"))
 
-  /** Set operations: event types seen in the first week vs the last week. */
+  /** Set operations: event types seen in the first week vs the last week.
+    * The two distinct sets are persisted — each feeds three set-operation
+    * branches, and without the persist Spark re-scans events for every
+    * branch (6 scans instead of 2; CacheManager dedups by canonical plan).
+    */
   def qSetOps(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val e = Tables.events(spark, dir)
-    val early = e.filter(col("ts") < lit(ts("2024-01-08"))).select(col("event_type")).distinct()
-    val late  = e.filter(col("ts") >= lit(ts("2024-01-24"))).select(col("event_type")).distinct()
+    val early = e.filter(col("ts") < lit(ts("2024-01-08")))
+      .select(col("event_type")).distinct().persist(MEMORY_AND_DISK)
+    val late  = e.filter(col("ts") >= lit(ts("2024-01-24")))
+      .select(col("event_type")).distinct().persist(MEMORY_AND_DISK)
     early.intersect(late).withColumn("which", lit("both"))
       .union(early.except(late).withColumn("which", lit("early_only")))
       .union(late.except(early).withColumn("which", lit("late_only")))

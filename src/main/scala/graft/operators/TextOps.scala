@@ -142,6 +142,19 @@ object TextOps {
       size(regexp_extract_all(lower(col("text")), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
         .cast("bigint").as("n_bpe_tokens"))
 
+  /** Winnowing fingerprints (MOSS): per-doc distinct window-min k-gram
+    * hashes — the classic local-similarity fingerprint whose guarantee is
+    * that any shared run of ≥ w+k-1 tokens yields a shared fingerprint.
+    * Single codegen'd pass per row ([[graft.functions.WinnowFingerprints]]),
+    * exploded to (doc_id, fp) rows — the shape a fingerprint inverted
+    * index is built from at scale.
+    */
+  def winnowFingerprints(spark: SparkSession, dir: String,
+                         k: Int = 3, w: Int = 4): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      explode(graft.functions.functions.winnow_fingerprints(col("text"), k, w)).as("fp"))
+
   /** Document fingerprinting: md5 content hash plus a 60-bit numeric
     * fingerprint (md5-prefix) usable as a join/partition key at scale.
     */

@@ -20,6 +20,22 @@ final case class AttemptRecord(
 /** Storage abstraction for the per-call protocol: append an attempt,
   * upsert a state transition by full primary key, read a key's live
   * attempts in time order (SURVEY.md §2 O1, O2, O8).
+  *
+  * ── Cassandra mapping ──
+  * The reference runs this protocol against a Cassandra table; this
+  * sandbox has no cluster, so the trait is the seam where a Cassandra
+  * binding would plug in. A production `CassandraDedupLog` maps 1:1:
+  *  - `append`      → `INSERT ... USING TTL ttl` at LOCAL_QUORUM
+  *                    (reference DeduplicationProvider.kt:135-155),
+  *  - `updateState` → re-INSERT of the full primary key with the new
+  *                    state — Cassandra upserts (reference :157-179),
+  *  - `read`        → `SELECT ... WHERE key = ?` at EACH_QUORUM, rows
+  *                    already in clustering order (reference :125-133);
+  *    the `nowMicros` TTL filter is server-side row expiry there.
+  * The engine's implementations keep those semantics without the
+  * cluster: [[InMemoryDedupLog]] for the per-call API and its tests,
+  * `graft.sources.DedupLogStore` for the durable, bucket-partitioned
+  * file layout (the partition-per-key analog).
   */
 trait DedupLog {
   def append(keyspace: String, table: String, rec: AttemptRecord): Unit

@@ -80,6 +80,30 @@ class ExpressionsSpec extends SparkSpec {
     assert(fast.except(slow).isEmpty && slow.except(fast).isEmpty)
   }
 
+  test("winnow: the MOSS guarantee — shared runs of ≥ w+k-1 tokens share a fingerprint") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def fps(s: String): Set[Long] =
+      ExpressionKernels.winnow(UTF8String.fromString(s), 3, 4)
+        .toLongArray().toSet
+    // identical docs → identical fingerprints
+    val a = "the quick brown fox jumps over the lazy dog again and again"
+    assert(fps(a) === fps(a))
+    // a shared 6-token (w+k-1 = 6) run embedded in different contexts
+    // must produce at least one common fingerprint
+    val shared = "alpha beta gamma delta epsilon zeta"
+    val doc1 = s"one two three $shared seven eight nine ten eleven"
+    val doc2 = s"xx yy $shared zz ww vv uu tt ss rr qq pp"
+    assert(fps(doc1).intersect(fps(doc2)).nonEmpty)
+    // unrelated docs share nothing
+    val doc3 = "p q r s t u v w x y z aa bb cc dd"
+    assert(fps(doc1).intersect(fps(doc3)).isEmpty)
+    // short text (< w full windows) → empty, not a crash
+    assert(fps("a b c") === Set.empty)
+    // fingerprints are sorted ascending (deterministic array layout)
+    val arr = ExpressionKernels.winnow(UTF8String.fromString(doc1), 3, 4).toLongArray()
+    assert(arr.toSeq === arr.sorted.toSeq)
+  }
+
   test("no CodegenFallback remains in the kernelized text/LSH plans") {
     Seq(
       graft.operators.TextOps.qualityScore(spark, sfDir),
