@@ -36,6 +36,23 @@ object StreamingDedup {
       .withWatermark(eventTimeCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
+  /** Windowed attempt counts: tumbling event-time windows with a
+    * watermark bounding state — the streaming analog of
+    * `Dedup.counts` (per-key attempt histograms), and the canonical
+    * watermark + windowed-aggregation shape (SURVEY §7 M4). Append mode:
+    * a window emits once, when the watermark passes its end.
+    */
+  def windowedCounts(events: DataFrame, eventTimeCol: String,
+                     keyCols: Seq[String], windowLen: String,
+                     watermark: String): DataFrame =
+    events
+      .withWatermark(eventTimeCol, watermark)
+      .groupBy((window(col(eventTimeCol), windowLen) +: keyCols.map(col)): _*)
+      .agg(count(lit(1)).as("n_attempts"))
+      .select((Seq(col("window.start").as("window_start"),
+        col("window.end").as("window_end")) ++ keyCols.map(col) :+
+        col("n_attempts")): _*)
+
   /** Full state lattice as a stream: emits every attempt labeled with its
     * protocol state. `GroupState[String]` holds the winning record_uuid
     * per key; `ttlMillis > 0` sets an EVENT-TIME timeout at

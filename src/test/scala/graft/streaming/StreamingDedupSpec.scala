@@ -112,6 +112,37 @@ class StreamingDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowedCounts: tumbling windows emit on watermark passage, late data dropped") {
+    implicit val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    val input = MemoryStream[Attempt]
+    val counts = windowedCounts(input.toDF(), "event_time", Seq("key"),
+      windowLen = "10 minutes", watermark = "0 seconds")
+    val q = counts.writeStream.format("memory").queryName("wc").outputMode("append").start()
+    try {
+      input.addData(
+        Attempt("a", t("2024-01-01 00:01:00"), "u1"),
+        Attempt("a", t("2024-01-01 00:02:00"), "u2"),
+        Attempt("b", t("2024-01-01 00:03:00"), "u3"))
+      q.processAllAvailable()
+      // nothing emitted yet: the 00:00-00:10 window is still open
+      assert(spark.table("wc").count() === 0)
+      // an event far ahead closes the first window
+      input.addData(Attempt("c", t("2024-01-01 00:25:00"), "u4"))
+      q.processAllAvailable()
+      input.addData(Attempt("c", t("2024-01-01 00:26:00"), "u5"))
+      q.processAllAvailable()
+      val rows = spark.table("wc")
+        .select("key", "n_attempts").as[(String, Long)].collect().toMap
+      assert(rows === Map("a" -> 2L, "b" -> 1L))
+      // late arrival for the closed window is dropped, not re-emitted
+      input.addData(Attempt("a", t("2024-01-01 00:04:00"), "u6"))
+      q.processAllAvailable()
+      assert(spark.table("wc").count() === 2)
+    } finally q.stop()
+  }
+
   test("dropDuplicatesStream deduplicates keyed events within the watermark") {
     implicit val s = spark
     import s.implicits._
