@@ -70,6 +70,7 @@ object SparkEntry {
     "q19_disjunctive_revenue" -> (Relational.q19DisjunctiveRevenue _),
     "q11_nation_balance_share" -> (Relational.q11NationBalanceShare _),
     "q22_wealthy_inactive"  -> (Relational.q22WealthyInactive _),
+    "q_order_reconciliation" -> (Relational.qOrderReconciliation _),
     "q_rollup_returns"      -> (Relational.qRollupReturns _),
     "q_region_revenue"      -> (Relational.qRegionRevenue _),
     "q_events_sessionize"   -> (Relational.qEventsSessionize _),
@@ -357,6 +358,18 @@ object SparkEntry {
          |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
          |                  AND o_orderdate >= TIMESTAMP '1998-06-01 00:00:00')
          |GROUP BY 1""".stripMargin,
+    "q_order_reconciliation" ->
+      s"""WITH charges AS (
+         |  SELECT l_orderkey,
+         |    CAST(SUM($discPriceC * (100 + ${centsSql("l_tax")})) AS BIGINT) AS charge_c
+         |  FROM lineitem GROUP BY 1)
+         |SELECT o_orderstatus,
+         |  CASE WHEN charge_c IS NULL THEN 'no_lineitems'
+         |       WHEN ${centsSql("o_totalprice")} * 10000 = charge_c THEN 'exact'
+         |       ELSE 'mismatch' END AS recon,
+         |  count(*) AS n_orders
+         |FROM orders LEFT OUTER JOIN charges ON o_orderkey = l_orderkey
+         |GROUP BY 1, 2""".stripMargin,
     "q_events_sessionize" ->
       """WITH l AS (SELECT user_id, event_id, ts,
         |             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts

@@ -164,10 +164,14 @@ object MinHash {
   private[graft] def ngramJaccardPairsOf(docs: DataFrame, threshold: Double,
                                          dfCap: Int): DataFrame = {
     val shAll = shingles(docs)
-    val live = shAll.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= dfCap)
+    // anti join against the HOT set (df > cap): at most totalShingleRows /
+    // cap distinct shingles, typically tiny → AQE broadcasts it. The
+    // equivalent semi join against the LIVE set would move the whole
+    // inverted index through the join build side.
+    val hot = shAll.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > dfCap)
       .select(col("shingle"))
-    val sh = shAll.join(live, Seq("shingle"), "left_semi")
+    val sh = shAll.join(hot, Seq("shingle"), "left_anti")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val allPairs = sh.select(col("doc_id").as("doc_a"), col("shingle"))
       .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("shingle"))

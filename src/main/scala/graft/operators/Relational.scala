@@ -403,6 +403,29 @@ object Relational {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** Data-quality reconciliation: does `o_totalprice` equal the order's
+    * lineitem charge sum? A pipeline-validation staple (detects partial
+    * loads / double loads). Exact int64 compare: totalprice is cents
+    * (10^-2), the charge sum is in 10^-6 units, so equality is
+    * `totalprice_c · 10^4 = Σcharge_c`. Orders with no lineitems are
+    * classed separately via the left outer join's null.
+    */
+  def qOrderReconciliation(spark: SparkSession, dir: String): DataFrame = {
+    val charges = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(discPriceC * (lit(100L) + cents(col("l_tax")))).as("charge_c"))
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), cents(col("o_totalprice")).as("total_c"))
+      .join(charges, col("o_orderkey") === col("l_orderkey"), "left_outer")
+      .withColumn("recon",
+        when(col("charge_c").isNull, "no_lineitems")
+          .when(col("total_c") * lit(10000L) === col("charge_c"), "exact")
+          .otherwise("mismatch"))
+      .groupBy(col("o_orderstatus"), col("recon"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderstatus"), col("recon"))
+  }
+
   /** Sessionization over the events stream table: windows + lag + running
     * sum. A new session starts after a >30 min gap per user.
     */

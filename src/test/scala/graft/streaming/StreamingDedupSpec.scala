@@ -143,6 +143,32 @@ class StreamingDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("file-source stream: readStream over a parquet events dir dedups like batch") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    // materialize a small keyed slice of events as the stream source
+    val src = java.nio.file.Files.createTempDirectory("stream-src").toString
+    graft.Tables.events(spark, sfDir)
+      .select(col("user_id").cast("string").as("key"), col("ts").as("event_time"),
+        col("event_id").cast("string").as("record_uuid"))
+      .limit(200)
+      .write.mode("overwrite").parquet(src)
+    val batchKeys = spark.read.parquet(src).select("key").distinct().count()
+    val stream = spark.readStream
+      .schema("key STRING, event_time TIMESTAMP, record_uuid STRING")
+      .parquet(src)
+    val q = dropDuplicatesStream(stream, "event_time", Seq("key"), "1 hour")
+      .writeStream.format("memory").queryName("filewm").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // one survivor per key, same key set as the batch distinct
+      val got = spark.table("filewm")
+      assert(got.count() === batchKeys)
+      assert(got.select("key").distinct().count() === batchKeys)
+    } finally q.stop()
+  }
+
   test("dropDuplicatesStream deduplicates keyed events within the watermark") {
     implicit val s = spark
     import s.implicits._
