@@ -1,6 +1,7 @@
 package graft.streaming
 
 import java.sql.Timestamp
+import java.util.concurrent.atomic.AtomicInteger
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.OutputMode
 import graft.SparkSpec
@@ -167,6 +168,45 @@ class StreamingDedupSpec extends SparkSpec {
       assert(got.count() === batchKeys)
       assert(got.select("key").distinct().count() === batchKeys)
     } finally q.stop()
+  }
+
+  test("ExactlyOnceSink: transient write failures retried; replayed batch does not duplicate") {
+    import org.apache.spark.sql.{DataFrame, SaveMode}
+    import graft.provider._
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("eos").toString
+    val failures = new AtomicInteger(2) // first two write attempts blow up
+    val attempts = new AtomicInteger(0)
+    val flakyWrite: (DataFrame, String) => Unit = (df, dir) => {
+      attempts.incrementAndGet()
+      if (failures.getAndDecrement() > 0) throw new java.io.IOException("storage down")
+      df.write.mode(SaveMode.Overwrite).parquet(dir)
+    }
+    val sink = new ExactlyOnceSink(root, "parquet",
+      new FixedDelayRetryStrategy(3, 1L), Some(flakyWrite))
+    val input = MemoryStream[Attempt]
+    val q = input.toDF().writeStream.foreachBatch(sink.writer).start()
+    try {
+      input.addData(Attempt("k1", t("2024-01-01 00:00:00"), "u1"),
+                    Attempt("k2", t("2024-01-01 00:00:01"), "u2"))
+      q.processAllAvailable()
+      assert(attempts.get === 3) // 2 failures + 1 success, strategy-driven
+      assert(spark.read.parquet(s"$root/batch_id=0").count() === 2)
+      // simulate an upstream replay of the same batch: same dir, same rows
+      sink.writer(Seq(Attempt("k1", t("2024-01-01 00:00:00"), "u1"),
+                      Attempt("k2", t("2024-01-01 00:00:01"), "u2")).toDF(), 0L)
+      assert(spark.read.parquet(s"$root/batch_id=0").count() === 2) // no dupes
+    } finally q.stop()
+
+    // budget exhaustion surfaces RetriesExceededException
+    val alwaysDown = new ExactlyOnceSink(root, "parquet",
+      new FixedDelayRetryStrategy(1, 1L),
+      Some((_, _) => throw new java.io.IOException("still down")))
+    intercept[RetriesExceededException] {
+      alwaysDown.writer(Seq(Attempt("k", t("2024-01-01 00:00:00"), "u")).toDF(), 1L)
+    }
   }
 
   test("dropDuplicatesStream deduplicates keyed events within the watermark") {
