@@ -71,6 +71,11 @@ object SparkEntry {
     "q11_nation_balance_share" -> (Relational.q11NationBalanceShare _),
     "q22_wealthy_inactive"  -> (Relational.q22WealthyInactive _),
     "q_order_reconciliation" -> (Relational.qOrderReconciliation _),
+    // approximate aggregates: NO oracleSql on purpose — sketch estimates
+    // are implementation-defined (driver records the rows-only check);
+    // accuracy vs exact is pinned in ApproxSpec
+    "q_approx_distinct_users" -> (operators.Approx.approxDistinctUsers(_, _)),
+    "q_approx_value_quantiles" -> (operators.Approx.approxValueQuantiles(_, _)),
     "q_rollup_returns"      -> (Relational.qRollupReturns _),
     "q_region_revenue"      -> (Relational.qRegionRevenue _),
     "q_events_sessionize"   -> (Relational.qEventsSessionize _),

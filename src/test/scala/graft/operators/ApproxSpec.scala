@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Approximate aggregates: accuracy vs the exact computation and
+  * determinism across runs (the driver's rows-only gate relies on the
+  * row set being stable).
+  */
+class ApproxSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("approx_count_distinct is within 3·rsd of the exact cardinality") {
+    val approx = Approx.approxDistinctUsers(spark, sfDir, rsd = 0.01)
+      .select("event_type", "approx_users").as[(String, Long)].collect().toMap
+    val exact = graft.Tables.events(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(approx.keySet === exact.keySet)
+    exact.foreach { case (k, ex) =>
+      val err = math.abs(approx(k) - ex).toDouble / ex
+      assert(err <= 0.03, s"$k: approx=${approx(k)} exact=$ex err=$err")
+    }
+  }
+
+  test("percentile_approx brackets the exact percentiles") {
+    val approx = Approx.approxValueQuantiles(spark, sfDir)
+      .select("event_type", "p50", "p95").as[(String, Double, Double)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val events = graft.Tables.events(spark, sfDir)
+    approx.foreach { case (et, (p50, p95)) =>
+      val vals = events.filter(col("event_type") === et)
+        .select("value").as[Double].collect().sorted
+      // sketch answers must land inside a generous rank window
+      def rankOf(v: Double) = vals.count(_ <= v).toDouble / vals.length
+      assert(rankOf(p50) >= 0.45 && rankOf(p50) <= 0.55, s"$et p50=$p50 rank=${rankOf(p50)}")
+      assert(rankOf(p95) >= 0.90 && rankOf(p95) <= 1.00, s"$et p95=$p95 rank=${rankOf(p95)}")
+      assert(p50 <= p95)
+    }
+  }
+
+  test("sketches are deterministic for a fixed input (stable rows-only gate)") {
+    val a = Approx.approxDistinctUsers(spark, sfDir).collect().toSeq
+    val b = Approx.approxDistinctUsers(spark, sfDir).collect().toSeq
+    assert(a === b)
+    val c = Approx.approxValueQuantiles(spark, sfDir).collect().toSeq
+    val d = Approx.approxValueQuantiles(spark, sfDir).collect().toSeq
+    assert(c === d)
+  }
+}
