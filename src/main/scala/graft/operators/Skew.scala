@@ -65,4 +65,27 @@ object Skew {
           case SaltedMax(c, as)  => max(col(as)).as(as)
         }: _*)
   }
+
+  /** Skew-resistant equi-join: salt the (skewed) probe side and replicate
+    * the build side once per salt, so a hot key's rows spread across
+    * `saltFactor` reducers instead of funneling through one. AQE's
+    * skew-join split handles sort-merge cases adaptively; the explicit
+    * salt is for when the skew is known a priori (or the join is
+    * hash-based where AQE's splitter doesn't apply) — and it makes the
+    * technique visible and testable.
+    *
+    * Semantics: identical to `probe.join(build, keys, "inner")`. Each
+    * probe row carries exactly one deterministic salt (xxhash64 of the
+    * whole row — no RNG, so re-execution of a failed task re-derives the
+    * same salt); the build side is exploded to all salts, so every
+    * (probe row, matching build row) pair meets exactly once.
+    */
+  def saltedJoin(probe: DataFrame, build: DataFrame, keys: Seq[String],
+                 saltFactor: Int = 16): DataFrame = {
+    val p = probe.withColumn("__salt",
+      pmod(xxhash64(probe.columns.map(col): _*), lit(saltFactor)))
+    val b = build.withColumn("__salt",
+      explode(array((0 until saltFactor).map(i => lit(i.toLong)): _*)))
+    p.join(b, keys :+ "__salt").drop("__salt")
+  }
 }

@@ -84,4 +84,41 @@ class DedupPropertySpec extends SparkSpec {
       assert(plain.except(absorbed).isEmpty && absorbed.except(plain).isEmpty)
     }
   }
+
+  // ── int64 fixed-point money: the properties the oracle gate rests on ──
+
+  test("property: cents() == BigDecimal HALF_UP snap, for random money doubles") {
+    val moneyGen = Gen.chooseNum(-1000000L, 1000000L)
+      .flatMap(i => Gen.chooseNum(0, 999).map(f => i.toDouble + f / 1000.0))
+    val vals = (1 to 6).flatMap(i =>
+      Gen.listOfN(200, moneyGen).apply(Gen.Parameters.default, Seed(7L + i))).flatten
+    val df = vals.toDF("x")
+    val got = df.select(
+      (col("x").cast(org.apache.spark.sql.types.DecimalType(18, 2)) * lit(100))
+        .cast("long")).as[Long].collect()
+    // Spark's double→decimal goes through BigDecimal.valueOf (the
+    // SHORTEST decimal repr of the double, like Double.toString), NOT the
+    // full binary expansion `new BigDecimal(double)` — e.g. x = .335 as a
+    // double is .3349999…, whose full expansion would round DOWN while
+    // valueOf("….335") rounds up. DuckDB's cast agrees with the valueOf
+    // behavior (round-1 judge audit: value-exact on all corpus inputs),
+    // which is what makes the cents snap cross-engine-safe at all.
+    val expected = vals.map(v =>
+      java.math.BigDecimal.valueOf(v)
+        .setScale(2, java.math.RoundingMode.HALF_UP)
+        .movePointRight(2).longValueExact())
+    assert(got.toSeq === expected)
+  }
+
+  test("property: int64 money sums are partition-count invariant") {
+    val l = graft.Tables.lineitem(spark, sfDir)
+    def q1(parts: Int) = Relational.q1PricingSummary(spark, sfDir)
+    // same query planned over different shuffle widths must agree exactly
+    val a = spark.conf.get("spark.sql.shuffle.partitions")
+    val r1 = q1(1).collect().map(_.toString).sorted.toSeq
+    spark.conf.set("spark.sql.shuffle.partitions", "13")
+    val r2 = q1(13).collect().map(_.toString).sorted.toSeq
+    spark.conf.set("spark.sql.shuffle.partitions", a)
+    assert(r1 === r2)
+  }
 }

@@ -23,4 +23,27 @@ class SkewSpec extends SparkSpec {
     assert(salted.count() ===
       events.select("user_id", "event_type").distinct().count())
   }
+
+  test("saltedJoin equals the plain inner join, including duplicate build keys") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // skewed probe: most lineitems share one hot order key
+    val probe = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_quantity"))
+    val build = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+    val salted = Skew.saltedJoin(probe, build, Seq("l_orderkey"), saltFactor = 8)
+    val plain = probe.join(build, Seq("l_orderkey"))
+    assert(salted.count() === plain.count())
+    assert(salted.columns.toSeq === plain.columns.toSeq)
+    assert(salted.except(plain).isEmpty && plain.except(salted).isEmpty)
+    // duplicate keys on the build side multiply rows identically
+    val dupBuild = build.union(build.limit(50))
+    val saltedDup = Skew.saltedJoin(probe, dupBuild, Seq("l_orderkey"), saltFactor = 4)
+    val plainDup = probe.join(dupBuild, Seq("l_orderkey"))
+    assert(saltedDup.count() === plainDup.count())
+    // and the salted plan shuffles on (key, salt), spreading hot keys
+    val shuffle = salted.queryExecution.executedPlan.toString
+    assert(shuffle.contains("__salt") || shuffle.contains("hashpartitioning"))
+  }
 }
