@@ -121,11 +121,13 @@ object MinHash {
   def minhashDedup(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val docs = Tables.documents(spark, dir)
-    // shingle arrays feed both sides of the verify join
+    // Persist ONLY the subtree that feeds multiple branches: the shingle
+    // arrays back both sides of the verify join (and the band self-join
+    // reads signatures twice through the same cached scan). Signatures
+    // and candidates are single-consumer since the array_intersect
+    // refactor — persisting them would pay materialization for nothing.
     val shArr = shingleArray(docs).persist(MEMORY_AND_DISK)
-    // signatures persisted too: the band self-join reads them twice
-    val sigs = signatures(docs).persist(MEMORY_AND_DISK)
-    val cand = candidatePairs(bands(sigs)).persist(MEMORY_AND_DISK)
+    val cand = candidatePairs(bands(signatures(docs)))
     exactJaccard(cand, shArr)
       .filter(col("jaccard") >= threshold)
       .orderBy(col("doc_a"), col("doc_b"))
