@@ -80,6 +80,8 @@ object SparkEntry {
     "q_region_revenue"      -> (Relational.qRegionRevenue _),
     "q_events_sessionize"   -> (Relational.qEventsSessionize _),
     "q_events_props"        -> (Relational.qEventsProps _),
+    "q_events_props_keys"   -> (Relational.qEventsPropsKeys _),
+    "q_embedding_label_stats" -> ((s, d) => operators.Similarity.labelStats(s, d)),
     "q_events_value_stats"  -> (Relational.qEventsValueStats _),
     "q_asof_attribution"    -> (operators.AsOf.purchaseAttribution _),
     "text_ngram_freq"       -> ((s, d) => graft.operators.TextOps.ngramFreq(s, d)),
@@ -409,6 +411,19 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n, min(value) AS min_value,
         |  max(value) AS max_value, count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY 1""".stripMargin,
+    "q_events_props_keys" ->
+      """SELECT event_type, k AS prop_key, count(*) AS n
+        |FROM (SELECT event_type, unnest(json_keys(props)) AS k FROM events)
+        |GROUP BY 1, 2""".stripMargin,
+    "q_embedding_label_stats" ->
+      """SELECT label, count(*) AS n_vecs,
+        |  CAST(min(nq) AS BIGINT) AS min_norm_q,
+        |  CAST(max(nq) AS BIGINT) AS max_norm_q
+        |FROM (SELECT label,
+        |        floor(sqrt(list_sum(list_transform(embedding,
+        |          x -> x::DOUBLE * x::DOUBLE))) * 1e6) AS nq
+        |      FROM embeddings)
+        |GROUP BY 1""".stripMargin,
     "text_ngram_freq" ->
       s"""$shingleCte
          |SELECT shingle, count(*) AS n_docs FROM sh

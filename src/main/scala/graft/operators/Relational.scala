@@ -469,6 +469,23 @@ object Relational {
            max(col("k")).as("max_k"))
       .orderBy(col("event_type"))
 
+  /** Semi-structured, schema-on-read: parse the whole JSON `props` column
+    * to a map, explode its keys, count key frequency per event type —
+    * the "what fields does this event stream actually carry" profiling
+    * op (get_json_object in qEventsProps extracts one known key; this
+    * discovers the key universe).
+    */
+  def qEventsPropsKeys(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        explode(map_keys(from_json(col("props"),
+          org.apache.spark.sql.types.MapType(
+            org.apache.spark.sql.types.StringType,
+            org.apache.spark.sql.types.StringType)))).as("prop_key"))
+      .groupBy(col("event_type"), col("prop_key"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("event_type"), col("prop_key"))
+
   /** Set operations: event types seen in the first week vs the last week.
     * The two distinct sets are persisted — each feeds three set-operation
     * branches, and without the persist Spark re-scans events for every

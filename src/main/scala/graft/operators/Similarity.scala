@@ -184,6 +184,25 @@ object Similarity {
       .orderBy(col("q_id"), col("rnk"))
   }
 
+  /** Per-label embedding stats: count and extremal quantized norms. The
+    * norm² is a per-row left-to-right double fold (deterministic); the
+    * cross-row reduction uses only min/max/count (order-independent), and
+    * norms are integer-quantized (×10^6) so the emitted values are
+    * hash-stable integers — no aggregated double sums anywhere
+    * (FIXTURES.md §3).
+    */
+  def labelStats(spark: SparkSession, dir: String): DataFrame = {
+    val normQ = floor(sqrt(dot(col("embedding"), col("embedding"))) * 1e6)
+      .cast("long")
+    Tables.embeddings(spark, dir)
+      .select(col("label"), normQ.as("norm_q"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+           min(col("norm_q")).as("min_norm_q"),
+           max(col("norm_q")).as("max_norm_q"))
+      .orderBy(col("label"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: all pairs in the same LSH
     * bucket with cosine ≥ threshold (the embedding analog of
     * MinHash.minhashDedup).
