@@ -103,6 +103,7 @@ object SparkEntry {
     "ann_cosine_topk"         -> ((s, d) => Similarity.cosineTopK(s, d)),
     "ann_lsh_topk"            -> ((s, d) => Similarity.lshBucketTopK(s, d)),
     "ann_ivf_topk"            -> ((s, d) => Similarity.ivfTopK(s, d)),
+    "ann_pq_topk"             -> ((s, d) => Similarity.pqTopK(s, d)),
     "dedup_embedding_cosine"  -> ((s, d) => Similarity.cosineNearDupPairs(s, d)),
     // ── multimodal: metadata pruning path + real container decode ──
     "multimodal_stats"        -> (operators.Multimodal.mediaStats _),
@@ -616,6 +617,33 @@ object SparkEntry {
          |FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rk
          |      FROM s)
          |WHERE rk <= 5""".stripMargin,
+    // PQ/ADC: all distances are floor(1e6·L2²) integers (identical
+    // left-to-right double folds in both engines, then exact floor), so
+    // argmin codes and ADC sums are pure integer arithmetic
+    "ann_pq_topk" ->
+      """WITH cent AS (SELECT vec_id AS cent_id, embedding AS cent_emb
+        |              FROM embeddings WHERE vec_id % 100 = 1),
+        |vd AS (
+        |  SELECT e.vec_id, c.cent_id, s.s,
+        |    CAST(floor(list_sum(list_transform(
+        |      list_zip(list_slice(e.embedding, s.s * 8 + 1, s.s * 8 + 8),
+        |               list_slice(c.cent_emb, s.s * 8 + 1, s.s * 8 + 8)),
+        |      z -> (z[1]::DOUBLE - z[2]::DOUBLE) * (z[1]::DOUBLE - z[2]::DOUBLE)))
+        |      * 1000000) AS BIGINT) AS dq
+        |  FROM embeddings e, cent c, unnest(range(0, 8)) s(s)),
+        |codes AS (SELECT vec_id, s, cent_id AS code FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id, s
+        |    ORDER BY dq, cent_id) AS rn FROM vd) WHERE rn = 1),
+        |qd AS (SELECT vec_id AS q_id, cent_id, s, dq FROM vd WHERE vec_id % 50 = 0),
+        |adc AS (
+        |  SELECT q.q_id, c.vec_id, CAST(SUM(q.dq) AS BIGINT) AS adc_dist
+        |  FROM codes c JOIN qd q ON q.s = c.s AND q.cent_id = c.code
+        |  WHERE c.vec_id <> q.q_id
+        |  GROUP BY 1, 2)
+        |SELECT q_id, vec_id, adc_dist, CAST(rk AS BIGINT) AS rnk
+        |FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+        |        ORDER BY adc_dist, vec_id) AS rk FROM adc)
+        |WHERE rk <= 5""".stripMargin,
     "dedup_embedding_cosine" ->
       s"""WITH $lshBucketCte,
          |p AS (

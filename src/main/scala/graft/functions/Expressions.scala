@@ -185,6 +185,31 @@ object ExpressionKernels extends Serializable {
       counts.map(c => c: Any))
   }
 
+  /** Per-subspace squared-L2 distances for product quantization:
+    * element s = floor(1e6 · Σ_i (a[s·d+i] − b[s·d+i])²), the inner fold
+    * left-to-right — identical doubles to DuckDB's list_sum over
+    * list_transform on the same slice, and the floor(×1e6) quantization
+    * makes downstream sums/argmins pure integer arithmetic (no cross-row
+    * double accumulation anywhere in the PQ pipeline).
+    */
+  def pqSubDists(a: ArrayData, b: ArrayData, m: Int, subDim: Int): ArrayData = {
+    val out = new Array[Any](m)
+    var s = 0
+    while (s < m) {
+      var d = 0.0
+      var i = 0
+      while (i < subDim) {
+        val idx = s * subDim + i
+        val diff = a.getFloat(idx).toDouble - b.getFloat(idx).toDouble
+        d += diff * diff
+        i += 1
+      }
+      out(s) = math.floor(d * 1000000.0).toLong
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Hyperplane weight table for the LSH bucket — same md5-derived
     * integers as Similarity.planeWeight and the oracle SQL's w CTE.
     */
@@ -351,6 +376,21 @@ case class LangScores(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** pq_sub_dists(array<float>, array<float>) → array<long> of m quantized
+  * per-subspace squared-L2 distances.
+  */
+case class PqSubDists(left: Expression, right: Expression, m: Int, subDim: Int)
+    extends BinaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(a: Any, b: Any): Any =
+    ExpressionKernels.pqSubDists(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], m, subDim)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.ExpressionKernels.pqSubDists($a, $b, $m, $subDim)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** winnow(string, k, w) → array<long> of distinct window-min fingerprints. */
 case class WinnowFingerprints(child: Expression, k: Int, w: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -386,6 +426,8 @@ object functions {
   def token_stats(text: Column): Column = toColumn(TokenStats(toExpression(text)))
   def winnow_fingerprints(text: Column, k: Int, w: Int): Column =
     toColumn(WinnowFingerprints(toExpression(text), k, w))
+  def pq_sub_dists(a: Column, b: Column, m: Int, subDim: Int): Column =
+    toColumn(PqSubDists(toExpression(a), toExpression(b), m, subDim))
   def lang_scores(text: Column): Column = toColumn(LangScores(toExpression(text)))
   def lsh_bucket(emb: Column): Column = toColumn(LshBucket(toExpression(emb)))
 }

@@ -184,6 +184,55 @@ object Similarity {
       .orderBy(col("q_id"), col("rnk"))
   }
 
+  /** Product-quantization ANN (the third classic index besides LSH and
+    * IVF): vectors are compressed to m=8 one-byte-ish codes (argmin
+    * centroid per 8-dim subspace) and queries scan the CODES, not the
+    * vectors, via asymmetric distance computation (ADC): approx dist =
+    * Σ_s dist(q_s, centroid(code_s)). At 100 TB the codes table is ~1/32
+    * the corpus size and the per-query work is a broadcast of the tiny
+    * (query × centroid × subspace) distance table against it — no
+    * full-vector reads at query time.
+    *
+    * Determinism: all distances are floor(1e6·L2²) integers from the
+    * [[graft.functions.PqSubDists]] kernel (per-row left-to-right double
+    * fold, then quantized), so argmins tie-break on centroid id and the
+    * ADC sum is integer — bit-exact in the DuckDB oracle.
+    *
+    * Training-free codebook: centroid set = every `centroidStride`-th
+    * vector (like IVF; k-means' float averaging is order-dependent and
+    * oracle-hostile).
+    */
+  def pqTopK(spark: SparkSession, dir: String, k: Int = 5,
+             queryStride: Int = 50, centroidStride: Int = 100,
+             m: Int = 8, subDim: Int = 8): DataFrame = {
+    import graft.functions.functions.pq_sub_dists
+    val emb = Tables.embeddings(spark, dir)
+    val cent = emb.filter(col("vec_id") % centroidStride === 1)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
+    // (vec, cent) → array of m quantized sub-distances → (vec, cent, s, dq)
+    val vd = emb.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("cent_id"),
+        posexplode(pq_sub_dists(col("embedding"), col("cent_emb"), m, subDim))
+          .as(Seq("s", "dq")))
+    // PQ encoding: per (vector, subspace) the nearest centroid id
+    val codes = vd.groupBy(col("vec_id"), col("s"))
+      .agg(graft.functions.FirstByOrder.first_by_order(
+        struct(col("cent_id")), struct(col("dq"), col("cent_id"))).as("w"))
+      .select(col("vec_id"), col("s"), col("w.cent_id").as("code"))
+    // ADC lookup table for the query subset (queries are vectors, so the
+    // same vd rows serve, no recompute)
+    val qd = vd.filter(col("vec_id") % queryStride === 0)
+      .select(col("vec_id").as("q_id"), col("cent_id"), col("s"), col("dq"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("adc_dist"), col("vec_id"))
+    codes.join(qd, qd("s") === codes("s") && qd("cent_id") === codes("code"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("dq")).as("adc_dist"))
+      .withColumn("rnk", row_number().over(w).cast("bigint"))
+      .filter(col("rnk") <= k)
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
   /** Per-label embedding stats: count and extremal quantized norms. The
     * norm² is a per-row left-to-right double fold (deterministic); the
     * cross-row reduction uses only min/max/count (order-independent), and

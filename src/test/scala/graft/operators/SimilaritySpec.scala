@@ -69,6 +69,29 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf.nonEmpty)
   }
 
+  test("pqTopK: k ranked code-scan neighbors per query, self excluded") {
+    val topk = Similarity.pqTopK(spark, sfDir, k = 5).collect()
+    assert(topk.nonEmpty)
+    topk.groupBy(_.getAs[Long]("q_id")).foreach { case (q, rows) =>
+      assert(rows.map(_.getAs[Long]("rnk").toInt).sorted.toSeq === (1 to rows.length))
+      assert(!rows.exists(_.getAs[Long]("vec_id") == q))
+      val dists = rows.sortBy(_.getAs[Long]("rnk").toInt).map(_.getAs[Long]("adc_dist"))
+      assert(dists.zip(dists.tail).forall { case (a, b) => a <= b }) // ascending distance
+    }
+  }
+
+  test("PQ recall vs brute force (informational)") {
+    val brute = Similarity.cosineTopK(spark, sfDir, k = 5)
+      .collect().groupBy(_.getAs[Long]("q_id"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("vec_id")).toSet }
+    val pq = Similarity.pqTopK(spark, sfDir, k = 5)
+      .collect().groupBy(_.getAs[Long]("q_id"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("vec_id")).toSet }
+    val overlap = brute.keys.map(q => (pq.getOrElse(q, Set.empty) & brute(q)).size).sum
+    info(s"PQ top-5 overlap with brute force: $overlap/${brute.size * 5}")
+    assert(pq.nonEmpty)
+  }
+
   test("cosineNearDupPairs is non-vacuous at the default threshold") {
     val pairs = Similarity.cosineNearDupPairs(spark, sfDir).collect()
     assert(pairs.nonEmpty) // a green oracle row must attest actual pairs
