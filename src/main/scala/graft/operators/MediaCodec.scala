@@ -78,6 +78,31 @@ object MediaCodec {
     } yield bytes(offset + y * rowSize + x)
   }
 
+  /** Nearest-neighbor resize of a 24-bit BMP: decode, sample the source
+    * grid at integer-scaled positions, re-encode. Pure integer sampling
+    * arithmetic — byte-deterministic.
+    */
+  def resizeBmpNearest(bytes: Array[Byte], targetW: Int, targetH: Int): Array[Byte] = {
+    val (w, h, bpp) = decodeBmpHeader(bytes)
+    require(bpp == 24, s"expected 24bpp, got $bpp")
+    val offset = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN).getInt(10)
+    val srcRow = bmpRowSize(w)
+    def srcPixel(x: Int, y: Int, c: Int): Byte =
+      bytes(offset + y * srcRow + x * 3 + c)
+    encodeBmp(targetW, targetH, { i =>
+      // the generator receives indexes over the PADDED data area (it is
+      // only invoked for pixel bytes, but `i` counts padding too)
+      val paddedRow = bmpRowSize(targetW)
+      val ty = i / paddedRow
+      val rem = i % paddedRow
+      val tx = rem / 3
+      val c = rem % 3
+      val sx = (tx.toLong * w / targetW).toInt
+      val sy = (ty.toLong * h / targetH).toInt
+      srcPixel(sx, sy, c)
+    })
+  }
+
   // ── WAV (RIFF, 16-bit mono PCM) ────────────────────────────────────
 
   def wavSize(nSamples: Int): Int = 44 + 2 * nSamples

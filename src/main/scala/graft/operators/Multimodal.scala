@@ -139,6 +139,61 @@ object Multimodal {
         explode(sequence(lit(0), col("media_meta.n_frames") - 1,
           lit(stride))).as("frame_idx"))
 
+  private val frameBytesSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("frame_idx", IntegerType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("frame", BinaryType)))
+
+  /** Byte-level frame sampling: the metadata pass picks the frame
+    * indexes, then ONLY the selected (doc, frame) pairs slice their
+    * payloads — the container is decoded once per doc on the executor
+    * and the emitted rows carry real gray8 frame bytes.
+    */
+  def frameSampleBytes(media: DataFrame, stride: Int = 5): DataFrame = {
+    implicit val enc: org.apache.spark.sql.Encoder[Row] =
+      org.apache.spark.sql.Encoders.row(frameBytesSchema)
+    media.filter(col("modality") === "video")
+      .select(col("doc_id"), col("payload"))
+      .mapPartitions { batch =>
+        batch.flatMap { row =>
+          val docId = row.getAs[Long]("doc_id")
+          val bytes = row.getAs[Array[Byte]]("payload")
+          val (w, h, n) = MediaCodec.decodeRawVideoHeader(bytes)
+          (0 until n by stride).iterator.map { fi =>
+            Row(docId, fi, w, h, MediaCodec.rawVideoFrame(bytes, fi))
+          }
+        }
+      }
+  }
+
+  /** Nearest-neighbor image resize: decode the BMP, sample pixels, re-
+    * encode — real raster work in pure JVM (the training-pipeline
+    * "resize to model input size" step). Deterministic: the sampling
+    * grid is integer arithmetic, the output is a well-formed BMP whose
+    * header parses back to (targetW, targetH).
+    */
+  def resizeImages(media: DataFrame, targetW: Int, targetH: Int): DataFrame = {
+    implicit val enc: org.apache.spark.sql.Encoder[Row] =
+      org.apache.spark.sql.Encoders.row(StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("width", LongType),
+        StructField("height", LongType),
+        StructField("payload", BinaryType))))
+    media.filter(col("modality") === "image")
+      .select(col("doc_id"), col("payload"))
+      .mapPartitions { batch =>
+        batch.map { row =>
+          val docId = row.getAs[Long]("doc_id")
+          val resized = MediaCodec.resizeBmpNearest(
+            row.getAs[Array[Byte]]("payload"), targetW, targetH)
+          val (w, h, _) = MediaCodec.decodeBmpHeader(resized)
+          Row(docId, w.toLong, h.toLong, resized)
+        }
+      }
+  }
+
   /** Batch decode + feature extraction over partitions — the Scala analog
     * of a Pandas `mapInPandas` UDF: iterate a partition's rows as one
     * batch, emit a fixed-width feature vector per row computed from the

@@ -37,6 +37,40 @@ class MultimodalSpec extends SparkSpec {
     intercept[IllegalArgumentException] { MediaCodec.rawVideoFrame(bytes, 5) }
   }
 
+  test("resize: nearest-neighbor BMP scaling preserves content structure") {
+    // source: 4x2 image with pixel bytes = linear ramp
+    val src = MediaCodec.encodeBmp(4, 2, i => {
+      val row = MediaCodec.bmpRowSize(4); ((i / row) * 100 + (i % row)).toByte
+    })
+    val up = MediaCodec.resizeBmpNearest(src, 8, 4)
+    assert(MediaCodec.decodeBmpHeader(up) === ((8, 4, 24)))
+    val down = MediaCodec.resizeBmpNearest(src, 2, 1)
+    assert(MediaCodec.decodeBmpHeader(down) === ((2, 1, 24)))
+    // downsample picks source pixels (0,0) and (2,0): bytes 0,1,2 / 6,7,8
+    assert(MediaCodec.bmpPixelBytes(down).toSeq === Seq[Byte](0, 1, 2, 6, 7, 8))
+    // identity resize reproduces the original pixel bytes
+    val same = MediaCodec.resizeBmpNearest(src, 4, 2)
+    assert(MediaCodec.bmpPixelBytes(same).toSeq === MediaCodec.bmpPixelBytes(src).toSeq)
+  }
+
+  test("resizeImages + frameSampleBytes: distributed resize and real frame slices") {
+    val media = Multimodal.mediaTable(spark, sfDir)
+    val resized = Multimodal.resizeImages(media, 16, 16).collect()
+    assert(resized.nonEmpty)
+    resized.foreach { r =>
+      assert(r.getAs[Long]("width") === 16L && r.getAs[Long]("height") === 16L)
+      val payload = r.getAs[Array[Byte]]("payload")
+      assert(payload.length === MediaCodec.bmpSize(16, 16))
+    }
+    val frames = Multimodal.frameSampleBytes(media, stride = 7).collect()
+    assert(frames.nonEmpty)
+    frames.foreach { f =>
+      val w = f.getAs[Int]("width"); val h = f.getAs[Int]("height")
+      assert(f.getAs[Array[Byte]]("frame").length === w * h)
+      assert(f.getAs[Int]("frame_idx") % 7 === 0)
+    }
+  }
+
   test("mediaTable: binary payload + typed metadata, all docs covered") {
     val m = Multimodal.mediaTable(spark, sfDir)
     assert(m.schema("payload").dataType.typeName === "binary")
