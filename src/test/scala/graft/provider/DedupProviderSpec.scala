@@ -76,6 +76,40 @@ class DedupProviderSpec extends AnyFunSuite {
     assert((byUuid - "other").values.toSeq === Seq(RecordState.Duplicate))
   }
 
+  // The reference's parallel test with real threads (ref :145-210): all
+  // contenders race the full protocol; retries give the racing winner
+  // fresh attempts. Invariant: the block runs EXACTLY once, exactly one
+  // caller gets its value, and the log converges to one live SUCCESS.
+  test("concurrent process on one key: block runs exactly once, log converges") {
+    val log = new InMemoryDedupLog
+    val blocks = new AtomicInteger
+    val pool = Executors.newFixedThreadPool(4)
+    val gate = new CountDownLatch(1)
+    try {
+      val futures = (1 to 4).map { _ =>
+        pool.submit(new java.util.concurrent.Callable[String] {
+          override def call(): String = {
+            gate.await(5, TimeUnit.SECONDS)
+            val p = new DedupProvider(log, new FixedDelayRetryStrategy(10, 5L),
+              new NoDuplicateBurstAbsorber)
+            try p.process("krace", "t", "ks", Duration.Zero,
+              () => { blocks.incrementAndGet(); "ok" })
+            catch {
+              case _: DuplicateException => "dup"
+              case _: RetriesExceededException => "exceeded"
+            }
+          }
+        })
+      }
+      gate.countDown()
+      val results = futures.map(_.get(30, TimeUnit.SECONDS))
+      assert(blocks.get === 1, s"block ran ${blocks.get} times; outcomes=$results")
+      assert(results.count(_ == "ok") === 1)
+      val successes = records(log, "krace").filter(_.state == RecordState.Success)
+      assert(successes.size === 1)
+    } finally pool.shutdown()
+  }
+
   // outcome 4: block error → FAILED row, business error rethrown (ref :212-241)
   test("block failure: FAILED row, original exception rethrown") {
     val log = new InMemoryDedupLog
