@@ -92,6 +92,8 @@ object SparkEntry {
     "text_token_count"   -> (TextOps.tokenCount _),
     "text_fingerprint"   -> (TextOps.fingerprint _),
     "text_winnow"        -> ((s, d) => TextOps.winnowFingerprints(s, d)),
+    "q_dataset_split"    -> (TextOps.datasetSplit _),
+    "dedup_contamination" -> ((s, d) => TextOps.trainTestContamination(s, d)),
     "text_corpus_profile" -> (TextOps.corpusProfile _),
     "dedup_exact_text"   -> (TextOps.exactDedup _),
     // ── near-dup dedup at scale ──
@@ -478,6 +480,39 @@ object SparkEntry {
       """SELECT doc_id, md5(text) AS fp_md5,
         |  CAST(CAST(('0x' || substr(md5(text), 1, 15)) AS UBIGINT) AS BIGINT) AS fp_60bit
         |FROM documents""".stripMargin,
+    "q_dataset_split" ->
+      """SELECT lang,
+        |  CASE WHEN CAST(('0x' || substr(md5(text), 1, 15)) AS UBIGINT) % 100 < 90 THEN 'train'
+        |       WHEN CAST(('0x' || substr(md5(text), 1, 15)) AS UBIGINT) % 100 < 95 THEN 'valid'
+        |       ELSE 'test' END AS split,
+        |  count(*) AS n_docs
+        |FROM documents GROUP BY 1, 2""".stripMargin,
+    // train→eval contamination via df-capped winnowing fingerprints
+    "dedup_contamination" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |pos AS (SELECT doc_id, i, array_to_string(t[i:i+2], ' ') AS shingle
+        |        FROM toks, unnest(range(1, len(t) - 1)) u(i)),
+        |h AS (SELECT doc_id, i,
+        |        CAST(('0x' || substr(md5(shingle), 1, 15)) AS UBIGINT) AS hv,
+        |        count(*) OVER (PARTITION BY doc_id) AS n_sh
+        |      FROM pos),
+        |wm AS (SELECT doc_id, i, n_sh,
+        |         CAST(min(hv) OVER (PARTITION BY doc_id ORDER BY i
+        |           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS BIGINT) AS fp
+        |       FROM h),
+        |fps AS (SELECT DISTINCT doc_id, fp FROM wm WHERE i <= n_sh - 3),
+        |live AS (SELECT fp FROM fps GROUP BY 1 HAVING count(*) <= 128),
+        |fpl AS (SELECT fps.* FROM fps JOIN live USING (fp)),
+        |splits AS (SELECT doc_id,
+        |    CASE WHEN CAST(('0x' || substr(md5(text), 1, 15)) AS UBIGINT) % 100 < 90 THEN 'train'
+        |         WHEN CAST(('0x' || substr(md5(text), 1, 15)) AS UBIGINT) % 100 < 95 THEN 'valid'
+        |         ELSE 'test' END AS split FROM documents)
+        |SELECT tr.doc_id AS train_doc, ev.doc_id AS eval_doc,
+        |       count(*) AS n_shared
+        |FROM fpl tr JOIN splits st ON tr.doc_id = st.doc_id AND st.split = 'train'
+        |JOIN fpl ev ON tr.fp = ev.fp
+        |JOIN splits se ON ev.doc_id = se.doc_id AND se.split <> 'train'
+        |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
     // winnowing (MOSS): positional trigram hashes, min per full window of
     // 4, distinct values — window-min by VALUE, so tie order is moot
     "text_winnow" ->

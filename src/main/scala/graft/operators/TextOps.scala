@@ -155,6 +155,57 @@ object TextOps {
       col("doc_id"),
       explode(graft.functions.functions.winnow_fingerprints(col("text"), k, w)).as("fp"))
 
+  /** Deterministic content-addressed dataset split (train 90 / valid 5 /
+    * test 5): bucket = 60-bit md5 prefix of the TEXT mod 100, so the
+    * assignment is stable under re-ingestion, re-partitioning, and id
+    * reassignment — and byte-identical duplicates land in the SAME split
+    * by construction (exact-dup leakage across splits is impossible;
+    * near-dup leakage is what `trainTestContamination` hunts).
+    */
+  def splitAssign(docs: DataFrame): DataFrame = {
+    val bucket = pmod(
+      conv(substring(md5(col("text")), 1, 15), 16, 10).cast("bigint"), lit(100))
+    docs.select(col("doc_id"), col("lang"),
+      when(bucket < 90, "train").when(bucket < 95, "valid")
+        .otherwise("test").as("split"))
+  }
+
+  /** Split sizes per language — the sanity dashboard for `splitAssign`. */
+  def datasetSplit(spark: SparkSession, dir: String): DataFrame =
+    splitAssign(Tables.documents(spark, dir))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"), col("split"))
+
+  /** Train→eval contamination: (train doc, eval doc) pairs sharing at
+    * least `minShared` winnowing fingerprints — the decontamination step
+    * every training pipeline runs against its benchmark/eval sets. The
+    * winnowing guarantee makes this principled: any shared token run of
+    * ≥ w+k-1 tokens is caught. Fingerprints with document frequency
+    * above `dfCap` are dropped (consistently, both sides of the oracle)
+    * for the same reason as the Jaccard df cap: a boilerplate sentence
+    * shared by thousands of docs is noise, and its d² pair blow-up is a
+    * job-killer at scale.
+    */
+  def trainTestContamination(spark: SparkSession, dir: String,
+                             minShared: Int = 2, dfCap: Int = 128): DataFrame = {
+    val fps = winnowFingerprints(spark, dir)
+    val hot = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > dfCap).select(col("fp"))
+    val live = fps.join(hot, Seq("fp"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val splits = splitAssign(Tables.documents(spark, dir)).select(col("doc_id"), col("split"))
+    val train = live.join(splits.filter(col("split") === "train"), Seq("doc_id"))
+      .select(col("doc_id").as("train_doc"), col("fp"))
+    val eval = live.join(splits.filter(col("split") =!= "train"), Seq("doc_id"))
+      .select(col("doc_id").as("eval_doc"), col("fp"))
+    train.join(eval, Seq("fp"))
+      .groupBy(col("train_doc"), col("eval_doc"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .orderBy(col("train_doc"), col("eval_doc"))
+  }
+
   /** Document fingerprinting: md5 content hash plus a 60-bit numeric
     * fingerprint (md5-prefix) usable as a join/partition key at scale.
     */

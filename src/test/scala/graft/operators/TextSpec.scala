@@ -132,6 +132,36 @@ class TextSpec extends SparkSpec {
     assert(default.except(unbounded).isEmpty && unbounded.except(default).isEmpty)
   }
 
+  test("splitAssign is content-addressed: byte-identical docs share a split") {
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta", "en"),
+      (2L, "alpha beta gamma delta", "en"), // exact copy, different id
+      (3L, "something else entirely here", "en")
+    ).toDF("doc_id", "text", "lang")
+    val splits = TextOps.splitAssign(docs)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(splits(1L) === splits(2L)) // same content → same split, always
+    // and on the corpus: ratios are roughly 90/5/5
+    val dist = TextOps.datasetSplit(spark, sfDir)
+      .groupBy("split").agg(sum("n_docs").as("n"))
+      .as[(String, Long)].collect().toMap
+    val total = dist.values.sum.toDouble
+    assert(dist("train") / total > 0.8 && dist("train") / total < 0.97)
+  }
+
+  test("trainTestContamination finds straddling near-dups, never exact copies") {
+    val pairs = TextOps.trainTestContamination(spark, sfDir).collect()
+    assert(pairs.nonEmpty) // planted near-dups straddle the split
+    val splits = TextOps.splitAssign(graft.Tables.documents(spark, sfDir))
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    pairs.foreach { r =>
+      assert(splits(r.getAs[Long]("train_doc")) === "train")
+      assert(splits(r.getAs[Long]("eval_doc")) !== "train")
+      assert(r.getAs[Long]("n_shared") >= 2L)
+    }
+  }
+
   test("survivors = docs minus greedy-dominated dupes") {
     val total = graft.Tables.documents(spark, sfDir).count()
     val dropped = MinHash.minhashDedup(spark, sfDir)
