@@ -80,6 +80,23 @@ class ExpressionsSpec extends SparkSpec {
     assert(fast.except(slow).isEmpty && slow.except(fast).isEmpty)
   }
 
+  test("PqSubDists kernel ≡ declarative slice/zip_with sub-distances") {
+    val emb = graft.Tables.embeddings(spark, sfDir).limit(60)
+    val a = emb.select(col("vec_id"), col("embedding").as("e1"))
+    val b = emb.select((col("vec_id") + 1).as("vec_id"), col("embedding").as("e2"))
+    val declarative = (0 until 8).map { s =>
+      floor(aggregate(
+        zip_with(slice(col("e1"), s * 8 + 1, 8), slice(col("e2"), s * 8 + 1, 8),
+          (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+        lit(0.0), (acc, v) => acc + v) * 1e6).cast("long")
+    }
+    val diff = a.join(b, "vec_id").select(
+        gf.pq_sub_dists(col("e1"), col("e2"), 8, 8).as("fast"),
+        array(declarative: _*).as("slow"))
+      .filter(col("fast") =!= col("slow"))
+    assert(diff.isEmpty)
+  }
+
   test("winnow: the MOSS guarantee — shared runs of ≥ w+k-1 tokens share a fingerprint") {
     import org.apache.spark.unsafe.types.UTF8String
     def fps(s: String): Set[Long] =
