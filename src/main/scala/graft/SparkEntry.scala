@@ -81,6 +81,7 @@ object SparkEntry {
     "q_events_sessionize"   -> (Relational.qEventsSessionize _),
     "q_events_props"        -> (Relational.qEventsProps _),
     "q_events_props_keys"   -> (Relational.qEventsPropsKeys _),
+    "q_views_before_purchase" -> (Relational.qViewsBeforePurchase _),
     "q_embedding_label_stats" -> ((s, d) => operators.Similarity.labelStats(s, d)),
     "q_events_value_stats"  -> (Relational.qEventsValueStats _),
     "q_asof_attribution"    -> (operators.AsOf.purchaseAttribution _),
@@ -418,6 +419,15 @@ object SparkEntry {
       """SELECT event_type, k AS prop_key, count(*) AS n
         |FROM (SELECT event_type, unnest(json_keys(props)) AS k FROM events)
         |GROUP BY 1, 2""".stripMargin,
+    "q_views_before_purchase" ->
+      """SELECT event_id AS purchase_id, user_id, ts, views_1h
+        |FROM (SELECT event_id, user_id, ts, event_type,
+        |        CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |          OVER (PARTITION BY user_id ORDER BY epoch_us(ts) // 1000000
+        |                RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS BIGINT)
+        |          AS views_1h
+        |      FROM events WHERE event_type IN ('view', 'purchase'))
+        |WHERE event_type = 'purchase'""".stripMargin,
     "q_embedding_label_stats" ->
       """SELECT label, count(*) AS n_vecs,
         |  CAST(min(nq) AS BIGINT) AS min_norm_q,

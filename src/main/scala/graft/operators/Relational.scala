@@ -469,6 +469,28 @@ object Relational {
            max(col("k")).as("max_k"))
       .orderBy(col("event_type"))
 
+  /** Range-frame window (the banded range-join pattern without a join):
+    * for every purchase, how many views did the user make in the
+    * preceding hour? RANGE BETWEEN on the epoch ordering keeps this a
+    * single shuffle on user_id — the O(n²)-per-user alternative is a
+    * self-join with an interval predicate.
+    */
+  def qViewsBeforePurchase(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("epoch"))
+      .rangeBetween(-3600, 0)
+    Tables.events(spark, dir)
+      .filter(col("event_type").isin("view", "purchase"))
+      .withColumn("epoch", unix_timestamp(col("ts")))
+      .withColumn("views_1h",
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"),
+        // exclude the purchase row itself from its own frame? it is a
+        // purchase, not a view, so the CASE already contributes 0
+        col("views_1h"))
+  }
+
   /** Semi-structured, schema-on-read: parse the whole JSON `props` column
     * to a map, explode its keys, count key frequency per event type —
     * the "what fields does this event stream actually carry" profiling

@@ -20,6 +20,10 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *  - `maxDocsPerBand` caps state (the streaming twin of the batch df
   *    cap): a degenerate band (e.g. empty-ish docs) would otherwise
   *    accumulate unbounded state AND emit quadratic pairs.
+  *  - `ttlMillis > 0` arms an EVENT-TIME timeout (watermark clock, like
+  *    StreamingDedup.auditStream) re-armed on every arrival: a band idle
+  *    for ttl is dropped wholesale. Without a TTL the band universe
+  *    grows with the corpus forever — mandatory at scale (SURVEY §7.4).
   *
   * Candidates are LSH candidates, not verified pairs — the verify join
   * (exact Jaccard on shingle arrays) runs downstream on the candidate
@@ -31,42 +35,71 @@ object StreamingNearDup {
   case class Doc(doc_id: Long, text: String, event_time: Timestamp)
   case class CandPair(doc_a: Long, doc_b: Long, band_id: Int)
 
-  def candidates(docs: Dataset[Doc], maxDocsPerBand: Int = 256)
+  def candidates(docs: Dataset[Doc], maxDocsPerBand: Int = 256,
+                 ttlMillis: Long = 0, watermarkDelay: String = "0 seconds")
                 (implicit spark: SparkSession): Dataset[CandPair] = {
     import spark.implicits._
     import graft.functions.functions._
-    val nBands = graft.operators.MinHash.NumHashes / graft.operators.MinHash.BandRows
-    val banded = graft.operators.MinHash.bands(
-        docs.toDF()
-          .withColumn("sig", minhash_sig(
-            word_shingles(col("text"), graft.operators.MinHash.ShingleSize),
-            graft.operators.MinHash.NumHashes)))
-      .as[(Long, Int, String)]
+    import graft.operators.MinHash.{BandRows, NumHashes, ShingleSize}
+    val nBands = NumHashes / BandRows
+    val src =
+      if (ttlMillis > 0) docs.toDF().withWatermark("event_time", watermarkDelay)
+      else docs.toDF()
+    // banding inline (not MinHash.bands) so event_time rides along for
+    // the TTL clock
+    val bandStructs = (0 until nBands).map { b =>
+      struct(lit(b).as("band_id"),
+        md5(concat_ws("|",
+          (0 until BandRows).map(r => col("sig")(b * BandRows + r)): _*)).as("band_key"))
+    }
+    val banded = src
+      .withColumn("sig", minhash_sig(word_shingles(col("text"), ShingleSize), NumHashes))
+      .select(col("doc_id"), col("event_time"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("event_time"),
+        col("bk.band_id").as("band_id"), col("bk.band_key").as("band_key"))
+      .as[(Long, Timestamp, Int, String)]
     banded
-      .groupByKey { case (_, bandId, bandKey) => s"$bandId|$bandKey" }
+      .groupByKey { case (_, _, bandId, bandKey) => s"$bandId|$bandKey" }
       .flatMapGroupsWithState[List[Long], CandPair](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (key: String, rows: Iterator[(Long, Int, String)], state: GroupState[List[Long]]) =>
-          val bandId = key.takeWhile(_ != '|').toInt
-          val seen = state.getOption.getOrElse(Nil)
-          // deterministic intra-batch order
-          val arrivals = rows.map(_._1).toSeq.distinct.sorted
-          val out = scala.collection.mutable.ArrayBuffer.empty[CandPair]
-          var acc = seen
-          arrivals.foreach { id =>
-            if (!acc.contains(id)) {
-              acc.take(maxDocsPerBand).foreach { prev =>
-                val (a, b) = if (prev < id) (prev, id) else (id, prev)
-                out += CandPair(a, b, bandId)
+        OutputMode.Append,
+        if (ttlMillis > 0) GroupStateTimeout.EventTimeTimeout
+        else GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(Long, Timestamp, Int, String)],
+         state: GroupState[List[Long]]) =>
+          if (state.hasTimedOut) {
+            state.remove() // idle band reclaimed: its docs age out of dedup
+            Iterator.empty
+          } else {
+            val bandId = key.takeWhile(_ != '|').toInt
+            val batch = rows.toSeq
+            // deterministic intra-batch order
+            val arrivals = batch.map(_._1).distinct.sorted
+            val seen = state.getOption.getOrElse(Nil)
+            val out = scala.collection.mutable.ArrayBuffer.empty[CandPair]
+            var acc = seen
+            arrivals.foreach { id =>
+              if (!acc.contains(id)) {
+                acc.take(maxDocsPerBand).foreach { prev =>
+                  val (a, b) = if (prev < id) (prev, id) else (id, prev)
+                  out += CandPair(a, b, bandId)
+                }
+                acc = id :: acc
               }
-              acc = id :: acc
             }
+            // cap the stored list — overflow docs beyond the cap still got
+            // compared against the first maxDocsPerBand (bounded work),
+            // mirroring the batch df cap's "hot shingle carries no signal"
+            state.update(acc.take(maxDocsPerBand))
+            if (ttlMillis > 0) {
+              // sliding expiry: ttl after the band's latest arrival
+              // (re-armed every invocation — Spark clears the timeout
+              // whenever the function runs with data)
+              val maxEvent = batch.map(_._2.getTime).max
+              state.setTimeoutTimestamp(
+                math.max(maxEvent + ttlMillis, state.getCurrentWatermarkMs() + 1))
+            }
+            out.iterator
           }
-          // cap the stored list — overflow docs beyond the cap still got
-          // compared against the first maxDocsPerBand (bounded work),
-          // mirroring the batch df cap's "hot shingle carries no signal"
-          state.update(acc.take(maxDocsPerBand))
-          out.iterator
       }
   }
 }

@@ -35,6 +35,37 @@ class StreamingNearDupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("band TTL: a dup arriving after expiry is NOT matched; within TTL it is") {
+    implicit val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    val input = MemoryStream[Doc]
+    val q = candidates(input.toDS(), ttlMillis = 60_000) // 1 min bands
+      .writeStream.format("memory").queryName("candttl").outputMode("append").start()
+    try {
+      input.addData(Doc(1L, shared, t("2024-01-01 00:00:00")))
+      q.processAllAvailable()
+      // within TTL: match
+      input.addData(Doc(2L, shared, t("2024-01-01 00:00:30")))
+      q.processAllAvailable()
+      assert(spark.table("candttl").as[CandPair].collect()
+        .map(p => (p.doc_a, p.doc_b)).distinct.toSeq === Seq((1L, 2L)))
+      // push the watermark well past expiry (re-armed at 00:00:30 + 1 min)
+      input.addData(Doc(100L, "a b c d e f g h i j k l m n o p q r s", t("2024-01-01 00:05:00")))
+      q.processAllAvailable()
+      input.addData(Doc(101L, "z y x w v u t s r q p o n m l k j i h", t("2024-01-01 00:05:10")))
+      q.processAllAvailable()
+      input.addData(Doc(102L, "alpha bravo charlie delta echo foxtrot golf hotel india", t("2024-01-01 00:05:20")))
+      q.processAllAvailable()
+      // the shared-band state is gone: a new duplicate starts fresh
+      input.addData(Doc(3L, shared, t("2024-01-01 00:05:30")))
+      q.processAllAvailable()
+      val pairs = spark.table("candttl").as[CandPair].collect()
+        .map(p => (p.doc_a, p.doc_b)).distinct.toSet
+      assert(pairs === Set((1L, 2L))) // no (1,3)/(2,3): docs aged out
+    } finally q.stop()
+  }
+
   test("identical docs in ONE batch pair up; band cap bounds a degenerate band") {
     implicit val s = spark
     import s.implicits._
