@@ -92,8 +92,61 @@ object FirstWinsRewrite extends Rule[LogicalPlan] {
 /** Session extension wiring: `SparkSession.builder()
   * .withExtensions(new GraftExtensions)` or
   * `spark.sql.extensions=graft.plans.GraftExtensions`.
+  *
+  * Besides the optimizer rule, the engine's expression kernels register
+  * as SQL functions, so the `spark.sql` front-end can use them like
+  * built-ins (`SELECT simhash60(split(text, ' ')) FROM docs`).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+  import graft.functions._
+
+  private def intArg(e: Expression, name: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$name expects an integer literal, got $other")
+  }
+
+  private def fn(name: String, usage: String)(builder: Seq[Expression] => Expression) =
+    (new FunctionIdentifier(name),
+     new ExpressionInfo("graft.functions", name, usage),
+     (args: Seq[Expression]) => builder(args))
+
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => FirstWinsRewrite)
+    e.injectFunction(fn("cosine_sim",
+      "cosine_sim(a, b) - cosine similarity of two float vectors") {
+      case Seq(a, b) => CosineSim(a, b)
+    })
+    e.injectFunction(fn("simhash60",
+      "simhash60(tokens) - 60-bit SimHash over distinct tokens") {
+      case Seq(t) => SimHash60(t)
+    })
+    e.injectFunction(fn("word_shingles",
+      "word_shingles(text, k) - distinct word k-gram shingles") {
+      case Seq(t, k) => WordShingles(t, intArg(k, "word_shingles k"))
+    })
+    e.injectFunction(fn("minhash_sig",
+      "minhash_sig(shingles, k) - k-element MinHash signature") {
+      case Seq(s, k) => MinHashSig(s, intArg(k, "minhash_sig k"))
+    })
+    e.injectFunction(fn("lsh_bucket",
+      "lsh_bucket(embedding) - 8-plane LSH bucket id") {
+      case Seq(v) => LshBucket(v)
+    })
+    e.injectFunction(fn("token_stats",
+      "token_stats(text) - struct(n_chars, n_tokens, n_types, n_stopwords)") {
+      case Seq(t) => TokenStats(t)
+    })
+    e.injectFunction(fn("lang_scores",
+      "lang_scores(text) - struct of language marker-hit counts") {
+      case Seq(t) => LangScores(t)
+    })
+    e.injectFunction(fn("winnow_fingerprints",
+      "winnow_fingerprints(text, k, w) - MOSS winnowing fingerprints") {
+      case Seq(t, k, w) =>
+        WinnowFingerprints(t, intArg(k, "winnow k"), intArg(w, "winnow w"))
+    })
+  }
 }

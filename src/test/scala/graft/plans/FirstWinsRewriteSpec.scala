@@ -50,6 +50,24 @@ class FirstWinsRewriteSpec extends graft.SparkSpec {
     assert(rk.queryExecution.executedPlan.toString.contains("Window"))
   }
 
+  test("kernel expressions are callable from the SQL front-end") {
+    graft.operators.SqlQueries.registerViews(spark, "/root/testdata/sf0.001")
+    val row = spark.sql(
+      """SELECT doc_id,
+        |  simhash60(split(text, ' ')) AS sh,
+        |  size(word_shingles(text, 3)) AS n_shingles,
+        |  token_stats(text).n_tokens AS n_tokens,
+        |  size(winnow_fingerprints(text, 3, 4)) AS n_fps
+        |FROM documents ORDER BY doc_id LIMIT 1""".stripMargin).head()
+    assert(row.getAs[Long]("sh") !== 0L)
+    assert(row.getAs[Int]("n_shingles") > 0)
+    assert(row.getAs[Long]("n_tokens") > 0L)
+    assert(row.getAs[Int]("n_fps") > 0)
+    val cos = spark.sql(
+      "SELECT cosine_sim(embedding, embedding) AS c FROM embeddings LIMIT 1").head()
+    assert(math.abs(cos.getAs[Double]("c") - 1.0) < 1e-9)
+  }
+
   test("rn = 2 (not first) is untouched") {
     val events = graft.Tables.events(spark, "/root/testdata/sf0.001")
     val w = Window.partitionBy(col("user_id"), col("event_type"))
