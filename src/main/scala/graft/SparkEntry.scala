@@ -94,6 +94,8 @@ object SparkEntry {
     "text_fingerprint"   -> (TextOps.fingerprint _),
     "text_winnow"        -> ((s, d) => TextOps.winnowFingerprints(s, d)),
     "q_dataset_split"    -> (TextOps.datasetSplit _),
+    "text_vocab"         -> ((s, d) => TextOps.vocab(s, d)),
+    "text_length_histogram" -> (TextOps.lengthHistogram _),
     "dedup_contamination" -> ((s, d) => TextOps.trainTestContamination(s, d)),
     "text_corpus_profile" -> (TextOps.corpusProfile _),
     "dedup_exact_text"   -> (TextOps.exactDedup _),
@@ -490,6 +492,15 @@ object SparkEntry {
       """SELECT doc_id, md5(text) AS fp_md5,
         |  CAST(CAST(('0x' || substr(md5(text), 1, 15)) AS UBIGINT) AS BIGINT) AS fp_60bit
         |FROM documents""".stripMargin,
+    "text_vocab" ->
+      """SELECT token, n, CAST(row_number() OVER (ORDER BY n DESC, token) AS BIGINT) AS token_id
+        |FROM (SELECT token, count(*) AS n
+        |      FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |      GROUP BY 1 ORDER BY n DESC, token LIMIT 1000)""".stripMargin,
+    "text_length_histogram" ->
+      """SELECT n - (n % 10) AS bucket, count(*) AS n_docs
+        |FROM (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents)
+        |GROUP BY 1""".stripMargin,
     "q_dataset_split" ->
       """SELECT lang,
         |  CASE WHEN CAST(('0x' || substr(md5(text), 1, 15)) AS UBIGINT) % 100 < 90 THEN 'train'

@@ -237,6 +237,36 @@ object TextOps {
       .orderBy(col("n_docs").desc, col("shingle"))
       .limit(k)
 
+  /** Vocabulary construction (the tokenizer-training precursor): top-k
+    * tokens by corpus frequency with dense ids assigned in (count desc,
+    * token asc) order — deterministic, so the id assignment is
+    * reproducible across runs and engines.
+    */
+  def vocab(spark: SparkSession, dir: String, k: Int = 1000): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n").desc, col("token"))
+    Tables.documents(spark, dir)
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(k)
+      .withColumn("token_id", row_number().over(w).cast("bigint"))
+  }
+
+  /** Document length histogram: docs per 10-token bucket — the corpus
+    * shape dashboard (a skewed histogram is the first sign of a broken
+    * extraction step upstream).
+    */
+  def lengthHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val n = size(tokens(col("text"))).cast("bigint")
+    Tables.documents(spark, dir)
+      .select((n - pmod(n, lit(10L))).as("bucket")) // integer 10-bucket floor
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("bucket"))
+  }
+
   /** Per-language corpus profile: single scan → token-stats kernel →
     * hash agg on lang (round 1 re-scanned documents and joined on doc_id
     * just to pick up `lang` — a whole extra scan + shuffle for a column

@@ -200,6 +200,12 @@ class StreamingDedupSpec extends SparkSpec {
       assert(spark.read.parquet(s"$root/batch_id=0").count() === 2) // no dupes
     } finally q.stop()
 
+    // default write path (no override): real parquet batch dirs
+    val root2 = java.nio.file.Files.createTempDirectory("eos2").toString
+    val plain = new ExactlyOnceSink(root2, "parquet", new NoRetryStrategy)
+    plain.writer(Seq(Attempt("k", t("2024-01-01 00:00:00"), "u")).toDF(), 5L)
+    assert(spark.read.parquet(s"$root2/batch_id=5").count() === 1)
+
     // budget exhaustion surfaces RetriesExceededException
     val alwaysDown = new ExactlyOnceSink(root, "parquet",
       new FixedDelayRetryStrategy(1, 1L),
