@@ -69,6 +69,27 @@ object Dedup {
     winner.select(cols.map(c => winner.col(s"w.$c").as(c)): _*)
   }
 
+  /** Top-k rows per key by `orderCols` (ascending lexicographic), with a
+    * 1-based `rk` rank column — the k>1 generalization of [[firstWins]],
+    * executed as a k-bounded heap inside a hash aggregation
+    * ([[graft.functions.TopKByOrder]]). The window formulation
+    * (`row_number <= k`) sorts every partition's full group; this ships
+    * at most k rows per key per map split and never sorts globally.
+    * Pass pre-negated numeric order columns for descending semantics.
+    */
+  def topKPerKey(df: DataFrame, keyCols: Seq[String],
+                 orderCols: Seq[Column], k: Int): DataFrame = {
+    val cols = df.columns
+    val top = df
+      .groupBy(keyCols.map(col): _*)
+      .agg(graft.functions.TopKByOrder.top_k_by_order(
+        struct(cols.map(col): _*), struct(orderCols: _*), k).as("__top"))
+      .select(posexplode(col("__top")).as(Seq("__pos", "__row")))
+    top.select(
+      (cols.map(c => top.col(s"__row.$c").as(c)) :+
+        (col("__pos") + 1).cast("bigint").as("rk")): _*)
+  }
+
   /** Built-in `min_by` formulation — kept as the reference semantics spec
     * for FirstByOrder (DedupSpec asserts equality).
     */

@@ -141,10 +141,23 @@ object Relational {
       .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
   }
 
-  /** Window top-k per group: 3 priciest parts per brand, deterministic
-    * tie-break on p_partkey.
+  /** Top-k per group: 3 priciest parts per brand, deterministic
+    * tie-break on p_partkey. Runs as the k-bounded-heap hash aggregation
+    * ([[Dedup.topKPerKey]]) — descending price becomes an ascending
+    * order on the NEGATED integer cents; the window formulation is kept
+    * as [[qTopPartsPerBrandWindow]] for the equivalence guard.
     */
-  def qTopPartsPerBrand(spark: SparkSession, dir: String): DataFrame = {
+  def qTopPartsPerBrand(spark: SparkSession, dir: String): DataFrame =
+    Dedup.topKPerKey(
+        Tables.part(spark, dir)
+          .select(col("p_brand"), col("p_partkey"), col("p_name"),
+            cents(col("p_retailprice")).as("retail_price")),
+        Seq("p_brand"), Seq(-col("retail_price"), col("p_partkey")), k = 3)
+      .select(col("p_brand"), col("p_partkey"), col("p_name"),
+        col("retail_price"), col("rk"))
+
+  /** Declarative window formulation, kept for the equivalence guard. */
+  private[graft] def qTopPartsPerBrandWindow(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("p_brand"))
       .orderBy(col("p_retailprice").desc, col("p_partkey"))
     Tables.part(spark, dir)

@@ -68,6 +68,32 @@ class DedupSpec extends SparkSpec {
     assert(plan.contains("ObjectHashAggregate"), plan.take(500))
   }
 
+  test("topKPerKey ≡ window row_number <= k, and plans as ObjectHashAggregate") {
+    val events = graft.Tables.events(spark, sfDir)
+      .select("user_id", "event_type", "ts", "event_id")
+    val agg = Dedup.topKPerKey(events, Seq("user_id", "event_type"),
+      Seq(col("ts"), col("event_id")), k = 3)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    val win = events.withColumn("rk", row_number().over(w).cast("bigint"))
+      .filter(col("rk") <= 3)
+    assert(agg.except(win).isEmpty && win.except(agg).isEmpty)
+    assert(agg.count() === win.count())
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), plan.take(400))
+    assert(!plan.contains("Window"), plan.take(400))
+  }
+
+  test("topKPerKey with k=1 equals firstWins (plus the rank column)") {
+    val events = graft.Tables.events(spark, sfDir)
+      .select("user_id", "event_type", "ts", "event_id")
+    val top1 = Dedup.topKPerKey(events, Seq("user_id", "event_type"),
+      Seq(col("ts"), col("event_id")), k = 1).drop("rk")
+    val fw = Dedup.firstWins(events, Seq("user_id", "event_type"), Seq("ts", "event_id"))
+    assert(top1.except(fw).isEmpty && fw.except(top1).isEmpty)
+  }
+
   test("dedup is idempotent: dedup(dedup(x)) == dedup(x)") {
     val once = Dedup.firstWins(fixture, Seq("key"), Seq("event_time", "record_uuid"))
     val twice = Dedup.firstWins(once, Seq("key"), Seq("event_time", "record_uuid"))

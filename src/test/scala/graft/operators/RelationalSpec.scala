@@ -17,6 +17,13 @@ class RelationalSpec extends SparkSpec {
     assert(n < total) // and it must not degenerate to all customers
   }
 
+  test("heap-aggregate top parts per brand ≡ window formulation") {
+    val agg = Relational.qTopPartsPerBrand(spark, sfDir)
+    val win = Relational.qTopPartsPerBrandWindow(spark, sfDir)
+    assert(agg.columns.toSeq === win.columns.toSeq)
+    assert(agg.except(win).isEmpty && win.except(agg).isEmpty)
+  }
+
   test("q1 money columns are int64 fixed-point (hash-stable), not decimal/double") {
     val schema = Relational.q1PricingSummary(spark, sfDir).schema
     Seq("sum_qty", "sum_base_price", "sum_disc_price", "sum_charge").foreach { c =>
