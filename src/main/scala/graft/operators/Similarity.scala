@@ -51,6 +51,18 @@ object Similarity {
     */
   def cosine(a: Column, b: Column): Column = graft.functions.functions.cosine_sim(a, b)
 
+  /** Rank scored candidates per query: top k by similarity DESC (as
+    * ascending negated sim — doubles negate exactly) with vec_id
+    * tie-break, via the k-bounded-heap aggregation
+    * ([[Dedup.topKPerKey]]) — a window row_number would sort every
+    * query's full candidate list; the heap ships k rows per query per
+    * map split. Output: (q_id, vec_id, sim, rnk).
+    */
+  private def topKBySim(scored: DataFrame, k: Int): DataFrame =
+    Dedup.topKPerKey(scored, Seq("q_id"), Seq(-col("sim"), col("vec_id")), k)
+      .withColumnRenamed("rk", "rnk")
+      .orderBy(col("q_id"), col("rnk"))
+
   /** Brute-force cosine top-k: queries = every `queryStride`-th vector.
     * Output: (q_id, vec_id, sim, rank).
     */
@@ -63,10 +75,7 @@ object Similarity {
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
         round(cosine(col("q_emb"), col("embedding")), 6).as("sim"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
-    joined.withColumn("rnk", row_number().over(w).cast("bigint"))
-      .filter(col("rnk") <= k)
-      .orderBy(col("q_id"), col("rnk"))
+    topKBySim(joined, k)
   }
 
   /** Deterministic pseudo-random hyperplane weight for (plane, dim):
@@ -121,10 +130,7 @@ object Similarity {
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
         round(cosine(col("q_emb"), col("embedding")), 6).as("sim"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
-    cand.withColumn("rnk", row_number().over(w).cast("bigint"))
-      .filter(col("rnk") <= k)
-      .orderBy(col("q_id"), col("rnk"))
+    topKBySim(cand, k)
   }
 
   /** IVF-style ANN (the other classic scale path besides LSH): a coarse
@@ -174,14 +180,11 @@ object Similarity {
       .filter(col("prnk") <= nProbe)
       .select(col("q_id"), col("q_emb"), col("cent_id").as("list_id"))
     // exact cosine inside probed lists only
-    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
-    probes.join(assigned, Seq("list_id"))
-      .filter(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id"),
-        round(cosine(col("q_emb"), col("embedding")), 6).as("sim"))
-      .withColumn("rnk", row_number().over(w).cast("bigint"))
-      .filter(col("rnk") <= k)
-      .orderBy(col("q_id"), col("rnk"))
+    topKBySim(
+      probes.join(assigned, Seq("list_id"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          round(cosine(col("q_emb"), col("embedding")), 6).as("sim")), k)
   }
 
   /** Product-quantization ANN (the third classic index besides LSH and
@@ -223,13 +226,13 @@ object Similarity {
     // same vd rows serve, no recompute)
     val qd = vd.filter(col("vec_id") % queryStride === 0)
       .select(col("vec_id").as("q_id"), col("cent_id"), col("s"), col("dq"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("adc_dist"), col("vec_id"))
-    codes.join(qd, qd("s") === codes("s") && qd("cent_id") === codes("code"))
+    val adc = codes.join(qd, qd("s") === codes("s") && qd("cent_id") === codes("code"))
       .filter(col("vec_id") =!= col("q_id"))
       .groupBy(col("q_id"), col("vec_id"))
       .agg(sum(col("dq")).as("adc_dist"))
-      .withColumn("rnk", row_number().over(w).cast("bigint"))
-      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("vec_id"), col("adc_dist"))
+    Dedup.topKPerKey(adc, Seq("q_id"), Seq(col("adc_dist"), col("vec_id")), k)
+      .withColumnRenamed("rk", "rnk")
       .orderBy(col("q_id"), col("rnk"))
   }
 
