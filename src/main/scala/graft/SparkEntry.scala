@@ -96,6 +96,7 @@ object SparkEntry {
     "q_dataset_split"    -> (TextOps.datasetSplit _),
     "text_vocab"         -> ((s, d) => TextOps.vocab(s, d)),
     "text_length_histogram" -> (TextOps.lengthHistogram _),
+    "text_pack_assign"   -> ((s, d) => TextOps.packAssign(s, d)),
     "dedup_contamination" -> ((s, d) => TextOps.trainTestContamination(s, d)),
     "text_corpus_profile" -> (TextOps.corpusProfile _),
     "dedup_exact_text"   -> (TextOps.exactDedup _),
@@ -501,6 +502,14 @@ object SparkEntry {
       """SELECT n - (n % 10) AS bucket, count(*) AS n_docs
         |FROM (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents)
         |GROUP BY 1""".stripMargin,
+    "text_pack_assign" ->
+      """SELECT doc_id, lang, n_tokens,
+        |  CAST(coalesce(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2048 AS BIGINT)
+        |    AS pack_id
+        |FROM (SELECT doc_id, lang,
+        |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |      FROM documents)""".stripMargin,
     "q_dataset_split" ->
       """SELECT lang,
         |  CASE WHEN CAST(('0x' || substr(md5(text), 1, 15)) AS UBIGINT) % 100 < 90 THEN 'train'

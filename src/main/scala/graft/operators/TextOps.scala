@@ -267,6 +267,27 @@ object TextOps {
       .orderBy(col("bucket"))
   }
 
+  /** Sequence packing: assign documents to fixed-token-budget packs (the
+    * batch-construction step before tokenizer/training runs — contiguous
+    * fill in deterministic doc order, the streaming-corpus packing
+    * discipline). pack_id = (running token total BEFORE this doc) div
+    * budget, per language: a doc starts a new pack when the budget
+    * would overflow at pack granularity. Partitioned by lang so the
+    * cumulative window shuffles one language per reducer — at 100 TB the
+    * partition key would be (lang, shard) with per-shard budgets.
+    */
+  def packAssign(spark: SparkSession, dir: String, budget: Int = 2048): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val nTok = size(tokens(col("text"))).cast("bigint")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), nTok.as("n_tokens"))
+      .withColumn("prior_tokens", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("pack_id", expr(s"prior_tokens DIV $budget"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("pack_id"))
+  }
+
   /** Per-language corpus profile: single scan → token-stats kernel →
     * hash agg on lang (round 1 re-scanned documents and joined on doc_id
     * just to pick up `lang` — a whole extra scan + shuffle for a column

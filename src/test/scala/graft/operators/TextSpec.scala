@@ -132,6 +132,24 @@ class TextSpec extends SparkSpec {
     assert(default.except(unbounded).isEmpty && unbounded.except(default).isEmpty)
   }
 
+  test("packAssign: packs are contiguous, budget-bounded, per language") {
+    val packs = TextOps.packAssign(spark, sfDir, budget = 500).collect()
+    assert(packs.nonEmpty)
+    packs.groupBy(_.getAs[String]("lang")).foreach { case (_, rows) =>
+      val ordered = rows.sortBy(_.getAs[Long]("doc_id"))
+      // pack ids are non-decreasing in doc order and start at 0
+      val ids = ordered.map(_.getAs[Long]("pack_id"))
+      assert(ids.head === 0L)
+      assert(ids.zip(ids.tail).forall { case (a, b) => b >= a })
+      // each pack's token total stays under budget + one overflowing doc
+      ordered.groupBy(_.getAs[Long]("pack_id")).foreach { case (_, members) =>
+        val total = members.map(_.getAs[Long]("n_tokens")).sum
+        val maxDoc = members.map(_.getAs[Long]("n_tokens")).max
+        assert(total < 500 + maxDoc)
+      }
+    }
+  }
+
   test("splitAssign is content-addressed: byte-identical docs share a split") {
     import org.apache.spark.sql.functions._
     val docs = Seq(
