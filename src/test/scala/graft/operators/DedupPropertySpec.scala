@@ -85,6 +85,21 @@ class DedupPropertySpec extends SparkSpec {
     }
   }
 
+  test("property: topKPerKey is partitioning-invariant and subsumes firstWins") {
+    samples(5).foreach { attempts =>
+      val df = toDf(attempts)
+      val a = Dedup.topKPerKey(df.repartition(1), Seq("key"),
+        Seq(col("event_time"), col("record_uuid")), k = 2)
+      val b = Dedup.topKPerKey(df.repartition(13), Seq("key"),
+        Seq(col("event_time"), col("record_uuid")), k = 2)
+      assert(a.except(b).isEmpty && b.except(a).isEmpty)
+      // rank-1 rows are exactly firstWins
+      val rank1 = a.filter(col("rk") === 1).drop("rk")
+      val fw = Dedup.firstWins(df, Seq("key"), Seq("event_time", "record_uuid"))
+      assert(rank1.except(fw).isEmpty && fw.except(rank1).isEmpty)
+    }
+  }
+
   // ── int64 fixed-point money: the properties the oracle gate rests on ──
 
   test("property: cents() == BigDecimal HALF_UP snap, for random money doubles") {
