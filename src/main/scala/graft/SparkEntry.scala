@@ -71,11 +71,14 @@ object SparkEntry {
     "q11_nation_balance_share" -> (Relational.q11NationBalanceShare _),
     "q22_wealthy_inactive"  -> (Relational.q22WealthyInactive _),
     "q_order_reconciliation" -> (Relational.qOrderReconciliation _),
-    // approximate aggregates: NO oracleSql on purpose — sketch estimates
-    // are implementation-defined (driver records the rows-only check);
-    // accuracy vs exact is pinned in ApproxSpec
-    "q_approx_distinct_users" -> (operators.Approx.approxDistinctUsers(_, _)),
-    "q_approx_value_quantiles" -> (operators.Approx.approxValueQuantiles(_, _)),
+    // approximate aggregates: sketch VALUES are implementation-defined,
+    // so the registered queries emit exact aggregates + booleans
+    // attesting the sketch landed inside its published error bound; the
+    // oracle recomputes the exact side and expects true (a green row
+    // attests the accuracy contract, not the sketch bits). Raw sketch
+    // outputs are accuracy/determinism-pinned in ApproxSpec.
+    "q_approx_distinct_users" -> (operators.Approx.approxDistinctUsersChecked(_, _)),
+    "q_approx_value_quantiles" -> (operators.Approx.approxValueQuantilesChecked(_, _)),
     "q_rollup_returns"      -> (Relational.qRollupReturns _),
     "q_region_revenue"      -> (Relational.qRegionRevenue _),
     "q_events_sessionize"   -> (Relational.qEventsSessionize _),
@@ -108,6 +111,10 @@ object SparkEntry {
     // ── embedding similarity ──
     "ann_cosine_topk"         -> ((s, d) => Similarity.cosineTopK(s, d)),
     "ann_lsh_topk"            -> ((s, d) => Similarity.lshBucketTopK(s, d)),
+    // second operating point of the log₂(n) plane-count rule: 12 planes
+    // (16+ is exercised in SimilaritySpec — at the test SFs it empties
+    // the buckets, and a 0-row green oracle row would attest nothing)
+    "ann_lsh12_topk"          -> ((s, d) => Similarity.lshBucketTopK(s, d, planes = 12)),
     "ann_ivf_topk"            -> ((s, d) => Similarity.ivfTopK(s, d)),
     "ann_pq_topk"             -> ((s, d) => Similarity.pqTopK(s, d)),
     "dedup_embedding_cosine"  -> ((s, d) => Similarity.cosineNearDupPairs(s, d)),
@@ -150,10 +157,10 @@ object SparkEntry {
        |   sqrt(list_sum(list_transform($b, x -> x::DOUBLE * x::DOUBLE)))), 6)""".stripMargin
   private val cosineSql = cosSql("a.embedding", "b.embedding")
 
-  private val lshBucketCte =
-    """w AS (SELECT p, d,
+  private def lshBucketCte(planes: Int = 8) =
+    s"""w AS (SELECT p, d,
       |        CAST(CAST(('0x' || substr(md5(CAST(p AS VARCHAR) || '_' || CAST(d AS VARCHAR)), 1, 15)) AS UBIGINT) % 2001 AS BIGINT) - 1000 AS wt
-      |      FROM unnest(range(0, 8)) u(p), unnest(range(0, 64)) v(d)),
+      |      FROM unnest(range(0, $planes)) u(p), unnest(range(0, 64)) v(d)),
       |proj AS (SELECT e.vec_id, w.p,
       |           CAST(SUM(w.wt * CAST(floor(e.embedding[w.d + 1]::DOUBLE * 1000) AS BIGINT)) AS BIGINT) AS pr
       |         FROM embeddings e, w GROUP BY e.vec_id, w.p),
@@ -161,6 +168,15 @@ object SparkEntry {
       |         CAST(SUM(CASE WHEN pr > 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS bucket
       |       FROM proj GROUP BY vec_id),
       |emb AS (SELECT e.vec_id, e.embedding, bk.bucket FROM embeddings e JOIN bk USING (vec_id))""".stripMargin
+
+  /** Fixed-budget hash-sampled codebook (Similarity.hashSampleCentroids):
+    * size is a CONSTANT, never a function of corpus rows.
+    */
+  private val centCte =
+    s"""cent AS (SELECT vec_id AS cent_id, embedding AS cent_emb
+       |         FROM embeddings
+       |         ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+       |         LIMIT ${operators.Similarity.CodebookK})""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "dedup_first_wins" ->
@@ -384,6 +400,18 @@ object SparkEntry {
          |  count(*) AS n_orders
          |FROM orders LEFT OUTER JOIN charges ON o_orderkey = l_orderkey
          |GROUP BY 1, 2""".stripMargin,
+    // approx sketches: oracle recomputes the exact side; the booleans are
+    // computed in Spark from the LIVE sketch (hash-match ⟺ sketch within
+    // its published bound on this input)
+    "q_approx_distinct_users" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  count(DISTINCT user_id) AS exact_users,
+        |  true AS hll_within_3rsd
+        |FROM events GROUP BY 1""".stripMargin,
+    "q_approx_value_quantiles" ->
+      """SELECT event_type, count(value) AS n_events,
+        |  true AS p50_in_bounds, true AS p95_in_bounds, true AS p99_in_bounds
+        |FROM events GROUP BY 1""".stripMargin,
     "q_events_sessionize" ->
       """WITH l AS (SELECT user_id, event_id, ts,
         |             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
@@ -648,7 +676,19 @@ object SparkEntry {
          |      FROM s)
          |WHERE rk <= 5""".stripMargin,
     "ann_lsh_topk" ->
-      s"""WITH $lshBucketCte,
+      s"""WITH ${lshBucketCte()},
+         |s AS (
+         |  SELECT a.vec_id AS q_id, b.vec_id AS vec_id, $cosineSql AS sim
+         |  FROM emb a JOIN emb b ON a.bucket = b.bucket
+         |  WHERE a.vec_id % 50 = 0 AND b.vec_id <> a.vec_id)
+         |SELECT q_id, vec_id, sim, CAST(rk AS BIGINT) AS rnk
+         |FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rk
+         |      FROM s)
+         |WHERE rk <= 5""".stripMargin,
+    // same pipeline at the 12-plane operating point of the log₂(n) scale
+    // rule — candidate sets are strict refinements of the 8-plane ones
+    "ann_lsh12_topk" ->
+      s"""WITH ${lshBucketCte(12)},
          |s AS (
          |  SELECT a.vec_id AS q_id, b.vec_id AS vec_id, $cosineSql AS sim
          |  FROM emb a JOIN emb b ON a.bucket = b.bucket
@@ -658,8 +698,7 @@ object SparkEntry {
          |      FROM s)
          |WHERE rk <= 5""".stripMargin,
     "ann_ivf_topk" ->
-      s"""WITH cent AS (SELECT vec_id AS cent_id, embedding AS cent_emb
-         |              FROM embeddings WHERE vec_id % 100 = 1),
+      s"""WITH $centCte,
          |assigned AS (
          |  SELECT vec_id, embedding, cent_id AS list_id FROM (
          |    SELECT e.vec_id, e.embedding, c.cent_id,
@@ -686,8 +725,7 @@ object SparkEntry {
     // left-to-right double folds in both engines, then exact floor), so
     // argmin codes and ADC sums are pure integer arithmetic
     "ann_pq_topk" ->
-      """WITH cent AS (SELECT vec_id AS cent_id, embedding AS cent_emb
-        |              FROM embeddings WHERE vec_id % 100 = 1),
+      s"""WITH $centCte,
         |vd AS (
         |  SELECT e.vec_id, c.cent_id, s.s,
         |    CAST(floor(list_sum(list_transform(
@@ -710,7 +748,7 @@ object SparkEntry {
         |        ORDER BY adc_dist, vec_id) AS rk FROM adc)
         |WHERE rk <= 5""".stripMargin,
     "dedup_embedding_cosine" ->
-      s"""WITH $lshBucketCte,
+      s"""WITH ${lshBucketCte()},
          |p AS (
          |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, $cosineSql AS sim
          |  FROM emb a JOIN emb b ON a.bucket = b.bucket

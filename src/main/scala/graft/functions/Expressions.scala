@@ -210,24 +210,33 @@ object ExpressionKernels extends Serializable {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** Largest supported hyperplane count — covers the log₂(n) scaling rule
+    * (Similarity.planesFor) far past 100 TB corpus sizes (2^24 buckets).
+    */
+  val MaxPlanes = 24
+
   /** Hyperplane weight table for the LSH bucket — same md5-derived
     * integers as Similarity.planeWeight and the oracle SQL's w CTE.
+    * Planes beyond the default 8 extend the SAME family (plane p's
+    * weights depend only on p), so a (p+1)-plane bucketing is always a
+    * strict refinement of the p-plane one.
     */
   private lazy val PlaneWeights: Array[Array[Long]] =
-    Array.tabulate(8, 64) { (p, d) =>
+    Array.tabulate(MaxPlanes, 64) { (p, d) =>
       (java.lang.Long.parseLong(md5hex(s"${p}_$d").substring(0, 15), 16) % 2001L) - 1000L
     }
 
-  /** 8-plane LSH bucket of a float vector in one pass: bit p set iff
-    * Σ_d w(p,d)·floor(x_d·1000) > 0 — pure integer math, identical to the
-    * 8 interpreted zip_with/aggregate passes it replaces and to the
+  /** `planes`-plane LSH bucket of a float vector in one pass: bit p set
+    * iff Σ_d w(p,d)·floor(x_d·1000) > 0 — pure integer math, identical to
+    * the interpreted zip_with/aggregate passes it replaces and to the
     * DuckDB oracle's integer-quantized projection.
     */
-  def lshBucket(emb: ArrayData): Long = {
+  def lshBucket(emb: ArrayData, planes: Int): Long = {
     val n = math.min(emb.numElements(), 64)
+    val np = math.min(planes, MaxPlanes)
     var bucket = 0L
     var p = 0
-    while (p < 8) {
+    while (p < np) {
       val w = PlaneWeights(p)
       var proj = 0L
       var d = 0
@@ -401,13 +410,16 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int) extends UnaryEx
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
-/** lsh_bucket(array<float>) → long 8-plane bucket id. */
-case class LshBucket(child: Expression) extends UnaryExpression {
+/** lsh_bucket(array<float>, planes) → long bucket id (default 8 planes;
+  * up to [[ExpressionKernels.MaxPlanes]] — plane p's weights depend only
+  * on p, so more planes strictly refine the bucketing).
+  */
+case class LshBucket(child: Expression, planes: Int = 8) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def nullSafeEval(v: Any): Any =
-    ExpressionKernels.lshBucket(v.asInstanceOf[ArrayData])
+    ExpressionKernels.lshBucket(v.asInstanceOf[ArrayData], planes)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.ExpressionKernels.lshBucket($c)")
+    defineCodeGen(ctx, ev, c => s"graft.functions.ExpressionKernels.lshBucket($c, $planes)")
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
@@ -429,5 +441,6 @@ object functions {
   def pq_sub_dists(a: Column, b: Column, m: Int, subDim: Int): Column =
     toColumn(PqSubDists(toExpression(a), toExpression(b), m, subDim))
   def lang_scores(text: Column): Column = toColumn(LangScores(toExpression(text)))
-  def lsh_bucket(emb: Column): Column = toColumn(LshBucket(toExpression(emb)))
+  def lsh_bucket(emb: Column, planes: Int = 8): Column =
+    toColumn(LshBucket(toExpression(emb), planes))
 }

@@ -32,6 +32,26 @@ object Similarity {
   val NumPlanes = 8
   val Dims      = 64
 
+  /** Fixed codebook budget for IVF/PQ: the centroid count must NOT
+    * derive from the corpus size, or the assignment pass (corpus ×
+    * centroids) degenerates quadratic as the corpus grows. 16 keeps the
+    * test-SF inverted lists non-trivial (≈30-125 vectors/list); a
+    * production corpus would set 4096 (or ∝√n) — the plan shape is
+    * identical, only this constant changes.
+    */
+  val CodebookK = 16
+
+  /** Scale guidance for the LSH family: with b planes there are 2^b
+    * buckets and expected in-bucket pair count O(n²/2^b), so b must grow
+    * with log₂(n) to keep per-bucket work flat. 8 planes suit the test
+    * SFs (≤2k vectors); a 10^9-vector corpus wants ~24 (the kernel's
+    * MaxPlanes). The oracle-checked queries pin 8 and 16; the parameter
+    * accepts anything up to [[graft.functions.ExpressionKernels.MaxPlanes]].
+    */
+  def planesFor(corpusRows: Long): Int =
+    math.max(NumPlanes, math.min(graft.functions.ExpressionKernels.MaxPlanes,
+      math.ceil(math.log(math.max(corpusRows, 2L).toDouble) / math.log(2.0)).toInt - 3))
+
   private def toDouble(c: Column): Column = transform(c, x => x.cast("double"))
 
   /** Sequential double dot product of two float arrays. */
@@ -90,23 +110,27 @@ object Similarity {
     (java.lang.Long.parseLong(hex.substring(0, 15), 16) % 2001L) - 1000L
   }
 
-  /** vec_id, bucket: signs of the 8 hyperplane projections packed into an
-    * int. Projections are Σ_d w(p,d) · floor(x_d·1000) — pure integer,
-    * so order-independent and oracle-exact. One codegen'd
-    * [[graft.functions.LshBucket]] pass per row (the 8 zip_with/aggregate
+  /** vec_id, bucket: signs of the `planes` hyperplane projections packed
+    * into an int. Projections are Σ_d w(p,d) · floor(x_d·1000) — pure
+    * integer, so order-independent and oracle-exact. One codegen'd
+    * [[graft.functions.LshBucket]] pass per row (the zip_with/aggregate
     * passes it replaces are CodegenFallback — interpreted per row).
+    * Plane p's weights depend only on p, so a higher plane count always
+    * strictly REFINES the lower one's buckets — candidate sets shrink
+    * monotonically (pinned in SimilaritySpec's recall test).
     */
-  def lshBuckets(emb: DataFrame): DataFrame =
+  def lshBuckets(emb: DataFrame, planes: Int = NumPlanes): DataFrame =
     emb.select(col("vec_id"), col("embedding"),
-      graft.functions.functions.lsh_bucket(col("embedding")).as("bucket"))
+      graft.functions.functions.lsh_bucket(col("embedding"), planes).as("bucket"))
 
   /** Declarative HOF formulation, kept for the equivalence guard test. */
-  private[graft] def lshBucketsDeclarative(emb: DataFrame): DataFrame = {
+  private[graft] def lshBucketsDeclarative(emb: DataFrame,
+                                           planes: Int = NumPlanes): DataFrame = {
     // quantize once, then one compact zip_with/aggregate per plane — NOT
-    // 8×64 scalar terms, which makes Catalyst/codegen quadratically slow
+    // planes×64 scalar terms, which makes Catalyst/codegen quadratically slow
     val quantized = transform(col("embedding"),
       x => floor(x.cast("double") * 1000).cast("bigint"))
-    val bucket = (0 until NumPlanes).map { p =>
+    val bucket = (0 until planes).map { p =>
       val w = typedLit((0 until Dims).map(d => planeWeight(p, d)))
       val proj = aggregate(zip_with(w, col("__q"), (a, b) => a * b),
         lit(0L), (acc, x) => acc + x)
@@ -119,11 +143,12 @@ object Similarity {
   /** LSH-bucketed ANN: exact cosine top-k within each vector's bucket.
     * Output: (q_id, vec_id, sim, rank) for the same query subset as
     * `cosineTopK` — recall vs the brute-force baseline is measured in
-    * SimilaritySpec.
+    * SimilaritySpec. `planes` sizes the bucket space (2^planes buckets);
+    * see [[planesFor]] for the scale rule.
     */
   def lshBucketTopK(spark: SparkSession, dir: String, k: Int = 5,
-                    queryStride: Int = 50): DataFrame = {
-    val b = lshBuckets(Tables.embeddings(spark, dir))
+                    queryStride: Int = 50, planes: Int = NumPlanes): DataFrame = {
+    val b = lshBuckets(Tables.embeddings(spark, dir), planes)
     val q = b.filter(col("vec_id") % queryStride === 0)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("bucket"))
     val cand = b.join(q, Seq("bucket"))
@@ -133,13 +158,30 @@ object Similarity {
     topKBySim(cand, k)
   }
 
+  /** Deterministic fixed-budget codebook: the `k` corpus vectors ranked
+    * first by `(md5(vec_id), vec_id)` — a uniform deterministic hash
+    * sample whose SIZE is a constant independent of corpus rows (pinned
+    * in SimilaritySpec). Physically a TakeOrderedAndProject: per-partition
+    * k-bounded heaps, one k-row merge — no global sort, no growth with n.
+    * (No k-means: float centroid averaging would be order-dependent and
+    * oracle-hostile; the hash-rank rule is reproducible in DuckDB as
+    * `ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT k`.)
+    */
+  private[graft] def hashSampleCentroids(emb: DataFrame, k: Int): DataFrame =
+    emb.select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"),
+        md5(col("vec_id").cast("string")).as("__h"))
+      .orderBy(col("__h"), col("cent_id"))
+      .limit(k)
+      .drop("__h")
+
   /** IVF-style ANN (the other classic scale path besides LSH): a coarse
     * quantizer partitions vectors into inverted lists; queries search only
     * their nProbe nearest lists.
     *
-    * Training-free, deterministic quantizer: centroids are the vectors
-    * with `vec_id % centroidStride == 1` (no k-means — float centroid
-    * averaging would be order-dependent and oracle-hostile). Assignment =
+    * The codebook is a fixed budget of `codebookK` hash-sampled vectors
+    * ([[hashSampleCentroids]]) — NOT corpus-size-derived, so the
+    * assignment pass stays O(n·K) with constant K and the "broadcast the
+    * tiny centroid set" premise survives any scale-up. Assignment =
     * argmax cosine over centroids with (rounded sim, centroid_id)
     * tie-break — fully reproducible in DuckDB.
     *
@@ -149,11 +191,10 @@ object Similarity {
     * bucketed on disk.
     */
   def ivfTopK(spark: SparkSession, dir: String, k: Int = 5,
-              queryStride: Int = 50, centroidStride: Int = 100,
+              queryStride: Int = 50, codebookK: Int = CodebookK,
               nProbe: Int = 4): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    val cent = emb.filter(col("vec_id") % centroidStride === 1)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
+    val cent = hashSampleCentroids(emb, codebookK)
     // inverted lists: every vector assigned to its best centroid.
     // argmax via FirstByOrder (hash agg, no per-vector window sort);
     // ordering key (1.0 - csim, cent_id): x ↦ 1-x is strictly decreasing
@@ -201,17 +242,17 @@ object Similarity {
     * fold, then quantized), so argmins tie-break on centroid id and the
     * ADC sum is integer — bit-exact in the DuckDB oracle.
     *
-    * Training-free codebook: centroid set = every `centroidStride`-th
-    * vector (like IVF; k-means' float averaging is order-dependent and
-    * oracle-hostile).
+    * Training-free codebook: a fixed budget of `codebookK` hash-sampled
+    * vectors ([[hashSampleCentroids]], like IVF) — codebook size is a
+    * constant, never a function of corpus rows, so the encode pass is
+    * O(n·K·m) with constant K·m at any scale.
     */
   def pqTopK(spark: SparkSession, dir: String, k: Int = 5,
-             queryStride: Int = 50, centroidStride: Int = 100,
+             queryStride: Int = 50, codebookK: Int = CodebookK,
              m: Int = 8, subDim: Int = 8): DataFrame = {
     import graft.functions.functions.pq_sub_dists
     val emb = Tables.embeddings(spark, dir)
-    val cent = emb.filter(col("vec_id") % centroidStride === 1)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
+    val cent = hashSampleCentroids(emb, codebookK)
     // (vec, cent) → array of m quantized sub-distances → (vec, cent, s, dq)
     val vd = emb.crossJoin(broadcast(cent))
       .select(col("vec_id"), col("cent_id"),
@@ -268,8 +309,9 @@ object Similarity {
     * caller sets the threshold; the plan shape is identical.
     */
   def cosineNearDupPairs(spark: SparkSession, dir: String,
-                         threshold: Double = 0.35): DataFrame = {
-    val b = lshBuckets(Tables.embeddings(spark, dir))
+                         threshold: Double = 0.35,
+                         planes: Int = NumPlanes): DataFrame = {
+    val b = lshBuckets(Tables.embeddings(spark, dir), planes)
     val l = b.select(col("bucket"), col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
     val r = b.select(col("bucket"), col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
     l.join(r, Seq("bucket"))

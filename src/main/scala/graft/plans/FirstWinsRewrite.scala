@@ -132,8 +132,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       case Seq(s, k) => MinHashSig(s, intArg(k, "minhash_sig k"))
     })
     e.injectFunction(fn("lsh_bucket",
-      "lsh_bucket(embedding) - 8-plane LSH bucket id") {
-      case Seq(v) => LshBucket(v)
+      "lsh_bucket(embedding[, planes]) - LSH bucket id (default 8 planes)") {
+      case Seq(v)    => LshBucket(v)
+      case Seq(v, p) => LshBucket(v, intArg(p, "lsh_bucket planes"))
     })
     e.injectFunction(fn("token_stats",
       "token_stats(text) - struct(n_chars, n_tokens, n_types, n_stopwords)") {

@@ -40,6 +40,20 @@ class ApproxSpec extends SparkSpec {
     }
   }
 
+  test("checked invariant queries attest the error bounds (all booleans true)") {
+    val hll = Approx.approxDistinctUsersChecked(spark, sfDir)
+      .select("event_type", "hll_within_3rsd").as[(String, Boolean)].collect()
+    assert(hll.nonEmpty)
+    hll.foreach { case (et, ok) => assert(ok, s"$et: HLL outside 3·rsd band") }
+    val q = Approx.approxValueQuantilesChecked(spark, sfDir)
+      .select("event_type", "p50_in_bounds", "p95_in_bounds", "p99_in_bounds")
+      .as[(String, Boolean, Boolean, Boolean)].collect()
+    assert(q.nonEmpty)
+    q.foreach { case (et, a, b, c) =>
+      assert(a && b && c, s"$et: quantile sketch outside rank bound ($a,$b,$c)")
+    }
+  }
+
   test("sketches are deterministic for a fixed input (stable rows-only gate)") {
     val a = Approx.approxDistinctUsers(spark, sfDir).collect().toSeq
     val b = Approx.approxDistinctUsers(spark, sfDir).collect().toSeq

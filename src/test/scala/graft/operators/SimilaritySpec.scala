@@ -101,6 +101,54 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("codebook size is a constant, independent of corpus rows") {
+    // the scale contract: IVF/PQ centroid count must NOT grow with the
+    // corpus — same K from a 500-row and a 2000-row embeddings table
+    val k = Similarity.CodebookK
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.1").foreach { d =>
+      val emb = graft.Tables.embeddings(spark, d)
+      val cent = Similarity.hashSampleCentroids(emb, k)
+      assert(cent.count() === k.toLong, s"codebook size != $k for $d")
+    }
+    // and the sample is deterministic: same ids on repeated evaluation
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val a = Similarity.hashSampleCentroids(emb, k).select("cent_id").as[Long].collect().toSeq
+    val b = Similarity.hashSampleCentroids(emb, k).select("cent_id").as[Long].collect().toSeq
+    assert(a === b)
+  }
+
+  test("more planes strictly refine buckets: 16-plane candidates ⊆ 8-plane, recall ≤") {
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    // plane p's weights depend only on p ⇒ the low 8 bits of the 16-plane
+    // bucket ARE the 8-plane bucket
+    val b8 = Similarity.lshBuckets(emb, 8).select("vec_id", "bucket")
+      .as[(Long, Long)].collect().toMap
+    val b16 = Similarity.lshBuckets(emb, 16).select("vec_id", "bucket")
+      .as[(Long, Long)].collect().toMap
+    assert(b8.keySet === b16.keySet)
+    b16.foreach { case (v, bk) => assert((bk & 0xffL) === b8(v)) }
+
+    // consequence: the 16-plane candidate set per query is a subset, so
+    // top-1 recall vs brute force can only drop — and must, structurally
+    def top1(planes: Int) = Similarity.lshBucketTopK(spark, sfDir, k = 1, planes = planes)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toMap
+    val brute = Similarity.cosineTopK(spark, sfDir, k = 1)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toMap
+    val t8 = top1(8)
+    val t16 = top1(16)
+    val r8 = brute.count { case (q, v) => t8.get(q).contains(v) }
+    val r16 = brute.count { case (q, v) => t16.get(q).contains(v) }
+    info(s"top-1 recall vs brute: 8 planes $r8/${brute.size}, 16 planes $r16/${brute.size}")
+    assert(r16 <= r8)
+  }
+
+  test("planesFor grows with corpus size and caps at MaxPlanes") {
+    assert(Similarity.planesFor(2000L) === 8)           // test SFs stay at 8
+    assert(Similarity.planesFor(1L << 20) >= 16)        // ~1M vectors
+    assert(Similarity.planesFor(1L << 40) === graft.functions.ExpressionKernels.MaxPlanes)
+    assert(Similarity.planesFor(0L) === 8)
+  }
+
   test("planeWeight matches the md5 formula the oracle SQL uses") {
     // spot value computed independently: md5('0_0') prefix
     val md = java.security.MessageDigest.getInstance("MD5")
