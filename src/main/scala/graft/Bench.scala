@@ -34,7 +34,13 @@ object Bench {
     // passes — the BASELINE.md protocol for filtering machine noise; the
     // driver's per-round run keeps the default single pass.
     val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "1").toInt
+    // per-query UTC wall-clock provenance on stderr: if an external load
+    // spike inflates a contiguous block of queries (seen in two driver
+    // rounds), the timestamps localize the noise window directly instead
+    // of requiring forensic analysis of the alphabetical ordering
+    def nowUtc(): String = java.time.Instant.now().toString
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val startedAt = nowUtc()
       val times = (1 to repeats).map { _ =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -43,6 +49,8 @@ object Bench {
         }
         (System.nanoTime() - t0) / 1e9
       }
+      System.err.println(
+        f"[bench] $startedAt $name%-28s ${times.min}%8.3f s (min of $repeats)")
       name -> times.min
     }
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }

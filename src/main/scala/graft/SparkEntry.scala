@@ -71,6 +71,7 @@ object SparkEntry {
     "q11_nation_balance_share" -> (Relational.q11NationBalanceShare _),
     "q22_wealthy_inactive"  -> (Relational.q22WealthyInactive _),
     "q_order_reconciliation" -> (Relational.qOrderReconciliation _),
+    "q21_supplier_wait"     -> (operators.SqlQueries.qSupplierWait _),
     // approximate aggregates: sketch VALUES are implementation-defined,
     // so the registered queries emit exact aggregates + booleans
     // attesting the sketch landed inside its published error bound; the
@@ -287,6 +288,7 @@ object SparkEntry {
     // same SQL text both engines: Spark runs it via spark.sql
     "q_min_cost_per_brand" -> operators.SqlQueries.minCostPerBrandSql,
     "q_cube_returns"       -> operators.SqlQueries.cubeReturnsSql,
+    "q21_supplier_wait"    -> operators.SqlQueries.supplierWaitSql,
     // salted two-phase aggregation must equal the direct aggregation —
     // same oracle as dedup_counts
     "dedup_counts_salted" ->

@@ -34,6 +34,39 @@ object SqlQueries {
     """SELECT l_returnflag, l_linestatus, count(*) AS n
       |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin
 
+  /** TPC-H q21-style "suppliers who kept orders waiting": TWO correlated
+    * subqueries against the same outer row — an EXISTS (some other
+    * supplier on the order) and a NOT EXISTS (no other supplier was also
+    * late) — the hardest decorrelation shape Catalyst handles (both
+    * rewrite to left-semi / left-anti joins on l_orderkey; `.explain`
+    * shows no nested-loop per-row subquery execution). "Late" adapts
+    * TPC-H's receipt>commit to this schema as shipdate > orderdate+60d
+    * (the q12 definition). The inner NOT EXISTS re-joins orders rather
+    * than referencing the outer o_orderdate so the only correlation is
+    * the equi-predicate — the shape Spark AND DuckDB both decorrelate.
+    */
+  val supplierWaitSql: String =
+    """SELECT s_suppkey, s_name, n_name, CAST(count(*) AS BIGINT) AS numwait
+      |FROM supplier
+      |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+      |JOIN orders ON o_orderkey = l1.l_orderkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |WHERE l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey
+      |                AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |                  JOIN orders o3 ON l3.l_orderkey = o3.o_orderkey
+      |                  WHERE l3.l_orderkey = l1.l_orderkey
+      |                    AND l3.l_suppkey <> l1.l_suppkey
+      |                    AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY 1, 2, 3""".stripMargin
+
+  def qSupplierWait(spark: SparkSession, dir: String): DataFrame = {
+    registerViews(spark, dir)
+    spark.sql(supplierWaitSql)
+  }
+
   def qMinCostPerBrand(spark: SparkSession, dir: String): DataFrame = {
     registerViews(spark, dir)
     spark.sql(minCostPerBrandSql)

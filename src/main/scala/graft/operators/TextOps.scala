@@ -241,8 +241,28 @@ object TextOps {
     * tokens by corpus frequency with dense ids assigned in (count desc,
     * token asc) order — deterministic, so the id assignment is
     * reproducible across runs and engines.
+    *
+    * Ranking mechanism: the orderBy+limit is a TakeOrderedAndProject
+    * (per-partition k-heaps, one k-row sorted merge — no global sort at
+    * any corpus size) whose output contract is a SINGLE partition in
+    * sort order, so `monotonically_increasing_id` numbers the rows
+    * 0..k-1 in exactly that order. This replaces a partition-less
+    * `row_number()` window — same values (guarded by `vocabWindowed`
+    * equivalence in TextSpec and by the oracle), but no "No Partition
+    * Defined for Window" WARN and no window machinery on the hot path.
     */
-  def vocab(spark: SparkSession, dir: String, k: Int = 1000): DataFrame = {
+  def vocab(spark: SparkSession, dir: String, k: Int = 1000): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(k)
+      .withColumn("token_id", (monotonically_increasing_id() + 1L).cast("bigint"))
+
+  /** Windowed reference formulation of [[vocab]] — equivalence guard. */
+  private[graft] def vocabWindowed(spark: SparkSession, dir: String,
+                                   k: Int = 1000): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("n").desc, col("token"))
     Tables.documents(spark, dir)

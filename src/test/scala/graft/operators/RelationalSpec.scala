@@ -24,6 +24,16 @@ class RelationalSpec extends SparkSpec {
     assert(agg.except(win).isEmpty && win.except(agg).isEmpty)
   }
 
+  test("q21 double-correlated subqueries decorrelate to semi/anti joins") {
+    val df = SqlQueries.qSupplierWait(spark, sfDir)
+    assert(df.count() > 0) // non-vacuous
+    // both EXISTS and NOT EXISTS must become set-oriented joins — a plan
+    // that kept per-row subquery execution would be O(rows × subquery)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), "EXISTS did not decorrelate to a semi join")
+    assert(plan.contains("LeftAnti"), "NOT EXISTS did not decorrelate to an anti join")
+  }
+
   test("q1 money columns are int64 fixed-point (hash-stable), not decimal/double") {
     val schema = Relational.q1PricingSummary(spark, sfDir).schema
     Seq("sum_qty", "sum_base_price", "sum_disc_price", "sum_charge").foreach { c =>

@@ -187,6 +187,18 @@ class TextSpec extends SparkSpec {
     assert(MinHash.minhashSurvivors(spark, sfDir).count() === total - dropped)
   }
 
+  test("vocab: monotonic-id ranking ≡ windowed row_number ranking") {
+    // the id mechanism rides TakeOrderedAndProject's single-sorted-
+    // partition output contract; this guard catches any plan change that
+    // would break the ordering assumption
+    val a = TextOps.vocab(spark, sfDir, k = 100)
+      .select("token", "n", "token_id").collect().toSeq
+    val b = TextOps.vocabWindowed(spark, sfDir, k = 100)
+      .select("token", "n", "token_id").collect().toSeq
+    assert(a.toSet === b.toSet)
+    assert(a.map(_.getAs[Long]("token_id")).sorted === (1L to a.length))
+  }
+
   test("simhash: near-dup docs have small hamming distance, random pairs large") {
     val sh = MinHash.simhash(spark, sfDir).as[(Long, Long)].collect().toMap
     val near = MinHash.minhashDedup(spark, sfDir)
