@@ -133,6 +133,33 @@ object MinHash {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Materialize the per-doc shingle-array index as a BUCKETED table on
+    * doc_id — the durable 100 TB form of the `persist` in
+    * [[minhashDedup]]: the verify join's two probes into the store
+    * (doc_a side and doc_b side) read bucket i against bucket i with no
+    * Exchange on the store side, ever, across every query that reuses
+    * the table. Amortizes the index shuffle once at ingest.
+    */
+  def materializeShingleIndex(spark: SparkSession, dir: String,
+                              table: String, nBuckets: Int = 32): Unit =
+    graft.sources.BucketedTables.writeBucketed(
+      shingleArray(Tables.documents(spark, dir)), table, "doc_id", nBuckets)
+
+  /** [[minhashDedup]] with the verify join running against the
+    * materialized bucketed index instead of an in-memory cache: same
+    * pairs (BucketedTablesSpec pins equality), but the big side of both
+    * verify probes plans WITHOUT a shuffle — only the (small) candidate
+    * subtree exchanges. This is the shape a repeated-ingest pipeline
+    * runs daily.
+    */
+  def minhashDedupBucketed(spark: SparkSession, dir: String, table: String,
+                           threshold: Double = 0.5): DataFrame = {
+    val cand = candidatePairs(bands(signatures(Tables.documents(spark, dir))))
+    exactJaccard(cand, spark.table(table))
+      .filter(col("jaccard") >= threshold)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** Greedy near-dedup: drop every doc that is the larger id in a
     * verified near-dup pair; survivors are the canonical docs.
     */

@@ -8,6 +8,43 @@ import graft.SparkSpec
   */
 class BucketedTablesSpec extends SparkSpec {
 
+  test("bucketed shingle index: store-side Exchange-free verify join, same pairs") {
+    import graft.operators.MinHash
+    val table = "shingle_idx_spec"
+    MinHash.materializeShingleIndex(spark, sfDir, table, nBuckets = 8)
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      def countEx(plan: String) = "Exchange".r.findAllIn(plan).size
+      val bucketed = MinHash.minhashDedupBucketed(spark, sfDir, table)
+      val bucketedPlan = bucketed.queryExecution.executedPlan.toString
+      // same candidate subtree, unbucketed store → the comparative shape
+      // assertion: bucketing must remove exactly the two store-side
+      // exchanges (one per verify probe), whatever the candidate subtree
+      // plans as
+      val unbucketed = MinHash.exactJaccard(
+          MinHash.candidatePairs(MinHash.bands(MinHash.signatures(
+            graft.Tables.documents(spark, sfDir)))),
+          MinHash.shingleArray(graft.Tables.documents(spark, sfDir)))
+        .filter(col("jaccard") >= 0.5)
+        .orderBy(col("doc_a"), col("doc_b"))
+      val unbucketedPlan = unbucketed.queryExecution.executedPlan.toString
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      assert("Bucketed: true".r.findAllIn(bucketedPlan).size === 2,
+        s"both store probes must read buckets:\n${bucketedPlan.take(1200)}")
+      // ≥2: the two store-side probes stop shuffling (exchange-reuse
+      // nodes also match the substring, so the count is a lower bound)
+      assert(countEx(bucketedPlan) <= countEx(unbucketedPlan) - 2,
+        s"bucketing removed only ${countEx(unbucketedPlan) - countEx(bucketedPlan)} exchanges, wanted >= 2")
+      // and identical verified pairs as the cached path
+      val viaCache = MinHash.minhashDedup(spark, sfDir)
+        .select("doc_a", "doc_b", "jaccard").collect().toSet
+      val viaBucket = bucketed.select("doc_a", "doc_b", "jaccard").collect().toSet
+      assert(viaBucket === viaCache)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
   test("bucketed fact-to-fact join plans without any shuffle exchange") {
     val l = graft.Tables.lineitem(spark, sfDir)
       .select("l_orderkey", "l_quantity", "l_extendedprice")
