@@ -114,8 +114,13 @@ object SparkEntry {
     "ann_lsh_topk"            -> ((s, d) => Similarity.lshBucketTopK(s, d)),
     // second operating point of the log₂(n) plane-count rule: 12 planes
     // (16+ is exercised in SimilaritySpec — at the test SFs it empties
-    // the buckets, and a 0-row green oracle row would attest nothing)
-    "ann_lsh12_topk"          -> ((s, d) => Similarity.lshBucketTopK(s, d, planes = 12)),
+    // the buckets, and a 0-row green oracle row would attest nothing).
+    // Denser query stride (2 vs 50): 12 planes shrink every bucket, so a
+    // 50-stride row attests only ~4 rows at sf0.01 — near-vacuous; stride
+    // 2 keeps the gated cardinality non-trivial (55 rows at sf0.01) and
+    // the bucket-join stays tiny at every test SF.
+    "ann_lsh12_topk"          -> ((s, d) =>
+      Similarity.lshBucketTopK(s, d, queryStride = 2, planes = 12)),
     "ann_ivf_topk"            -> ((s, d) => Similarity.ivfTopK(s, d)),
     "ann_pq_topk"             -> ((s, d) => Similarity.pqTopK(s, d)),
     "dedup_embedding_cosine"  -> ((s, d) => Similarity.cosineNearDupPairs(s, d)),
@@ -408,7 +413,7 @@ object SparkEntry {
     "q_approx_distinct_users" ->
       """SELECT event_type, count(*) AS n_events,
         |  count(DISTINCT user_id) AS exact_users,
-        |  true AS hll_within_3rsd
+        |  true AS hll_within_5rsd
         |FROM events GROUP BY 1""".stripMargin,
     "q_approx_value_quantiles" ->
       """SELECT event_type, count(value) AS n_events,
@@ -688,13 +693,14 @@ object SparkEntry {
          |      FROM s)
          |WHERE rk <= 5""".stripMargin,
     // same pipeline at the 12-plane operating point of the log₂(n) scale
-    // rule — candidate sets are strict refinements of the 8-plane ones
+    // rule — candidate sets are strict refinements of the 8-plane ones.
+    // stride 2 (vs 50) so the gated row count stays non-trivial
     "ann_lsh12_topk" ->
       s"""WITH ${lshBucketCte(12)},
          |s AS (
          |  SELECT a.vec_id AS q_id, b.vec_id AS vec_id, $cosineSql AS sim
          |  FROM emb a JOIN emb b ON a.bucket = b.bucket
-         |  WHERE a.vec_id % 50 = 0 AND b.vec_id <> a.vec_id)
+         |  WHERE a.vec_id % 2 = 0 AND b.vec_id <> a.vec_id)
          |SELECT q_id, vec_id, sim, CAST(rk AS BIGINT) AS rnk
          |FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rk
          |      FROM s)

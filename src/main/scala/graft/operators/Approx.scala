@@ -53,10 +53,15 @@ object Approx {
 
   /** HLL++ distinct-count with its accuracy contract made exact: per
     * event type, the exact `n_events` and `exact_users`, plus
-    * `hll_within_3rsd` = |approx − exact| ≤ 3·rsd·exact computed from the
-    * live sketch. The HLL estimator's standard error is rsd, so 3·rsd is
-    * the 3-sigma band (and HLL++ falls back to exact linear counting at
-    * small cardinalities — the bound is loose there by construction).
+    * `hll_within_5rsd` = |approx − exact| ≤ 5·rsd·exact computed from the
+    * live sketch. The HLL estimator's standard error is rsd; the gate
+    * uses the 5-sigma band (P[miss] ≈ 6e-7 per group) rather than 3-sigma
+    * (≈3e-3), because the correctness driver regenerates data with fresh
+    * seeds — at 3σ a healthy sketch has a real per-regeneration chance of
+    * flipping a red row, conflating noise with regression. A genuine
+    * sketch bug (wrong merge, lost buffer) misses by far more than 5σ.
+    * (HLL++ also falls back to exact linear counting at small
+    * cardinalities — the bound is loose there by construction.)
     */
   def approxDistinctUsersChecked(spark: SparkSession, dir: String,
                                  rsd: Double = 0.01): DataFrame =
@@ -68,7 +73,7 @@ object Approx {
         approx_count_distinct(col("user_id"), rsd).as("approx_users"))
       .select(col("event_type"), col("n_events"), col("exact_users"),
         (abs(col("approx_users") - col("exact_users")) <=
-          lit(3 * rsd) * col("exact_users")).as("hll_within_3rsd"))
+          lit(5 * rsd) * col("exact_users")).as("hll_within_5rsd"))
       .orderBy(col("event_type"))
 
   /** Quantile sketch with its rank-error contract made exact. For each

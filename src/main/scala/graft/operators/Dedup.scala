@@ -204,17 +204,24 @@ object Dedup {
     }
     df.mapPartitions { it =>
       val seen = new java.util.HashMap[Seq[Any], Row]()
-      val passThrough = scala.collection.mutable.ArrayBuffer.empty[Row]
-      it.foreach { row =>
+      // Overflow rows STREAM through (constant memory beyond the bounded
+      // cache): buffering them until partition end would re-create exactly
+      // the unbounded-memory problem maxCacheSize exists to prevent on
+      // wide partitions. Iterator.++ takes its right side by-name, so the
+      // cache winners are snapshotted only after the input is drained.
+      val overflow = it.flatMap { row =>
         val k = keyIdx.map(row.get)
         val prev = seen.get(k)
         if (prev == null) {
-          if (seen.size < maxCacheSize) seen.put(k, row)
-          else passThrough += row // absorber full: fall through to global agg
-        } else if (earlier(row, prev)) seen.put(k, row)
+          if (seen.size < maxCacheSize) { seen.put(k, row); Iterator.empty }
+          else Iterator.single(row) // absorber full: fall through to global agg
+        } else {
+          if (earlier(row, prev)) seen.put(k, row)
+          Iterator.empty
+        }
       }
       import scala.jdk.CollectionConverters._
-      seen.values().iterator().asScala ++ passThrough.iterator
+      overflow ++ seen.values().iterator().asScala
     }
   }
 }

@@ -45,7 +45,7 @@ object Similarity {
     * buckets and expected in-bucket pair count O(n²/2^b), so b must grow
     * with log₂(n) to keep per-bucket work flat. 8 planes suit the test
     * SFs (≤2k vectors); a 10^9-vector corpus wants ~24 (the kernel's
-    * MaxPlanes). The oracle-checked queries pin 8 and 16; the parameter
+    * MaxPlanes). The oracle-checked queries pin 8 and 12; the parameter
     * accepts anything up to [[graft.functions.ExpressionKernels.MaxPlanes]].
     */
   def planesFor(corpusRows: Long): Int =

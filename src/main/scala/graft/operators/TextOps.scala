@@ -244,25 +244,16 @@ object TextOps {
     *
     * Ranking mechanism: the orderBy+limit is a TakeOrderedAndProject
     * (per-partition k-heaps, one k-row sorted merge — no global sort at
-    * any corpus size) whose output contract is a SINGLE partition in
-    * sort order, so `monotonically_increasing_id` numbers the rows
-    * 0..k-1 in exactly that order. This replaces a partition-less
-    * `row_number()` window — same values (guarded by `vocabWindowed`
-    * equivalence in TextSpec and by the oracle), but no "No Partition
-    * Defined for Window" WARN and no window machinery on the hot path.
+    * any corpus size); ids are then a `row_number()` window over the
+    * LIMITED k rows, keyed on the same (n desc, token) order. The window
+    * re-sorts its own input, so the ids are a pure function of the row
+    * VALUES — no dependence on TakeOrderedAndProject's physical
+    * partition/order contract (which AQE, `topKSortFallbackThreshold`,
+    * or a Spark bump could change). The partition-less window is safe
+    * here by construction: its input is the k-row (≤1000) limit result,
+    * a single tiny partition — corpus size never reaches it.
     */
-  def vocab(spark: SparkSession, dir: String, k: Int = 1000): DataFrame =
-    Tables.documents(spark, dir)
-      .select(explode(tokens(col("text"))).as("token"))
-      .groupBy(col("token"))
-      .agg(count(lit(1)).as("n"))
-      .orderBy(col("n").desc, col("token"))
-      .limit(k)
-      .withColumn("token_id", (monotonically_increasing_id() + 1L).cast("bigint"))
-
-  /** Windowed reference formulation of [[vocab]] — equivalence guard. */
-  private[graft] def vocabWindowed(spark: SparkSession, dir: String,
-                                   k: Int = 1000): DataFrame = {
+  def vocab(spark: SparkSession, dir: String, k: Int = 1000): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("n").desc, col("token"))
     Tables.documents(spark, dir)

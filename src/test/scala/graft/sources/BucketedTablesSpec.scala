@@ -8,29 +8,48 @@ import graft.SparkSpec
   */
 class BucketedTablesSpec extends SparkSpec {
 
+  /** Run `body` with AQE off and auto-broadcast disabled (the conditions
+    * bucketing exists for), restoring the PRIOR values afterwards even on
+    * failure — a leaked `adaptive.enabled=false` would silently change
+    * every later suite in the shared session.
+    */
+  private def withPlanShapeConfs[A](body: => A): A = {
+    val keys = Seq("spark.sql.adaptive.enabled",
+                   "spark.sql.autoBroadcastJoinThreshold")
+    val prior = keys.map(k => k -> spark.conf.getOption(k)).toMap
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try body
+    finally keys.foreach { k =>
+      prior(k) match {
+        case Some(v) => spark.conf.set(k, v)
+        case None    => spark.conf.unset(k)
+      }
+    }
+  }
+
   test("bucketed shingle index: store-side Exchange-free verify join, same pairs") {
     import graft.operators.MinHash
     val table = "shingle_idx_spec"
     MinHash.materializeShingleIndex(spark, sfDir, table, nBuckets = 8)
     try {
-      spark.conf.set("spark.sql.adaptive.enabled", "false")
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val (bucketed, bucketedPlan, unbucketedPlan) = withPlanShapeConfs {
+        def planOf(df: org.apache.spark.sql.DataFrame) =
+          df.queryExecution.executedPlan.toString
+        val b = MinHash.minhashDedupBucketed(spark, sfDir, table)
+        // same candidate subtree, unbucketed store → the comparative shape
+        // assertion: bucketing must remove exactly the two store-side
+        // exchanges (one per verify probe), whatever the candidate subtree
+        // plans as
+        val u = MinHash.exactJaccard(
+            MinHash.candidatePairs(MinHash.bands(MinHash.signatures(
+              graft.Tables.documents(spark, sfDir)))),
+            MinHash.shingleArray(graft.Tables.documents(spark, sfDir)))
+          .filter(col("jaccard") >= 0.5)
+          .orderBy(col("doc_a"), col("doc_b"))
+        (b, planOf(b), planOf(u))
+      }
       def countEx(plan: String) = "Exchange".r.findAllIn(plan).size
-      val bucketed = MinHash.minhashDedupBucketed(spark, sfDir, table)
-      val bucketedPlan = bucketed.queryExecution.executedPlan.toString
-      // same candidate subtree, unbucketed store → the comparative shape
-      // assertion: bucketing must remove exactly the two store-side
-      // exchanges (one per verify probe), whatever the candidate subtree
-      // plans as
-      val unbucketed = MinHash.exactJaccard(
-          MinHash.candidatePairs(MinHash.bands(MinHash.signatures(
-            graft.Tables.documents(spark, sfDir)))),
-          MinHash.shingleArray(graft.Tables.documents(spark, sfDir)))
-        .filter(col("jaccard") >= 0.5)
-        .orderBy(col("doc_a"), col("doc_b"))
-      val unbucketedPlan = unbucketed.queryExecution.executedPlan.toString
-      spark.conf.set("spark.sql.adaptive.enabled", "true")
-      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
       assert("Bucketed: true".r.findAllIn(bucketedPlan).size === 2,
         s"both store probes must read buckets:\n${bucketedPlan.take(1200)}")
       // ≥2: the two store-side probes stop shuffling (exchange-reuse
@@ -56,13 +75,11 @@ class BucketedTablesSpec extends SparkSpec {
       // Shape assertion under the conditions bucketing exists for: big
       // sides (broadcast off — at 100 TB neither fact side broadcasts)
       // and AQE off (an unfinalized adaptive plan hides exchanges).
-      spark.conf.set("spark.sql.adaptive.enabled", "false")
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      val joined = BucketedTables.colocatedJoin(spark, "li_bkt", "ord_bkt",
-        "l_orderkey", "o_orderkey")
-      val plan = joined.queryExecution.executedPlan.toString
-      spark.conf.set("spark.sql.adaptive.enabled", "true")
-      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      val (joined, plan) = withPlanShapeConfs {
+        val j = BucketedTables.colocatedJoin(spark, "li_bkt", "ord_bkt",
+          "l_orderkey", "o_orderkey")
+        (j, j.queryExecution.executedPlan.toString)
+      }
       assert(!plan.contains("Exchange"), s"bucketed join still shuffles:\n${plan.take(800)}")
       assert(plan.contains("Bucketed: true"), s"bucketing not used:\n${plan.take(800)}")
       // and the result is the same as the unbucketed join
