@@ -24,6 +24,7 @@ object Bench {
       .withExtensions(new graft.plans.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val loadStart = loadAvg()
 
     // JVM/codegen warmup on the smallest sf so first-query JIT noise
     // doesn't land on a measured query
@@ -56,7 +57,17 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","load_start":$loadStart%.2f,"load_end":${loadAvg()}%.2f}""")
     spark.stop()
   }
+
+  /** 1-minute load average — recorded at start/end of the run so a
+    * noisy benchmark (external load inflating a block of queries, seen
+    * in two driver rounds) self-identifies in the JSON instead of
+    * requiring forensic timestamp analysis. -1 if unavailable.
+    */
+  private def loadAvg(): Double =
+    try java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .getSystemLoadAverage
+    catch { case _: Throwable => -1.0 }
 }

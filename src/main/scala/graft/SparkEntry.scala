@@ -42,10 +42,17 @@ object SparkEntry {
         Seq("user_id", "event_type"), Seq("ts", "event_id"))),
     "dedup_absorber" -> ((s, d) =>
       Dedup.absorberFirstWins(Tables.events(s, d), Seq("user_id", "event_type"), Seq("ts", "event_id"))),
+    // the file-backed log's full write→TTL-compact→read round trip
+    // (O1/O17 append, O10 reclaim, O2 read) under the hash gate — the
+    // oracle reproduces the same derivation + TTL filter in pure SQL
+    "dedup_log_compaction" -> (sources.DedupLogStore.compactionRoundTrip(_, _)),
     // ── relational analytics (SURVEY §7 M3) ──
     "q1_pricing_summary"    -> (Relational.q1PricingSummary _),
     "q3_shipping_priority"  -> (Relational.q3ShippingPriority _),
     "q5_local_supplier"     -> (Relational.q5LocalSupplier _),
+    // same query through the explicit salted fact-join path (known-skew
+    // technique made visible); identical oracle SQL as the unsalted form
+    "q5_local_supplier_salted" -> (Relational.q5LocalSupplierSalted _),
     "q10_returned_items"    -> (Relational.q10ReturnedItems _),
     "q4_priority_exists"    -> (Relational.q4PriorityExists _),
     "q6_forecast_revenue"   -> (Relational.q6ForecastRevenue _),
@@ -121,6 +128,9 @@ object SparkEntry {
     // the bucket-join stays tiny at every test SF.
     "ann_lsh12_topk"          -> ((s, d) =>
       Similarity.lshBucketTopK(s, d, queryStride = 2, planes = 12)),
+    // index-quality contract under the hash gate: per-query recall@k of
+    // the LSH index vs the brute-force truth, as exact integers hits/k
+    "ann_lsh_recall"          -> ((s, d) => Similarity.lshRecall(s, d)),
     "ann_ivf_topk"            -> ((s, d) => Similarity.ivfTopK(s, d)),
     "ann_pq_topk"             -> ((s, d) => Similarity.pqTopK(s, d)),
     "dedup_embedding_cosine"  -> ((s, d) => Similarity.cosineNearDupPairs(s, d)),
@@ -184,11 +194,37 @@ object SparkEntry {
        |         ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
        |         LIMIT ${operators.Similarity.CodebookK})""".stripMargin
 
+  private val q5Sql =
+    s"""SELECT n_name, CAST(SUM($discPriceC) AS BIGINT) AS revenue
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+       |JOIN nation ON s_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |WHERE r_name = 'ASIA'
+       |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+       |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "dedup_first_wins" ->
       s"SELECT $eventColsSql FROM events QUALIFY $dedupWin = 1",
     "dedup_audit_states" ->
       s"SELECT $eventColsSql, CAST(CASE WHEN $dedupWin = 1 THEN 1 ELSE 2 END AS SMALLINT) AS state FROM events",
+    // write→compact→read round trip collapses to derivation + TTL filter
+    // in pure SQL (the store's job is to preserve exactly the live rows)
+    "dedup_log_compaction" ->
+      """WITH a AS (
+        |  SELECT CAST(user_id AS VARCHAR) || '_' || event_type AS key,
+        |    CAST(CASE WHEN row_number() OVER (PARTITION BY user_id, event_type
+        |                     ORDER BY ts, event_id) = 1
+        |         THEN 1 ELSE 2 END AS SMALLINT) AS state,
+        |    CASE WHEN event_id % 5 = 0 THEN ts + INTERVAL 1 DAY END AS expires_at
+        |  FROM events)
+        |SELECT state, count(*) AS n_rows, count(DISTINCT key) AS n_keys
+        |FROM a
+        |WHERE expires_at IS NULL OR expires_at > TIMESTAMP '2030-01-01 00:00:00'
+        |GROUP BY 1""".stripMargin,
     "dedup_counts" ->
       """SELECT user_id, event_type, count(*) AS n_attempts,
         |       min(ts) AS first_time, max(ts) AS last_time
@@ -223,17 +259,10 @@ object SparkEntry {
          |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
          |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
          |GROUP BY 1, 2 ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
-    "q5_local_supplier" ->
-      s"""SELECT n_name, CAST(SUM($discPriceC) AS BIGINT) AS revenue
-         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-         |JOIN customer ON o_custkey = c_custkey
-         |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
-         |JOIN nation ON s_nationkey = n_nationkey
-         |JOIN region ON n_regionkey = r_regionkey
-         |WHERE r_name = 'ASIA'
-         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
-         |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
-         |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin,
+    "q5_local_supplier" -> q5Sql,
+    // salted variant: semantics identical by construction, so the oracle
+    // is the SAME SQL — the salt must be invisible in the result
+    "q5_local_supplier_salted" -> q5Sql,
     "q10_returned_items" ->
       s"""SELECT c_custkey, c_name, n_name, CAST(SUM($discPriceC) AS BIGINT) AS revenue
          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
@@ -705,6 +734,31 @@ object SparkEntry {
          |FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rk
          |      FROM s)
          |WHERE rk <= 5""".stripMargin,
+    // recall@k of the LSH index vs brute force, exact integers (hits, k).
+    // Same truth/approx subqueries as ann_cosine_topk / ann_lsh_topk;
+    // zero-candidate queries surface as hits = 0 via the left join.
+    "ann_lsh_recall" ->
+      s"""WITH ${lshBucketCte()},
+         |truth AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT a.vec_id AS q_id, b.vec_id AS vec_id, $cosineSql AS sim,
+         |      row_number() OVER (PARTITION BY a.vec_id ORDER BY $cosineSql DESC, b.vec_id) AS rk
+         |    FROM embeddings a, embeddings b
+         |    WHERE a.vec_id % 50 = 0 AND b.vec_id <> a.vec_id)
+         |  WHERE rk <= 5),
+         |apx AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT a.vec_id AS q_id, b.vec_id AS vec_id, $cosineSql AS sim,
+         |      row_number() OVER (PARTITION BY a.vec_id ORDER BY $cosineSql DESC, b.vec_id) AS rk
+         |    FROM emb a JOIN emb b ON a.bucket = b.bucket
+         |    WHERE a.vec_id % 50 = 0 AND b.vec_id <> a.vec_id)
+         |  WHERE rk <= 5),
+         |h AS (SELECT t.q_id, count(*) AS hits FROM truth t
+         |      JOIN apx x ON t.q_id = x.q_id AND t.vec_id = x.vec_id GROUP BY 1)
+         |SELECT q.q_id, CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+         |       CAST(5 AS BIGINT) AS k
+         |FROM (SELECT DISTINCT q_id FROM truth) q
+         |LEFT JOIN h ON q.q_id = h.q_id""".stripMargin,
     "ann_ivf_topk" ->
       s"""WITH $centCte,
          |assigned AS (

@@ -94,6 +94,36 @@ object Relational {
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
+  /** [[q5LocalSupplier]] with the lineitem⋈orders fact join routed
+    * through the explicit salted path ([[Skew.saltedJoin]]): each
+    * lineitem row carries a deterministic salt, the (filtered) orders
+    * side replicates once per salt, and the join key becomes
+    * (orderkey, salt) — a hot orderkey's rows spread over `saltFactor`
+    * reducers instead of funneling through one. Results are identical to
+    * the unsalted query (same DuckDB oracle SQL verbatim); the salt
+    * expansion is plan-asserted in SkewSpec.
+    */
+  def q5LocalSupplierSalted(spark: SparkSession, dir: String): DataFrame = {
+    val r = broadcast(Tables.region(spark, dir).filter(col("r_name") === "ASIA"))
+    val n = broadcast(Tables.nation(spark, dir))
+    val c = Tables.customer(spark, dir)
+    val s = Tables.supplier(spark, dir)
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit(ts("1996-01-01")) &&
+              col("o_orderdate") < lit(ts("1997-01-01")))
+      .withColumnRenamed("o_orderkey", "l_orderkey")
+    val l = Tables.lineitem(spark, dir)
+    Skew.saltedJoin(l, o, Seq("l_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(s, col("l_suppkey") === col("s_suppkey") &&
+               col("c_nationkey") === col("s_nationkey"))
+      .join(n, col("s_nationkey") === col("n_nationkey"))
+      .join(r, col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(discPriceC).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
   /** TPC-H Q10-style: top 20 customers by returned-item revenue. */
   def q10ReturnedItems(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(spark, dir)

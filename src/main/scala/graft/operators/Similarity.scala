@@ -158,6 +158,36 @@ object Similarity {
     topKBySim(cand, k)
   }
 
+  /** Recall@k of the LSH index against the brute-force ground truth, as
+    * exact integers: per query, `hits` = |lsh top-k ∩ brute top-k| and
+    * the constant `k` — so recall = hits/k is oracle-checkable without
+    * emitting a float. Queries whose bucket had no candidates appear
+    * with hits = 0 (left join from the truth's query set), so a
+    * degenerate index (empty buckets everywhere) reads as all-zeros, not
+    * as a vanished row set.
+    *
+    * This is the index-quality CONTRACT as a driver-visible gate — the
+    * spec-level recall assertion (SimilaritySpec) made reproducible in
+    * SQL. Scale: both inputs are the existing top-k paths (heap
+    * aggregations); the intersection join carries n_queries × k rows —
+    * trivially broadcast-able at any corpus size.
+    */
+  def lshRecall(spark: SparkSession, dir: String, k: Int = 5,
+                queryStride: Int = 50, planes: Int = NumPlanes): DataFrame = {
+    val truth = cosineTopK(spark, dir, k, queryStride)
+      .select(col("q_id"), col("vec_id"))
+    val approx = lshBucketTopK(spark, dir, k, queryStride, planes)
+      .select(col("q_id"), col("vec_id"))
+    val hits = truth.join(approx, Seq("q_id", "vec_id"))
+      .groupBy(col("q_id")).agg(count(lit(1)).as("h"))
+    truth.select(col("q_id")).distinct()
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"),
+        coalesce(col("h"), lit(0L)).as("hits"),
+        lit(k.toLong).as("k"))
+      .orderBy(col("q_id"))
+  }
+
   /** Deterministic fixed-budget codebook: the `k` corpus vectors ranked
     * first by `(md5(vec_id), vec_id)` — a uniform deterministic hash
     * sample whose SIZE is a constant independent of corpus rows (pinned

@@ -89,3 +89,45 @@ class DedupLogStore(spark: SparkSession, root: String,
       .load(targetDir).drop("key_bucket")
   }
 }
+
+object DedupLogStore {
+
+  /** End-to-end log round trip under the correctness gate: derive
+    * attempt rows from `events` (deterministically — recorded state =
+    * protocol rank per key, every 5th event_id pre-expired), APPEND them
+    * through the store (O1 insert + O17 auto-create), COMPACT with a
+    * pinned `now` (O10 TTL reclaim), READ the compacted log back (O2),
+    * and emit per-state row/key counts. The write→compact→read plumbing
+    * collapses in the oracle to the same derivation + TTL filter in pure
+    * SQL — a hash-matched row attests the store preserved exactly the
+    * live rows, byte-for-byte through the parquet round trip.
+    *
+    * The pinned now (2030-01-01) is far beyond every event ts, so the
+    * pre-expired rows (ts + 1 day) are reclaimed and NULL-expiry rows
+    * are immortal — the reference's `USING TTL 0` contract.
+    */
+  def compactionRoundTrip(spark: SparkSession, dir: String,
+                          format: String = "parquet"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dedup_log_").toString
+    val store = new DedupLogStore(spark, s"$tmp/store", format, nBuckets = 16)
+    val now = java.sql.Timestamp.valueOf("2030-01-01 00:00:00")
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    val attempts = graft.Tables.events(spark, dir)
+      .select(
+        concat(col("user_id").cast("string"), lit("_"), col("event_type")).as("key"),
+        col("ts").as("event_time"),
+        col("event_id").cast("string").as("record_uuid"),
+        when(row_number().over(w) === 1, lit(graft.operators.RecordState.Success))
+          .otherwise(lit(graft.operators.RecordState.Duplicate))
+          .cast("smallint").as("state"),
+        when(col("event_id") % 5 === 0, col("ts") + expr("INTERVAL 1 DAY"))
+          .as("expires_at"))
+    store.append("ks", "log", attempts)
+    store.compact("ks", "log", now, s"$tmp/compacted")
+      .groupBy(col("state"))
+      .agg(count(lit(1)).as("n_rows"), countDistinct(col("key")).as("n_keys"))
+      .orderBy(col("state"))
+  }
+}

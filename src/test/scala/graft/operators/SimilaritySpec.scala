@@ -48,6 +48,23 @@ class SimilaritySpec extends SparkSpec {
     info(s"LSH top-1 recall: $hits/${brute.size}")
   }
 
+  test("lshRecall: one row per truth query; hits re-derived from the two top-k sets") {
+    val truth = Similarity.cosineTopK(spark, sfDir)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().groupBy(_._1)
+    val apx = Similarity.lshBucketTopK(spark, sfDir)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().groupBy(_._1)
+    val got = Similarity.lshRecall(spark, sfDir)
+      .select("q_id", "hits", "k").as[(Long, Long, Long)].collect()
+    assert(got.map(_._1).toSet === truth.keySet, "one row per truth query, incl. hits=0")
+    got.foreach { case (q, hits, k) =>
+      assert(k === 5L)
+      val expected = truth(q).map(_._2).toSet
+        .intersect(apx.getOrElse(q, Array.empty).map(_._2).toSet).size.toLong
+      assert(hits === expected, s"q=$q")
+      assert(hits >= 0L && hits <= k)
+    }
+  }
+
   test("ivfTopK: every vector lands in exactly one list; results ranked") {
     val topk = Similarity.ivfTopK(spark, sfDir, k = 5).collect()
     assert(topk.nonEmpty)

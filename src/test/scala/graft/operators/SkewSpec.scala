@@ -46,4 +46,17 @@ class SkewSpec extends SparkSpec {
     val shuffle = salted.queryExecution.executedPlan.toString
     assert(shuffle.contains("__salt") || shuffle.contains("hashpartitioning"))
   }
+
+  test("q5 salted ≡ q5 unsalted; plan shows the salt expansion on the build side") {
+    val plain = Relational.q5LocalSupplier(spark, sfDir)
+    val salted = Relational.q5LocalSupplierSalted(spark, sfDir)
+    assert(salted.columns.toSeq === plain.columns.toSeq)
+    assert(salted.except(plain).isEmpty && plain.except(salted).isEmpty)
+    // the salt is physically present: build-side explode over the salt
+    // array and a join condition carrying __salt
+    val plan = salted.queryExecution.executedPlan.toString
+    assert(plan.contains("__salt"), s"salt column missing from plan:\n${plan.take(800)}")
+    assert(plan.toLowerCase.contains("explode") || plan.contains("Generate"),
+      s"build-side salt expansion missing:\n${plan.take(800)}")
+  }
 }
