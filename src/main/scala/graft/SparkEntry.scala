@@ -132,6 +132,7 @@ object SparkEntry {
     // the LSH index vs the brute-force truth, as exact integers hits/k
     "ann_lsh_recall"          -> ((s, d) => Similarity.lshRecall(s, d)),
     "ann_ivf_topk"            -> ((s, d) => Similarity.ivfTopK(s, d)),
+    "ann_ivf_recall"          -> ((s, d) => Similarity.ivfRecall(s, d)),
     "ann_pq_topk"             -> ((s, d) => Similarity.pqTopK(s, d)),
     "dedup_embedding_cosine"  -> ((s, d) => Similarity.cosineNearDupPairs(s, d)),
     // ── multimodal: metadata pruning path + real container decode ──
@@ -193,6 +194,48 @@ object SparkEntry {
        |         FROM embeddings
        |         ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
        |         LIMIT ${operators.Similarity.CodebookK})""".stripMargin
+
+  /** Shared recall-row SQL pieces: brute-force truth top-5 at stride 50,
+    * and the hits/k aggregation tail over a CTE named `apx`.
+    */
+  private val truthCte =
+    s"""truth AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT a.vec_id AS q_id, b.vec_id AS vec_id, $cosineSql AS sim,
+       |      row_number() OVER (PARTITION BY a.vec_id ORDER BY $cosineSql DESC, b.vec_id) AS rk
+       |    FROM embeddings a, embeddings b
+       |    WHERE a.vec_id % 50 = 0 AND b.vec_id <> a.vec_id)
+       |  WHERE rk <= 5)""".stripMargin
+  private val recallTail =
+    """h AS (SELECT t.q_id, count(*) AS hits FROM truth t
+      |      JOIN apx x ON t.q_id = x.q_id AND t.vec_id = x.vec_id GROUP BY 1)
+      |SELECT q.q_id, CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+      |       CAST(5 AS BIGINT) AS k
+      |FROM (SELECT DISTINCT q_id FROM truth) q
+      |LEFT JOIN h ON q.q_id = h.q_id""".stripMargin
+
+  /** IVF pipeline CTEs (assigned/probes/s) shared by the top-k and
+    * recall rows.
+    */
+  private val ivfCtes =
+    s"""assigned AS (
+       |  SELECT vec_id, embedding, cent_id AS list_id FROM (
+       |    SELECT e.vec_id, e.embedding, c.cent_id,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosSql("e.embedding", "c.cent_emb")} DESC, c.cent_id) AS arnk
+       |    FROM embeddings e, cent c)
+       |  WHERE arnk = 1),
+       |probes AS (
+       |  SELECT q_id, q_emb, cent_id AS list_id FROM (
+       |    SELECT e.vec_id AS q_id, e.embedding AS q_emb, c.cent_id,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosSql("e.embedding", "c.cent_emb")} DESC, c.cent_id) AS prnk
+       |    FROM embeddings e, cent c WHERE e.vec_id % 50 = 0)
+       |  WHERE prnk <= 4),
+       |s AS (
+       |  SELECT p.q_id, a.vec_id, ${cosSql("p.q_emb", "a.embedding")} AS sim
+       |  FROM probes p JOIN assigned a ON p.list_id = a.list_id
+       |  WHERE a.vec_id <> p.q_id)""".stripMargin
 
   private val q5Sql =
     s"""SELECT n_name, CAST(SUM($discPriceC) AS BIGINT) AS revenue
@@ -739,13 +782,7 @@ object SparkEntry {
     // zero-candidate queries surface as hits = 0 via the left join.
     "ann_lsh_recall" ->
       s"""WITH ${lshBucketCte()},
-         |truth AS (
-         |  SELECT q_id, vec_id FROM (
-         |    SELECT a.vec_id AS q_id, b.vec_id AS vec_id, $cosineSql AS sim,
-         |      row_number() OVER (PARTITION BY a.vec_id ORDER BY $cosineSql DESC, b.vec_id) AS rk
-         |    FROM embeddings a, embeddings b
-         |    WHERE a.vec_id % 50 = 0 AND b.vec_id <> a.vec_id)
-         |  WHERE rk <= 5),
+         |$truthCte,
          |apx AS (
          |  SELECT q_id, vec_id FROM (
          |    SELECT a.vec_id AS q_id, b.vec_id AS vec_id, $cosineSql AS sim,
@@ -753,36 +790,26 @@ object SparkEntry {
          |    FROM emb a JOIN emb b ON a.bucket = b.bucket
          |    WHERE a.vec_id % 50 = 0 AND b.vec_id <> a.vec_id)
          |  WHERE rk <= 5),
-         |h AS (SELECT t.q_id, count(*) AS hits FROM truth t
-         |      JOIN apx x ON t.q_id = x.q_id AND t.vec_id = x.vec_id GROUP BY 1)
-         |SELECT q.q_id, CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
-         |       CAST(5 AS BIGINT) AS k
-         |FROM (SELECT DISTINCT q_id FROM truth) q
-         |LEFT JOIN h ON q.q_id = h.q_id""".stripMargin,
+         |$recallTail""".stripMargin,
     "ann_ivf_topk" ->
       s"""WITH $centCte,
-         |assigned AS (
-         |  SELECT vec_id, embedding, cent_id AS list_id FROM (
-         |    SELECT e.vec_id, e.embedding, c.cent_id,
-         |      row_number() OVER (PARTITION BY e.vec_id
-         |        ORDER BY ${cosSql("e.embedding", "c.cent_emb")} DESC, c.cent_id) AS arnk
-         |    FROM embeddings e, cent c)
-         |  WHERE arnk = 1),
-         |probes AS (
-         |  SELECT q_id, q_emb, cent_id AS list_id FROM (
-         |    SELECT e.vec_id AS q_id, e.embedding AS q_emb, c.cent_id,
-         |      row_number() OVER (PARTITION BY e.vec_id
-         |        ORDER BY ${cosSql("e.embedding", "c.cent_emb")} DESC, c.cent_id) AS prnk
-         |    FROM embeddings e, cent c WHERE e.vec_id % 50 = 0)
-         |  WHERE prnk <= 4),
-         |s AS (
-         |  SELECT p.q_id, a.vec_id, ${cosSql("p.q_emb", "a.embedding")} AS sim
-         |  FROM probes p JOIN assigned a ON p.list_id = a.list_id
-         |  WHERE a.vec_id <> p.q_id)
+         |$ivfCtes
          |SELECT q_id, vec_id, sim, CAST(rk AS BIGINT) AS rnk
          |FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rk
          |      FROM s)
          |WHERE rk <= 5""".stripMargin,
+    // recall@k of the IVF index vs brute force — second index family
+    // under the same exact-integer recall contract as ann_lsh_recall
+    "ann_ivf_recall" ->
+      s"""WITH $centCte,
+         |$ivfCtes,
+         |apx AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rk
+         |    FROM s)
+         |  WHERE rk <= 5),
+         |$truthCte,
+         |$recallTail""".stripMargin,
     // PQ/ADC: all distances are floor(1e6·L2²) integers (identical
     // left-to-right double folds in both engines, then exact floor), so
     // argmin codes and ADC sums are pure integer arithmetic

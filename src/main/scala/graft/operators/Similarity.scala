@@ -173,14 +173,30 @@ object Similarity {
     * trivially broadcast-able at any corpus size.
     */
   def lshRecall(spark: SparkSession, dir: String, k: Int = 5,
-                queryStride: Int = 50, planes: Int = NumPlanes): DataFrame = {
-    val truth = cosineTopK(spark, dir, k, queryStride)
-      .select(col("q_id"), col("vec_id"))
-    val approx = lshBucketTopK(spark, dir, k, queryStride, planes)
-      .select(col("q_id"), col("vec_id"))
-    val hits = truth.join(approx, Seq("q_id", "vec_id"))
+                queryStride: Int = 50, planes: Int = NumPlanes): DataFrame =
+    recallVsTruth(cosineTopK(spark, dir, k, queryStride),
+      lshBucketTopK(spark, dir, k, queryStride, planes), k)
+
+  /** Recall@k of the IVF index against the brute-force truth — same
+    * contract as [[lshRecall]], second index family under the gate.
+    */
+  def ivfRecall(spark: SparkSession, dir: String, k: Int = 5,
+                queryStride: Int = 50): DataFrame =
+    recallVsTruth(cosineTopK(spark, dir, k, queryStride),
+      ivfTopK(spark, dir, k, queryStride), k)
+
+  /** Shared recall machinery: per truth query, |approx ∩ truth| as
+    * `hits` plus the constant `k`. Left join from the truth's query set
+    * so empty approx result sets read as hits = 0, never as missing
+    * rows.
+    */
+  private def recallVsTruth(truth: DataFrame, approx: DataFrame,
+                            k: Int): DataFrame = {
+    val t = truth.select(col("q_id"), col("vec_id"))
+    val a = approx.select(col("q_id"), col("vec_id"))
+    val hits = t.join(a, Seq("q_id", "vec_id"))
       .groupBy(col("q_id")).agg(count(lit(1)).as("h"))
-    truth.select(col("q_id")).distinct()
+    t.select(col("q_id")).distinct()
       .join(hits, Seq("q_id"), "left")
       .select(col("q_id"),
         coalesce(col("h"), lit(0L)).as("hits"),
