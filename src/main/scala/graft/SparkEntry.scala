@@ -110,6 +110,8 @@ object SparkEntry {
     "text_pack_assign"   -> ((s, d) => TextOps.packAssign(s, d)),
     "dedup_contamination" -> ((s, d) => TextOps.trainTestContamination(s, d)),
     "text_corpus_profile" -> (TextOps.corpusProfile _),
+    // C4/Gopher repeated-n-gram signal as two exact int64s per doc
+    "text_repetition"    -> (TextOps.repetition _),
     "dedup_exact_text"   -> (TextOps.exactDedup _),
     // ── near-dup dedup at scale ──
     "dedup_minhash_lsh"       -> ((s, d) => MinHash.minhashDedup(s, d)),
@@ -133,6 +135,7 @@ object SparkEntry {
     "ann_lsh_recall"          -> ((s, d) => Similarity.lshRecall(s, d)),
     "ann_ivf_topk"            -> ((s, d) => Similarity.ivfTopK(s, d)),
     "ann_ivf_recall"          -> ((s, d) => Similarity.ivfRecall(s, d)),
+    "ann_pq_recall"           -> ((s, d) => Similarity.pqRecall(s, d)),
     "ann_pq_topk"             -> ((s, d) => Similarity.pqTopK(s, d)),
     "dedup_embedding_cosine"  -> ((s, d) => Similarity.cosineNearDupPairs(s, d)),
     // ── multimodal: metadata pruning path + real container decode ──
@@ -236,6 +239,28 @@ object SparkEntry {
        |  SELECT p.q_id, a.vec_id, ${cosSql("p.q_emb", "a.embedding")} AS sim
        |  FROM probes p JOIN assigned a ON p.list_id = a.list_id
        |  WHERE a.vec_id <> p.q_id)""".stripMargin
+
+  /** PQ pipeline CTEs (vd/codes/qd/adc) shared by the top-k and recall
+    * rows.
+    */
+  private val pqCtes =
+    """vd AS (
+      |  SELECT e.vec_id, c.cent_id, s.s,
+      |    CAST(floor(list_sum(list_transform(
+      |      list_zip(list_slice(e.embedding, s.s * 8 + 1, s.s * 8 + 8),
+      |               list_slice(c.cent_emb, s.s * 8 + 1, s.s * 8 + 8)),
+      |      z -> (z[1]::DOUBLE - z[2]::DOUBLE) * (z[1]::DOUBLE - z[2]::DOUBLE)))
+      |      * 1000000) AS BIGINT) AS dq
+      |  FROM embeddings e, cent c, unnest(range(0, 8)) s(s)),
+      |codes AS (SELECT vec_id, s, cent_id AS code FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY vec_id, s
+      |    ORDER BY dq, cent_id) AS rn FROM vd) WHERE rn = 1),
+      |qd AS (SELECT vec_id AS q_id, cent_id, s, dq FROM vd WHERE vec_id % 50 = 0),
+      |adc AS (
+      |  SELECT q.q_id, c.vec_id, CAST(SUM(q.dq) AS BIGINT) AS adc_dist
+      |  FROM codes c JOIN qd q ON q.s = c.s AND q.cent_id = c.code
+      |  WHERE c.vec_id <> q.q_id
+      |  GROUP BY 1, 2)""".stripMargin
 
   private val q5Sql =
     s"""SELECT n_name, CAST(SUM($discPriceC) AS BIGINT) AS revenue
@@ -680,6 +705,16 @@ object SparkEntry {
         |          t -> t IN ('the','a','of','and','is','to','in'))) AS BIGINT) AS n_stopwords
         |      FROM documents)
         |GROUP BY 1""".stripMargin,
+    // repeated-n-gram signal: total 3-gram positions vs distinct 3-grams
+    // (repeated fraction = 1 − n_distinct/n_grams, exact from the ints)
+    "text_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(tok[i:i+2], ' ') AS shingle
+        |       FROM t, unnest(range(1, len(tok) - 1)) u(i)),
+        |d AS (SELECT doc_id, count(*) AS n_distinct FROM sh GROUP BY 1)
+        |SELECT t.doc_id, CAST(greatest(len(tok) - 2, 0) AS BIGINT) AS n_grams,
+        |       CAST(COALESCE(d.n_distinct, 0) AS BIGINT) AS n_distinct
+        |FROM t LEFT JOIN d ON t.doc_id = d.doc_id""".stripMargin,
     "dedup_exact_text" ->
       """SELECT min(doc_id) AS doc_id, md5(lower(trim(text))) AS fp, count(*) AS n_copies
         |FROM documents GROUP BY md5(lower(trim(text)))""".stripMargin,
@@ -815,27 +850,24 @@ object SparkEntry {
     // argmin codes and ADC sums are pure integer arithmetic
     "ann_pq_topk" ->
       s"""WITH $centCte,
-        |vd AS (
-        |  SELECT e.vec_id, c.cent_id, s.s,
-        |    CAST(floor(list_sum(list_transform(
-        |      list_zip(list_slice(e.embedding, s.s * 8 + 1, s.s * 8 + 8),
-        |               list_slice(c.cent_emb, s.s * 8 + 1, s.s * 8 + 8)),
-        |      z -> (z[1]::DOUBLE - z[2]::DOUBLE) * (z[1]::DOUBLE - z[2]::DOUBLE)))
-        |      * 1000000) AS BIGINT) AS dq
-        |  FROM embeddings e, cent c, unnest(range(0, 8)) s(s)),
-        |codes AS (SELECT vec_id, s, cent_id AS code FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY vec_id, s
-        |    ORDER BY dq, cent_id) AS rn FROM vd) WHERE rn = 1),
-        |qd AS (SELECT vec_id AS q_id, cent_id, s, dq FROM vd WHERE vec_id % 50 = 0),
-        |adc AS (
-        |  SELECT q.q_id, c.vec_id, CAST(SUM(q.dq) AS BIGINT) AS adc_dist
-        |  FROM codes c JOIN qd q ON q.s = c.s AND q.cent_id = c.code
-        |  WHERE c.vec_id <> q.q_id
-        |  GROUP BY 1, 2)
+        |$pqCtes
         |SELECT q_id, vec_id, adc_dist, CAST(rk AS BIGINT) AS rnk
         |FROM (SELECT *, row_number() OVER (PARTITION BY q_id
         |        ORDER BY adc_dist, vec_id) AS rk FROM adc)
         |WHERE rk <= 5""".stripMargin,
+    // recall@k of the PQ code scan vs brute force — the compressed-
+    // domain index under the same exact-integer recall contract; ranks
+    // by ADC distance, so the row measures quantization loss end-to-end
+    "ann_pq_recall" ->
+      s"""WITH $centCte,
+        |$pqCtes,
+        |apx AS (
+        |  SELECT q_id, vec_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY q_id
+        |      ORDER BY adc_dist, vec_id) AS rk FROM adc)
+        |  WHERE rk <= 5),
+        |$truthCte,
+        |$recallTail""".stripMargin,
     "dedup_embedding_cosine" ->
       s"""WITH ${lshBucketCte()},
          |p AS (

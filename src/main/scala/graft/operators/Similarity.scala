@@ -185,6 +185,16 @@ object Similarity {
     recallVsTruth(cosineTopK(spark, dir, k, queryStride),
       ivfTopK(spark, dir, k, queryStride), k)
 
+  /** Recall@k of the PQ code scan against the brute-force truth — the
+    * compressed-domain index under the same contract. PQ ranks by
+    * integer ADC distance (not cosine), so its recall measures the
+    * quantization loss end-to-end.
+    */
+  def pqRecall(spark: SparkSession, dir: String, k: Int = 5,
+               queryStride: Int = 50): DataFrame =
+    recallVsTruth(cosineTopK(spark, dir, k, queryStride),
+      pqTopK(spark, dir, k, queryStride), k)
+
   /** Shared recall machinery: per truth query, |approx ∩ truth| as
     * `hits` plus the constant `k`. Left join from the truth's query set
     * so empty approx result sets read as hits = 0, never as missing

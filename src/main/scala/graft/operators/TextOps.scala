@@ -265,6 +265,30 @@ object TextOps {
       .withColumn("token_id", row_number().over(w).cast("bigint"))
   }
 
+  /** Intra-document repetition (the C4/Gopher repeated-n-gram quality
+    * signal): per doc, the total 3-gram position count and the DISTINCT
+    * 3-gram count. The repeated fraction is 1 − n_distinct/n_grams,
+    * derivable exactly from the two int64s — no float ratio crosses the
+    * oracle, so the row is hash-stable. A doc whose repeated fraction is
+    * high is boilerplate/spam; the standard pre-training corpus filter
+    * thresholds on exactly this pair.
+    *
+    * Scale: one codegen pass per row (WordShingles kernel + size) — zero
+    * shuffle; the distinct-shingle count comes from the per-doc array,
+    * never a global explode+distinct.
+    */
+  def repetition(spark: SparkSession, dir: String): DataFrame =
+    repetitionOf(Tables.documents(spark, dir)).orderBy(col("doc_id"))
+
+  /** [[repetition]] over any (doc_id, text) frame — spec entry point. */
+  private[graft] def repetitionOf(docs: DataFrame): DataFrame = {
+    val n = size(tokens(col("text"))).cast("bigint")
+    docs.select(col("doc_id"),
+      greatest(n - lit(2L), lit(0L)).as("n_grams"),
+      size(graft.functions.functions.word_shingles(
+        col("text"), MinHash.ShingleSize)).cast("bigint").as("n_distinct"))
+  }
+
   /** Document length histogram: docs per 10-token bucket — the corpus
     * shape dashboard (a skewed histogram is the first sign of a broken
     * extraction step upstream).

@@ -187,6 +187,21 @@ class TextSpec extends SparkSpec {
     assert(MinHash.minhashSurvivors(spark, sfDir).count() === total - dropped)
   }
 
+  test("repetition: planted loop doc reads high, varied doc reads zero-repeat") {
+    val docs = Seq(
+      (1L, "a b c a b c a b c"),          // 7 gram positions, 3 distinct
+      (2L, "one two three four five six"), // 4 positions, all distinct
+      (3L, "x y")                          // under shingle size: 0 / 0
+    ).toDF("doc_id", "text")
+    val got = TextOps.repetitionOf(docs)
+      .select("doc_id", "n_grams", "n_distinct").as[(Long, Long, Long)]
+      .collect().sortBy(_._1)
+    assert(got.toSeq === Seq((1L, 7L, 3L), (2L, 4L, 4L), (3L, 0L, 0L)))
+    // invariant on the real corpus: distinct never exceeds positions
+    TextOps.repetition(spark, sfDir).as[(Long, Long, Long)].collect()
+      .foreach { case (id, g, d) => assert(d <= g, s"doc $id") }
+  }
+
   test("vocab: token_id is the (n desc, token) rank of the row values") {
     // independent driver-side re-derivation: ids must be a pure function
     // of the (token, n) values, not of any physical partition order
