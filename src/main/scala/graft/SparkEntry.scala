@@ -68,6 +68,7 @@ object SparkEntry {
             operators.Skew.SaltedMin("ts", "first_time"),
             operators.Skew.SaltedMax("ts", "last_time")))),
     "q_top_parts_per_brand" -> (Relational.qTopPartsPerBrand _),
+    "q8_market_share"       -> (Relational.q8MarketShare _),
     "q9_profit_by_nation"   -> (Relational.q9ProfitByNation _),
     "q12_late_shipments"    -> (Relational.q12LateShipments _),
     "q13_order_distribution" -> (Relational.q13OrderDistribution _),
@@ -416,6 +417,23 @@ object SparkEntry {
          |JOIN nation ON c_nationkey = n_nationkey
          |JOIN region ON n_regionkey = r_regionkey
          |GROUP BY 1""".stripMargin,
+    // share = nation_volume_c / total_volume_c, derivable exactly from
+    // the two int64s — no float division crosses the hash gate
+    "q8_market_share" ->
+      s"""SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+         |  CAST(SUM(CASE WHEN n2.n_name = 'NATION_1' THEN $discPriceC ELSE 0 END) AS BIGINT) AS nation_volume_c,
+         |  CAST(SUM($discPriceC) AS BIGINT) AS total_volume_c
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+         |JOIN region ON n1.n_regionkey = r_regionkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+         |WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+         |GROUP BY 1 ORDER BY o_year""".stripMargin,
     "q9_profit_by_nation" ->
       s"""SELECT n_name AS nation, CAST(year(l_shipdate) AS BIGINT) AS o_year,
          |  CAST(SUM($discPriceC) AS BIGINT) AS profit

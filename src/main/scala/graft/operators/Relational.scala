@@ -314,6 +314,45 @@ object Relational {
       .orderBy(col("nation"), col("o_year"))
   }
 
+  /** TPC-H Q8-style national market share: within one region's market
+    * (customer side), for one part type over two years, the chosen
+    * supplier nation's revenue vs the total — emitted as exact int64
+    * numerator/denominator (share = nation_volume_c/total_volume_c;
+    * no float division crosses the oracle). Two roles of `nation`
+    * (customer's → region filter, supplier's → share bucket) join as
+    * two broadcasts of the constant-size table — the classic
+    * dimension-role-playing shape.
+    */
+  def q8MarketShare(spark: SparkSession, dir: String): DataFrame = {
+    val r = broadcast(Tables.region(spark, dir).filter(col("r_name") === "AMERICA"))
+    val n1 = broadcast(Tables.nation(spark, dir)
+      .select(col("n_nationkey"), col("n_regionkey")))
+    val n2 = broadcast(Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("s_nkey"), col("n_name").as("supp_nation")))
+    val p = Tables.part(spark, dir).filter(col("p_type") === "ECONOMY")
+      .select(col("p_partkey"))
+    val s = Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_nationkey"))
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit(ts("1996-01-01")) &&
+              col("o_orderdate") < lit(ts("1998-01-01")))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+    val c = Tables.customer(spark, dir).select(col("c_custkey"), col("c_nationkey"))
+    Tables.lineitem(spark, dir)
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(n1, col("c_nationkey") === col("n_nationkey"))
+      .join(r, col("n_regionkey") === col("r_regionkey"))
+      .join(s, col("l_suppkey") === col("s_suppkey"))
+      .join(n2, col("s_nationkey") === col("s_nkey"))
+      .groupBy(year(col("o_orderdate")).cast("bigint").as("o_year"))
+      .agg(
+        sum(when(col("supp_nation") === "NATION_1", discPriceC)
+          .otherwise(lit(0L))).as("nation_volume_c"),
+        sum(discPriceC).as("total_volume_c"))
+      .orderBy(col("o_year"))
+  }
+
   /** TPC-H Q12-style: late shipments (> 60 days after order date) split
     * into high/low priority counts per line status — the CASE-aggregation
     * shape.
