@@ -97,6 +97,9 @@ object SparkEntry {
     "q_embedding_label_stats" -> ((s, d) => operators.Similarity.labelStats(s, d)),
     "q_events_value_stats"  -> (Relational.qEventsValueStats _),
     "q_asof_attribution"    -> (operators.AsOf.purchaseAttribution _),
+    // same attribution through the custom merge SparkPlan (plans/
+    // AsOfMergeJoin) — same oracle SQL verbatim, different physical op
+    "q_asof_attribution_exec" -> (operators.AsOf.purchaseAttributionExec _),
     "text_ngram_freq"       -> ((s, d) => graft.operators.TextOps.ngramFreq(s, d)),
     "q_set_ops"             -> (Relational.qSetOps _),
     // ── text analysis ──
@@ -262,6 +265,19 @@ object SparkEntry {
       |  FROM codes c JOIN qd q ON q.s = c.s AND q.cent_id = c.code
       |  WHERE c.vec_id <> q.q_id
       |  GROUP BY 1, 2)""".stripMargin
+
+  private val asofSql =
+    """WITH u AS (
+      |  SELECT user_id, ts, event_id, 1 AS is_left, NULL::BIGINT AS rv
+      |  FROM events WHERE event_type = 'purchase'
+      |  UNION ALL
+      |  SELECT user_id, ts, event_id, 0, event_id
+      |  FROM events WHERE event_type = 'view'),
+      |w AS (SELECT *, last_value(rv IGNORE NULLS) OVER (PARTITION BY user_id
+      |        ORDER BY ts, is_left, event_id ROWS UNBOUNDED PRECEDING) AS vw
+      |      FROM u)
+      |SELECT event_id AS purchase_id, user_id, ts, vw AS view_event_id
+      |FROM w WHERE is_left = 1""".stripMargin
 
   private val q5Sql =
     s"""SELECT n_name, CAST(SUM($discPriceC) AS BIGINT) AS revenue
@@ -552,18 +568,9 @@ object SparkEntry {
         |FROM (SELECT event_type,
         |        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
         |GROUP BY 1""".stripMargin,
-    "q_asof_attribution" ->
-      """WITH u AS (
-        |  SELECT user_id, ts, event_id, 1 AS is_left, NULL::BIGINT AS rv
-        |  FROM events WHERE event_type = 'purchase'
-        |  UNION ALL
-        |  SELECT user_id, ts, event_id, 0, event_id
-        |  FROM events WHERE event_type = 'view'),
-        |w AS (SELECT *, last_value(rv IGNORE NULLS) OVER (PARTITION BY user_id
-        |        ORDER BY ts, is_left, event_id ROWS UNBOUNDED PRECEDING) AS vw
-        |      FROM u)
-        |SELECT event_id AS purchase_id, user_id, ts, vw AS view_event_id
-        |FROM w WHERE is_left = 1""".stripMargin,
+    "q_asof_attribution" -> asofSql,
+    // custom merge exec: semantics identical by contract, same oracle
+    "q_asof_attribution_exec" -> asofSql,
     "q_events_value_stats" ->
       """SELECT event_type, count(*) AS n, min(value) AS min_value,
         |  max(value) AS max_value, count(DISTINCT user_id) AS n_users

@@ -54,4 +54,23 @@ object AsOf {
       .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"),
         col("asof_view_event_id").as("view_event_id"))
   }
+
+  /** [[purchaseAttribution]] through the custom merge operator
+    * ([[graft.plans.AsOfMergeJoin]]) instead of the union+window
+    * composition — same rows (shared DuckDB oracle), different physical
+    * strategy: each side shuffles itself once and a streamed two-pointer
+    * merge replaces the window machinery.
+    */
+  def purchaseAttributionExec(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val views = e.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_id").as("view_event_id"))
+    graft.plans.AsOfMergeJoin.asOf(
+        purchases, views, Seq("user_id"), "ts", "event_id", "view_event_id")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"),
+        col("asof_view_event_id").as("view_event_id"))
+  }
 }

@@ -115,6 +115,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => FirstWinsRewrite)
+    e.injectPlannerStrategy(_ => AsOfJoinStrategy)
     e.injectFunction(fn("cosine_sim",
       "cosine_sim(a, b) - cosine similarity of two float vectors") {
       case Seq(a, b) => CosineSim(a, b)
