@@ -58,6 +58,34 @@ class AsOfMergeJoinSpec extends SparkSpec {
       s"expected exactly two exchanges (one per side):\n${plan.take(1200)}")
   }
 
+  test("property: exec ≡ composed on random keyed time series (ties, gaps, lone keys)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val s = spark; import s.implicits._
+    val keyGen = Gen.oneOf("k1", "k2", "k3", "k4", "k5")
+    // coarse 0..12 offsets force plenty of same-timestamp collisions
+    def rowsGen(n: Int) = Gen.listOfN(n,
+      Gen.zip(keyGen, Gen.chooseNum(0L, 12L)))
+    (1 to 6).foreach { i =>
+      val params = Gen.Parameters.default
+      def ts(off: Long) =
+        java.sql.Timestamp.from(t("2024-01-01 00:00:00").toInstant.plusSeconds(off))
+      val lRows = rowsGen(40).apply(params, Seed(100L + i)).get
+        .zipWithIndex.map { case ((k, off), ix) => (k, ts(off), ix.toLong) }
+      val rRows = rowsGen(40).apply(params, Seed(200L + i)).get
+        .zipWithIndex.map { case ((k, off), ix) => (k, ts(off), 1000L + ix, 5000L + ix) }
+      val left = lRows.toDF("key", "ts", "id")
+      val right = rRows.toDF("key", "ts", "id", "v")
+      val exec = AsOfMergeJoin.asOf(left, right, Seq("key"), "ts", "id", "v")
+        .select("key", "id", "asof_v").as[(String, Long, Option[Long])]
+        .collect().toSet
+      val composed = AsOf.asOfJoin(left, right, Seq("key"), "ts", "id", "v")
+        .select(col("key"), col("id"), col("asof_v"))
+        .as[(String, Long, Option[Long])].collect().toSet
+      assert(exec === composed, s"sample $i diverged")
+    }
+  }
+
   test("result independent of input partitioning") {
     val e = graft.Tables.events(spark, sfDir)
     def run(parts: Int) = {
