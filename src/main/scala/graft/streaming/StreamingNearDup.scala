@@ -35,9 +35,38 @@ object StreamingNearDup {
   case class Doc(doc_id: Long, text: String, event_time: Timestamp)
   case class CandPair(doc_a: Long, doc_b: Long, band_id: Int)
 
+  /** [[CandPair]] plus the arrival's event time — the clock the bounded
+    * verify stage ([[StreamingVerify.verifiedPairsBounded]]) keys its
+    * watermark-scoped dedup state on.
+    */
+  case class TimedCandPair(doc_a: Long, doc_b: Long, band_id: Int,
+                           event_time: Timestamp)
+
   def candidates(docs: Dataset[Doc], maxDocsPerBand: Int = 256,
                  ttlMillis: Long = 0, watermarkDelay: String = "0 seconds")
                 (implicit spark: SparkSession): Dataset[CandPair] = {
+    import spark.implicits._
+    candidateCore[CandPair](docs, maxDocsPerBand, ttlMillis, watermarkDelay,
+      (a, b, band, _) => CandPair(a, b, band))
+  }
+
+  /** [[candidates]] with each pair stamped by the triggering arrival's
+    * event time — same state machine, richer output for bounded
+    * downstream dedup.
+    */
+  def candidatesTimed(docs: Dataset[Doc], maxDocsPerBand: Int = 256,
+                      ttlMillis: Long = 0, watermarkDelay: String = "0 seconds")
+                     (implicit spark: SparkSession): Dataset[TimedCandPair] = {
+    import spark.implicits._
+    candidateCore[TimedCandPair](docs, maxDocsPerBand, ttlMillis, watermarkDelay,
+      (a, b, band, t) => TimedCandPair(a, b, band, t))
+  }
+
+  private def candidateCore[T: org.apache.spark.sql.Encoder](
+      docs: Dataset[Doc], maxDocsPerBand: Int,
+      ttlMillis: Long, watermarkDelay: String,
+      emit: (Long, Long, Int, Timestamp) => T)
+      (implicit spark: SparkSession): Dataset[T] = {
     import spark.implicits._
     import graft.functions.functions._
     import graft.operators.MinHash.{BandRows, NumHashes, ShingleSize}
@@ -60,7 +89,7 @@ object StreamingNearDup {
       .as[(Long, Timestamp, Int, String)]
     banded
       .groupByKey { case (_, _, bandId, bandKey) => s"$bandId|$bandKey" }
-      .flatMapGroupsWithState[List[Long], CandPair](
+      .flatMapGroupsWithState[List[Long], T](
         OutputMode.Append,
         if (ttlMillis > 0) GroupStateTimeout.EventTimeTimeout
         else GroupStateTimeout.NoTimeout) {
@@ -72,16 +101,19 @@ object StreamingNearDup {
           } else {
             val bandId = key.takeWhile(_ != '|').toInt
             val batch = rows.toSeq
-            // deterministic intra-batch order
-            val arrivals = batch.map(_._1).distinct.sorted
+            // deterministic intra-batch order; each arrival keeps its max
+            // event time as the pair stamp
+            val arrivalTimes = batch.groupBy(_._1)
+              .map { case (id, rs) => id -> rs.map(_._2).maxBy(_.getTime) }
+            val arrivals = arrivalTimes.keys.toSeq.sorted
             val seen = state.getOption.getOrElse(Nil)
-            val out = scala.collection.mutable.ArrayBuffer.empty[CandPair]
+            val out = scala.collection.mutable.ArrayBuffer.empty[T]
             var acc = seen
             arrivals.foreach { id =>
               if (!acc.contains(id)) {
                 acc.take(maxDocsPerBand).foreach { prev =>
                   val (a, b) = if (prev < id) (prev, id) else (id, prev)
-                  out += CandPair(a, b, bandId)
+                  out += emit(a, b, bandId, arrivalTimes(id))
                 }
                 acc = id :: acc
               }

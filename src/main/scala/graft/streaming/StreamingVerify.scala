@@ -34,7 +34,7 @@ import graft.operators.MinHash
   * DataFrame with (doc_id, shingles).
   */
 object StreamingVerify {
-  import StreamingNearDup.CandPair
+  import StreamingNearDup.{CandPair, TimedCandPair}
 
   def verifiedPairs(cands: Dataset[CandPair], shingleStore: DataFrame,
                     sink: ExactlyOnceSink, checkpointDir: String,
@@ -47,6 +47,51 @@ object StreamingVerify {
     }
     cands
       .dropDuplicates("doc_a", "doc_b")
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch(verifyBatch)
+      .start()
+  }
+
+  /** [[verifiedPairs]] with BOUNDED dedup state — the shape the scaladoc
+    * above prescribes when candidate-pair volume pressures the unbounded
+    * `dropDuplicates`: `dropDuplicatesWithinWatermark` keyed on the pair,
+    * clocked by the candidate's event time ([[TimedCandPair]]). State for
+    * a pair is reclaimed once the watermark passes its event time +
+    * `withinWatermark`, so state size is bounded by the pair RATE inside
+    * the window, independent of stream lifetime — the same reclamation
+    * contract as the band TTL upstream.
+    *
+    * Tradeoff (the documented one, pinned in StreamingBoundedVerifySpec):
+    * a near-dup pair re-surfacing AFTER its dedup window re-verifies —
+    * at-least-once pairs with bounded state, versus exactly-once pairs
+    * with state ∝ all pairs ever. Downstream consumers treat verified
+    * pairs as an idempotent upsert (pair ids are the key), so re-emission
+    * is safe.
+    *
+    * Requires `spark.sql.streaming.statefulOperator.checkCorrectness
+    * .enabled=false`: Spark's global-watermark check conservatively
+    * rejects ANY stateful op downstream of flatMapGroupsWithState. Here
+    * the emitted pair's stamp IS the triggering arrival's event time —
+    * rows are stamped no earlier than the inputs that produced them, so
+    * they are not late to the downstream dedup; the static check just
+    * cannot see that.
+    */
+  def verifiedPairsBounded(cands: Dataset[TimedCandPair], shingleStore: DataFrame,
+                           sink: ExactlyOnceSink, checkpointDir: String,
+                           threshold: Double = 0.5,
+                           withinWatermark: String = "10 minutes"): StreamingQuery = {
+    val verifyBatch: (Dataset[TimedCandPair], Long) => Unit = (batch, batchId) => {
+      val verified = MinHash.exactJaccard(
+          batch.toDF().select(col("doc_a"), col("doc_b")).distinct(),
+          shingleStore)
+        .filter(col("jaccard") >= threshold)
+      sink.writer(verified, batchId)
+    }
+    cands
+      .withWatermark("event_time", withinWatermark)
+      .dropDuplicatesWithinWatermark("doc_a", "doc_b")
       .writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
