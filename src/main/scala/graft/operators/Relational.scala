@@ -511,13 +511,20 @@ object Relational {
   /** Sessionization over the events stream table: windows + lag + running
     * sum. A new session starts after a >30 min gap per user.
     */
-  def qEventsSessionize(spark: SparkSession, dir: String): DataFrame = {
+  def qEventsSessionize(spark: SparkSession, dir: String): DataFrame =
+    sessionize(Tables.events(spark, dir))
+
+  /** [[qEventsSessionize]] over any (user_id, ts, event_id) frame — the
+    * shared definition the streaming twin
+    * ([[graft.streaming.StreamingSessionize]]) pins parity against.
+    */
+  private[graft] def sessionize(events: DataFrame, gapSeconds: Long = 1800): DataFrame = {
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    Tables.events(spark, dir)
+    events
       .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
       .withColumn("new_session",
         when(col("prev_ts").isNull ||
-             unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800, 1)
+             unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > gapSeconds, 1)
           .otherwise(0))
       .withColumn("session_id", sum(col("new_session")).over(
         byUser.rowsBetween(Window.unboundedPreceding, 0)))

@@ -1,0 +1,77 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming sessionization — the continuous twin of the batch
+  * gap-sessionizer ([[graft.operators.Relational.sessionize]], oracle row
+  * `q_events_sessionize`): per user, events closer than `gapSeconds`
+  * belong to one session; a session CLOSES when the event-time watermark
+  * passes its last event + gap, and only closed sessions are emitted
+  * (append mode has no second chance — an open session may still grow).
+  *
+  * Parity contract (pinned in StreamingSessionizeSpec): for sessions the
+  * watermark has closed, (user_id, session_id, n_events, session_start,
+  * session_end) equals the batch sessionizer on the same events,
+  * including the per-user 1-based session numbering in time order and
+  * the batch gap convention (epoch-SECOND difference > gap — batch uses
+  * `unix_timestamp`, which truncates sub-second precision).
+  *
+  * State per user: the open session (4 longs) plus the session counter —
+  * constant size, reclaimed down to the counter when a session closes.
+  * The counter survives closure so later sessions keep the batch
+  * numbering; at 100 TB that residual is 3 longs per user ever seen,
+  * the same order as any per-user aggregate state.
+  */
+object StreamingSessionize {
+
+  case class Ev(user_id: Long, ts: Timestamp, event_id: Long)
+  case class Session(user_id: Long, session_id: Long, n_events: Long,
+                     session_start: Timestamp, session_end: Timestamp)
+
+  def sessionize(events: Dataset[Ev], gapSeconds: Long = 1800,
+                 watermarkDelay: String = "0 seconds")
+                (implicit spark: SparkSession): Dataset[Session] = {
+    import spark.implicits._
+    val gapMs = gapSeconds * 1000L
+    // state tuple: (nextId, start, end, n) — nextId is the id the OPEN
+    // (or next) session takes, 1-based; n == 0 ⇔ no open session. A
+    // tuple, not a nested case class: product encoders for private
+    // nested classes trip Janino codegen.
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Long, Long, Long), Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[Ev],
+         state: GroupState[(Long, Long, Long, Long)]) =>
+          def closed(s: (Long, Long, Long, Long)): Session =
+            Session(user, s._1, s._4, new Timestamp(s._2), new Timestamp(s._3))
+          if (state.hasTimedOut) {
+            val s = state.get
+            // keep the counter so the next session continues the numbering
+            state.update((s._1 + 1, 0L, 0L, 0L))
+            Iterator.single(closed(s))
+          } else {
+            val out = scala.collection.mutable.ArrayBuffer.empty[Session]
+            var s = state.getOption.getOrElse((1L, 0L, 0L, 0L))
+            // deterministic intra-batch order = the batch window's order
+            rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+              val t = e.ts.getTime
+              if (s._4 == 0) s = (s._1, t, t, 1L)
+              // batch convention: unix_timestamp() truncates to seconds
+              else if (t / 1000 - s._3 / 1000 > gapSeconds) {
+                out += closed(s)
+                s = (s._1 + 1, t, t, 1L)
+              } else s = (s._1, s._2, math.max(s._3, t), s._4 + 1)
+            }
+            state.update(s)
+            if (s._4 > 0)
+              state.setTimeoutTimestamp(
+                math.max(s._3 + gapMs + 1000, state.getCurrentWatermarkMs() + 1))
+            out.iterator
+          }
+      }
+  }
+}
