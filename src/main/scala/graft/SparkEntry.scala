@@ -96,6 +96,7 @@ object SparkEntry {
     "q_views_before_purchase" -> (Relational.qViewsBeforePurchase _),
     "q_embedding_label_stats" -> ((s, d) => operators.Similarity.labelStats(s, d)),
     "q_events_value_stats"  -> (Relational.qEventsValueStats _),
+    "q_events_funnel"       -> (Relational.qEventsFunnel _),
     "q_asof_attribution"    -> (operators.AsOf.purchaseAttribution _),
     // same attribution through the custom merge SparkPlan (plans/
     // AsOfMergeJoin) — same oracle SQL verbatim, different physical op
@@ -571,6 +572,24 @@ object SparkEntry {
     "q_asof_attribution" -> asofSql,
     // custom merge exec: semantics identical by contract, same oracle
     "q_asof_attribution_exec" -> asofSql,
+    // ordered funnel depth per signed-up user (strict time ordering,
+    // 24 h conversion window per stage — unbounded would be all-3s)
+    "q_events_funnel" ->
+      """WITH s AS (SELECT user_id, min(ts) AS t1 FROM events
+        |           WHERE event_type = 'signup' GROUP BY 1),
+        |v AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |      JOIN s ON e.user_id = s.user_id
+        |      WHERE e.event_type = 'view' AND e.ts > s.t1
+        |        AND e.ts <= s.t1 + INTERVAL 24 HOUR GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        |      JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts > v.t2
+        |        AND e.ts <= v.t2 + INTERVAL 24 HOUR GROUP BY 1)
+        |SELECT s.user_id,
+        |  CAST(1 + CASE WHEN v.user_id IS NULL THEN 0 ELSE 1 END
+        |         + CASE WHEN p.user_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS funnel_depth
+        |FROM s LEFT JOIN v ON s.user_id = v.user_id
+        |LEFT JOIN p ON s.user_id = p.user_id""".stripMargin,
     "q_events_value_stats" ->
       """SELECT event_type, count(*) AS n, min(value) AS min_value,
         |  max(value) AS max_value, count(DISTINCT user_id) AS n_users

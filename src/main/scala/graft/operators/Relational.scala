@@ -534,6 +534,35 @@ object Relational {
            max(col("ts")).as("session_end"))
   }
 
+  /** Ordered funnel (signup → view → purchase): per signed-up user, how
+    * deep into the strictly-time-ordered funnel they got (1–3), each
+    * stage within a 24 h conversion window of the previous one (the
+    * window is what makes depth non-trivial — unbounded, every user in
+    * the dense synthetic corpus converts). Each stage is "earliest
+    * qualifying event after the previous stage's time, within window" —
+    * min-aggregations joined on user_id, the set-oriented funnel
+    * formulation (no per-user sequence scan; the three stage frames
+    * shuffle once on user_id each and AQE broadcasts the small ones).
+    */
+  def qEventsFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val win = expr("INTERVAL 24 HOURS")
+    def stage(tpe: String) = e.filter(col("event_type") === tpe)
+      .select(col("user_id"), col("ts"))
+    val s = stage("signup").groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val v = stage("view").join(s, "user_id")
+      .filter(col("ts") > col("t1") && col("ts") <= col("t1") + win)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+    val p = stage("purchase").join(v, "user_id")
+      .filter(col("ts") > col("t2") && col("ts") <= col("t2") + win)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    s.join(v, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+      .select(col("user_id"),
+        (lit(1L) + when(col("t2").isNotNull, 1L).otherwise(0L)
+                 + when(col("t3").isNotNull, 1L).otherwise(0L)).as("funnel_depth"))
+      .orderBy(col("user_id"))
+  }
+
   /** Events value profile: count/min/max per type. Double min/max are
     * pure comparisons (deterministic); no double sums (FIXTURES.md §3).
     */
