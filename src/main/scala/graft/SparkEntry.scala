@@ -121,6 +121,7 @@ object SparkEntry {
     // ── near-dup dedup at scale ──
     "dedup_minhash_lsh"       -> ((s, d) => MinHash.minhashDedup(s, d)),
     "dedup_minhash_survivors" -> ((s, d) => MinHash.minhashSurvivors(s, d)),
+    "dedup_report"            -> ((s, d) => MinHash.dedupReport(s, d)),
     "dedup_ngram_jaccard"     -> ((s, d) => MinHash.ngramJaccardPairs(s, d)),
     "text_simhash"            -> (MinHash.simhash _),
     // ── embedding similarity ──
@@ -166,6 +167,24 @@ object SparkEntry {
     """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
       |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
       |       FROM toks, unnest(range(1, len(t) - 1)) u(i))""".stripMargin
+
+  /** Full MinHash→LSH→verify pipeline CTEs (sig/band/cand/inter), shared
+    * by the pair, survivor, and report rows. Ends before `pairj`.
+    */
+  private lazy val minhashCtes =
+    s"""sig AS (SELECT doc_id, j, min(md5(CAST(j AS VARCHAR) || '|' || shingle)) AS h
+       |        FROM sh, unnest(range(0, 12)) v(j) GROUP BY doc_id, j),
+       |band AS (SELECT doc_id, j // 4 AS band_id,
+       |           md5(string_agg(h, '|' ORDER BY j)) AS band_key
+       |         FROM sig GROUP BY doc_id, j // 4),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |         FROM band a JOIN band b
+       |           ON a.band_id = b.band_id AND a.band_key = b.band_key
+       |          AND a.doc_id < b.doc_id),
+       |inter AS (SELECT s1.doc_id AS doc_a, s2.doc_id AS doc_b, count(*) AS inter
+       |          FROM sh s1 JOIN sh s2 ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id
+       |          JOIN cand ON cand.doc_a = s1.doc_id AND cand.doc_b = s2.doc_id
+       |          GROUP BY 1, 2),""".stripMargin
 
   private val jaccardFromSh =
     """pairj AS (
@@ -764,36 +783,23 @@ object SparkEntry {
         |FROM documents GROUP BY md5(lower(trim(text)))""".stripMargin,
     "dedup_minhash_lsh" ->
       s"""$shingleCte,
-         |sig AS (SELECT doc_id, j, min(md5(CAST(j AS VARCHAR) || '|' || shingle)) AS h
-         |        FROM sh, unnest(range(0, 12)) v(j) GROUP BY doc_id, j),
-         |band AS (SELECT doc_id, j // 4 AS band_id,
-         |           md5(string_agg(h, '|' ORDER BY j)) AS band_key
-         |         FROM sig GROUP BY doc_id, j // 4),
-         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |         FROM band a JOIN band b
-         |           ON a.band_id = b.band_id AND a.band_key = b.band_key
-         |          AND a.doc_id < b.doc_id),
-         |inter AS (SELECT s1.doc_id AS doc_a, s2.doc_id AS doc_b, count(*) AS inter
-         |          FROM sh s1 JOIN sh s2 ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id
-         |          JOIN cand ON cand.doc_a = s1.doc_id AND cand.doc_b = s2.doc_id
-         |          GROUP BY 1, 2),
+         |$minhashCtes
          |$jaccardFromSh
          |SELECT doc_a, doc_b, jaccard FROM pairj WHERE jaccard >= 0.5""".stripMargin,
+    // per-source curation summary over the same verified-pair pipeline
+    "dedup_report" ->
+      s"""$shingleCte,
+         |$minhashCtes
+         |$jaccardFromSh,
+         |drops AS (SELECT DISTINCT doc_b AS doc_id FROM pairj WHERE jaccard >= 0.5)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(SUM(CASE WHEN d.doc_id IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+         |  CAST(count(*) - SUM(CASE WHEN d.doc_id IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_kept
+         |FROM documents LEFT JOIN drops d USING (doc_id)
+         |GROUP BY 1""".stripMargin,
     "dedup_minhash_survivors" ->
       s"""$shingleCte,
-         |sig AS (SELECT doc_id, j, min(md5(CAST(j AS VARCHAR) || '|' || shingle)) AS h
-         |        FROM sh, unnest(range(0, 12)) v(j) GROUP BY doc_id, j),
-         |band AS (SELECT doc_id, j // 4 AS band_id,
-         |           md5(string_agg(h, '|' ORDER BY j)) AS band_key
-         |         FROM sig GROUP BY doc_id, j // 4),
-         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |         FROM band a JOIN band b
-         |           ON a.band_id = b.band_id AND a.band_key = b.band_key
-         |          AND a.doc_id < b.doc_id),
-         |inter AS (SELECT s1.doc_id AS doc_a, s2.doc_id AS doc_b, count(*) AS inter
-         |          FROM sh s1 JOIN sh s2 ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id
-         |          JOIN cand ON cand.doc_a = s1.doc_id AND cand.doc_b = s2.doc_id
-         |          GROUP BY 1, 2),
+         |$minhashCtes
          |$jaccardFromSh
          |SELECT doc_id, n_chars FROM documents
          |WHERE doc_id NOT IN (SELECT doc_b FROM pairj WHERE jaccard >= 0.5)""".stripMargin,

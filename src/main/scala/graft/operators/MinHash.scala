@@ -169,6 +169,26 @@ object MinHash {
       .join(dupes, Seq("doc_id"), "left_anti")
   }
 
+  /** Per-source curation report: total docs, near-dup drops (the
+    * greater-id member of each verified pair), and kept docs — the
+    * summary a corpus-curation run emits per provenance bucket. One
+    * aggregation over documents left-joined to the (tiny, AQE-broadcast)
+    * drop set.
+    */
+  def dedupReport(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+    val drops = minhashDedup(spark, dir, threshold)
+      .select(col("doc_b").as("doc_id")).distinct()
+      .withColumn("dropped", lit(1L))
+    Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+      .join(drops, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(coalesce(col("dropped"), lit(0L))).as("n_dropped"))
+      .select(col("source"), col("n_docs"), col("n_dropped"),
+        (col("n_docs") - col("n_dropped")).as("n_kept"))
+      .orderBy(col("source"))
+  }
+
   /** Document-frequency cap for the exact-Jaccard inverted index: a
     * shingle appearing in d docs contributes d² rows to the self-join, so
     * one viral sentence is a job-killer at 100 TB. Shingles with
