@@ -95,6 +95,8 @@ object SparkEntry {
     "q_events_props_keys"   -> (Relational.qEventsPropsKeys _),
     "q_views_before_purchase" -> (Relational.qViewsBeforePurchase _),
     "q_embedding_label_stats" -> ((s, d) => operators.Similarity.labelStats(s, d)),
+    // int8 quantization scale + code checksum per vector (index build)
+    "q_embedding_quantize"  -> ((s, d) => operators.Similarity.quantizeSummary(s, d)),
     "q_events_value_stats"  -> (Relational.qEventsValueStats _),
     "q_events_funnel"       -> (Relational.qEventsFunnel _),
     "q_asof_attribution"    -> (operators.AsOf.purchaseAttribution _),
@@ -635,6 +637,17 @@ object SparkEntry {
         |          x -> x::DOUBLE * x::DOUBLE))) * 1e6) AS nq
         |      FROM embeddings)
         |GROUP BY 1""".stripMargin,
+    // int8 quantization: scale is a comparison (max |x|), codes are a
+    // divide-multiply-floor chain (identical IEEE double arithmetic both
+    // engines), checksum is an integer sum — order-independent
+    "q_embedding_quantize" ->
+      """SELECT vec_id,
+        |  CAST(floor(mx * 1000000) AS BIGINT) AS maxabs_q,
+        |  CAST(list_sum(list_transform(embedding,
+        |    x -> floor(x::DOUBLE / mx * 127))) AS BIGINT) AS code_sum
+        |FROM (SELECT vec_id, embedding,
+        |        list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS mx
+        |      FROM embeddings)""".stripMargin,
     "text_ngram_freq" ->
       s"""$shingleCte
          |SELECT shingle, count(*) AS n_docs FROM sh

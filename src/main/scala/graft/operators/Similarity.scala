@@ -333,6 +333,26 @@ object Similarity {
       .orderBy(col("q_id"), col("rnk"))
   }
 
+  /** Int8 quantization summary — the ANN index-build precursor (PQ/IVF
+    * stores ship int8 codes, not floats; 4× smaller scans at 100 TB).
+    * Per vector: the quantization scale (max |x|, ×10⁶ integer) and the
+    * order-independent checksum of the int8 codes
+    * (floor(x/max·127) summed). Every emitted value is an exact int64:
+    * abs/max are comparisons, the divide-multiply-floor chain is
+    * identical IEEE arithmetic in both engines, and the code sum is
+    * integer — no float crosses the oracle.
+    */
+  def quantizeSummary(spark: SparkSession, dir: String): DataFrame = {
+    val xs = transform(col("embedding"), x => x.cast("double"))
+    val mx = array_max(transform(xs, x => abs(x)))
+    val codes = transform(xs, x => floor(x / mx * 127).cast("long"))
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        floor(mx * 1e6).cast("long").as("maxabs_q"),
+        aggregate(codes, lit(0L), (acc, c) => acc + c).as("code_sum"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Per-label embedding stats: count and extremal quantized norms. The
     * norm² is a per-row left-to-right double fold (deterministic); the
     * cross-row reduction uses only min/max/count (order-independent), and
