@@ -143,6 +143,10 @@ object SparkEntry {
     "ann_lsh_recall"          -> ((s, d) => Similarity.lshRecall(s, d)),
     "ann_ivf_topk"            -> ((s, d) => Similarity.ivfTopK(s, d)),
     "ann_ivf_recall"          -> ((s, d) => Similarity.ivfRecall(s, d)),
+    // same IVF search against the ON-DISK partitioned index, reading
+    // only the probed list directories — same oracle SQL verbatim
+    "ann_ivf_pruned"          -> ((s, d) => Similarity.ivfTopKPruned(s, d,
+      java.nio.file.Files.createTempDirectory("graft_ivf_idx_").toString)),
     "ann_pq_recall"           -> ((s, d) => Similarity.pqRecall(s, d)),
     "ann_pq_topk"             -> ((s, d) => Similarity.pqTopK(s, d)),
     "dedup_embedding_cosine"  -> ((s, d) => Similarity.cosineNearDupPairs(s, d)),
@@ -890,6 +894,15 @@ object SparkEntry {
          |  WHERE rk <= 5),
          |$recallTail""".stripMargin,
     "ann_ivf_topk" ->
+      s"""WITH $centCte,
+         |$ivfCtes
+         |SELECT q_id, vec_id, sim, CAST(rk AS BIGINT) AS rnk
+         |FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rk
+         |      FROM s)
+         |WHERE rk <= 5""".stripMargin,
+    // on-disk partition-pruned variant: identical semantics (same
+    // codebook, assignment, probes) ⇒ identical oracle SQL
+    "ann_ivf_pruned" ->
       s"""WITH $centCte,
          |$ivfCtes
          |SELECT q_id, vec_id, sim, CAST(rk AS BIGINT) AS rnk

@@ -249,13 +249,29 @@ object Similarity {
   def ivfTopK(spark: SparkSession, dir: String, k: Int = 5,
               queryStride: Int = 50, codebookK: Int = CodebookK,
               nProbe: Int = 4): DataFrame = {
+    // inverted lists: every vector assigned to its best centroid
+    // (argmax via FirstByOrder — hash agg, no per-vector window sort;
+    // ordering key (1.0 - csim, cent_id): x ↦ 1-x is strictly decreasing
+    // and collision-free for 6-decimal-rounded sims, so min(1-csim)
+    // selects exactly the window's csim DESC winner); queries probe
+    // their nProbe nearest lists; exact cosine inside probed lists only.
+    val assigned = ivfAssigned(spark, dir, codebookK)
+    val probes = ivfProbes(spark, dir, queryStride, codebookK, nProbe)
+    topKBySim(
+      probes.join(assigned, Seq("list_id"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          round(cosine(col("q_emb"), col("embedding")), 6).as("sim")), k)
+  }
+
+  /** The inverted-list assignment of [[ivfTopK]] as a standalone frame:
+    * (vec_id, embedding, list_id). Factored out so the on-disk index
+    * variant materializes exactly the same lists.
+    */
+  private[graft] def ivfAssigned(spark: SparkSession, dir: String,
+                                 codebookK: Int = CodebookK): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     val cent = hashSampleCentroids(emb, codebookK)
-    // inverted lists: every vector assigned to its best centroid.
-    // argmax via FirstByOrder (hash agg, no per-vector window sort);
-    // ordering key (1.0 - csim, cent_id): x ↦ 1-x is strictly decreasing
-    // and collision-free for 6-decimal-rounded sims (spacing 1e-6 ≫ ulp),
-    // so min(1-csim) selects exactly the window's csim DESC winner.
     val scored = emb.crossJoin(broadcast(cent))
       .select(col("vec_id"), col("embedding"), col("cent_id"),
         round(cosine(col("embedding"), col("cent_emb")), 6).as("csim"))
@@ -263,22 +279,56 @@ object Similarity {
       .agg(graft.functions.FirstByOrder.first_by_order(
         struct(col("embedding"), col("cent_id")),
         struct((lit(1.0) - col("csim")).as("inv"), col("cent_id"))).as("w"))
-    val assigned = winner.select(col("vec_id"),
+    winner.select(col("vec_id"),
       col("w.embedding").as("embedding"), col("w.cent_id").as("list_id"))
-    // queries probe their nProbe nearest lists
+  }
+
+  /** The probe assignment of [[ivfTopK]]: (q_id, q_emb, list_id) — each
+    * query's nProbe nearest lists.
+    */
+  private[graft] def ivfProbes(spark: SparkSession, dir: String,
+                               queryStride: Int = 50, codebookK: Int = CodebookK,
+                               nProbe: Int = 4): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val cent = hashSampleCentroids(emb, codebookK)
     val q = emb.filter(col("vec_id") % queryStride === 0)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     val wProbe = Window.partitionBy(col("q_id"))
       .orderBy(col("qsim").desc, col("cent_id"))
-    val probes = q.crossJoin(broadcast(cent))
+    q.crossJoin(broadcast(cent))
       .select(col("q_id"), col("q_emb"), col("cent_id"),
         round(cosine(col("q_emb"), col("cent_emb")), 6).as("qsim"))
       .withColumn("prnk", row_number().over(wProbe))
       .filter(col("prnk") <= nProbe)
       .select(col("q_id"), col("q_emb"), col("cent_id").as("list_id"))
-    // exact cosine inside probed lists only
+  }
+
+  /** [[ivfTopK]] against an ON-DISK inverted-list index, reading ONLY the
+    * probed lists: the assignment is materialized `partitionBy(list_id)`
+    * (one directory per list — the file-layout form of an IVF index),
+    * and the search filters the scan with `list_id IN (probed lists)`,
+    * which partition-prunes to the probed directories. At 100 TB this is
+    * THE property that makes IVF an index: a query batch touches
+    * nProbe/K of the corpus bytes, not all of them. The probed-list set
+    * is collected to the driver first — it is ≤ codebookK values (a
+    * constant), the IVF analog of broadcasting the centroid table.
+    *
+    * Same results as [[ivfTopK]] by construction (same codebook, same
+    * assignment, same probes — pinned by the shared oracle SQL and
+    * SimilaritySpec's plan assertions on partition pruning).
+    */
+  def ivfTopKPruned(spark: SparkSession, dir: String, indexDir: String,
+                    k: Int = 5, queryStride: Int = 50,
+                    codebookK: Int = CodebookK, nProbe: Int = 4): DataFrame = {
+    ivfAssigned(spark, dir, codebookK)
+      .write.mode("overwrite").partitionBy("list_id").parquet(indexDir)
+    val probes = ivfProbes(spark, dir, queryStride, codebookK, nProbe)
+    val probedLists = probes.select(col("list_id")).distinct()
+      .collect().map(_.getLong(0)) // ≤ codebookK (constant) by construction
+    val lists = spark.read.parquet(indexDir)
+      .filter(col("list_id").isin(probedLists: _*))
     topKBySim(
-      probes.join(assigned, Seq("list_id"))
+      probes.join(lists, Seq("list_id"))
         .filter(col("vec_id") =!= col("q_id"))
         .select(col("q_id"), col("vec_id"),
           round(cosine(col("q_emb"), col("embedding")), 6).as("sim")), k)

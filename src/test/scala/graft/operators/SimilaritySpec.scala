@@ -65,6 +65,38 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ivfTopKPruned ≡ ivfTopK; scan reads ONLY the probed list directories") {
+    val idx = java.nio.file.Files.createTempDirectory("ivf-idx-spec").toString
+    val pruned = Similarity.ivfTopKPruned(spark, sfDir, idx)
+    val plain = Similarity.ivfTopK(spark, sfDir)
+    assert(pruned.except(plain).isEmpty && plain.except(pruned).isEmpty)
+    // partition pruning is physically real: the filtered index scan
+    // touches fewer list directories than exist on disk
+    val allLists = new java.io.File(idx).listFiles()
+      .count(_.getName.startsWith("list_id="))
+    val probed = Similarity.ivfProbes(spark, sfDir)
+      .select("list_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(probed.size < allLists,
+      s"fixture must leave unprobed lists (probed ${probed.size} of $allLists)")
+    // (inputFiles ignores pruning — read the scan's own numFiles metric)
+    val scanned = spark.read.parquet(idx)
+      .filter(col("list_id").isin(probed.toSeq: _*))
+    scanned.collect()
+    val scan = scanned.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.get
+    assert(scan.toString.contains("PartitionFilters"), "filter must reach partitions")
+    val totalFiles = {
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory) f.listFiles().map(walk).sum
+        else if (f.getName.endsWith(".parquet")) 1L else 0L
+      walk(new java.io.File(idx))
+    }
+    val readFiles = scan.metrics("numFiles").value
+    assert(readFiles < totalFiles,
+      s"pruned scan read $readFiles of $totalFiles files — no pruning happened")
+  }
+
   test("ivfTopK: every vector lands in exactly one list; results ranked") {
     val topk = Similarity.ivfTopK(spark, sfDir, k = 5).collect()
     assert(topk.nonEmpty)
