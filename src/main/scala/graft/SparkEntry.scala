@@ -78,6 +78,7 @@ object SparkEntry {
     "q19_disjunctive_revenue" -> (Relational.q19DisjunctiveRevenue _),
     "q11_nation_balance_share" -> (Relational.q11NationBalanceShare _),
     "q22_wealthy_inactive"  -> (Relational.q22WealthyInactive _),
+    "q20_excess_shippers"   -> (Relational.q20ExcessShippers _),
     "q_order_reconciliation" -> (Relational.qOrderReconciliation _),
     "q21_supplier_wait"     -> (operators.SqlQueries.qSupplierWait _),
     // approximate aggregates: sketch VALUES are implementation-defined,
@@ -123,6 +124,9 @@ object SparkEntry {
     // ── near-dup dedup at scale ──
     "dedup_minhash_lsh"       -> ((s, d) => MinHash.minhashDedup(s, d)),
     "dedup_minhash_survivors" -> ((s, d) => MinHash.minhashSurvivors(s, d)),
+    // pairs → duplicate clusters: connected components over the verified
+    // pair graph (alternating large-star/small-star, O(log n) rounds)
+    "dedup_clusters"          -> ((s, d) => MinHash.dedupClusters(s, d)),
     "dedup_report"            -> ((s, d) => MinHash.dedupReport(s, d)),
     "dedup_ngram_jaccard"     -> ((s, d) => MinHash.ngramJaccardPairs(s, d)),
     "text_simhash"            -> (MinHash.simhash _),
@@ -150,6 +154,8 @@ object SparkEntry {
     "ann_pq_recall"           -> ((s, d) => Similarity.pqRecall(s, d)),
     "ann_pq_topk"             -> ((s, d) => Similarity.pqTopK(s, d)),
     "dedup_embedding_cosine"  -> ((s, d) => Similarity.cosineNearDupPairs(s, d)),
+    // SemDeDup-style: IVF-list-confined cosine dedup, keep-lowest-id
+    "dedup_semdedup"          -> ((s, d) => Similarity.semDedup(s, d)),
     // ── multimodal: metadata pruning path + real container decode ──
     "multimodal_stats"        -> (operators.Multimodal.mediaStats _),
     "multimodal_decode"       -> ((s, d) =>
@@ -540,6 +546,25 @@ object SparkEntry {
          |SELECT n_name, nation_bal
          |FROM by_nation JOIN nation ON s_nationkey = n_nationkey
          |WHERE nation_bal * 50 > (SELECT CAST(SUM(nation_bal) AS BIGINT) FROM by_nation)""".stripMargin,
+    "q20_excess_shippers" ->
+      s"""WITH ps AS (
+         |  SELECT l_partkey, l_suppkey,
+         |    CAST(SUM(${centsSql("l_quantity")}) AS BIGINT) AS qty_c
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey
+         |  WHERE p_type = 'PROMO'
+         |    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |    AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+         |  GROUP BY 1, 2),
+         |pt AS (SELECT l_partkey, CAST(SUM(qty_c) AS BIGINT) AS tot_c
+         |       FROM ps GROUP BY 1),
+         |excess AS (SELECT DISTINCT ps.l_suppkey FROM ps
+         |           JOIN pt USING (l_partkey) WHERE ps.qty_c * 2 > pt.tot_c)
+         |SELECT s_name, n_name
+         |FROM supplier JOIN excess ON s_suppkey = l_suppkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |ORDER BY s_name""".stripMargin,
     "q22_wealthy_inactive" ->
       s"""WITH bal AS (SELECT c_custkey, c_mktsegment,
          |               ${centsSql("c_acctbal")} AS bal_c FROM customer),
@@ -820,6 +845,26 @@ object SparkEntry {
          |$jaccardFromSh
          |SELECT doc_id, n_chars FROM documents
          |WHERE doc_id NOT IN (SELECT doc_b FROM pairj WHERE jaccard >= 0.5)""".stripMargin,
+    // transitive closure of the verified pairs as a recursive
+    // reachability CTE — exact on the test graphs' small components;
+    // the engine side is the O(log n) alternating-star algorithm
+    "dedup_clusters" ->
+      s"""${shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |$minhashCtes
+         |$jaccardFromSh,
+         |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairj WHERE jaccard >= 0.5
+         |          UNION ALL
+         |          SELECT doc_b, doc_a FROM pairj WHERE jaccard >= 0.5),
+         |reach(node, r) AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT re.node, e.v FROM reach re JOIN edges e ON re.r = e.u),
+         |lab AS (SELECT node AS doc_id, least(node, min(r)) AS cluster_id
+         |        FROM reach GROUP BY node),
+         |cs AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY 1)
+         |SELECT l.doc_id, l.cluster_id, cs.cluster_size
+         |FROM lab l JOIN cs USING (cluster_id)
+         |ORDER BY l.doc_id""".stripMargin,
     // df cap 128 on the inverted index, same as MinHash.DfCap — applied
     // consistently to intersections AND set sizes on both sides
     "dedup_ngram_jaccard" ->
@@ -951,6 +996,25 @@ object SparkEntry {
          |  FROM emb a JOIN emb b ON a.bucket = b.bucket
          |  WHERE a.vec_id < b.vec_id)
          |SELECT vec_a, vec_b, sim FROM p WHERE sim >= 0.35""".stripMargin,
+    // SemDeDup: same codebook + argmax assignment as the IVF rows;
+    // pairs confined to inverted lists; keep-lowest-id drop rule
+    "dedup_semdedup" ->
+      s"""WITH $centCte,
+         |assigned AS (
+         |  SELECT vec_id, embedding, cent_id AS list_id FROM (
+         |    SELECT e.vec_id, e.embedding, c.cent_id,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cosSql("e.embedding", "c.cent_emb")} DESC, c.cent_id) AS arnk
+         |    FROM embeddings e, cent c)
+         |  WHERE arnk = 1),
+         |drp AS (SELECT DISTINCT b.vec_id
+         |        FROM assigned a JOIN assigned b
+         |          ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+         |        WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.35)
+         |SELECT a.vec_id, a.list_id,
+         |  CAST(CASE WHEN d.vec_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS dropped
+         |FROM assigned a LEFT JOIN drp d ON a.vec_id = d.vec_id
+         |ORDER BY a.vec_id""".stripMargin,
     // Expected media geometry recomputed INDEPENDENTLY from doc stats
     // (same formulas as Multimodal.geometry / MediaCodec sizes). The
     // decode query parses real BMP/WAV/GRV0 containers; matching this

@@ -189,6 +189,30 @@ object MinHash {
       .orderBy(col("source"))
   }
 
+  /** Duplicate-CLUSTER formation: connected components over the
+    * verified near-dup pair graph ([[minhashDedup]]), every member
+    * labeled with the component's minimum doc_id (the canonical
+    * representative) plus the cluster size. Pairwise near-dup relations
+    * are not transitive, so a curation pipeline clusters before
+    * choosing survivors — this is the step between "candidate pairs"
+    * and "keep one per group".
+    *
+    * Scale: [[ConnectedComponents]] iterates over the PAIR set only
+    * (orders of magnitude smaller than the corpus), converging in
+    * O(log n) alternating-star rounds; the final size join shuffles the
+    * (tiny) label set, never the documents.
+    */
+  def dedupClusters(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+    val pairs = minhashDedup(spark, dir, threshold)
+      .select(col("doc_a").as("u"), col("doc_b").as("v"))
+    val labels = ConnectedComponents.labels(pairs)
+    val sizes = labels.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Document-frequency cap for the exact-Jaccard inverted index: a
     * shingle appearing in d docs contributes d² rows to the self-join, so
     * one viral sentence is a job-killer at 100 TB. Shingles with

@@ -465,6 +465,40 @@ object Relational {
       .orderBy(col("nation_bal").desc, col("n_name"))
   }
 
+  /** TPC-H Q20-style: suppliers in one region who shipped more than half
+    * of some PROMO part's 1996 volume (the excess-stock shape: inner agg
+    * per (part, supplier) compared against a correlated per-part total,
+    * then a semi-join into the supplier dimension). The share predicate
+    * is integer-exact: qty·2 > total ⇔ share > 50%.
+    *
+    * Scale: the per-part total aggregates the ALREADY-REDUCED
+    * (part, supplier) rows — both aggs hash-partial map-side; the
+    * qualifying-supplier set is tiny → AQE broadcasts the semi-join;
+    * nation/region are constant-size broadcasts.
+    */
+  def q20ExcessShippers(spark: SparkSession, dir: String): DataFrame = {
+    val promo = Tables.part(spark, dir)
+      .filter(col("p_type") === "PROMO").select(col("p_partkey"))
+    val ps = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit(ts("1996-01-01")) &&
+              col("l_shipdate") <  lit(ts("1997-01-01")))
+      .join(promo, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(cents(col("l_quantity"))).as("qty_c"))
+    val perPart = ps.groupBy(col("l_partkey")).agg(sum(col("qty_c")).as("tot_c"))
+    val excess = ps.join(perPart, Seq("l_partkey"))
+      .filter(col("qty_c") * lit(2L) > col("tot_c"))
+      .select(col("l_suppkey")).distinct()
+    Tables.supplier(spark, dir)
+      .join(excess, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_name"), col("n_name"))
+      .orderBy(col("s_name"))
+  }
+
   /** TPC-H Q22-style: wealthy inactive customers — above-average balance
     * (integer-exact: bal·n > Σbal over positive balances) with no orders
     * on/after the cutoff; grouped by market segment.

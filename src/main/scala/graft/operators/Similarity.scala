@@ -434,6 +434,42 @@ object Similarity {
     * exercised end-to-end. At production scale with real embeddings the
     * caller sets the threshold; the plan shape is identical.
     */
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    * coarse-cluster the corpus with the fixed-budget IVF codebook
+    * ([[ivfAssigned]]), then inside each inverted list mark as `dropped`
+    * every vector whose cosine to a LOWER-id list-mate reaches the
+    * threshold (keep-lowest-id is the deterministic stand-in for the
+    * paper's keep-one-per-group rule). Output: one row per corpus
+    * vector — (vec_id, list_id, dropped 0/1).
+    *
+    * Scale: candidate pairs are confined to inverted lists (expected
+    * n²/K per list — the same bucketing that makes IVF search linear),
+    * never the corpus cross product; the assignment pass is a broadcast
+    * of the constant-size codebook against a linear scan; the drop set
+    * is a fraction of the corpus → AQE broadcasts the final left join.
+    * `assigned` feeds three consumers (both pair sides + the final
+    * labeling), so it is persisted once rather than recomputing the
+    * argmax-assignment per branch.
+    */
+  def semDedup(spark: SparkSession, dir: String, threshold: Double = 0.35,
+               codebookK: Int = CodebookK): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val assigned = ivfAssigned(spark, dir, codebookK).persist(MEMORY_AND_DISK)
+    val a = assigned.select(col("list_id"), col("vec_id").as("vec_a"),
+      col("embedding").as("emb_a"))
+    val b = assigned.select(col("list_id"), col("vec_id").as("vec_b"),
+      col("embedding").as("emb_b"))
+    val dropped = a.join(b, Seq("list_id"))
+      .filter(col("vec_a") < col("vec_b"))
+      .filter(round(cosine(col("emb_a"), col("emb_b")), 6) >= threshold)
+      .select(col("vec_b").as("vec_id")).distinct()
+      .withColumn("dropped", lit(1L))
+    assigned.join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("list_id"),
+        coalesce(col("dropped"), lit(0L)).as("dropped"))
+      .orderBy(col("vec_id"))
+  }
+
   def cosineNearDupPairs(spark: SparkSession, dir: String,
                          threshold: Double = 0.35,
                          planes: Int = NumPlanes): DataFrame = {

@@ -1,0 +1,76 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Connected-components labeling: checked against an in-memory
+  * union-find reference on fixed shapes (chain, cycle, star, forest)
+  * and on seeded random graphs.
+  */
+class ConnectedComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Brute-force union-find reference. */
+  private def expected(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (u, v) =>
+      val (ru, rv) = (find(u), find(v))
+      if (ru != rv) parent(math.max(ru, rv)) = math.min(ru, rv)
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  private def run(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    ConnectedComponents.labels(edges.toDF("u", "v"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("fixed shapes: chain, cycle, star, forest, self-loop noise") {
+    // a 9-node chain is the worst case for naive propagation (diameter 8)
+    val chain = (1L to 8L).map(i => (i, i + 1))
+    assert(run(chain) === expected(chain))
+    val cycle = Seq((1L, 2L), (2L, 3L), (3L, 1L))
+    assert(run(cycle) === expected(cycle))
+    val star = Seq((10L, 1L), (10L, 2L), (10L, 3L))
+    assert(run(star) === expected(star))
+    val forest = Seq((1L, 2L), (5L, 6L), (6L, 7L), (100L, 42L))
+    assert(run(forest) === expected(forest))
+    // self-loops and duplicate/reversed edges must not perturb labels
+    val messy = Seq((3L, 3L), (1L, 2L), (2L, 1L), (1L, 2L), (2L, 3L))
+    assert(run(messy) === expected(messy.filter(e => e._1 != e._2)))
+  }
+
+  test("seeded random graphs match union-find") {
+    val rnd = new scala.util.Random(42)
+    (1 to 12).foreach { _ =>
+      val n = 2 + rnd.nextInt(29)
+      val m = 1 + rnd.nextInt(40)
+      val es = Seq.fill(m)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+      if (es.nonEmpty) assert(run(es) === expected(es))
+    }
+  }
+
+  test("dedupClusters: members, sizes, and representatives are consistent") {
+    val df = MinHash.dedupClusters(spark, sfDir).collect()
+    assert(df.nonEmpty)
+    df.foreach { r =>
+      assert(r.getLong(1) <= r.getLong(0)) // representative = min id
+      assert(r.getLong(2) >= 2L)           // only docs in a pair appear
+    }
+    // every cluster's size equals its member count, and the
+    // representative is itself a member
+    df.groupBy(_.getLong(1)).foreach { case (cid, rows) =>
+      assert(rows.length.toLong == rows.head.getLong(2))
+      assert(rows.exists(_.getLong(0) == cid))
+    }
+    // clustering must cover exactly the docs of the verified pairs
+    val pairDocs = MinHash.minhashDedup(spark, sfDir)
+      .select(explode(array(col("doc_a"), col("doc_b"))))
+      .distinct().collect().map(_.getLong(0)).toSet
+    assert(df.map(_.getLong(0)).toSet === pairDocs)
+  }
+}
