@@ -118,6 +118,8 @@ object SparkEntry {
     "text_pack_assign"   -> ((s, d) => TextOps.packAssign(s, d)),
     "dedup_contamination" -> ((s, d) => TextOps.trainTestContamination(s, d)),
     "text_corpus_profile" -> (TextOps.corpusProfile _),
+    // per-(lang,source) deterministic hash sample: counts + id checksum
+    "q_sample_stratified" -> ((s, d) => TextOps.stratifiedSample(s, d)),
     // C4/Gopher repeated-n-gram signal as two exact int64s per doc
     "text_repetition"    -> (TextOps.repetition _),
     "dedup_exact_text"   -> (TextOps.exactDedup _),
@@ -127,6 +129,9 @@ object SparkEntry {
     // pairs → duplicate clusters: connected components over the verified
     // pair graph (alternating large-star/small-star, O(log n) rounds)
     "dedup_clusters"          -> ((s, d) => MinHash.dedupClusters(s, d)),
+    // daily-ingest shape: incoming batch probes the corpus band index
+    // asymmetrically; admitted = no verified corpus match
+    "dedup_incremental"       -> ((s, d) => MinHash.incrementalDedup(s, d)),
     "dedup_report"            -> ((s, d) => MinHash.dedupReport(s, d)),
     "dedup_ngram_jaccard"     -> ((s, d) => MinHash.ngramJaccardPairs(s, d)),
     "text_simhash"            -> (MinHash.simhash _),
@@ -180,15 +185,22 @@ object SparkEntry {
       |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
       |       FROM toks, unnest(range(1, len(t) - 1)) u(i))""".stripMargin
 
-  /** Full MinHash→LSH→verify pipeline CTEs (sig/band/cand/inter), shared
-    * by the pair, survivor, and report rows. Ends before `pairj`.
+  /** Signature + band CTEs only (sig/band) — the index-build half of the
+    * MinHash pipeline, shared by the self-join rows (via
+    * [[minhashCtes]]) and the asymmetric incremental-ingest row.
     */
-  private lazy val minhashCtes =
+  private lazy val sigBandCtes =
     s"""sig AS (SELECT doc_id, j, min(md5(CAST(j AS VARCHAR) || '|' || shingle)) AS h
        |        FROM sh, unnest(range(0, 12)) v(j) GROUP BY doc_id, j),
        |band AS (SELECT doc_id, j // 4 AS band_id,
        |           md5(string_agg(h, '|' ORDER BY j)) AS band_key
-       |         FROM sig GROUP BY doc_id, j // 4),
+       |         FROM sig GROUP BY doc_id, j // 4)""".stripMargin
+
+  /** Full MinHash→LSH→verify pipeline CTEs (sig/band/cand/inter), shared
+    * by the pair, survivor, and report rows. Ends before `pairj`.
+    */
+  private lazy val minhashCtes =
+    s"""$sigBandCtes,
        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |         FROM band a JOIN band b
        |           ON a.band_id = b.band_id AND a.band_key = b.band_key
@@ -754,6 +766,18 @@ object SparkEntry {
         |       ELSE 'test' END AS split,
         |  count(*) AS n_docs
         |FROM documents GROUP BY 1, 2""".stripMargin,
+    // stratified hash sampling: exact per-stratum counts + id-sum
+    // checksum of the sampled set (pins WHICH docs, not just how many)
+    "q_sample_stratified" ->
+      """WITH s AS (SELECT doc_id, lang, source,
+        |  CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT) % 100 < 25
+        |       THEN 1 ELSE 0 END AS sampled
+        |  FROM documents)
+        |SELECT lang, source, count(*) AS n_total,
+        |  CAST(SUM(sampled) AS BIGINT) AS n_sampled,
+        |  CAST(SUM(doc_id * sampled) AS BIGINT) AS sampled_id_sum
+        |FROM s GROUP BY 1, 2
+        |ORDER BY lang, source""".stripMargin,
     // train→eval contamination via df-capped winnowing fingerprints
     "dedup_contamination" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
@@ -845,6 +869,30 @@ object SparkEntry {
          |$jaccardFromSh
          |SELECT doc_id, n_chars FROM documents
          |WHERE doc_id NOT IN (SELECT doc_b FROM pairj WHERE jaccard >= 0.5)""".stripMargin,
+    // asymmetric band probe (batch × corpus, never corpus²); admitted =
+    // batch doc with no exact-Jaccard-verified corpus match
+    "dedup_incremental" ->
+      s"""$shingleCte,
+         |$sigBandCtes,
+         |candx AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |          FROM band a JOIN band b
+         |            ON a.band_id = b.band_id AND a.band_key = b.band_key
+         |          WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0),
+         |interx AS (SELECT s1.doc_id AS doc_a, s2.doc_id AS doc_b, count(*) AS inter
+         |           FROM sh s1 JOIN sh s2 ON s1.shingle = s2.shingle
+         |           JOIN candx ON candx.doc_a = s1.doc_id AND candx.doc_b = s2.doc_id
+         |           GROUP BY 1, 2),
+         |pj AS (SELECT i.doc_a,
+         |         CAST(i.inter AS DOUBLE) / CAST(sa.n + sb.n - i.inter AS DOUBLE) AS jaccard
+         |       FROM interx i
+         |       JOIN (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1) sa ON i.doc_a = sa.doc_id
+         |       JOIN (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1) sb ON i.doc_b = sb.doc_id),
+         |matched AS (SELECT DISTINCT doc_a AS doc_id FROM pj WHERE jaccard >= 0.5)
+         |SELECT d.doc_id,
+         |  CAST(CASE WHEN m.doc_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS admitted
+         |FROM documents d LEFT JOIN matched m USING (doc_id)
+         |WHERE d.doc_id % 5 = 0
+         |ORDER BY d.doc_id""".stripMargin,
     // transitive closure of the verified pairs as a recursive
     // reachability CTE — exact on the test graphs' small components;
     // the engine side is the O(log n) alternating-star algorithm

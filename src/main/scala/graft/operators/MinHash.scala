@@ -189,6 +189,43 @@ object MinHash {
       .orderBy(col("source"))
   }
 
+  /** Incremental (batch-vs-corpus) near-dedup — the daily-ingest shape:
+    * an incoming batch (deterministic split: doc_id % batchMod == 0) is
+    * admitted only if it near-dup-matches NO existing corpus doc. The
+    * band join is ASYMMETRIC (batch bands × corpus bands), so its cost
+    * is ∝ batch size, never corpus², and the corpus side is exactly the
+    * banded index a production pipeline keeps materialized (the
+    * bucketed-store form of [[materializeShingleIndex]]) — a new day's
+    * ingest probes it without rebuilding. Output: one row per batch doc,
+    * (doc_id, admitted 0/1).
+    */
+  def incrementalDedup(spark: SparkSession, dir: String, threshold: Double = 0.5,
+                       batchMod: Int = 5): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val docs = Tables.documents(spark, dir)
+    val isBatch = col("doc_id") % batchMod === 0
+    // shingle arrays feed both verify-join sides — one materialization
+    val shArr = shingleArray(docs).persist(MEMORY_AND_DISK)
+    val sigs = shArr.select(col("doc_id"),
+      graft.functions.functions.minhash_sig(col("shingles"), NumHashes).as("sig"))
+    val bd = bands(sigs)
+    val cand = bd.filter(isBatch)
+      .select(col("band_id"), col("band_key"), col("doc_id").as("doc_a"))
+      .join(bd.filter(!isBatch)
+        .select(col("band_id"), col("band_key"), col("doc_id").as("doc_b")),
+        Seq("band_id", "band_key"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    val matched = exactJaccard(cand, shArr)
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a").as("doc_id")).distinct()
+      .withColumn("m", lit(1L))
+    docs.filter(isBatch).select(col("doc_id"))
+      .join(matched, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("m").isNull, lit(1L)).otherwise(lit(0L)).as("admitted"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Duplicate-CLUSTER formation: connected components over the
     * verified near-dup pair graph ([[minhashDedup]]), every member
     * labeled with the component's minimum doc_id (the canonical

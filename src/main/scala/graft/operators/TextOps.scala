@@ -177,6 +177,33 @@ object TextOps {
       .agg(count(lit(1)).as("n_docs"))
       .orderBy(col("lang"), col("split"))
 
+  /** Deterministic stratified sampling: within each (lang, source)
+    * stratum keep the docs whose content-addressed hash bucket falls
+    * under `pct` — the downsampling step a data-mixture pipeline runs
+    * per provenance stratum. Emits per-stratum totals, sampled counts,
+    * and an exact id-sum checksum of the sampled set, so the gate pins
+    * WHICH docs were sampled, not just how many.
+    *
+    * Scale: the sample decision is a per-row hash (no shuffle); the only
+    * exchange is the final stratum aggregation over constant-cardinality
+    * keys. Same-hash-same-fate means the sample is stable under
+    * repartitioning, retries, and incremental reruns — the property that
+    * matters when the sample seeds a training mix.
+    */
+  def stratifiedSample(spark: SparkSession, dir: String, pct: Int = 25): DataFrame = {
+    val bucket = pmod(
+      conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10).cast("bigint"),
+      lit(100))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"),
+        (bucket < pct).cast("long").as("sampled"))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_total"),
+           sum(col("sampled")).as("n_sampled"),
+           sum(col("doc_id") * col("sampled")).as("sampled_id_sum"))
+      .orderBy(col("lang"), col("source"))
+  }
+
   /** Train→eval contamination: (train doc, eval doc) pairs sharing at
     * least `minShared` winnowing fingerprints — the decontamination step
     * every training pipeline runs against its benchmark/eval sets. The
