@@ -135,6 +135,9 @@ object SparkEntry {
     "dedup_report"            -> ((s, d) => MinHash.dedupReport(s, d)),
     "dedup_ngram_jaccard"     -> ((s, d) => MinHash.ngramJaccardPairs(s, d)),
     "text_simhash"            -> (MinHash.simhash _),
+    // lexical retrieval: BM25 top-k over the corpus inverted index,
+    // exact-integer scores (floored 1e-6-quantized BM25)
+    "search_bm25_topk"   -> ((s, d) => operators.Search.bm25TopK(s, d)),
     // ── embedding similarity ──
     "ann_cosine_topk"         -> ((s, d) => Similarity.cosineTopK(s, d)),
     "ann_lsh_topk"            -> ((s, d) => Similarity.lshBucketTopK(s, d)),
@@ -766,6 +769,32 @@ object SparkEntry {
         |       ELSE 'test' END AS split,
         |  count(*) AS n_docs
         |FROM documents GROUP BY 1, 2""".stripMargin,
+    // BM25: idf/tf factors as single double divisions of exact integer
+    // operands in the identical left-to-right shape as the Scala —
+    // IEEE-correctly-rounded in both engines, so the floored int64
+    // per-term scores (and their sums) are bit-identical
+    "search_bm25_topk" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+        |st AS (SELECT CAST(SUM(dl) AS BIGINT) AS ltot, count(*) AS n FROM dl),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |q(query_id, qtext) AS (VALUES (0, 'hash join merge'), (1, 'stream window agg'),
+        |                              (2, 'scan filter sort table')),
+        |qt AS (SELECT DISTINCT query_id, unnest(string_split(qtext, ' ')) AS term FROM q),
+        |ts AS (
+        |  SELECT qt.query_id, tf.doc_id,
+        |    CAST(floor(1000000.0 *
+        |      ((2.0 * st.n - 2 * dfq.df + 1) / (2 * dfq.df + 1)) *
+        |      ((44.0 * tf.tf * st.ltot) /
+        |       (20.0 * tf.tf * st.ltot + 6.0 * st.ltot + 18.0 * dl.dl * st.n))) AS BIGINT) AS s
+        |  FROM qt JOIN tf USING (term) JOIN dl USING (doc_id) JOIN dfq USING (term), st),
+        |scores AS (SELECT query_id, doc_id, CAST(SUM(s) AS BIGINT) AS score FROM ts GROUP BY 1, 2)
+        |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score, CAST(rk AS BIGINT) AS rnk
+        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rk
+        |      FROM scores)
+        |WHERE rk <= 10
+        |ORDER BY query_id, rnk""".stripMargin,
     // stratified hash sampling: exact per-stratum counts + id-sum
     // checksum of the sampled set (pins WHICH docs, not just how many)
     "q_sample_stratified" ->

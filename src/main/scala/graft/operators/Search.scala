@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Keyword search over the document corpus: BM25-ranked top-k retrieval
+  * (Robertson/Spärck Jones; k1 = 1.2, b = 0.75) — the lexical
+  * counterpart of the embedding ANN tier.
+  *
+  * Determinism (oracle hash-compare): the per-term score is computed as
+  * `floor(1e6 · idf · tfpart)` where idf and tfpart are single double
+  * divisions of EXACT integer operands, written in the identical
+  * left-to-right shape in the DuckDB oracle — IEEE division and
+  * multiplication are correctly rounded in both engines, so the floored
+  * int64 is bit-identical. Per-doc scores are int64 SUMS of those —
+  * partition-order independent. The rational forms come from clearing
+  * denominators with avgdl = ltot/n:
+  *   idf    = (N − df + ½)/(df + ½)            = (2N − 2df + 1)/(2df + 1)
+  *   tfpart = 2.2·tf/(tf + 1.2(¼ + ¾·dl·N/L))  = 44·tf·L/(20·tf·L + 6·L + 18·dl·N)
+  *
+  * Scale: tf/dl are one explode + two hash aggs over the corpus (the
+  * inverted-index build — at 100 TB this materializes once as a bucketed
+  * table keyed by term); the query-term set is broadcast, so scoring
+  * touches only postings of queried terms; ranking is the k-bounded
+  * heap aggregation, never a global sort.
+  */
+object Search {
+
+  /** The fixed query workload: tiny, versioned with the engine. */
+  val Queries: Seq[(Long, String)] = Seq(
+    0L -> "hash join merge",
+    1L -> "stream window agg",
+    2L -> "scan filter sort table")
+
+  def bm25TopK(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    import spark.implicits._
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    // postings (tf) feed both the df count and the scoring join
+    val tf = toks.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf")).persist(MEMORY_AND_DISK)
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val st = dl.agg(sum(col("dl")).as("ltot"), count(lit(1)).as("n"))
+    val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val qt = Queries.toDF("query_id", "qtext")
+      .select(col("query_id"), explode(split(col("qtext"), " ")).as("term"))
+      .distinct()
+    // identical expression shape as the oracle SQL: one double division
+    // per factor, multiplied left-to-right, floored to int64
+    val idf = (lit(2.0) * col("n") - lit(2) * col("df") + lit(1)) /
+      (lit(2) * col("df") + lit(1))
+    val tfpart = (lit(44.0) * col("tf") * col("ltot")) /
+      (lit(20.0) * col("tf") * col("ltot") + lit(6.0) * col("ltot") +
+        lit(18.0) * col("dl") * col("n"))
+    val termScores = broadcast(qt).join(tf, Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .join(dfT, Seq("term"))
+      .crossJoin(broadcast(st))
+      .select(col("query_id"), col("doc_id"),
+        floor(lit(1000000.0) * idf * tfpart).as("s"))
+    val scores = termScores.groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("s")).as("score"))
+    Dedup.topKPerKey(scores, Seq("query_id"), Seq(-col("score"), col("doc_id")), k)
+      .withColumnRenamed("rk", "rnk")
+      .orderBy(col("query_id"), col("rnk"))
+  }
+}
