@@ -1,0 +1,56 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** BM25 retrieval: ranking invariants plus a from-scratch Scala
+  * recomputation of every returned score (same rational→double→floor
+  * pipeline, independent of any Spark expression machinery).
+  */
+class SearchSpec extends SparkSpec {
+
+  test("bm25TopK: ranked, tie-broken, and scores recompute from raw text") {
+    val out = Search.bm25TopK(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    // per query: rnk = 1..m (m ≤ 10), ordered by (score desc, doc_id)
+    out.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getLong(3))
+      assert(sorted.map(_.getLong(3)).toSeq == (1L to rows.length))
+      sorted.sliding(2).foreach {
+        case Array(hi, lo) =>
+          assert(hi.getLong(2) > lo.getLong(2) ||
+            (hi.getLong(2) == lo.getLong(2) && hi.getLong(1) < lo.getLong(1)))
+        case _ => ()
+      }
+    }
+    // independent recomputation from the raw text column
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq).toMap
+    val n = docs.size.toLong
+    val ltot = docs.values.map(_.length.toLong).sum
+    val dfMap = docs.values.flatMap(_.distinct).groupBy(identity)
+      .map { case (t, xs) => t -> xs.size.toLong }
+    def score(qterms: Seq[String], d: Long): Long = {
+      val toks = docs(d)
+      val dl = toks.length.toLong
+      qterms.distinct.flatMap { t =>
+        val tf = toks.count(_ == t).toLong
+        if (tf == 0) None
+        else {
+          val df = dfMap(t)
+          val idf = (2.0 * n - 2 * df + 1) / (2 * df + 1)
+          val tfpart = (44.0 * tf * ltot) /
+            (20.0 * tf * ltot + 6.0 * ltot + 18.0 * dl * n)
+          Some(math.floor(1000000.0 * idf * tfpart).toLong)
+        }
+      }.sum
+    }
+    val queries = Search.Queries.toMap
+    out.foreach { r =>
+      val expected = score(queries(r.getLong(0)).split(" ").toSeq, r.getLong(1))
+      assert(r.getLong(2) === expected,
+        s"score mismatch for query ${r.getLong(0)} doc ${r.getLong(1)}")
+    }
+  }
+}

@@ -150,6 +150,24 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("semDedup: labels every vector; drops equal declarative within-list pairs") {
+    val out = Similarity.semDedup(spark, sfDir).collect()
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    assert(out.length.toLong === emb.count()) // one verdict per vector
+    // recompute the drop set declaratively from the same assignment
+    val assigned = Similarity.ivfAssigned(spark, sfDir)
+    val a = assigned.select(col("list_id"), col("vec_id").as("va"),
+      col("embedding").as("ea"))
+    val b = assigned.select(col("list_id"), col("vec_id").as("vb"),
+      col("embedding").as("eb"))
+    val expectDropped = a.join(b, Seq("list_id"))
+      .filter(col("va") < col("vb"))
+      .filter(round(Similarity.cosineDeclarative(col("ea"), col("eb")), 6) >= 0.35)
+      .select("vb").distinct().collect().map(_.getLong(0)).toSet
+    assert(out.filter(_.getLong(2) == 1L).map(_.getLong(0)).toSet === expectDropped)
+    assert(expectDropped.nonEmpty) // the gate must attest actual drops
+  }
+
   test("codebook size is a constant, independent of corpus rows") {
     // the scale contract: IVF/PQ centroid count must NOT grow with the
     // corpus — same K from a 500-row and a 2000-row embeddings table

@@ -132,6 +132,48 @@ class TextSpec extends SparkSpec {
     assert(default.except(unbounded).isEmpty && unbounded.except(default).isEmpty)
   }
 
+  test("incrementalDedup is consistent with the batch self-join pipeline") {
+    val batchMod = 5
+    val admitted = MinHash.incrementalDedup(spark, sfDir, batchMod = batchMod)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every batch doc gets exactly one verdict
+    val batchDocs = graft.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % batchMod === 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(admitted.keySet === batchDocs)
+    // rejected == batch docs with a verified CORPUS match in the batch
+    // self-join pipeline's pairs (pairs whose other member is corpus)
+    val rejected = MinHash.minhashDedup(spark, sfDir).collect().flatMap { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      Seq(a -> b, b -> a)
+    }.collect { case (d, other)
+        if d % batchMod == 0 && other % batchMod != 0 => d
+    }.toSet
+    assert(admitted.filter(_._2 == 0L).keySet === rejected)
+  }
+
+  test("stratifiedSample: checksum pins the hash-selected doc set") {
+    val rows = TextOps.stratifiedSample(spark, sfDir).collect()
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "lang", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def bucket(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % 100
+    }
+    val expected = docs.groupBy(d => (d._2, d._3)).map { case (k, ds) =>
+      val sampled = ds.filter(d => bucket(d._1) < 25)
+      k -> (ds.length.toLong, sampled.length.toLong, sampled.map(_._1).sum)
+    }
+    assert(rows.length === expected.size)
+    rows.foreach { r =>
+      val k = (r.getString(0), r.getString(1))
+      assert((r.getLong(2), r.getLong(3), r.getLong(4)) === expected(k))
+    }
+  }
+
   test("packAssign: packs are contiguous, budget-bounded, per language") {
     val packs = TextOps.packAssign(spark, sfDir, budget = 500).collect()
     assert(packs.nonEmpty)
