@@ -120,6 +120,8 @@ object SparkEntry {
     "text_corpus_profile" -> (TextOps.corpusProfile _),
     // per-(lang,source) deterministic hash sample: counts + id checksum
     "q_sample_stratified" -> ((s, d) => TextOps.stratifiedSample(s, d)),
+    // one-pass per-column completeness/cardinality audit
+    "q_profile_orders"   -> (operators.Profile.profileOrders _),
     // C4/Gopher repeated-n-gram signal as two exact int64s per doc
     "text_repetition"    -> (TextOps.repetition _),
     "dedup_exact_text"   -> (TextOps.exactDedup _),
@@ -138,6 +140,8 @@ object SparkEntry {
     // lexical retrieval: BM25 top-k over the corpus inverted index,
     // exact-integer scores (floored 1e-6-quantized BM25)
     "search_bm25_topk"   -> ((s, d) => operators.Search.bm25TopK(s, d)),
+    // exact-phrase top-k from the positional postings index
+    "search_phrase_topk" -> ((s, d) => operators.Search.phraseTopK(s, d)),
     // ── embedding similarity ──
     "ann_cosine_topk"         -> ((s, d) => Similarity.cosineTopK(s, d)),
     "ann_lsh_topk"            -> ((s, d) => Similarity.lshBucketTopK(s, d)),
@@ -795,6 +799,23 @@ object SparkEntry {
         |      FROM scores)
         |WHERE rk <= 10
         |ORDER BY query_id, rnk""".stripMargin,
+    // phrase search: the oracle counts occurrences by m-gram equality
+    // scan (overlap-counting, like the engine's positional-index walk)
+    "search_phrase_topk" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |q(query_id, phrase) AS (VALUES (0, 'hash join'), (1, 'sort merge join'),
+        |                               (2, 'scan filter'), (3, 'stream window')),
+        |qx AS (SELECT query_id, string_split(phrase, ' ') AS pt FROM q),
+        |hits AS (
+        |  SELECT qx.query_id, toks.doc_id, count(*) AS phrase_tf
+        |  FROM toks, qx, unnest(range(1, len(toks.t) - len(qx.pt) + 2)) u(i)
+        |  WHERE array_to_string(toks.t[i:i+len(qx.pt)-1], ' ') = array_to_string(qx.pt, ' ')
+        |  GROUP BY 1, 2)
+        |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, phrase_tf, CAST(rk AS BIGINT) AS rnk
+        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY phrase_tf DESC, doc_id) AS rk
+        |      FROM hits)
+        |WHERE rk <= 10
+        |ORDER BY query_id, rnk""".stripMargin,
     // stratified hash sampling: exact per-stratum counts + id-sum
     // checksum of the sampled set (pins WHICH docs, not just how many)
     "q_sample_stratified" ->
@@ -807,6 +828,14 @@ object SparkEntry {
         |  CAST(SUM(doc_id * sampled) AS BIGINT) AS sampled_id_sum
         |FROM s GROUP BY 1, 2
         |ORDER BY lang, source""".stripMargin,
+    // per-column profile: one SELECT per column, UNION ALL'd
+    "q_profile_orders" ->
+      Seq("o_custkey", "o_orderdate", "o_orderkey", "o_orderpriority",
+          "o_orderstatus", "o_totalprice")
+        .map(c => s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+                     |  count($c) AS n_nonnull, count(DISTINCT $c) AS n_distinct
+                     |FROM orders""".stripMargin)
+        .mkString("", "\nUNION ALL\n", "\nORDER BY col_name"),
     // train→eval contamination via df-capped winnowing fingerprints
     "dedup_contamination" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),

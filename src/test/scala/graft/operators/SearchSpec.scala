@@ -9,6 +9,30 @@ import org.apache.spark.sql.functions._
   */
 class SearchSpec extends SparkSpec {
 
+  test("phraseTopK: counts recompute from sliding windows over raw text") {
+    val out = Search.phraseTopK(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq).toMap
+    def tf(phrase: Seq[String], toks: Seq[String]): Long =
+      toks.sliding(phrase.length).count(_ == phrase).toLong
+    val phrases = Search.Phrases.toMap
+    // every emitted (query, doc, tf) matches the sliding-window count,
+    // and per query the emitted set is exactly the top-k of the full
+    // recomputed ranking
+    out.foreach { r =>
+      val p = phrases(r.getLong(0)).split(" ").toSeq
+      assert(r.getLong(2) === tf(p, docs(r.getLong(1))))
+    }
+    out.groupBy(_.getLong(0)).foreach { case (qid, rows) =>
+      val p = phrases(qid).split(" ").toSeq
+      val full = docs.toSeq.map { case (d, t) => (d, tf(p, t)) }
+        .filter(_._2 > 0).sortBy { case (d, n) => (-n, d) }.take(10)
+      assert(rows.sortBy(_.getLong(3)).map(r => (r.getLong(1), r.getLong(2))).toSeq === full)
+    }
+  }
+
   test("bm25TopK: ranked, tie-broken, and scores recompute from raw text") {
     val out = Search.bm25TopK(spark, sfDir).collect()
     assert(out.nonEmpty)
