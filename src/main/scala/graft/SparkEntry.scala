@@ -46,6 +46,9 @@ object SparkEntry {
     // (O1/O17 append, O10 reclaim, O2 read) under the hash gate — the
     // oracle reproduces the same derivation + TTL filter in pure SQL
     "dedup_log_compaction" -> (sources.DedupLogStore.compactionRoundTrip(_, _)),
+    // JSONL landing zone: write → deterministic corruption → schema-
+    // enforced PERMISSIVE re-read → per-lane (incl. quarantine) counts
+    "source_jsonl_quarantine" -> (sources.JsonlIngest.quarantineAccounting(_, _)),
     // ── relational analytics (SURVEY §7 M3) ──
     "q1_pricing_summary"    -> (Relational.q1PricingSummary _),
     "q3_shipping_priority"  -> (Relational.q3ShippingPriority _),
@@ -361,6 +364,14 @@ object SparkEntry {
         |FROM a
         |WHERE expires_at IS NULL OR expires_at > TIMESTAMP '2030-01-01 00:00:00'
         |GROUP BY 1""".stripMargin,
+    // recomputed from documents + the corruption rule: matching the
+    // engine's write→corrupt→parse round trip pins all four stages
+    "source_jsonl_quarantine" ->
+      """SELECT CASE WHEN doc_id % 17 = 3 THEN '_quarantined' ELSE lang END AS lane,
+        |  count(*) AS n_lines,
+        |  CAST(SUM(CASE WHEN doc_id % 17 = 3 THEN 0 ELSE n_chars END) AS BIGINT) AS sum_chars,
+        |  CAST(SUM(CASE WHEN doc_id % 17 = 3 THEN 0 ELSE doc_id END) AS BIGINT) AS id_sum
+        |FROM documents GROUP BY 1 ORDER BY lane""".stripMargin,
     "dedup_counts" ->
       """SELECT user_id, event_type, count(*) AS n_attempts,
         |       min(ts) AS first_time, max(ts) AS last_time
