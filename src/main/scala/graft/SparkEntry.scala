@@ -103,6 +103,10 @@ object SparkEntry {
     "q_embedding_quantize"  -> ((s, d) => operators.Similarity.quantizeSummary(s, d)),
     "q_events_value_stats"  -> (Relational.qEventsValueStats _),
     "q_events_funnel"       -> (Relational.qEventsFunnel _),
+    // daily cohort × days-since retention matrix over events
+    "q_cohort_retention"    -> (Relational.qCohortRetention _),
+    // window-frame surface: within-year running revenue totals
+    "q_cumulative_revenue"  -> (Relational.qCumulativeRevenue _),
     "q_asof_attribution"    -> (operators.AsOf.purchaseAttribution _),
     // same attribution through the custom merge SparkPlan (plans/
     // AsOfMergeJoin) — same oracle SQL verbatim, different physical op
@@ -670,6 +674,25 @@ object SparkEntry {
         |         + CASE WHEN p.user_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS funnel_depth
         |FROM s LEFT JOIN v ON s.user_id = v.user_id
         |LEFT JOIN p ON s.user_id = p.user_id""".stripMargin,
+    "q_cohort_retention" ->
+      """WITH e AS (SELECT user_id, date_trunc('day', ts) AS day FROM events),
+        |c AS (SELECT user_id, day,
+        |        min(day) OVER (PARTITION BY user_id) AS cohort_day FROM e),
+        |d AS (SELECT DISTINCT user_id, cohort_day,
+        |        date_diff('day', cohort_day, day) AS days_since FROM c)
+        |SELECT cohort_day, CAST(days_since AS BIGINT) AS days_since,
+        |  count(*) AS n_users
+        |FROM d GROUP BY 1, 2""".stripMargin,
+    "q_cumulative_revenue" ->
+      s"""WITH daily AS (
+         |  SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, o_orderdate AS day,
+         |    count(*) AS n_orders,
+         |    CAST(SUM(${centsSql("o_totalprice")}) AS BIGINT) AS rev_c
+         |  FROM orders GROUP BY 1, 2)
+         |SELECT yr, day, n_orders, rev_c,
+         |  CAST(SUM(rev_c) OVER (PARTITION BY yr ORDER BY day
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_rev_c
+         |FROM daily""".stripMargin,
     "q_events_value_stats" ->
       """SELECT event_type, count(*) AS n, min(value) AS min_value,
         |  max(value) AS max_value, count(DISTINCT user_id) AS n_users

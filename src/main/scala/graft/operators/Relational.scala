@@ -465,6 +465,46 @@ object Relational {
       .orderBy(col("nation_bal").desc, col("n_name"))
   }
 
+  /** Daily cohort retention over the events stream: users bucketed by
+    * first-activity day, counted per (cohort_day, days_since) — the
+    * engagement matrix every product-analytics pipeline derives.
+    *
+    * Scale: the cohort assignment is a single window min over the
+    * user-id partitioning (one shuffle); the distinct+agg reduce to
+    * constant-cardinality (days × days) output. No join.
+    */
+  def qCohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+    val w = Window.partitionBy(col("user_id"))
+    e.withColumn("cohort_day", min(col("day")).over(w))
+      .select(col("user_id"), col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).cast("bigint").as("days_since"))
+      .distinct()
+      .groupBy(col("cohort_day"), col("days_since"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("cohort_day"), col("days_since"))
+  }
+
+  /** Per-day order volume with a cumulative within-year running total —
+    * the window-frame (ROWS UNBOUNDED PRECEDING) surface. Partitioning
+    * the frame by year keeps the sort bounded per partition: a global
+    * running total would serialize the whole history through one
+    * partition at 100 TB.
+    */
+  def qCumulativeRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .groupBy(year(col("o_orderdate")).as("yr"), col("o_orderdate").as("day"))
+      .agg(count(lit(1)).as("n_orders"),
+           sum(cents(col("o_totalprice"))).as("rev_c"))
+    val w = Window.partitionBy(col("yr")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.select(col("yr").cast("bigint").as("yr"), col("day"),
+        col("n_orders"), col("rev_c"),
+        sum(col("rev_c")).over(w).as("cum_rev_c"))
+      .orderBy(col("day"))
+  }
+
   /** TPC-H Q20-style: suppliers in one region who shipped more than half
     * of some PROMO part's 1996 volume (the excess-stock shape: inner agg
     * per (part, supplier) compared against a correlated per-part total,
