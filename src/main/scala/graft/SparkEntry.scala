@@ -91,6 +91,9 @@ object SparkEntry {
     // attests the accuracy contract, not the sketch bits). Raw sketch
     // outputs are accuracy/determinism-pinned in ApproxSpec.
     "q_approx_distinct_users" -> (operators.Approx.approxDistinctUsersChecked(_, _)),
+    // Count-Min heavy hitters: md5-bucketed sketch is a pure function of
+    // the data, so the estimates themselves sit under the exact gate
+    "q_approx_heavy_hitters"  -> ((s, d) => operators.Approx.cmsHeavyHitters(s, d)),
     "q_approx_value_quantiles" -> (operators.Approx.approxValueQuantilesChecked(_, _)),
     "q_rollup_returns"      -> (Relational.qRollupReturns _),
     "q_region_revenue"      -> (Relational.qRegionRevenue _),
@@ -635,6 +638,21 @@ object SparkEntry {
       """SELECT event_type, count(value) AS n_events,
         |  true AS p50_in_bounds, true AS p95_in_bounds, true AS p99_in_bounds
         |FROM events GROUP BY 1""".stripMargin,
+    // CMS is md5-deterministic, so the oracle rebuilds the identical
+    // d×w counter table and the ESTIMATES sit under the exact gate
+    "q_approx_heavy_hitters" ->
+      """WITH rb AS (
+        |  SELECT user_id AS key, r,
+        |    CAST(('0x' || substr(md5(CAST(r AS VARCHAR) || '|' || CAST(user_id AS VARCHAR)), 1, 15)) AS UBIGINT) % 64 AS b
+        |  FROM events, unnest(range(0, 4)) u(r)),
+        |cells AS (SELECT r, b, count(*) AS cnt FROM rb GROUP BY 1, 2),
+        |exact AS (SELECT user_id AS key, count(*) AS exact_n FROM events GROUP BY 1),
+        |kb AS (SELECT DISTINCT key, r, b FROM rb),
+        |est AS (SELECT kb.key, CAST(min(cells.cnt) AS BIGINT) AS cms_estimate
+        |        FROM kb JOIN cells ON kb.r = cells.r AND kb.b = cells.b GROUP BY 1)
+        |SELECT e.key, e.exact_n, est.cms_estimate
+        |FROM exact e JOIN est ON e.key = est.key
+        |ORDER BY e.exact_n DESC, e.key LIMIT 20""".stripMargin,
     "q_events_sessionize" ->
       """WITH l AS (SELECT user_id, event_id, ts,
         |             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts

@@ -51,6 +51,44 @@ object Approx {
         col("q")(0).as("p50"), col("q")(1).as("p95"), col("q")(2).as("p99"))
       .orderBy(col("event_type"))
 
+  /** Count-Min-sketch heavy hitters (Cormode/Muthukrishnan 2005) — the
+    * third sketch family beside HLL and KLL, and unlike those, fully
+    * DETERMINISTIC under the exact hash gate: with md5-derived bucket
+    * hashes the whole d×w counter table is a pure function of the data,
+    * so the oracle SQL rebuilds the identical sketch and the estimates
+    * hash-match exactly. Emits the top-k keys by exact count with both
+    * the exact count and the CMS estimate — the one-sided error contract
+    * (estimate ≥ exact, overshoot ≤ collisions) is visible in the gated
+    * values themselves.
+    *
+    * Scale: the sketch is the point — the exact path shuffles the whole
+    * key universe; CMS ships a constant d×w counter grid per partition
+    * (map-side combinable: the bucket-sum aggregation IS the merge).
+    * d=4 rows × w=64 buckets suit the 150-user test universe; production
+    * sizes w = e/ε for εN overshoot as usual — the plan shape is
+    * unchanged.
+    */
+  def cmsHeavyHitters(spark: SparkSession, dir: String, d: Int = 4,
+                      w: Int = 64, k: Int = 20): DataFrame = {
+    val e = Tables.events(spark, dir).select(col("user_id").as("key"))
+    def bucket(r: Int) = pmod(
+      conv(substring(md5(concat(lit(s"$r|"), col("key").cast("string"))), 1, 15),
+        16, 10).cast("bigint"), lit(w))
+    val rows = 0 until d
+    def rbOf(df: DataFrame) = df.select(df.columns.map(col) :+
+        explode(array(rows.map(r =>
+          struct(lit(r).as("r"), bucket(r).as("b"))): _*)).as("rb"): _*)
+      .withColumn("r", col("rb.r")).withColumn("b", col("rb.b")).drop("rb")
+    // the CMS counter table: one count per (row, bucket) cell
+    val cells = rbOf(e).groupBy(col("r"), col("b")).agg(count(lit(1)).as("cnt"))
+    val exact = e.groupBy(col("key")).agg(count(lit(1)).as("exact_n"))
+    val est = rbOf(exact).join(cells, Seq("r", "b"))
+      .groupBy(col("key"), col("exact_n"))
+      .agg(min(col("cnt")).as("cms_estimate"))
+    est.orderBy(col("exact_n").desc, col("key")).limit(k)
+      .select(col("key"), col("exact_n"), col("cms_estimate"))
+  }
+
   /** HLL++ distinct-count with its accuracy contract made exact: per
     * event type, the exact `n_events` and `exact_users`, plus
     * `hll_within_5rsd` = |approx − exact| ≤ 5·rsd·exact computed from the

@@ -62,4 +62,19 @@ class ApproxSpec extends SparkSpec {
     val d = Approx.approxValueQuantiles(spark, sfDir).collect().toSeq
     assert(c === d)
   }
+
+  test("CMS heavy hitters: one-sided error, exact top-k selection") {
+    val rows = Approx.cmsHeavyHitters(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // CMS never underestimates (counters only ever include a key's own
+    // increments plus collisions)
+    rows.foreach(r => assert(r.getLong(2) >= r.getLong(1),
+      s"CMS underestimated key ${r.getLong(0)}"))
+    // the selection is the exact top-k: recompute from the raw table
+    val exact = graft.Tables.events(spark, sfDir)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy { case (k, n) => (-n, k) }.take(rows.length)
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq === exact.toSeq)
+  }
 }
