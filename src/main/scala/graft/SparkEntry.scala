@@ -98,6 +98,8 @@ object SparkEntry {
     "q_rollup_returns"      -> (Relational.qRollupReturns _),
     "q_region_revenue"      -> (Relational.qRegionRevenue _),
     "q_events_sessionize"   -> (Relational.qEventsSessionize _),
+    // point-in-interval via binned equi-join (never a nested loop)
+    "q_range_concurrency"   -> (operators.RangeJoin.qSessionConcurrency _),
     "q_events_props"        -> (Relational.qEventsProps _),
     "q_events_props_keys"   -> (Relational.qEventsPropsKeys _),
     "q_views_before_purchase" -> (Relational.qViewsBeforePurchase _),
@@ -665,6 +667,23 @@ object SparkEntry {
         |SELECT user_id, session_id, count(*) AS n_events,
         |       min(ts) AS session_start, max(ts) AS session_end
         |FROM s GROUP BY 1, 2""".stripMargin,
+    // the engine executes this as a BINNED equi-join (RangeJoin); the
+    // oracle states the raw range predicate — same pairs by construction
+    "q_range_concurrency" ->
+      """WITH l AS (SELECT user_id, event_id, ts,
+        |             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |           FROM events),
+        |e AS (SELECT *, CASE WHEN prev_ts IS NULL
+        |                       OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1
+        |                     ELSE 0 END AS new_session FROM l),
+        |s AS (SELECT *, CAST(SUM(new_session) OVER (PARTITION BY user_id
+        |        ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM e),
+        |sess AS (SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end
+        |         FROM s GROUP BY 1, 2)
+        |SELECT p.event_id, p.ts, count(*) AS n_active_sessions
+        |FROM events p JOIN sess ON p.ts >= sess.session_start AND p.ts <= sess.session_end
+        |WHERE p.event_type = 'purchase'
+        |GROUP BY 1, 2""".stripMargin,
     "q_events_props" ->
       """SELECT event_type, count(*) AS n, CAST(SUM(k) AS BIGINT) AS sum_k,
         |       min(k) AS min_k, max(k) AS max_k
