@@ -146,6 +146,9 @@ object SparkEntry {
     // daily-ingest shape: incoming batch probes the corpus band index
     // asymmetrically; admitted = no verified corpus match
     "dedup_incremental"       -> ((s, d) => MinHash.incrementalDedup(s, d)),
+    // cluster-aware curation: longest member of each duplicate cluster
+    // survives (transitive-safe, unlike pairwise keep-lowest-id)
+    "dedup_cluster_survivors" -> ((s, d) => MinHash.clusterSurvivors(s, d)),
     "dedup_report"            -> ((s, d) => MinHash.dedupReport(s, d)),
     "dedup_ngram_jaccard"     -> ((s, d) => MinHash.ngramJaccardPairs(s, d)),
     "text_simhash"            -> (MinHash.simhash _),
@@ -228,6 +231,25 @@ object SparkEntry {
        |          FROM sh s1 JOIN sh s2 ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id
        |          JOIN cand ON cand.doc_a = s1.doc_id AND cand.doc_b = s2.doc_id
        |          GROUP BY 1, 2),""".stripMargin
+
+  /** Duplicate-cluster CTE chain: verified pairs → symmetric edges →
+    * recursive reachability → min-label components (`lab`). Shared by
+    * the cluster and cluster-survivor rows. Starts the whole WITH chain
+    * (RECURSIVE), so it must come first in the query.
+    */
+  private lazy val clusterCtes =
+    s"""${shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+       |$minhashCtes
+       |$jaccardFromSh,
+       |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairj WHERE jaccard >= 0.5
+       |          UNION ALL
+       |          SELECT doc_b, doc_a FROM pairj WHERE jaccard >= 0.5),
+       |reach(node, r) AS (
+       |  SELECT u, v FROM edges
+       |  UNION
+       |  SELECT re.node, e.v FROM reach re JOIN edges e ON re.r = e.u),
+       |lab AS (SELECT node AS doc_id, least(node, min(r)) AS cluster_id
+       |        FROM reach GROUP BY node)""".stripMargin
 
   private val jaccardFromSh =
     """pairj AS (
@@ -1026,22 +1048,26 @@ object SparkEntry {
     // reachability CTE — exact on the test graphs' small components;
     // the engine side is the O(log n) alternating-star algorithm
     "dedup_clusters" ->
-      s"""${shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
-         |$minhashCtes
-         |$jaccardFromSh,
-         |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairj WHERE jaccard >= 0.5
-         |          UNION ALL
-         |          SELECT doc_b, doc_a FROM pairj WHERE jaccard >= 0.5),
-         |reach(node, r) AS (
-         |  SELECT u, v FROM edges
-         |  UNION
-         |  SELECT re.node, e.v FROM reach re JOIN edges e ON re.r = e.u),
-         |lab AS (SELECT node AS doc_id, least(node, min(r)) AS cluster_id
-         |        FROM reach GROUP BY node),
+      s"""$clusterCtes,
          |cs AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY 1)
          |SELECT l.doc_id, l.cluster_id, cs.cluster_size
          |FROM lab l JOIN cs USING (cluster_id)
          |ORDER BY l.doc_id""".stripMargin,
+    // cluster-aware curation: longest member per cluster survives
+    "dedup_cluster_survivors" ->
+      s"""$clusterCtes,
+         |lw AS (SELECT l.doc_id, l.cluster_id, d.n_chars
+         |       FROM lab l JOIN documents d USING (doc_id)),
+         |win AS (SELECT cluster_id, doc_id AS keep_id FROM (
+         |  SELECT cluster_id, doc_id, row_number() OVER (PARTITION BY cluster_id
+         |    ORDER BY n_chars DESC, doc_id) AS rk FROM lw) WHERE rk = 1)
+         |SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS cluster_id,
+         |  CAST(CASE WHEN l.cluster_id IS NULL THEN 1
+         |            WHEN w.keep_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
+         |FROM documents d
+         |LEFT JOIN lab l ON d.doc_id = l.doc_id
+         |LEFT JOIN win w ON w.cluster_id = l.cluster_id AND w.keep_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
     // df cap 128 on the inverted index, same as MinHash.DfCap — applied
     // consistently to intersections AND set sizes on both sides
     "dedup_ngram_jaccard" ->

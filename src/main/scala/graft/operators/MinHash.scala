@@ -250,6 +250,40 @@ object MinHash {
       .orderBy(col("doc_id"))
   }
 
+  /** Cluster-aware survivor selection: form duplicate clusters
+    * ([[dedupClusters]]), then keep ONE member per cluster by the
+    * curation preference "longest document wins" (n_chars DESC, doc_id
+    * ASC tie-break) — the rule real corpus curation uses instead of
+    * [[minhashSurvivors]]' pairwise keep-lowest-id, which can drop BOTH
+    * ends of a chain a < b < c where only (a,b) and (b,c) verified.
+    * Output: every corpus doc with its cluster id (its own id if
+    * unclustered) and kept 0/1.
+    *
+    * Scale: the cluster label set is tiny (∝ duplicate rate); both the
+    * winner argmax (FirstByOrder hash agg, no sort) and the final
+    * left join are broadcast-size against the corpus scan.
+    */
+  def clusterSurvivors(spark: SparkSession, dir: String,
+                       threshold: Double = 0.5): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("n_chars"))
+    val labeled = dedupClusters(spark, dir, threshold)
+      .select(col("doc_id"), col("cluster_id"))
+      .join(docs, Seq("doc_id"))
+    val winners = labeled.groupBy(col("cluster_id"))
+      .agg(graft.functions.FirstByOrder.first_by_order(
+        struct(col("doc_id").as("keep_id")),
+        struct((-col("n_chars")).as("neg_len"), col("doc_id"))).as("w"))
+      .select(col("w.keep_id").as("doc_id"), lit(1L).as("kept_w"))
+    docs.join(labeled.select(col("doc_id"), col("cluster_id")), Seq("doc_id"), "left")
+      .join(winners, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
+        // unclustered docs are trivially kept; clustered ones only if winner
+        when(col("cluster_id").isNull, lit(1L))
+          .otherwise(coalesce(col("kept_w"), lit(0L))).as("kept"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Document-frequency cap for the exact-Jaccard inverted index: a
     * shingle appearing in d docs contributes d² rows to the self-join, so
     * one viral sentence is a job-killer at 100 TB. Shingles with

@@ -152,6 +152,26 @@ class TextSpec extends SparkSpec {
     assert(admitted.filter(_._2 == 0L).keySet === rejected)
   }
 
+  test("clusterSurvivors: exactly one longest-doc winner per cluster") {
+    val rows = MinHash.clusterSurvivors(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val nDocs = graft.Tables.documents(spark, sfDir).count()
+    assert(rows.length.toLong === nDocs) // one verdict per corpus doc
+    val lens = graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.groupBy(_._2).foreach { case (cid, members) =>
+      val kept = members.filter(_._3 == 1L)
+      assert(kept.length === 1, s"cluster $cid kept ${kept.length}")
+      // winner = max n_chars, doc_id tie-break
+      val expected = members.map(_._1).minBy(d => (-lens(d), d))
+      assert(kept.head._1 === expected)
+    }
+    // singletons keep themselves; real clusters drop someone
+    val multi = rows.groupBy(_._2).filter(_._2.length > 1)
+    assert(multi.nonEmpty)
+  }
+
   test("stratifiedSample: checksum pins the hash-selected doc set") {
     val rows = TextOps.stratifiedSample(spark, sfDir).collect()
     val docs = graft.Tables.documents(spark, sfDir)
