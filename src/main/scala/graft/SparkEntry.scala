@@ -126,6 +126,8 @@ object SparkEntry {
     "text_winnow"        -> ((s, d) => TextOps.winnowFingerprints(s, d)),
     "q_dataset_split"    -> (TextOps.datasetSplit _),
     "text_vocab"         -> ((s, d) => TextOps.vocab(s, d)),
+    // BPE merge-candidate table: frequency-weighted char-pair counts
+    "text_bpe_pairs"     -> ((s, d) => TextOps.bpePairs(s, d)),
     "text_length_histogram" -> (TextOps.lengthHistogram _),
     "text_pack_assign"   -> ((s, d) => TextOps.packAssign(s, d)),
     "dedup_contamination" -> ((s, d) => TextOps.trainTestContamination(s, d)),
@@ -909,6 +911,13 @@ object SparkEntry {
         |      FROM hits)
         |WHERE rk <= 10
         |ORDER BY query_id, rnk""".stripMargin,
+    "text_bpe_pairs" ->
+      """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+        |p AS (SELECT substr(term, i, 2) AS pair
+        |      FROM toks, unnest(range(1, len(term))) u(i)
+        |      WHERE len(term) >= 2)
+        |SELECT pair, count(*) AS n FROM p GROUP BY 1
+        |ORDER BY n DESC, pair LIMIT 50""".stripMargin,
     // stratified hash sampling: exact per-stratum counts + id-sum
     // checksum of the sampled set (pins WHICH docs, not just how many)
     "q_sample_stratified" ->

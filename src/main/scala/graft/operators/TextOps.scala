@@ -177,6 +177,29 @@ object TextOps {
       .agg(count(lit(1)).as("n_docs"))
       .orderBy(col("lang"), col("split"))
 
+  /** BPE-style adjacent character-pair counts over corpus tokens — the
+    * first merge-candidate table a byte-pair-encoding tokenizer trainer
+    * computes (frequency-weighted: every token occurrence contributes
+    * its pairs, as BPE requires). Top `k` by (count desc, pair).
+    *
+    * Scale: pure per-row expression work (split → pair transform →
+    * explode) into one hash aggregation on a bounded key space
+    * (|alphabet|² pairs), then a constant-k heap. Iterating the actual
+    * BPE merge loop would re-run this table per merge with the learned
+    * symbol pairs substituted — each iteration is this same one-shuffle
+    * shape.
+    */
+  def bpePairs(spark: SparkSession, dir: String, k: Int = 50): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("term"))
+      .filter(length(col("term")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(term) - 1), i -> substring(term, i, 2))"))
+        .as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(k)
+
   /** Deterministic stratified sampling: within each (lang, source)
     * stratum keep the docs whose content-addressed hash bucket falls
     * under `pct` — the downsampling step a data-mixture pipeline runs
