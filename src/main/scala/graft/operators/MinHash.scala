@@ -4,8 +4,10 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
-/** Near-duplicate detection: MinHash + LSH banding, SimHash, and exact
-  * n-gram Jaccard — the scale path for corpus dedup.
+/** Near-duplicate detection: MinHash + LSH banding, SimHash, exact
+  * n-gram Jaccard, incremental batch-vs-corpus probing, duplicate-
+  * cluster formation, and cluster-aware survivor selection — the scale
+  * path for corpus dedup.
   *
   * Design for 100 TB:
   *  - Shingling and signatures are per-row expression work (no shuffle).

@@ -6,9 +6,12 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 
 /** Approximate-nearest-neighbor / similarity search over the
-  * `embeddings` table (`embedding: array<float>`, 64 dims).
+  * `embeddings` table (`embedding: array<float>`, 64 dims): the
+  * brute-force baseline plus three index families (LSH, IVF — in-memory
+  * and on-disk partition-pruned — and PQ), recall@k gates for each,
+  * SemDeDup-style semantic dedup, and quantization/label statistics.
   *
-  * Two paths:
+  * The two foundational paths:
   *  - `cosineTopK`: brute-force cosine top-k for a query subset — the
   *    correctness baseline. Queries are broadcast; candidates stream; no
   *    shuffle except the final per-query top-k aggregation. At 100 TB the
