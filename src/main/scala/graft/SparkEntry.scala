@@ -95,6 +95,8 @@ object SparkEntry {
     // the data, so the estimates themselves sit under the exact gate
     "q_approx_heavy_hitters"  -> ((s, d) => operators.Approx.cmsHeavyHitters(s, d)),
     "q_approx_value_quantiles" -> (operators.Approx.approxValueQuantilesChecked(_, _)),
+    // the exact counterpart: rank-arithmetic lower median per group
+    "q_exact_median"          -> (Relational.qExactMedian _),
     "q_rollup_returns"      -> (Relational.qRollupReturns _),
     "q_region_revenue"      -> (Relational.qRegionRevenue _),
     "q_events_sessionize"   -> (Relational.qEventsSessionize _),
@@ -664,6 +666,14 @@ object SparkEntry {
       """SELECT event_type, count(value) AS n_events,
         |  true AS p50_in_bounds, true AS p95_in_bounds, true AS p99_in_bounds
         |FROM events GROUP BY 1""".stripMargin,
+    "q_exact_median" ->
+      """WITH r AS (SELECT event_type, value,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rk,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events)
+        |SELECT event_type, CAST(n AS BIGINT) AS n, value AS median_value
+        |FROM r WHERE rk = (n + 1) // 2
+        |ORDER BY event_type""".stripMargin,
     // CMS is md5-deterministic, so the oracle rebuilds the identical
     // d×w counter table and the ESTIMATES sit under the exact gate
     "q_approx_heavy_hitters" ->

@@ -465,6 +465,27 @@ object Relational {
       .orderBy(col("nation_bal").desc, col("n_name"))
   }
 
+  /** Exact per-group median (lower median by rank arithmetic, total
+    * order (value, event_id)) — the exact counterpart of the Approx
+    * tier's KLL quantiles. Emitting a VALUE FROM THE DATA (not an
+    * interpolated float) keeps the gate byte-stable.
+    *
+    * Scale: one window pass per group partition; this is exactly the
+    * global-sort cost the KLL sketch exists to avoid, registered so the
+    * exact/approx tradeoff is visible side by side.
+    */
+  def qExactMedian(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))
+    val cw = Window.partitionBy(col("event_type"))
+    Tables.events(spark, dir)
+      .select(col("event_type"), col("value"), col("event_id"))
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(cw))
+      .filter(col("rk") === expr("(n + 1) div 2"))
+      .select(col("event_type"), col("n"), col("value").as("median_value"))
+      .orderBy(col("event_type"))
+  }
+
   /** Daily cohort retention over the events stream: users bucketed by
     * first-activity day, counted per (cohort_day, days_since) — the
     * engagement matrix every product-analytics pipeline derives.
