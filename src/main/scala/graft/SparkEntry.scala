@@ -98,6 +98,8 @@ object SparkEntry {
     // the exact counterpart: rank-arithmetic lower median per group
     "q_exact_median"          -> (Relational.qExactMedian _),
     "q_rollup_returns"      -> (Relational.qRollupReturns _),
+    // pivot() with explicit values (no distinct-discovery pass)
+    "q_pivot_returns"       -> (Relational.qPivotReturns _),
     "q_region_revenue"      -> (Relational.qRegionRevenue _),
     "q_events_sessionize"   -> (Relational.qEventsSessionize _),
     // point-in-interval via binned equi-join (never a nested loop)
@@ -522,6 +524,12 @@ object SparkEntry {
       s"""SELECT l_returnflag, l_linestatus, count(*) AS n,
         |  CAST(SUM(${centsSql("l_quantity")}) AS BIGINT) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+    "q_pivot_returns" ->
+      s"""SELECT l_linestatus,
+         |  CAST(COALESCE(SUM(CASE WHEN l_returnflag = 'A' THEN ${centsSql("l_quantity")} END), 0) AS BIGINT) AS qty_a,
+         |  CAST(COALESCE(SUM(CASE WHEN l_returnflag = 'N' THEN ${centsSql("l_quantity")} END), 0) AS BIGINT) AS qty_n,
+         |  CAST(COALESCE(SUM(CASE WHEN l_returnflag = 'R' THEN ${centsSql("l_quantity")} END), 0) AS BIGINT) AS qty_r
+         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_region_revenue" ->
       s"""SELECT r_name, CAST(SUM($discPriceC) AS BIGINT) AS revenue,
          |  count(DISTINCT o_orderkey) AS n_orders

@@ -465,6 +465,23 @@ object Relational {
       .orderBy(col("nation_bal").desc, col("n_name"))
   }
 
+  /** Pivoted quantity matrix: line status × return flag, each cell an
+    * exact cents sum — the `pivot()` relational surface. The pivot
+    * values are an explicit constant list, so Spark plans ONE
+    * aggregation with no discovery pass over the data (the two-arg
+    * pivot runs a distinct-values job first — never do that at 100 TB).
+    */
+  def qPivotReturns(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_linestatus"))
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .agg(sum(cents(col("l_quantity"))))
+      .select(col("l_linestatus"),
+        coalesce(col("A"), lit(0L)).as("qty_a"),
+        coalesce(col("N"), lit(0L)).as("qty_n"),
+        coalesce(col("R"), lit(0L)).as("qty_r"))
+      .orderBy(col("l_linestatus"))
+
   /** Exact per-group median (lower median by rank arithmetic, total
     * order (value, event_id)) — the exact counterpart of the Approx
     * tier's KLL quantiles. Emitting a VALUE FROM THE DATA (not an
