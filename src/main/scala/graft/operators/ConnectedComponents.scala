@@ -71,19 +71,24 @@ object ConnectedComponents {
     * checksum collision silently mislabeling a cluster.
     */
   def labels(edges: DataFrame, maxRounds: Int = 64): DataFrame = {
+    // lazy checkpoints: the convergence count() below materializes the
+    // truncated lineage, so each round pays one action fewer than an
+    // eager checkpoint would
     var cur = edges
       .filter(col("u") =!= col("v"))
       .select(greatest(col("u"), col("v")).as("u"),
               least(col("u"), col("v")).as("v"))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(false)
+    var curCount = cur.count()
     var done = false
     var round = 0
     while (!done && round < maxRounds) {
-      val next = smallStar(largeStar(cur)).localCheckpoint()
-      done = next.count() == cur.count() &&
-        next.exceptAll(cur).isEmpty
+      val next = smallStar(largeStar(cur)).localCheckpoint(false)
+      val nextCount = next.count()
+      done = nextCount == curCount && next.exceptAll(cur).isEmpty
       cur = next
+      curCount = nextCount
       round += 1
     }
     require(done, s"connected components did not converge in $maxRounds rounds")
