@@ -57,7 +57,14 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","load_start":$loadStart%.2f,"load_end":${loadAvg()}%.2f}""")
+    val loadEnd = loadAvg()
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","load_start":$loadStart%.2f,"load_end":$loadEnd%.2f}""")
+    // Short headline line LAST: the driver's capture has truncated the
+    // long per-query line head-first in past rounds, losing `"total"`.
+    // Anything tail-anchored keeps this parseable summary.
+    val slowest = results.sortBy(-_._2).take(5)
+      .map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }.mkString("{", ",", "}")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"slowest":$slowest,"sf":"$sfDir","load_start":$loadStart%.2f,"load_end":$loadEnd%.2f}""")
     spark.stop()
   }
 

@@ -63,32 +63,37 @@ object ConnectedComponents {
     * Self-loops are dropped; singleton nodes never appear in an edge
     * list, so callers add them back if needed.
     *
-    * Convergence test is EXACT set equality (counts equal + one-sided
-    * exceptAll empty — both sides are distinct sets): at the fixpoint
-    * the edge set is a star forest, each node pointing straight at its
-    * component minimum. The equality check is one extra pass over the
-    * (shrinking) edge set per round — cheap insurance against a
-    * checksum collision silently mislabeling a cluster.
+    * Convergence test is EXACT set equality: at the fixpoint the edge
+    * set is a star forest, each node pointing straight at its component
+    * minimum. Both rounds' sets are distinct, so equality ⟺ no (u, v)
+    * group of their ±1-marked union sums to a nonzero marker — ONE
+    * keyed aggregation, i.e. one Spark action per round (it also
+    * materializes the new round's lazy checkpoint), where the earlier
+    * count + exceptAll pair paid two. Still exact — never a checksum
+    * that could collide and silently mislabel a cluster.
     */
   def labels(edges: DataFrame, maxRounds: Int = 64): DataFrame = {
-    // lazy checkpoints: the convergence count() below materializes the
-    // truncated lineage, so each round pays one action fewer than an
-    // eager checkpoint would
     var cur = edges
       .filter(col("u") =!= col("v"))
       .select(greatest(col("u"), col("v")).as("u"),
               least(col("u"), col("v")).as("v"))
       .distinct()
       .localCheckpoint(false)
-    var curCount = cur.count()
     var done = false
     var round = 0
     while (!done && round < maxRounds) {
       val next = smallStar(largeStar(cur)).localCheckpoint(false)
-      val nextCount = next.count()
-      done = nextCount == curCount && next.exceptAll(cur).isEmpty
+      val mismatches = next.withColumn("w", lit(1L))
+        .union(cur.withColumn("w", lit(-1L)))
+        .groupBy(col("u"), col("v")).agg(sum(col("w")).as("w"))
+        .filter(col("w") =!= 0)
+        .count()
+      done = mismatches == 0L
+      // the convergence action above was the last reader of the PRIOR
+      // round's checkpoint blocks — free them, or block-manager memory
+      // grows by one edge-set copy per round
+      unpersistCheckpoint(cur)
       cur = next
-      curCount = nextCount
       round += 1
     }
     require(done, s"connected components did not converge in $maxRounds rounds")
@@ -97,4 +102,14 @@ object ConnectedComponents {
         .toDF("doc_id", "cluster_id"))
       .distinct()
   }
+
+  /** Drop the materialized RDD blocks behind a `localCheckpoint`ed
+    * DataFrame (its analyzed plan is the checkpoint's `LogicalRDD`).
+    * Non-blocking: the blocks are garbage, not a correctness hazard.
+    */
+  private def unpersistCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
+      case _ => ()
+    }
 }

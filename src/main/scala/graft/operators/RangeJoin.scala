@@ -19,7 +19,10 @@ object RangeJoin {
   /** Join `points` (column `pt`, int64) to `intervals` (columns `s`, `e`
     * inclusive, int64) on `s ≤ pt ≤ e` via equi-join on bin id.
     * `binSize` trades explode factor against candidate precision; any
-    * value is correct.
+    * value in (Long.MinValue + binSize, Long.MaxValue] is correct — bin
+    * assignment is pure int64 arithmetic (see [[floorDiv]]), never a
+    * double round trip that could mis-bin (and silently LOSE matches,
+    * since the exact predicate only removes false positives) above 2^53.
     */
   def pointInInterval(points: DataFrame, intervals: DataFrame,
                       binSize: Long): DataFrame = {
@@ -32,8 +35,14 @@ object RangeJoin {
       .drop("__bin")
   }
 
+  /** Exact int64 floor division: subtract the (non-negative) pmod so the
+    * operand is an exact multiple, then integral-divide — truncation and
+    * floor coincide on exact multiples, so the result is bit-exact for
+    * the full int64 range (`floor(c / d)` in doubles rounds wrong above
+    * 2^53). Only c within binSize of Long.MinValue could wrap.
+    */
   private def floorDiv(c: org.apache.spark.sql.Column, d: Long) =
-    floor(c / lit(d)).cast("bigint")
+    call_function("div", c - pmod(c, lit(d)), lit(d))
 
   /** Session-concurrency analytic: for every purchase event, how many
     * sessions (any user, from the 30-min-gap sessionization) were active

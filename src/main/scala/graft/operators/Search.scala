@@ -86,10 +86,14 @@ object Search {
     import spark.implicits._
     val toks = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-    // postings (tf) feed both the df count and the scoring join
+    // postings (tf) feed the df count, the doc-length rollup AND the
+    // scoring join — the ONLY corpus scan+explode in the query. dl is
+    // derived from the persisted tf (Σ tf per doc = token count), not
+    // from a second pass over the corpus: at 100 TB an extra scan+explode
+    // for a value the index already holds is a full corpus read wasted.
     val tf = toks.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf")).persist(MEMORY_AND_DISK)
-    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val st = dl.agg(sum(col("dl")).as("ltot"), count(lit(1)).as("n"))
     val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val qt = Queries.toDF("query_id", "qtext")

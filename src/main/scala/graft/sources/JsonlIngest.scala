@@ -46,18 +46,38 @@ object JsonlIngest {
       .option("columnNameOfCorruptRecord", "_corrupt")
       .json(tmpDir)
 
+  /** One corrupted-JSONL dump per (JVM, source dir): the write is a full
+    * Spark job, so registry enumeration (plan audits, bench, verify all
+    * construct every query) must not re-run it — and the temp dir is
+    * deleted on JVM exit instead of leaking one per enumeration.
+    */
+  private val writtenDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def corruptedJsonlDir(spark: SparkSession, dir: String): String =
+    writtenDirs.computeIfAbsent(dir, { _ =>
+      val p = java.nio.file.Files.createTempDirectory("graft_jsonl_")
+      sys.addShutdownHook {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(f => java.nio.file.Files.deleteIfExists(f))
+      }
+      writeCorrupted(spark, dir, p.toString)
+      p.toString
+    })
+
   /** The oracle-gated round trip: per-lane counts + exact n_chars sums
     * (quarantined lines contribute 0 — their fields are null by
-    * contract).
+    * contract). Lanes are routed on the ACTUAL corruption signal — the
+    * `_corrupt` column the PERMISSIVE read populates — not on a
+    * null-data-column proxy: a syntactically valid line with a null lang
+    * must land in its own (null) lane, not be miscounted as quarantined.
     */
-  def quarantineAccounting(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_jsonl_").toString
-    writeCorrupted(spark, dir, tmp)
-    readWithQuarantine(spark, tmp)
-      .groupBy(coalesce(col("lang"), lit("_quarantined")).as("lane"))
+  def quarantineAccounting(spark: SparkSession, dir: String): DataFrame =
+    readWithQuarantine(spark, corruptedJsonlDir(spark, dir))
+      .groupBy(when(col("_corrupt").isNotNull, lit("_quarantined"))
+        .otherwise(col("lang")).as("lane"))
       .agg(count(lit(1)).as("n_lines"),
            sum(coalesce(col("n_chars"), lit(0L))).as("sum_chars"),
            sum(coalesce(col("doc_id"), lit(0L))).as("id_sum"))
       .orderBy(col("lane"))
-  }
 }

@@ -54,6 +54,43 @@ class ConnectedComponentsSpec extends SparkSpec {
     }
   }
 
+  test("one Spark job per round, and prior rounds' checkpoint blocks are freed") {
+    // a 9-node chain converges in a deterministic number of alternating-
+    // star rounds; the convergence check is folded into the SAME action
+    // that materializes the round's checkpoint, so the loop must run
+    // exactly one ACTION per round (labels() output construction is
+    // lazy). AQE splits one action into several jobs, so the listener
+    // counts distinct SQL execution ids, not raw job starts.
+    val execIds = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet()
+        val id = js.properties.getProperty("spark.sql.execution.id")
+        if (id != null) execIds.add(id)
+      }
+    }
+    val persistedBefore = spark.sparkContext.getPersistentRDDs.size
+    spark.sparkContext.addSparkListener(listener)
+    val labeled =
+      try {
+        val df = ConnectedComponents.labels((1L to 8L).map(i => (i, i + 1)).toDF("u", "v"))
+        // listener delivery is async — poll until the counter settles
+        var prev = -1
+        while (jobs.get() != prev) { prev = jobs.get(); Thread.sleep(200) }
+        df
+      } finally spark.sparkContext.removeSparkListener(listener)
+    // the chain converges in 9 alternating-star rounds incl. the
+    // fixpoint-detection round (measured, deterministic); the upper
+    // bound would be ~2× under the old count + exceptAll two-action loop
+    val rounds = execIds.size
+    assert(rounds >= 2 && rounds <= 12, s"implausible action count $rounds")
+    // every checkpoint except the final round's was unpersisted
+    assert(spark.sparkContext.getPersistentRDDs.size <= persistedBefore + 1)
+    assert(labeled.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ===
+      expected((1L to 8L).map(i => (i, i + 1))))
+  }
+
   test("dedupClusters: members, sizes, and representatives are consistent") {
     val df = MinHash.dedupClusters(spark, sfDir).collect()
     assert(df.nonEmpty)

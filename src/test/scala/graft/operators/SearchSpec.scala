@@ -33,6 +33,45 @@ class SearchSpec extends SparkSpec {
     }
   }
 
+  test("bm25TopK: exactly one FileScan of the documents parquet") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    // tf (postings) is the single corpus materialization; df, dl and the
+    // scoring join all read the cache — a second documents scan would be
+    // a wasted full corpus pass at 100 TB. The counter descends into AQE
+    // wrappers and cached plans (where naive collect() stops), but each
+    // distinct cache materializes ONCE however many consumers read it,
+    // so cached subtrees are deduped by cache-builder identity.
+    val caches = scala.collection.mutable.Map[Int, SparkPlan]()
+    def direct(p: SparkPlan): Int = {
+      val here = p match {
+        case f: FileSourceScanExec
+          if f.relation.location.rootPaths.exists(_.toString.contains("documents")) => 1
+        case _ => 0
+      }
+      val nested = p match {
+        case a: AdaptiveSparkPlanExec => direct(a.inputPlan)
+        case s: InMemoryTableScanExec =>
+          caches(System.identityHashCode(s.relation.cacheBuilder)) = s.relation.cachedPlan
+          0
+        case _ => 0
+      }
+      here + nested + p.children.map(direct).sum
+    }
+    val df = Search.bm25TopK(spark, sfDir)
+    try {
+      var total = direct(df.queryExecution.executedPlan)
+      var done = Set.empty[Int]
+      while (done.size < caches.size) {
+        val (id, plan) = caches.find { case (k, _) => !done.contains(k) }.get
+        done += id
+        total += direct(plan)
+      }
+      assert(total === 1)
+    } finally spark.sharedState.cacheManager.clearCache()
+  }
+
   test("bm25TopK: ranked, tie-broken, and scores recompute from raw text") {
     val out = Search.bm25TopK(spark, sfDir).collect()
     assert(out.nonEmpty)
