@@ -152,6 +152,11 @@ object SparkEntry {
     // daily-ingest shape: incoming batch probes the corpus band index
     // asymmetrically; admitted = no verified corpus match
     "dedup_incremental"       -> ((s, d) => MinHash.incrementalDedup(s, d)),
+    // same ingest shape probing the PERSISTED bucketed shingle index:
+    // corpus side plans with zero Exchange (batch bands broadcast,
+    // verify probe reads doc_id buckets) — same oracle SQL verbatim
+    "dedup_incremental_bucketed" -> ((s, d) =>
+      MinHash.incrementalDedupBucketed(s, d, MinHash.ensureShingleIndex(s, d))),
     // cluster-aware curation: longest member of each duplicate cluster
     // survives (transitive-safe, unlike pairwise keep-lowest-id)
     "dedup_cluster_survivors" -> ((s, d) => MinHash.clusterSurvivors(s, d)),
@@ -192,7 +197,14 @@ object SparkEntry {
     // ── multimodal: metadata pruning path + real container decode ──
     "multimodal_stats"        -> (operators.Multimodal.mediaStats _),
     "multimodal_decode"       -> ((s, d) =>
-      operators.Multimodal.decodeMeta(operators.Multimodal.mediaTable(s, d))))
+      operators.Multimodal.decodeMeta(operators.Multimodal.mediaTable(s, d))),
+    // perceptual near-dup over the rendered image column: BMP decode →
+    // dHash → 4×16-bit Hamming-LSH bands → exact-Hamming verify; the
+    // oracle re-derives every pixel from doc text (payload bytes are a
+    // pure function of it), so a green row proves the whole
+    // encode→decode→fingerprint chain byte-exactly
+    "dedup_media_phash"       -> ((s, d) =>
+      operators.Multimodal.mediaPhashPairs(s, d)))
 
   // ───────────────────────── oracle SQL ─────────────────────────
 
@@ -256,6 +268,33 @@ object SparkEntry {
        |  SELECT re.node, e.v FROM reach re JOIN edges e ON re.r = e.u),
        |lab AS (SELECT node AS doc_id, least(node, min(r)) AS cluster_id
        |        FROM reach GROUP BY node)""".stripMargin
+
+  /** Incremental (batch-vs-corpus) admission oracle, shared by the
+    * recompute-per-run and persisted-bucketed-index rows (same
+    * semantics; the store holds exactly the inline-derived arrays).
+    */
+  private lazy val incrementalSql =
+    s"""$shingleCte,
+       |$sigBandCtes,
+       |candx AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |          FROM band a JOIN band b
+       |            ON a.band_id = b.band_id AND a.band_key = b.band_key
+       |          WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0),
+       |interx AS (SELECT s1.doc_id AS doc_a, s2.doc_id AS doc_b, count(*) AS inter
+       |           FROM sh s1 JOIN sh s2 ON s1.shingle = s2.shingle
+       |           JOIN candx ON candx.doc_a = s1.doc_id AND candx.doc_b = s2.doc_id
+       |           GROUP BY 1, 2),
+       |pj AS (SELECT i.doc_a,
+       |         CAST(i.inter AS DOUBLE) / CAST(sa.n + sb.n - i.inter AS DOUBLE) AS jaccard
+       |       FROM interx i
+       |       JOIN (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1) sa ON i.doc_a = sa.doc_id
+       |       JOIN (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1) sb ON i.doc_b = sb.doc_id),
+       |matched AS (SELECT DISTINCT doc_a AS doc_id FROM pj WHERE jaccard >= 0.5)
+       |SELECT d.doc_id,
+       |  CAST(CASE WHEN m.doc_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS admitted
+       |FROM documents d LEFT JOIN matched m USING (doc_id)
+       |WHERE d.doc_id % 5 = 0
+       |ORDER BY d.doc_id""".stripMargin
 
   private val jaccardFromSh =
     """pairj AS (
@@ -1049,28 +1088,10 @@ object SparkEntry {
          |WHERE doc_id NOT IN (SELECT doc_b FROM pairj WHERE jaccard >= 0.5)""".stripMargin,
     // asymmetric band probe (batch × corpus, never corpus²); admitted =
     // batch doc with no exact-Jaccard-verified corpus match
-    "dedup_incremental" ->
-      s"""$shingleCte,
-         |$sigBandCtes,
-         |candx AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |          FROM band a JOIN band b
-         |            ON a.band_id = b.band_id AND a.band_key = b.band_key
-         |          WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0),
-         |interx AS (SELECT s1.doc_id AS doc_a, s2.doc_id AS doc_b, count(*) AS inter
-         |           FROM sh s1 JOIN sh s2 ON s1.shingle = s2.shingle
-         |           JOIN candx ON candx.doc_a = s1.doc_id AND candx.doc_b = s2.doc_id
-         |           GROUP BY 1, 2),
-         |pj AS (SELECT i.doc_a,
-         |         CAST(i.inter AS DOUBLE) / CAST(sa.n + sb.n - i.inter AS DOUBLE) AS jaccard
-         |       FROM interx i
-         |       JOIN (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1) sa ON i.doc_a = sa.doc_id
-         |       JOIN (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1) sb ON i.doc_b = sb.doc_id),
-         |matched AS (SELECT DISTINCT doc_a AS doc_id FROM pj WHERE jaccard >= 0.5)
-         |SELECT d.doc_id,
-         |  CAST(CASE WHEN m.doc_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS admitted
-         |FROM documents d LEFT JOIN matched m USING (doc_id)
-         |WHERE d.doc_id % 5 = 0
-         |ORDER BY d.doc_id""".stripMargin,
+    "dedup_incremental" -> incrementalSql,
+    // identical semantics through the persisted bucketed index — the
+    // store holds the same shingle arrays the oracle derives inline
+    "dedup_incremental_bucketed" -> incrementalSql,
     // transitive closure of the verified pairs as a recursive
     // reachability CTE — exact on the test graphs' small components;
     // the engine side is the O(log n) alternating-star algorithm
@@ -1250,7 +1271,8 @@ object SparkEntry {
     // decode query parses real BMP/WAV/GRV0 containers; matching this
     // oracle proves the encode→decode round trip byte-exactly.
     "multimodal_stats"  -> multimodalGeometrySql,
-    "multimodal_decode" -> multimodalGeometrySql)
+    "multimodal_decode" -> multimodalGeometrySql,
+    "dedup_media_phash" -> mediaPhashSql)
 
   private val multimodalGeometrySql: String =
     """SELECT doc_id,
@@ -1273,4 +1295,51 @@ object SparkEntry {
       |  CAST(CASE CAST(doc_id % 3 AS INT)
       |    WHEN 1 THEN 8000 + (n_chars % 8) * 1000 ELSE 0 END AS BIGINT) AS sample_rate
       |FROM documents""".stripMargin
+
+  /** dHash perceptual-dedup oracle: re-derives every sampled pixel from
+    * doc text — pixel (x, y, c) of the rendered BMP is
+    * content[(y·rowSize + 3x + c) mod byteLen] (Multimodal.renderedImages
+    * / MediaCodec.encodeBmp), the 9×8 luma grid is nearest-neighbor
+    * integer sampling, and the 64-bit packing handles bit 63 explicitly
+    * (DuckDB rejects 1<<63 on BIGINT; the signed value is identical to
+    * the engine's `hash |= 1L << 63`). Bands and the Hamming verify
+    * mirror the engine's 4×16-bit LSH exactly.
+    */
+  private val mediaPhashSql: String =
+    """WITH imgs AS (
+      |  SELECT doc_id, text,
+      |         (n_chars % 64 + 4) AS w, (n_chars % 48 + 4) AS h,
+      |         ((n_chars % 64 + 4) * 3 + 3) // 4 * 4 AS row_size,
+      |         strlen(text) AS len
+      |  FROM documents),
+      |lum AS (
+      |  SELECT i.doc_id, g2.gy, g1.gx,
+      |         SUM(ord(substr(i.text,
+      |           CAST((((g2.gy * i.h) // 8) * i.row_size + ((g1.gx * i.w) // 9) * 3 + c.c)
+      |                % i.len + 1 AS BIGINT), 1))) AS luma
+      |  FROM imgs i, range(0, 9) g1(gx), range(0, 8) g2(gy), range(0, 3) c(c)
+      |  GROUP BY 1, 2, 3),
+      |bits AS (
+      |  SELECT a.doc_id, (a.gy * 8 + a.gx) AS b,
+      |         CASE WHEN n.luma > a.luma THEN 1 ELSE 0 END AS bit
+      |  FROM lum a JOIN lum n ON a.doc_id = n.doc_id AND a.gy = n.gy AND n.gx = a.gx + 1
+      |  WHERE a.gx < 8),
+      |ph AS (
+      |  SELECT doc_id, CAST(SUM(CASE WHEN bit = 0 THEN 0
+      |    WHEN b = 63 THEN -9223372036854775808
+      |    ELSE (CAST(1 AS BIGINT) << CAST(b AS INTEGER)) END) AS BIGINT) AS phash
+      |  FROM bits GROUP BY 1),
+      |bands AS (
+      |  SELECT doc_id, b.b AS band_id,
+      |         (phash >> CAST(b.b * 16 AS INTEGER)) & 65535 AS band_key
+      |  FROM ph, range(0, 4) b(b)),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+      |  FROM bands a JOIN bands b2
+      |    ON a.band_id = b2.band_id AND a.band_key = b2.band_key AND a.doc_id < b2.doc_id)
+      |SELECT c.doc_a, c.doc_b,
+      |       CAST(bit_count(xor(pa.phash, pb.phash)) AS BIGINT) AS hamming
+      |FROM cand c JOIN ph pa ON c.doc_a = pa.doc_id JOIN ph pb ON c.doc_b = pb.doc_id
+      |WHERE bit_count(xor(pa.phash, pb.phash)) <= 12
+      |ORDER BY c.doc_a, c.doc_b""".stripMargin
 }

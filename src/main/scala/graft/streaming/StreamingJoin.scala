@@ -39,4 +39,34 @@ object StreamingJoin {
       .select(col("user_id"), col("view_id"), col("purchase_id"),
         col("view_ts"), col("purchase_ts"))
   }
+
+  /** LEFT OUTER [[viewPurchaseAttribution]]: views that never convert are
+    * EMITTED (purchase columns null) instead of dropped — the attribution-
+    * miss feed an experimentation pipeline alerts on. Operationally a
+    * different operator than the inner join: a buffered view now has an
+    * emission obligation, so the row is held until the WATERMARK proves no
+    * in-window purchase can still arrive (watermark > view_ts + window),
+    * at which point the state store evicts it and emits the null-extended
+    * row. Same state bound as the inner join — the outer semantics change
+    * WHEN rows leave state, not how much state is held.
+    */
+  def viewPurchaseAttributionOuter(views: DataFrame, purchases: DataFrame,
+                                   windowSeconds: Long = 3600,
+                                   delay: String = "10 minutes"): DataFrame = {
+    val v = views.filter(col("event_type") === "view")
+      .withWatermark("ts", delay)
+      .select(col("user_id"), col("event_id").as("view_id"),
+        col("ts").as("view_ts"))
+    val p = purchases.filter(col("event_type") === "purchase")
+      .withWatermark("ts", delay)
+      .select(col("user_id").as("p_user_id"),
+        col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
+    v.join(p,
+      col("user_id") === col("p_user_id") &&
+        col("view_ts") <= col("purchase_ts") &&
+        col("view_ts") >= col("purchase_ts") - expr(s"INTERVAL $windowSeconds SECONDS"),
+      "left_outer")
+      .select(col("user_id"), col("view_id"), col("purchase_id"),
+        col("view_ts"), col("purchase_ts"))
+  }
 }

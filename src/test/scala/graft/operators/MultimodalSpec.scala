@@ -37,6 +37,51 @@ class MultimodalSpec extends SparkSpec {
     intercept[IllegalArgumentException] { MediaCodec.rawVideoFrame(bytes, 5) }
   }
 
+  test("dHash: bit semantics, brightness-shift invariance, resize robustness") {
+    // 9x8 image whose luma strictly increases left to right: every
+    // comparison bit fires -> all 64 bits set
+    val ramp = MediaCodec.encodeBmp(9, 8, i => {
+      val row = MediaCodec.bmpRowSize(9); (((i % row) / 3) * 20).toByte
+    })
+    assert(MediaCodec.dHash(ramp) === -1L)
+    // constant image: no comparison fires
+    val flat = MediaCodec.encodeBmp(9, 8, _ => 50.toByte)
+    assert(MediaCodec.dHash(flat) === 0L)
+    // uniform brightness shift preserves every gradient sign (the
+    // perceptual property byte-hashes lack); bytes stay below wraparound
+    val base = MediaCodec.encodeBmp(20, 16, i => ((i * 7) % 180).toByte)
+    val brighter = MediaCodec.encodeBmp(20, 16, i => (((i * 7) % 180) + 40).toByte)
+    assert(MediaCodec.dHash(base) === MediaCodec.dHash(brighter))
+    // 2x nearest-neighbor upscale samples the same grid points
+    val up = MediaCodec.resizeBmpNearest(base, 40, 32)
+    val dist = java.lang.Long.bitCount(MediaCodec.dHash(base) ^ MediaCodec.dHash(up))
+    assert(dist <= 8, s"resize moved dHash by $dist bits")
+  }
+
+  test("mediaPhashPairs: pairs verify against a local recomputation, non-vacuous") {
+    val pairs = Multimodal.mediaPhashPairs(spark, sfDir).collect()
+    assert(pairs.length >= 5, s"near-vacuous: ${pairs.length} pairs")
+    // local ground truth: dHash every rendered image on the driver,
+    // check every emitted pair's Hamming distance and ordering — and
+    // that NO pair sharing a band at distance <= 12 was missed
+    val hashes = Multimodal.renderedImages(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> MediaCodec.dHash(r.getAs[Array[Byte]](1))).toMap
+    pairs.foreach { r =>
+      val (a, b, hm) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(a < b)
+      assert(java.lang.Long.bitCount(hashes(a) ^ hashes(b)).toLong === hm)
+      assert(hm <= 12)
+    }
+    def bandKeys(h: Long): Set[(Int, Long)] =
+      (0 until 4).map(b => b -> ((h >>> (b * 16)) & 0xffffL)).toSet
+    val expected = for {
+      (a, ha) <- hashes.toSeq; (b, hb) <- hashes.toSeq
+      if a < b && bandKeys(ha).intersect(bandKeys(hb)).nonEmpty &&
+        java.lang.Long.bitCount(ha ^ hb) <= 12
+    } yield (a, b)
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet === expected.toSet)
+  }
+
   test("resize: nearest-neighbor BMP scaling preserves content structure") {
     // source: 4x2 image with pixel bytes = linear ramp
     val src = MediaCodec.encodeBmp(4, 2, i => {

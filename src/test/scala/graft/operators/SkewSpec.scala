@@ -47,6 +47,50 @@ class SkewSpec extends SparkSpec {
     assert(shuffle.contains("__salt") || shuffle.contains("hashpartitioning"))
   }
 
+  test("AQE skew join splits the hot partition at runtime (skew=true in the final plan)") {
+    import org.apache.spark.sql.functions._
+    // When does AQE skew handling replace manual salting? AQE splits a
+    // skewed SORT-MERGE-JOIN partition at runtime from observed shuffle
+    // stats — zero code changes, but only for join shuffles. Manual
+    // salting (Skew.saltedAggregate / saltedJoin, q5_local_supplier_salted)
+    // still owns skewed AGGREGATIONS (AQE never splits an agg partition —
+    // that would break key-grouping) and cases where the skew is known
+    // ahead of time and the plan must not depend on runtime stats.
+    val keys = Seq(
+      "spark.sql.adaptive.enabled", "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.forceOptimizeSkewedJoin",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val prior = keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      // test-scale thresholds: the hot partition is ~MBs, not GBs
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+      spark.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      // one pathological key carries ~95% of the left side
+      val left = spark.range(0, 200000)
+        .select(when(col("id") < 190000, lit(0L)).otherwise(col("id") % 100).as("k"),
+          col("id").as("v"))
+      val right = spark.range(0, 100).select(col("id").as("k"), col("id").as("w"))
+      val joined = left.join(right, Seq("k"))
+      // collect() drives joined's OWN QueryExecution, so the adaptive
+      // plan below is the finalized one (count() would plan separately)
+      assert(joined.collect().length === 200000)
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"AQE did not mark the join skewed:\n${finalPlan.take(1200)}")
+    } finally prior.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("q5 salted ≡ q5 unsalted; plan shows the salt expansion on the build side") {
     val plain = Relational.q5LocalSupplier(spark, sfDir)
     val salted = Relational.q5LocalSupplierSalted(spark, sfDir)

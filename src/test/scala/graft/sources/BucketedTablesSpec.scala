@@ -64,6 +64,47 @@ class BucketedTablesSpec extends SparkSpec {
     } finally spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 
+  test("incremental dedup probes the store with zero store-side Exchange") {
+    import graft.operators.MinHash
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val table = "shingle_idx_incr_spec"
+    MinHash.materializeShingleIndex(spark, sfDir, table, nBuckets = 8)
+    try {
+      val (df, plan) = withPlanShapeConfs {
+        val d = MinHash.incrementalDedupBucketed(spark, sfDir, table)
+        (d, d.queryExecution.executedPlan)
+      }
+      // the store's rows must reach their first join without EVER being
+      // shuffled (the band join broadcasts the batch side; the verify
+      // probe reads doc_id buckets). Exchanges above a join carry the
+      // already-candidate-sized combined stream — those are fine (the
+      // final orderBy range-exchange necessarily spans everything).
+      // bare(p) = subtree holds a store scan not yet sealed by a join.
+      def bare(p: SparkPlan): Boolean = p match {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.toString.contains(table)
+        case j if j.children.length > 1 => false
+        case _ => p.children.exists(bare)
+      }
+      plan.foreach {
+        case s: ShuffleExchangeExec =>
+          assert(!bare(s.child),
+            s"store scan shuffled before its first join:\n${s.toString.take(800)}")
+        case _ => ()
+      }
+      // and the store is genuinely read through its buckets, twice
+      // (corpus band stream + verify probe)
+      assert("Bucketed: true".r.findAllIn(plan.toString).size >= 2,
+        s"store not read bucketed:\n${plan.toString.take(1200)}")
+      // same admissions as the recompute-per-run path
+      val viaStore = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val viaFresh = MinHash.incrementalDedup(spark, sfDir)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(viaStore === viaFresh)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
   test("bucketed fact-to-fact join plans without any shuffle exchange") {
     val l = graft.Tables.lineitem(spark, sfDir)
       .select("l_orderkey", "l_quantity", "l_extendedprice")
