@@ -135,11 +135,26 @@ object MinHash {
   private val stageCache =
     new java.util.concurrent.ConcurrentHashMap[(Int, String, String), DataFrame]()
 
+  /** NOT computeIfAbsent: stages memoize their own inputs (labels →
+    * pairs → shingle arrays), and a nested computeIfAbsent on the same
+    * map throws "Recursive update" whenever two keys land in one hash
+    * bin. Double-checked under a reentrant monitor instead.
+    */
   private def memoized(spark: SparkSession, stage: String, dir: String)
-                      (build: => DataFrame): DataFrame =
-    stageCache.computeIfAbsent(
-      (System.identityHashCode(spark), stage, dir),
-      _ => build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+                      (build: => DataFrame): DataFrame = {
+    val key = (System.identityHashCode(spark), stage, dir)
+    val hit = stageCache.get(key)
+    if (hit != null) hit
+    else stageCache.synchronized {
+      val again = stageCache.get(key)
+      if (again != null) again
+      else {
+        val df = build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        stageCache.put(key, df)
+        df
+      }
+    }
+  }
 
   /** The shingle-array index, shared across the whole family (verify
     * joins read it from both sides; [[incrementalDedup]] probes it).
@@ -341,10 +356,20 @@ object MinHash {
     * O(log n) alternating-star rounds; the final size join shuffles the
     * (tiny) label set, never the documents.
     */
+  /** Component labels over [[verifiedPairs]] — memoized like the pair
+    * graph itself: the cluster row and the survivor row both need the
+    * labels, and the CC driver loop (one action per round) is the most
+    * expensive stage in the family, so a curation DAG stages it once.
+    */
+  private[operators] def clusterLabels(spark: SparkSession, dir: String,
+                                       threshold: Double): DataFrame =
+    memoized(spark, s"cluster_labels_$threshold", dir) {
+      ConnectedComponents.labels(verifiedPairs(spark, dir, threshold)
+        .select(col("doc_a").as("u"), col("doc_b").as("v")))
+    }
+
   def dedupClusters(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
-    val pairs = minhashDedup(spark, dir, threshold)
-      .select(col("doc_a").as("u"), col("doc_b").as("v"))
-    val labels = ConnectedComponents.labels(pairs)
+    val labels = clusterLabels(spark, dir, threshold)
     val sizes = labels.groupBy(col("cluster_id"))
       .agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, Seq("cluster_id"))
@@ -368,7 +393,7 @@ object MinHash {
   def clusterSurvivors(spark: SparkSession, dir: String,
                        threshold: Double = 0.5): DataFrame = {
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("n_chars"))
-    val labeled = dedupClusters(spark, dir, threshold)
+    val labeled = clusterLabels(spark, dir, threshold)
       .select(col("doc_id"), col("cluster_id"))
       .join(docs, Seq("doc_id"))
     val winners = labeled.groupBy(col("cluster_id"))
