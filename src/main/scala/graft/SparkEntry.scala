@@ -187,8 +187,8 @@ object SparkEntry {
     "ann_ivf_recall"          -> ((s, d) => Similarity.ivfRecall(s, d)),
     // same IVF search against the ON-DISK partitioned index, reading
     // only the probed list directories — same oracle SQL verbatim
-    "ann_ivf_pruned"          -> ((s, d) => Similarity.ivfTopKPruned(s, d,
-      java.nio.file.Files.createTempDirectory("graft_ivf_idx_").toString)),
+    "ann_ivf_pruned"          -> ((s, d) =>
+      Similarity.ivfTopKPrunedAt(s, d, Similarity.ensureIvfIndex(s, d))),
     "ann_pq_recall"           -> ((s, d) => Similarity.pqRecall(s, d)),
     "ann_pq_topk"             -> ((s, d) => Similarity.pqTopK(s, d)),
     "dedup_embedding_cosine"  -> ((s, d) => Similarity.cosineNearDupPairs(s, d)),

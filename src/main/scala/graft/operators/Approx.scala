@@ -103,11 +103,20 @@ object Approx {
     */
   def approxDistinctUsersChecked(spark: SparkSession, dir: String,
                                  rsd: Double = 0.01): DataFrame =
+    // Two-phase distinct instead of `agg(count, countDistinct, hll)`:
+    // mixing distinct and plain aggregates makes Catalyst plan an Expand
+    // (every input row triplicated through the shuffle). Phase 1 reduces
+    // to one row per (event_type, user_id) with a map-side-combined row
+    // count; phase 2's count/sum/HLL over the deduped pairs are exact
+    // equalities — HLL registers are hash maxima, so duplicates never
+    // change the estimate. Identical output, one-third the shuffle bytes.
     Tables.events(spark, dir)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("n_rows"))
       .groupBy(col("event_type"))
       .agg(
-        count(lit(1)).as("n_events"),
-        countDistinct(col("user_id")).as("exact_users"),
+        sum(col("n_rows")).as("n_events"),
+        count(lit(1)).as("exact_users"),
         approx_count_distinct(col("user_id"), rsd).as("approx_users"))
       .select(col("event_type"), col("n_events"), col("exact_users"),
         (abs(col("approx_users") - col("exact_users")) <=

@@ -325,6 +325,36 @@ object Similarity {
                     codebookK: Int = CodebookK, nProbe: Int = 4): DataFrame = {
     ivfAssigned(spark, dir, codebookK)
       .write.mode("overwrite").partitionBy("list_id").parquet(indexDir)
+    ivfTopKPrunedAt(spark, dir, indexDir, k, queryStride, codebookK, nProbe)
+  }
+
+  /** One on-disk IVF index build per (JVM, corpus dir) — index
+    * construction is the INGEST step of an IVF deployment; queries (and
+    * registry enumeration, bench repeats, plan audits) probe the
+    * existing index rather than rebuilding it. Temp dir removed on JVM
+    * exit.
+    */
+  private val ivfIndexDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def ensureIvfIndex(spark: SparkSession, dir: String,
+                     codebookK: Int = CodebookK): String =
+    ivfIndexDirs.computeIfAbsent(dir, { _ =>
+      val p = java.nio.file.Files.createTempDirectory("graft_ivf_idx_")
+      sys.addShutdownHook {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(f => java.nio.file.Files.deleteIfExists(f))
+      }
+      ivfAssigned(spark, dir, codebookK)
+        .write.mode("overwrite").partitionBy("list_id").parquet(p.toString)
+      p.toString
+    })
+
+  /** The search half of [[ivfTopKPruned]]: probe an ALREADY-BUILT index. */
+  def ivfTopKPrunedAt(spark: SparkSession, dir: String, indexDir: String,
+                      k: Int = 5, queryStride: Int = 50,
+                      codebookK: Int = CodebookK, nProbe: Int = 4): DataFrame = {
     val probes = ivfProbes(spark, dir, queryStride, codebookK, nProbe)
     val probedLists = probes.select(col("list_id")).distinct()
       .collect().map(_.getLong(0)) // ≤ codebookK (constant) by construction
