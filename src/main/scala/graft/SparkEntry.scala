@@ -140,6 +140,9 @@ object SparkEntry {
     "q_sample_stratified" -> ((s, d) => TextOps.stratifiedSample(s, d)),
     // one-pass per-column completeness/cardinality audit
     "q_profile_orders"   -> (operators.Profile.profileOrders _),
+    // rule-based quality expectations: all single-table rules in one
+    // agg pass per table, referential+temporal rules share one join
+    "q_quality_expectations" -> (operators.Profile.expectations _),
     // C4/Gopher repeated-n-gram signal as two exact int64s per doc
     "text_repetition"    -> (TextOps.repetition _),
     "dedup_exact_text"   -> (TextOps.exactDedup _),
@@ -162,6 +165,10 @@ object SparkEntry {
     "dedup_cluster_survivors" -> ((s, d) => MinHash.clusterSurvivors(s, d)),
     "dedup_report"            -> ((s, d) => MinHash.dedupReport(s, d)),
     "dedup_ngram_jaccard"     -> ((s, d) => MinHash.ngramJaccardPairs(s, d)),
+    // dedup-index quality contract (the ANN-recall analog): every exact
+    // n-gram-Jaccard truth pair flagged found/missed by the LSH index —
+    // the r=4×b=3 collision curve made visible and oracle-exact
+    "dedup_lsh_recall"        -> ((s, d) => MinHash.lshDedupRecall(s, d)),
     "text_simhash"            -> (MinHash.simhash _),
     // lexical retrieval: BM25 top-k over the corpus inverted index,
     // exact-integer scores (floored 1e-6-quantized BM25)
@@ -1133,6 +1140,58 @@ object SparkEntry {
          |  JOIN (SELECT doc_id, count(*) AS n FROM shc GROUP BY 1) sa ON i.doc_a = sa.doc_id
          |  JOIN (SELECT doc_id, count(*) AS n FROM shc GROUP BY 1) sb ON i.doc_b = sb.doc_id)
          |SELECT doc_a, doc_b, jaccard FROM pairj WHERE jaccard >= 0.5""".stripMargin,
+    // truth = df-capped exact n-gram Jaccard pairs; found = the LSH
+    // pipeline's verified pairs (pairj); flag per truth pair
+    "dedup_lsh_recall" ->
+      s"""$shingleCte,
+         |$minhashCtes
+         |$jaccardFromSh,
+         |shc AS (SELECT sh.doc_id, sh.shingle FROM sh
+         |        JOIN (SELECT shingle FROM sh GROUP BY 1 HAVING count(*) <= 128) ok
+         |        USING (shingle)),
+         |intert AS (SELECT s1.doc_id AS doc_a, s2.doc_id AS doc_b, count(*) AS inter
+         |           FROM shc s1 JOIN shc s2 ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id
+         |           GROUP BY 1, 2),
+         |pairt AS (
+         |  SELECT i.doc_a, i.doc_b,
+         |         CAST(i.inter AS DOUBLE) / CAST(sa.n + sb.n - i.inter AS DOUBLE) AS jaccard
+         |  FROM intert i
+         |  JOIN (SELECT doc_id, count(*) AS n FROM shc GROUP BY 1) sa ON i.doc_a = sa.doc_id
+         |  JOIN (SELECT doc_id, count(*) AS n FROM shc GROUP BY 1) sb ON i.doc_b = sb.doc_id)
+         |SELECT t.doc_a, t.doc_b,
+         |  CAST(CASE WHEN p.doc_a IS NULL THEN 0 ELSE 1 END AS BIGINT) AS found_by_lsh
+         |FROM (SELECT doc_a, doc_b FROM pairt WHERE jaccard >= 0.5) t
+         |LEFT JOIN (SELECT doc_a, doc_b FROM pairj WHERE jaccard >= 0.5) p
+         |  ON t.doc_a = p.doc_a AND t.doc_b = p.doc_b
+         |ORDER BY t.doc_a, t.doc_b""".stripMargin,
+    // every rule's violation count recomputed from the same predicates
+    "q_quality_expectations" ->
+      """WITH ob AS (SELECT count(*) AS n,
+        |    SUM(CASE WHEN o_orderdate < TIMESTAMP '1995-01-01'
+        |              OR o_orderdate > TIMESTAMP '2001-12-31' THEN 1 ELSE 0 END) AS v_date,
+        |    SUM(CASE WHEN o_orderpriority NOT IN
+        |          ('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW')
+        |        THEN 1 ELSE 0 END) AS v_prio,
+        |    SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS v_price
+        |  FROM orders),
+        |lb AS (SELECT count(*) AS n,
+        |    SUM(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 ELSE 0 END) AS v_disc,
+        |    SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS v_qty
+        |  FROM lineitem),
+        |jb AS (SELECT count(*) AS n,
+        |    SUM(CASE WHEN o.o_orderkey IS NOT NULL AND l.l_shipdate <= o.o_orderdate
+        |        THEN 1 ELSE 0 END) AS v_ship,
+        |    SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS v_fk
+        |  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey)
+        |SELECT rule, n_checked, CAST(n_violations AS BIGINT) AS n_violations FROM (
+        |  SELECT 'o_orderdate_in_range' AS rule, n AS n_checked, v_date AS n_violations FROM ob
+        |  UNION ALL SELECT 'o_orderpriority_in_domain', n, v_prio FROM ob
+        |  UNION ALL SELECT 'o_totalprice_positive', n, v_price FROM ob
+        |  UNION ALL SELECT 'l_discount_in_range', n, v_disc FROM lb
+        |  UNION ALL SELECT 'l_quantity_in_range', n, v_qty FROM lb
+        |  UNION ALL SELECT 'l_ship_after_order', n, v_ship FROM jb
+        |  UNION ALL SELECT 'lineitem_order_fk', n, v_fk FROM jb)
+        |ORDER BY rule""".stripMargin,
     "text_simhash" ->
       """WITH toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
         |              FROM documents),

@@ -460,6 +460,27 @@ object MinHash {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Index-quality contract for the DEDUP family, mirroring the ANN
+    * recall rows: every ground-truth near-dup pair (exact df-capped
+    * n-gram Jaccard ≥ threshold, [[ngramJaccardPairs]]) labeled with
+    * whether the MinHash-LSH index found it. With r=4 rows × b=3 bands
+    * the collision probability at j=0.5 is ~18% and at j≥0.9 is ~96% —
+    * the emitted flags EXPOSE that operating curve instead of hiding
+    * it, and because every hash is md5-deterministic the flag per pair
+    * is exact and oracle-checkable.
+    */
+  def lshDedupRecall(spark: SparkSession, dir: String,
+                     threshold: Double = 0.5): DataFrame = {
+    val truth = ngramJaccardPairs(spark, dir, threshold)
+      .select(col("doc_a"), col("doc_b"))
+    val found = verifiedPairs(spark, dir, threshold)
+      .select(col("doc_a"), col("doc_b")).withColumn("f", lit(1L))
+    truth.join(found, Seq("doc_a", "doc_b"), "left")
+      .select(col("doc_a"), col("doc_b"),
+        coalesce(col("f"), lit(0L)).as("found_by_lsh"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** 60-bit SimHash per document from distinct whitespace tokens.
     * Token hash = first 15 hex chars of md5 (60 bits); simhash bit b is
     * the majority vote of token bits. Computed in one pass per row by

@@ -37,4 +37,63 @@ object Profile {
 
   def profileOrders(spark: SparkSession, dir: String): DataFrame =
     columnProfile(Tables.orders(spark, dir))
+
+  /** Declarative data-quality EXPECTATIONS (the Deequ/Great-Expectations
+    * shape): a rule set validated in bulk, one row per rule with exact
+    * checked/violation counts — the contract gate a pipeline puts
+    * between ingest and training. The synthetic generator does not
+    * enforce ship-after-order, so that rule reports real violations;
+    * the others pass clean — both outcomes are part of the gate.
+    *
+    * Scale: ALL single-table rules of a table evaluate in ONE
+    * aggregation pass (conditional sums, map-side combined — never one
+    * job per rule, the classic validator mistake); the two referential/
+    * temporal rules share ONE left join. 100 TB cost: two scans + one
+    * join, independent of rule count.
+    */
+  def expectations(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val l = Tables.lineitem(spark, dir)
+    val orderRules: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+      "o_orderdate_in_range" ->
+        (col("o_orderdate") < lit("1995-01-01").cast("timestamp") ||
+         col("o_orderdate") > lit("2001-12-31").cast("timestamp")),
+      "o_orderpriority_in_domain" ->
+        !col("o_orderpriority").isin(
+          "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"),
+      "o_totalprice_positive" -> (col("o_totalprice") <= 0.0))
+    val lineRules: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+      "l_discount_in_range" ->
+        (col("l_discount") < 0.0 || col("l_discount") > 0.1),
+      "l_quantity_in_range" ->
+        (col("l_quantity") < 1.0 || col("l_quantity") > 50.0))
+    val joined = l.select(col("l_orderkey"), col("l_shipdate"))
+      .join(o.select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"), "left")
+    val joinRules: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+      "l_ship_after_order" ->
+        (col("o_orderkey").isNotNull && col("l_shipdate") <= col("o_orderdate")),
+      "lineitem_order_fk" -> col("o_orderkey").isNull)
+    ruleBlock(o, orderRules)
+      .unionAll(ruleBlock(l, lineRules))
+      .unionAll(ruleBlock(joined, joinRules))
+      .orderBy(col("rule"))
+  }
+
+  /** Evaluate a rule set over one DataFrame in a single aggregation:
+    * (rule, n_checked, n_violations) per rule.
+    */
+  private def ruleBlock(df: DataFrame,
+                        rules: Seq[(String, org.apache.spark.sql.Column)]): DataFrame = {
+    val aggs = count(lit(1)).as("__n") +: rules.map { case (n, cond) =>
+      sum(when(cond, 1L).otherwise(0L)).as(s"__v_$n")
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(rules.map { case (n, _) =>
+        struct(lit(n).as("rule"), col("__n").as("n_checked"),
+          col(s"__v_$n").as("n_violations"))
+      }: _*)).as("r"))
+      .select(col("r.rule").as("rule"), col("r.n_checked").as("n_checked"),
+        col("r.n_violations").as("n_violations"))
+  }
 }
