@@ -210,14 +210,21 @@ object Relational {
     val c = Tables.customer(spark, dir)
     val o = Tables.orders(spark, dir)
     val l = Tables.lineitem(spark, dir)
+    // two-phase distinct: mixing sum with countDistinct plans an Expand
+    // (every joined row doubled through the shuffle); reducing per
+    // (region, order) first keeps one copy of each row in flight and the
+    // second aggregation is region-cardinality — the shape that survives
+    // a 100× fact-table scale-up
     l.join(o, col("l_orderkey") === col("o_orderkey"))
       .join(c, col("o_custkey") === col("c_custkey"))
       .join(n, col("c_nationkey") === col("n_nationkey"))
       .join(r, col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("o_orderkey"))
+      .agg(sum(discPriceC).as("rev_o"))
       .groupBy(col("r_name"))
       .agg(
-        sum(discPriceC).as("revenue"),
-        countDistinct(col("o_orderkey")).as("n_orders"))
+        sum(col("rev_o")).as("revenue"),
+        count(lit(1)).as("n_orders"))
       .orderBy(col("r_name"))
   }
 
@@ -679,13 +686,21 @@ object Relational {
     * pure comparisons (deterministic); no double sums (FIXTURES.md §3).
     */
   def qEventsValueStats(spark: SparkSession, dir: String): DataFrame =
+    // two-phase distinct (see qRegionRevenue): min/max/count all
+    // decompose through the per-(type, user) partial, so the Expand the
+    // mixed distinct would plan is never needed
     Tables.events(spark, dir)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(
+        count(lit(1)).as("n_u"),
+        min(col("value")).as("min_u"),
+        max(col("value")).as("max_u"))
       .groupBy(col("event_type"))
       .agg(
-        count(lit(1)).as("n"),
-        min(col("value")).as("min_value"),
-        max(col("value")).as("max_value"),
-        countDistinct(col("user_id")).as("n_users"))
+        sum(col("n_u")).as("n"),
+        min(col("min_u")).as("min_value"),
+        max(col("max_u")).as("max_value"),
+        count(lit(1)).as("n_users"))
       .orderBy(col("event_type"))
 
   /** Semi-structured: parse the JSON `props` column and aggregate. */
