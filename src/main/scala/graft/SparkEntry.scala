@@ -49,6 +49,10 @@ object SparkEntry {
     // JSONL landing zone: write → deterministic corruption → schema-
     // enforced PERMISSIVE re-read → per-lane (incl. quarantine) counts
     "source_jsonl_quarantine" -> (sources.JsonlIngest.quarantineAccounting(_, _)),
+    // dated lake layout round trip: events → partitionBy(event_date) →
+    // PRUNED window re-read (PartitionFilters + numFiles attested in
+    // TimePartitionedStoreSpec) → per-(day, type) exact stats
+    "source_time_partitioned" -> (sources.TimePartitionedStore.prunedDailyStats(_, _)),
     // ── relational analytics (SURVEY §7 M3) ──
     "q1_pricing_summary"    -> (Relational.q1PricingSummary _),
     "q3_shipping_priority"  -> (Relational.q3ShippingPriority _),
@@ -459,6 +463,16 @@ object SparkEntry {
       """SELECT user_id, event_type, count(*) AS n_attempts,
         |       min(ts) AS first_time, max(ts) AS last_time
         |FROM events GROUP BY 1, 2""".stripMargin,
+    // recomputed from the raw events table with the equivalent bounds —
+    // a match proves the dated layout preserved rows AND the date
+    // derivation / pruning predicate agree
+    "source_time_partitioned" ->
+      """SELECT CAST(ts AS DATE) AS event_date, event_type,
+        |  count(*) AS n_events,
+        |  CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM events
+        |WHERE CAST(ts AS DATE) >= DATE '2024-01-08' AND CAST(ts AS DATE) < DATE '2024-01-15'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "dedup_audit_failures" ->
       s"""SELECT $eventColsSql,
          |  CAST(CASE WHEN value < 10.0 THEN 4

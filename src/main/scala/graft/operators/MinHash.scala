@@ -430,7 +430,11 @@ object MinHash {
     */
   def ngramJaccardPairs(spark: SparkSession, dir: String, threshold: Double = 0.5,
                         dfCap: Int = DfCap): DataFrame =
-    ngramJaccardPairsOf(Tables.documents(spark, dir), threshold, dfCap)
+    // the exact pair set is the ground TRUTH stage: the pair row and the
+    // index-recall row both consume it, so it stages once per session
+    // like the LSH pair graph
+    memoized(spark, s"ngram_pairs_${threshold}_$dfCap", dir)(
+      ngramJaccardPairsOf(Tables.documents(spark, dir), threshold, dfCap))
 
   private[graft] def ngramJaccardPairsOf(docs: DataFrame, threshold: Double,
                                          dfCap: Int): DataFrame = {

@@ -1,0 +1,65 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Time-partitioned lake layout — the third pruning axis the engine
+  * attests, next to key-bucket pruning (DedupLogStore) and IVF list-dir
+  * pruning (Similarity): events land `partitionBy(event_date)`, so a
+  * date-range query reads ONLY the matching day directories. At 100 TB
+  * this is the difference between scanning a year and scanning a week —
+  * the scan's `PartitionFilters` (asserted in TimePartitionedStoreSpec,
+  * with the post-execution `numFiles` metric) prove the bytes were never
+  * opened, not merely filtered after decode.
+  *
+  * The registered row is a full round trip: events → dated layout →
+  * pruned re-read → per-type daily stats over a one-week window. The
+  * oracle recomputes from the raw events table with the equivalent ts
+  * bounds, so a green row proves the layout preserved the data AND the
+  * date derivation/pruning predicate agree byte-exactly. Money follows
+  * the int64-cents convention (FIXTURES.md §3): doubles are snapped to
+  * DECIMAL(18,2) per row before the order-independent integer sum.
+  */
+object TimePartitionedStore {
+
+  /** One dated-layout materialization per (JVM, source dir); temp dir
+    * removed on exit (same lifecycle as the IVF and JSONL stores).
+    */
+  private val storeDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def ensureDatedLayout(spark: SparkSession, dir: String): String =
+    storeDirs.computeIfAbsent(dir, { _ =>
+      val p = java.nio.file.Files.createTempDirectory("graft_dated_events_")
+      sys.addShutdownHook {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(f => java.nio.file.Files.deleteIfExists(f))
+      }
+      Tables.events(spark, dir)
+        .withColumn("event_date", to_date(col("ts")))
+        .write.mode("overwrite").partitionBy("event_date").parquet(p.toString)
+      p.toString
+    })
+
+  /** Pruned re-read: only the window's day directories are listed. */
+  def readWindow(spark: SparkSession, storeDir: String,
+                 from: String, until: String): DataFrame =
+    spark.read.parquet(storeDir)
+      .filter(col("event_date") >= lit(from) && col("event_date") < lit(until))
+
+  /** The oracle-gated row: per-(day, type) counts and exact cent sums
+    * over one week, read through the pruned dated layout.
+    */
+  def prunedDailyStats(spark: SparkSession, dir: String,
+                       from: String = "2024-01-08",
+                       until: String = "2024-01-15"): DataFrame =
+    readWindow(spark, ensureDatedLayout(spark, dir), from, until)
+      .groupBy(col("event_date"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum((col("value").cast("decimal(18,2)") * 100).cast("bigint"))
+          .as("value_cents"))
+      .orderBy(col("event_date"), col("event_type"))
+}
