@@ -62,4 +62,41 @@ object TimePartitionedStore {
         sum((col("value").cast("decimal(18,2)") * 100).cast("bigint"))
           .as("value_cents"))
       .orderBy(col("event_date"), col("event_type"))
+
+  /** Small-file COMPACTION — the lake-maintenance job every streaming or
+    * micro-batch ingest eventually needs: each day partition is
+    * rewritten as one file (`repartition(1)` per partition via the
+    * partition column), because a 100 TB table fed by N-writer
+    * micro-batches otherwise accumulates files whose per-file overhead
+    * (open, footer, scheduling) dominates the scan. Data is unchanged —
+    * TimePartitionedStoreSpec pins exact row equality and the file-count
+    * drop.
+    */
+  def compactDatedLayout(spark: SparkSession, storeDir: String,
+                         outDir: String, filesPerDay: Int = 1): Unit =
+    spark.read.parquet(storeDir)
+      .repartition(col("event_date"))
+      .sortWithinPartitions(col("event_date"), col("ts"))
+      .write.mode("overwrite").partitionBy("event_date")
+      .parquet(outDir)
+
+  /** Events SORTED at rest by `sortCol`: parquet keeps min/max stats
+    * per row group, so a point/range predicate on the sort column
+    * decodes only the row groups whose stat range matches — within-file
+    * skipping, one level below directory pruning. The write IS the
+    * "sort your data at rest" ingest discipline; the spec compares the
+    * same predicate against a layout sorted by an unrelated column to
+    * isolate what the sorting buys.
+    */
+  def writeSortedLayout(spark: SparkSession, dir: String, outDir: String,
+                        sortCol: String, blockBytes: Long = 64 * 1024): Unit =
+    Tables.events(spark, dir)
+      .repartition(1)
+      .sortWithinPartitions(col(sortCol))
+      .write.mode("overwrite")
+      // small row groups so the test-scale file has MANY groups to skip;
+      // production uses the 128 MB default — the layout property is the
+      // same, only the granularity differs
+      .option("parquet.block.size", blockBytes.toString)
+      .parquet(outDir)
 }
