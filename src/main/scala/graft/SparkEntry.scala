@@ -168,6 +168,9 @@ object SparkEntry {
     // survives (transitive-safe, unlike pairwise keep-lowest-id)
     "dedup_cluster_survivors" -> ((s, d) => MinHash.clusterSurvivors(s, d)),
     "dedup_report"            -> ((s, d) => MinHash.dedupReport(s, d)),
+    // the curation CAPSTONE: cluster-survivor dedup ∘ quality gate →
+    // per-source in/dup-dropped/quality-dropped/shipped report
+    "pipeline_curation"       -> (operators.Curation.curationSummary(_, _)),
     "dedup_ngram_jaccard"     -> ((s, d) => MinHash.ngramJaccardPairs(s, d)),
     // dedup-index quality contract (the ANN-recall analog): every exact
     // n-gram-Jaccard truth pair flagged found/missed by the LSH index —
@@ -1137,6 +1140,40 @@ object SparkEntry {
          |LEFT JOIN lab l ON d.doc_id = l.doc_id
          |LEFT JOIN win w ON w.cluster_id = l.cluster_id AND w.keep_id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+    // dedup survivors ∘ quality gate → per-source curation report; the
+    // quality predicate is the curation POLICY (stricter than
+    // text_quality's contract) so every report column is non-vacuous
+    "pipeline_curation" ->
+      s"""$clusterCtes,
+         |lw AS (SELECT l.doc_id, l.cluster_id, d.n_chars
+         |       FROM lab l JOIN documents d USING (doc_id)),
+         |win AS (SELECT cluster_id, doc_id AS keep_id FROM (
+         |  SELECT cluster_id, doc_id, row_number() OVER (PARTITION BY cluster_id
+         |    ORDER BY n_chars DESC, doc_id) AS rk FROM lw) WHERE rk = 1),
+         |qual AS (SELECT doc_id,
+         |    (n_tokens >= 40 AND n_stopwords >= 1
+         |     AND CAST(n_chars - (n_tokens - 1) AS DOUBLE) / CAST(n_tokens AS DOUBLE) < 12.0)
+         |      AS is_quality
+         |  FROM (SELECT doc_id,
+         |          CAST(length(text) AS BIGINT) AS n_chars,
+         |          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |          CAST(len(list_filter(string_split(text, ' '),
+         |            t -> t IN ('the','a','of','and','is','to','in'))) AS BIGINT) AS n_stopwords
+         |        FROM documents)),
+         |keptq AS (
+         |  SELECT d.source,
+         |    CASE WHEN l.cluster_id IS NULL THEN 1
+         |         WHEN w.keep_id IS NOT NULL THEN 1 ELSE 0 END AS kept,
+         |    q.is_quality
+         |  FROM documents d
+         |  LEFT JOIN lab l ON d.doc_id = l.doc_id
+         |  LEFT JOIN win w ON w.cluster_id = l.cluster_id AND w.keep_id = d.doc_id
+         |  JOIN qual q ON q.doc_id = d.doc_id)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(SUM(CASE WHEN kept = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_dropped,
+         |  CAST(SUM(CASE WHEN kept = 1 AND NOT is_quality THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_dropped,
+         |  CAST(SUM(CASE WHEN kept = 1 AND is_quality THEN 1 ELSE 0 END) AS BIGINT) AS n_final
+         |FROM keptq GROUP BY 1 ORDER BY source""".stripMargin,
     // df cap 128 on the inverted index, same as MinHash.DfCap — applied
     // consistently to intersections AND set sizes on both sides
     "dedup_ngram_jaccard" ->
