@@ -60,6 +60,58 @@ class TimePartitionedStoreSpec extends SparkSpec {
     assert(after.exceptAll(before).isEmpty && before.exceptAll(after).isEmpty)
   }
 
+  test("backfill replaces exactly one day: other days' files untouched") {
+    // a fresh store (not the shared memo) — this test mutates it
+    val store = java.nio.file.Files.createTempDirectory("graft_backfill_").toString
+    val events = graft.Tables.events(spark, sfDir)
+    events.withColumn("event_date", to_date(col("ts")))
+      .write.mode("overwrite").partitionBy("event_date").parquet(store)
+    val day = "2024-01-10"
+    def fileSet(exceptDay: String): Set[String] = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(store)).iterator().asScala
+        .filter(p => p.toString.endsWith(".parquet"))
+        .filterNot(_.toString.contains(s"event_date=$exceptDay"))
+        .map(p => p.toString + "@" + java.nio.file.Files.getLastModifiedTime(p))
+        .toSet
+    }
+    val othersBefore = fileSet(day)
+    // backfill the day with a corrected feed: that day's values doubled
+    val corrected = events.withColumn("value",
+      when(to_date(col("ts")) === lit(day), col("value") * 2).otherwise(col("value")))
+    TimePartitionedStore.backfillDay(spark, store, day, corrected)
+    // other days: same files, same mtimes — not rewritten
+    assert(fileSet(day) === othersBefore)
+    // the day itself: replaced with the corrected rows
+    val dayRows = spark.read.parquet(store)
+      .filter(col("event_date") === lit(day))
+    val expected = corrected.filter(to_date(col("ts")) === lit(day))
+    assert(dayRows.count() === expected.count())
+    assert(dayRows.agg(sum(col("value"))).collect()(0).getDouble(0) ===
+      expected.agg(sum(col("value"))).collect()(0).getDouble(0))
+  }
+
+  test("streaming ingest into the dated layout equals the batch layout, exactly once") {
+    val events = graft.Tables.events(spark, sfDir)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_lake_").toString
+    events.write.parquet(s"$tmp/in")
+    val stream = spark.readStream.schema(events.schema).parquet(s"$tmp/in")
+    val q = TimePartitionedStore.streamIntoDatedLayout(
+      spark, stream, s"$tmp/out", s"$tmp/ckpt")
+    try q.processAllAvailable() finally q.stop()
+    // the _spark_metadata commit log is the exactly-once mechanism
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$tmp/out/_spark_metadata")))
+    val streamed = spark.read.parquet(s"$tmp/out")
+    assert(streamed.count() === events.count())
+    // same partition spine and same rows as the batch-written layout
+    val batchStore = TimePartitionedStore.ensureDatedLayout(spark, sfDir)
+    val batch = spark.read.parquet(batchStore)
+    assert(streamed.select("event_date").distinct().count() ===
+      batch.select("event_date").distinct().count())
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("sorted layout: row-group stats skip most of the file for a point predicate") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     // sf0.01 events (~10k rows): with 64 KB row groups the single file
