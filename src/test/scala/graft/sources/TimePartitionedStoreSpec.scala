@@ -112,6 +112,31 @@ class TimePartitionedStoreSpec extends SparkSpec {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("schema evolution: a later day adds a column; merged read backfills nulls") {
+    // day 1 lands with the original schema; day 2's producer added a
+    // quality_score column. mergeSchema must union the schemas, old days
+    // reading null for the new column — silent schema drift is the
+    // ingestion failure mode this pins (the default non-merged read
+    // would pick ONE footer's schema and silently drop the column).
+    val store = java.nio.file.Files.createTempDirectory("graft_evolve_").toString
+    val events = graft.Tables.events(spark, sfDir)
+    events.withColumn("event_date", to_date(col("ts")))
+      .filter(col("event_date") === lit("2024-01-05"))
+      .write.mode("append").partitionBy("event_date").parquet(store)
+    events.withColumn("event_date", to_date(col("ts")))
+      .filter(col("event_date") === lit("2024-01-06"))
+      .withColumn("quality_score", col("value") * 0.5)
+      .write.mode("append").partitionBy("event_date").parquet(store)
+    val merged = spark.read.option("mergeSchema", "true").parquet(store)
+    assert(merged.columns.contains("quality_score"))
+    val d1 = merged.filter(col("event_date") === lit("2024-01-05"))
+    val d2 = merged.filter(col("event_date") === lit("2024-01-06"))
+    assert(d1.count() > 0 && d2.count() > 0)
+    // old day: all nulls for the new column; new day: none
+    assert(d1.filter(col("quality_score").isNotNull).count() === 0)
+    assert(d2.filter(col("quality_score").isNull).count() === 0)
+  }
+
   test("sorted layout: row-group stats skip most of the file for a point predicate") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     // sf0.01 events (~10k rows): with 64 KB row groups the single file
