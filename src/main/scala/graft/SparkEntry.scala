@@ -99,6 +99,9 @@ object SparkEntry {
     // the data, so the estimates themselves sit under the exact gate
     "q_approx_heavy_hitters"  -> ((s, d) => operators.Approx.cmsHeavyHitters(s, d)),
     "q_approx_value_quantiles" -> (operators.Approx.approxValueQuantilesChecked(_, _)),
+    // sketch re-aggregation: per-day HLL sketches unioned ≡ one global
+    // sketch (structural register-max property), within 5·rsd of exact
+    "q_approx_distinct_daily_merge" -> ((s, d) => operators.Approx.hllDailyMergeChecked(s, d)),
     // the exact counterpart: rank-arithmetic lower median per group
     "q_exact_median"          -> (Relational.qExactMedian _),
     "q_rollup_returns"      -> (Relational.qRollupReturns _),
@@ -120,6 +123,8 @@ object SparkEntry {
     "q_cohort_retention"    -> (Relational.qCohortRetention _),
     // window-frame surface: within-year running revenue totals
     "q_cumulative_revenue"  -> (Relational.qCumulativeRevenue _),
+    // SCD Type-2 validity intervals per (user, event_type run)
+    "q_scd2_user_history"   -> (Relational.qScd2UserHistory _),
     "q_asof_attribution"    -> (operators.AsOf.purchaseAttribution _),
     // same attribution through the custom merge SparkPlan (plans/
     // AsOfMergeJoin) — same oracle SQL verbatim, different physical op
@@ -737,6 +742,15 @@ object SparkEntry {
       """SELECT event_type, count(value) AS n_events,
         |  true AS p50_in_bounds, true AS p95_in_bounds, true AS p99_in_bounds
         |FROM events GROUP BY 1""".stripMargin,
+    // sketch re-aggregation: the oracle recomputes n_days / exact_users;
+    // merged_eq_global is the structural union-losslessness attestation
+    // and merged_within_5rsd the accuracy contract, both live in Spark
+    "q_approx_distinct_daily_merge" ->
+      """SELECT event_type,
+        |  count(DISTINCT CAST(ts AS DATE)) AS n_days,
+        |  count(DISTINCT user_id) AS exact_users,
+        |  true AS merged_eq_global, true AS merged_within_5rsd
+        |FROM events GROUP BY 1""".stripMargin,
     "q_exact_median" ->
       """WITH r AS (SELECT event_type, value,
         |    row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rk,
@@ -825,6 +839,27 @@ object SparkEntry {
         |SELECT cohort_day, CAST(days_since AS BIGINT) AS days_since,
         |  count(*) AS n_users
         |FROM d GROUP BY 1, 2""".stripMargin,
+    "q_scd2_user_history" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    CASE WHEN lag(event_type) OVER
+        |           (PARTITION BY user_id ORDER BY ts, event_id)
+        |         IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
+        |  FROM events),
+        |g AS (
+        |  SELECT user_id, event_type, ts,
+        |    CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS version
+        |  FROM e),
+        |i AS (
+        |  SELECT user_id, version, event_type, min(ts) AS valid_from,
+        |    max(ts) AS last_seen, count(*) AS n_events
+        |  FROM g GROUP BY 1, 2, 3)
+        |SELECT user_id, version, event_type, valid_from,
+        |  lead(valid_from) OVER w AS valid_to, last_seen, n_events,
+        |  (lead(valid_from) OVER w IS NULL) AS is_current
+        |FROM i WINDOW w AS (PARTITION BY user_id ORDER BY version)""".stripMargin,
     "q_cumulative_revenue" ->
       s"""WITH daily AS (
          |  SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, o_orderdate AS day,

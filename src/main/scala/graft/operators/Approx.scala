@@ -51,6 +51,47 @@ object Approx {
         col("q")(0).as("p50"), col("q")(1).as("p95"), col("q")(2).as("p99"))
       .orderBy(col("event_type"))
 
+  /** Sketch RE-AGGREGATION — the property that justifies storing
+    * sketches in a lake at all: per-day DataSketches HLL sketches
+    * (`hll_sketch_agg`), persisted once, can be UNIONED
+    * (`hll_union_agg`) to answer any later window without rescanning
+    * the raw 100 TB. The gate makes two contracts exact:
+    *
+    *  - `merged_eq_global`: estimate(union of daily sketches) ==
+    *    estimate(one sketch over the whole range). Structural, not
+    *    data-luck — HLL registers are per-slot maxima, and max is
+    *    associative over any partitioning of the stream (coupon modes
+    *    union exact hash sets), so same-lgK union is lossless.
+    *  - `merged_within_5rsd`: the merged estimate sits inside the
+    *    5-sigma band around the exact cardinality (same rationale as
+    *    [[approxDistinctUsersChecked]]; lgK=12 → rsd ≈ 1.625%/√2^… ≈
+    *    1.04/√4096 ≈ 1.6%).
+    *
+    * Scale: the daily groupBy is one shuffle producing ~(types × days)
+    * 1.5 KB sketch rows; the union aggregates THOSE, never the events.
+    */
+  def hllDailyMergeChecked(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("event_type"), to_date(col("ts")).as("day"), col("user_id"))
+    val daily = e.groupBy(col("event_type"), col("day"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+    val merged = daily.groupBy(col("event_type"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("merged_users"),
+           count(lit(1)).as("n_days"))
+    val global = e.groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("n_rows"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("exact_users"),
+           hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("global_users"))
+    val rsd = 1.04 / math.sqrt(1 << 12) // lgConfigK = 12 default
+    merged.join(global, Seq("event_type"))
+      .select(col("event_type"), col("n_days"), col("exact_users"),
+        (col("merged_users") === col("global_users")).as("merged_eq_global"),
+        (abs(col("merged_users") - col("exact_users")) <=
+          lit(5 * rsd) * col("exact_users")).as("merged_within_5rsd"))
+      .orderBy(col("event_type"))
+  }
+
   /** Count-Min-sketch heavy hitters (Cormode/Muthukrishnan 2005) — the
     * third sketch family beside HLL and KLL, and unlike those, fully
     * DETERMINISTIC under the exact hash gate: with md5-derived bucket

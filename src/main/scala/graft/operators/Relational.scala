@@ -550,6 +550,43 @@ object Relational {
       .orderBy(col("day"))
   }
 
+  /** SCD Type-2 attribute history — the warehouse shape for "what was
+    * this entity's attribute at time t": each user's event stream is
+    * collapsed into validity intervals, one row per consecutive RUN of
+    * the same event_type, with `valid_from`/`valid_to` bounds (half-open;
+    * `valid_to` null on the current version) and a per-user version
+    * number. Gaps-and-islands by a change-flag running sum: the island
+    * id IS the version, so no second re-rank pass is needed.
+    *
+    * Scale: both stacked windows (lag + running sum) and the final
+    * lead() all share ONE partitioning (user_id) and ordering
+    * (ts, event_id) → a single shuffle; the island groupBy re-uses the
+    * same key prefix. No join, no global sort until the (small) ordered
+    * output.
+    */
+  def qScd2UserHistory(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val islands = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("chg",
+        when(lag(col("event_type"), 1).over(w).isNull ||
+             lag(col("event_type"), 1).over(w) =!= col("event_type"), 1L)
+          .otherwise(0L))
+      .withColumn("version", sum(col("chg")).over(run))
+      .groupBy(col("user_id"), col("version"), col("event_type"))
+      .agg(min(col("ts")).as("valid_from"), max(col("ts")).as("last_seen"),
+           count(lit(1)).as("n_events"))
+    val wv = Window.partitionBy(col("user_id")).orderBy(col("version"))
+    islands
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(wv))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select(col("user_id"), col("version"), col("event_type"),
+        col("valid_from"), col("valid_to"), col("last_seen"),
+        col("n_events"), col("is_current"))
+      .orderBy(col("user_id"), col("version"))
+  }
+
   /** TPC-H Q20-style: suppliers in one region who shipped more than half
     * of some PROMO part's 1996 volume (the excess-stock shape: inner agg
     * per (part, supplier) compared against a correlated per-part total,
