@@ -53,6 +53,9 @@ object SparkEntry {
     // PRUNED window re-read (PartitionFilters + numFiles attested in
     // TimePartitionedStoreSpec) → per-(day, type) exact stats
     "source_time_partitioned" -> (sources.TimePartitionedStore.prunedDailyStats(_, _)),
+    // CDC MERGE round trip: fresh dated-layout copy → deterministic
+    // upsert/delete/insert batch → touched-day-only rewrite → re-read
+    "source_cdc_merge" -> ((s, d) => sources.CdcMerge.cdcMergeSummary(s, d)),
     // ── relational analytics (SURVEY §7 M3) ──
     "q1_pricing_summary"    -> (Relational.q1PricingSummary _),
     "q3_shipping_priority"  -> (Relational.q3ShippingPriority _),
@@ -125,6 +128,8 @@ object SparkEntry {
     "q_cumulative_revenue"  -> (Relational.qCumulativeRevenue _),
     // SCD Type-2 validity intervals per (user, event_type run)
     "q_scd2_user_history"   -> (Relational.qScd2UserHistory _),
+    // ntile customer-value segmentation over the per-user reduction
+    "q_user_value_deciles"  -> (Relational.qUserValueDeciles _),
     "q_asof_attribution"    -> (operators.AsOf.purchaseAttribution _),
     // same attribution through the custom merge SparkPlan (plans/
     // AsOfMergeJoin) — same oracle SQL verbatim, different physical op
@@ -223,7 +228,10 @@ object SparkEntry {
     // pure function of it), so a green row proves the whole
     // encode→decode→fingerprint chain byte-exactly
     "dedup_media_phash"       -> ((s, d) =>
-      operators.Multimodal.mediaPhashPairs(s, d)))
+      operators.Multimodal.mediaPhashPairs(s, d)),
+    // acoustic twin of the phash lane over the rendered WAV column
+    "dedup_media_ahash"       -> ((s, d) =>
+      operators.Multimodal.mediaAhashPairs(s, d)))
 
   // ───────────────────────── oracle SQL ─────────────────────────
 
@@ -481,6 +489,27 @@ object SparkEntry {
         |FROM events
         |WHERE CAST(ts AS DATE) >= DATE '2024-01-08' AND CAST(ts AS DATE) < DATE '2024-01-15'
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // CDC merge: the oracle re-derives the same deterministic change
+    // batch and applies it relationally — delete beats same-key upsert;
+    // inserts are cloned keys (+10^7) that keep their day
+    "source_cdc_merge" ->
+      """WITH w AS (SELECT * FROM events
+        |  WHERE CAST(ts AS DATE) >= DATE '2024-01-08'
+        |    AND CAST(ts AS DATE) <= DATE '2024-01-10'),
+        |merged AS (
+        |  SELECT event_id, ts, value FROM events
+        |  WHERE NOT (event_id % 13 = 0 OR event_id % 17 = 0)
+        |     OR CAST(ts AS DATE) < DATE '2024-01-08'
+        |     OR CAST(ts AS DATE) > DATE '2024-01-10'
+        |  UNION ALL
+        |  SELECT event_id, ts, value + 1000 AS value FROM w
+        |  WHERE event_id % 13 = 0 AND event_id % 17 <> 0
+        |  UNION ALL
+        |  SELECT event_id + 10000000 AS event_id, ts, value FROM w
+        |  WHERE event_id % 19 = 0)
+        |SELECT CAST(ts AS DATE) AS event_date, count(*) AS n_events,
+        |  CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin,
     "dedup_audit_failures" ->
       s"""SELECT $eventColsSql,
          |  CAST(CASE WHEN value < 10.0 THEN 4
@@ -839,6 +868,18 @@ object SparkEntry {
         |SELECT cohort_day, CAST(days_since AS BIGINT) AS days_since,
         |  count(*) AS n_users
         |FROM d GROUP BY 1, 2""".stripMargin,
+    "q_user_value_deciles" ->
+      """WITH per AS (
+        |  SELECT user_id,
+        |    CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS value_c
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |d AS (SELECT user_id, value_c,
+        |        CAST(ntile(10) OVER (ORDER BY value_c DESC, user_id) AS BIGINT) AS decile
+        |      FROM per)
+        |SELECT decile, count(*) AS n_users,
+        |  CAST(SUM(value_c) AS BIGINT) AS sum_value_c,
+        |  min(value_c) AS min_value_c, max(value_c) AS max_value_c
+        |FROM d GROUP BY 1""".stripMargin,
     "q_scd2_user_history" ->
       """WITH e AS (
         |  SELECT user_id, event_type, ts, event_id,
@@ -1417,7 +1458,8 @@ object SparkEntry {
     // oracle proves the encode→decode round trip byte-exactly.
     "multimodal_stats"  -> multimodalGeometrySql,
     "multimodal_decode" -> multimodalGeometrySql,
-    "dedup_media_phash" -> mediaPhashSql)
+    "dedup_media_phash" -> mediaPhashSql,
+    "dedup_media_ahash" -> mediaAhashSql)
 
   private val multimodalGeometrySql: String =
     """SELECT doc_id,
@@ -1450,6 +1492,53 @@ object SparkEntry {
     * the engine's `hash |= 1L << 63`). Bands and the Hamming verify
     * mirror the engine's 4×16-bit LSH exactly.
     */
+  /** aHash acoustic-dedup oracle: re-derives every PCM sample from doc
+    * text — sample i of the rendered WAV is (content[i mod len]-128)<<8
+    * (Multimodal.renderedAudio), frame assignment is i·65/n in integer
+    * arithmetic, frame energy compare is the exact cross-multiplication
+    * (uniform <<8 scale cancels, so the oracle works on |ord-128|), and
+    * empty frames (n < 65) compare as 0/1. Bit packing, bands and the
+    * Hamming verify mirror [[mediaPhashSql]].
+    */
+  private val mediaAhashSql: String =
+    """WITH auds AS (
+      |  SELECT doc_id, text, (n_chars % 256 + 16) AS n, strlen(text) AS len
+      |  FROM documents),
+      |fr AS (
+      |  SELECT a.doc_id, (s.i * 65) // a.n AS k,
+      |         SUM(abs(ord(substr(a.text, CAST(s.i % a.len + 1 AS BIGINT), 1)) - 128)) AS s,
+      |         COUNT(*) AS c
+      |  FROM auds a JOIN range(0, 272) s(i) ON s.i < a.n
+      |  GROUP BY 1, 2),
+      |fx AS (
+      |  SELECT a.doc_id, f.k,
+      |         COALESCE(fr.s, 0) AS s, GREATEST(COALESCE(fr.c, 0), 1) AS c
+      |  FROM auds a CROSS JOIN range(0, 65) f(k)
+      |  LEFT JOIN fr ON fr.doc_id = a.doc_id AND fr.k = f.k),
+      |bits AS (
+      |  SELECT a.doc_id, a.k AS b,
+      |         CASE WHEN n.s * a.c > a.s * n.c THEN 1 ELSE 0 END AS bit
+      |  FROM fx a JOIN fx n ON a.doc_id = n.doc_id AND n.k = a.k + 1
+      |  WHERE a.k < 64),
+      |ph AS (
+      |  SELECT doc_id, CAST(SUM(CASE WHEN bit = 0 THEN 0
+      |    WHEN b = 63 THEN -9223372036854775808
+      |    ELSE (CAST(1 AS BIGINT) << CAST(b AS INTEGER)) END) AS BIGINT) AS phash
+      |  FROM bits GROUP BY 1),
+      |bands AS (
+      |  SELECT doc_id, b.b AS band_id,
+      |         (phash >> CAST(b.b * 16 AS INTEGER)) & 65535 AS band_key
+      |  FROM ph, range(0, 4) b(b)),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+      |  FROM bands a JOIN bands b2
+      |    ON a.band_id = b2.band_id AND a.band_key = b2.band_key AND a.doc_id < b2.doc_id)
+      |SELECT c.doc_a, c.doc_b,
+      |       CAST(bit_count(xor(pa.phash, pb.phash)) AS BIGINT) AS hamming
+      |FROM cand c JOIN ph pa ON c.doc_a = pa.doc_id JOIN ph pb ON c.doc_b = pb.doc_id
+      |WHERE bit_count(xor(pa.phash, pb.phash)) <= 12
+      |ORDER BY c.doc_a, c.doc_b""".stripMargin
+
   private val mediaPhashSql: String =
     """WITH imgs AS (
       |  SELECT doc_id, text,

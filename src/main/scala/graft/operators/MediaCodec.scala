@@ -184,6 +184,40 @@ object MediaCodec {
     Array.tabulate(n)(i => b.getShort(44 + 2 * i))
   }
 
+  /** 64-bit audio fingerprint — the WAV counterpart of [[dHash]]: the
+    * PCM stream is cut into 65 frames (sample i → frame i·65/n, integer
+    * arithmetic), and bit k is set iff frame k+1's mean |amplitude|
+    * exceeds frame k's. Energy-envelope GRADIENTS survive uniform gain
+    * changes (the audio analog of dHash's brightness robustness), which
+    * raw byte hashes do not. The mean comparison is an exact integer
+    * cross-multiplication — no floats, so any engine (incl. the DuckDB
+    * oracle) reproduces the bit pattern exactly; an empty frame
+    * (n < 65) compares as 0/1.
+    */
+  def aHash(bytes: Array[Byte]): Long = {
+    val (_, channels, bits, n) = decodeWavHeader(bytes)
+    require(channels == 1 && bits == 16, "expected 16-bit mono")
+    val b = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val sums = new Array[Long](65)
+    val cnts = new Array[Long](65)
+    var i = 0
+    while (i < n) {
+      val k = (i.toLong * 65 / n).toInt
+      sums(k) += math.abs(b.getShort(44 + 2 * i).toLong)
+      cnts(k) += 1
+      i += 1
+    }
+    var hash = 0L
+    var k = 0
+    while (k < 64) {
+      val ca = math.max(cnts(k), 1L)
+      val cb = math.max(cnts(k + 1), 1L)
+      if (sums(k + 1) * ca > sums(k) * cb) hash |= 1L << k
+      k += 1
+    }
+    hash
+  }
+
   // ── raw gray8 frame container ("GRV0") ─────────────────────────────
 
   def rawVideoSize(width: Int, height: Int, nFrames: Int): Int =

@@ -118,16 +118,30 @@ object Multimodal {
     */
   def mediaPhashPairs(spark: SparkSession, dir: String,
                       maxHamming: Int = 12): DataFrame = {
-    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val phSchema = StructType(Seq(
       StructField("doc_id", LongType),
       StructField("phash", LongType)))
     implicit val enc: org.apache.spark.sql.Encoder[Row] =
       org.apache.spark.sql.Encoders.row(phSchema)
-    // one row per doc — feeds the band subtree and both verify lookups
     val ph = renderedImages(spark, dir).mapPartitions { it =>
       it.map { r => Row(r.getLong(0), MediaCodec.dHash(r.getAs[Array[Byte]](1))) }
-    }.persist(MEMORY_AND_DISK)
+    }
+    hammingLshPairs(ph, maxHamming)
+  }
+
+  /** Shared 64-bit-fingerprint near-dup tail (images dHash / audio
+    * aHash): band the hash into 4×16-bit LSH bands (two hashes within
+    * Hamming distance ≤ maxHamming agree on some whole band unless
+    * every flip straddles all 4 bands), equi-join on (band_id,
+    * band_key), verify candidates by EXACT Hamming distance. Never
+    * all-pairs: the shuffle carries bands and candidate pairs only.
+    * `ph` must be (doc_id, phash); one persisted row per doc feeds the
+    * band subtree and both verify lookups.
+    */
+  private def hammingLshPairs(phUnpersisted: DataFrame,
+                              maxHamming: Int): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val ph = phUnpersisted.persist(MEMORY_AND_DISK)
     val bandCols = (0 until 4).map { b =>
       struct(lit(b).as("band_id"),
         shiftrightunsigned(col("phash"), b * 16)
@@ -148,6 +162,49 @@ object Multimodal {
         bit_count(col("ph_a").bitwiseXOR(col("ph_b"))).cast("bigint").as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Every document rendered as its canonical 16-bit mono WAV (the
+    * audio-modality formulas of [[mediaTable]] applied to ALL docs) —
+    * the corpus's audio column for the acoustic-dedup lane.
+    */
+  def renderedAudio(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select("doc_id", "text", "n_chars")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("payload", BinaryType)))
+    implicit val enc: org.apache.spark.sql.Encoder[Row] =
+      org.apache.spark.sql.Encoders.row(schema)
+    docs.mapPartitions { it =>
+      it.map { r =>
+        val content = r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        def pix(i: Int): Byte =
+          if (content.isEmpty) 0 else content(i % content.length)
+        val nChars = r.getLong(2)
+        val n = audioSamples(nChars)
+        Row(r.getLong(0), MediaCodec.encodeWav(
+          (8000 + (nChars % 8) * 1000).toInt,
+          Array.tabulate(n)(i => (((pix(i) & 0xff) - 128) << 8).toShort)))
+      }
+    }
+  }
+
+  /** Acoustic-fingerprint near-dup pairs over the rendered audio column
+    * — [[MediaCodec.aHash]] per row (one WAV parse, no shuffle), then
+    * the same 4×16-bit Hamming-LSH band → exact-Hamming-verify tail as
+    * the image lane ([[hammingLshPairs]]).
+    */
+  def mediaAhashPairs(spark: SparkSession, dir: String,
+                      maxHamming: Int = 12): DataFrame = {
+    val phSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("phash", LongType)))
+    implicit val enc: org.apache.spark.sql.Encoder[Row] =
+      org.apache.spark.sql.Encoders.row(phSchema)
+    val ph = renderedAudio(spark, dir).mapPartitions { it =>
+      it.map { r => Row(r.getLong(0), MediaCodec.aHash(r.getAs[Array[Byte]](1))) }
+    }
+    hammingLshPairs(ph, maxHamming)
   }
 
   /** Metadata-only stats — no payload bytes touched (the pruning path). */

@@ -587,6 +587,33 @@ object Relational {
       .orderBy(col("user_id"), col("version"))
   }
 
+  /** Per-user purchase-value DECILES (ntile) — the customer-value
+    * segmentation every growth/analytics stack runs: users ranked by
+    * lifetime purchase cents, split into 10 equal-count tiles, each tile
+    * summarized. Ties are broken by user_id so the tile assignment is a
+    * total order (oracle-exact).
+    *
+    * Scale: ntile is a GLOBAL rank — but its input is the already-
+    * reduced per-user aggregate (users ≪ events, one hash-agg shuffle),
+    * so the single-partition window sorts the small side, the same
+    * shape as every registered top-k. The raw event table never passes
+    * through the window.
+    */
+  def qUserValueDeciles(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(sum(cents(col("value"))).as("value_c"))
+    val w = Window.orderBy(col("value_c").desc, col("user_id"))
+    per.withColumn("decile", ntile(10).over(w).cast("bigint"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("value_c")).as("sum_value_c"),
+        min(col("value_c")).as("min_value_c"),
+        max(col("value_c")).as("max_value_c"))
+      .orderBy(col("decile"))
+  }
+
   /** TPC-H Q20-style: suppliers in one region who shipped more than half
     * of some PROMO part's 1996 volume (the excess-stock shape: inner agg
     * per (part, supplier) compared against a correlated per-part total,

@@ -1,0 +1,149 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** CDC MERGE into the dated lake layout — the Delta/Iceberg `MERGE INTO`
+  * shape expressed with the primitives a plain-parquet lake has:
+  *
+  *   1. the change batch (op = upsert | delete, keyed by event_id,
+  *      carrying its partition value like any real CDC feed) determines
+  *      the TOUCHED day set — a handful of values, collected driver-side
+  *      as the merge's planning step;
+  *   2. ONLY those day directories are read back (partition-pruned scan,
+  *      attested in CdcMergeSpec via PartitionFilters + the files-opened
+  *      metric), deletes are anti-joined out, upserts win over snapshot
+  *      rows per key (last-writer-wins priority, not array collection);
+  *   3. the touched days are rewritten atomically-per-partition through
+  *      dynamic partition overwrite — every untouched day's files are
+  *      not even rewritten (mtime identity, same discipline as
+  *      [[TimePartitionedStore.backfillDay]]).
+  *
+  * At 100 TB the whole merge costs O(changed days), not O(table): the
+  * snapshot outside the touched days is never opened, and the rewrite
+  * shuffles only the touched days' rows. This is exactly the
+  * copy-on-write MERGE cost model of the table formats, minus their
+  * transaction log (which [[TimePartitionedStore.streamIntoDatedLayout]]
+  * covers separately via `_spark_metadata`).
+  */
+object CdcMerge {
+
+  private val dataCols =
+    Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+
+  /** The day partitions a change batch touches (CDC rows carry their
+    * partition value; an update that must MOVE a row across days is two
+    * CDC rows — delete@old-day + upsert@new-day — as in any
+    * partition-keyed CDC feed).
+    */
+  def touchedDays(changes: DataFrame): Seq[java.sql.Date] =
+    changes.select(to_date(col("ts")).as("event_date")).distinct()
+      .collect().map(_.getDate(0)).sortBy(_.toString).toSeq
+
+  /** The post-merge content of the touched partitions, as a plan the
+    * spec can inspect: snapshot rows from ONLY the touched days
+    * (isin on the partition column → directory pruning), minus deleted
+    * keys, with batch upserts winning over snapshot rows per event_id.
+    */
+  def mergedView(spark: SparkSession, storeDir: String, changes: DataFrame,
+                 days: Seq[java.sql.Date]): DataFrame = {
+    val dayLits: Seq[Column] = days.map(d => lit(d))
+    val snapshot = spark.read.parquet(storeDir)
+      .filter(col("event_date").isin(dayLits: _*))
+      .select(dataCols.map(col) :+ col("event_date"): _*)
+      .withColumn("__prio", lit(0))
+    val batch = changes
+      .withColumn("event_date", to_date(col("ts")))
+      .select(dataCols.map(col) ++ Seq(col("event_date"), col("op")): _*)
+    val upserts = batch.filter(col("op") === "upsert").drop("op")
+      .withColumn("__prio", lit(1))
+    val deletes = batch.filter(col("op") === "delete")
+      .select(col("event_id").as("__del_id"))
+    val w = Window.partitionBy(col("event_id")).orderBy(col("__prio").desc)
+    snapshot.unionByName(upserts)
+      .join(deletes, col("event_id") === col("__del_id"), "left_anti")
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__prio", "__rn")
+  }
+
+  /** Apply the merge: rewrite exactly the touched day directories. */
+  def mergeChanges(spark: SparkSession, storeDir: String,
+                   changes: DataFrame): Seq[java.sql.Date] = {
+    val days = touchedDays(changes)
+    val merged = mergedView(spark, storeDir, changes, days)
+      // the view reads the directories this write replaces — materialize
+      // the new content before the overwrite starts deleting them
+      .localCheckpoint(true)
+    val prior = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try merged.write.mode("overwrite").partitionBy("event_date")
+      .parquet(storeDir)
+    finally prior match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None    => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    // dynamic overwrite only replaces partitions PRESENT in the output:
+    // a touched day whose rows were all deleted writes nothing and would
+    // silently keep its stale files — drop those directories explicitly
+    val survived = merged.select(col("event_date")).distinct()
+      .collect().map(_.getDate(0).toString).toSet
+    days.filterNot(d => survived(d.toString)).foreach { d =>
+      val dir = java.nio.file.Paths.get(storeDir, s"event_date=$d")
+      if (java.nio.file.Files.exists(dir)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
+    days
+  }
+
+  /** The oracle-gated row: a deterministic CDC batch (derived purely
+    * from the events table, so DuckDB can re-derive it) applied to a
+    * FRESH copy of the dated layout, then summarized per day over the
+    * merged store. Within a 3-day window: event_id % 13 == 0 rows are
+    * upserted with value + 1000, % 17 == 0 rows deleted (delete beats a
+    * same-key upsert, as in any MERGE), % 19 == 0 rows cloned as inserts
+    * under key + 10^7. A green row proves the pruned-read merge path end
+    * to end: layout copy → touched-day rewrite → re-read.
+    */
+  def cdcMergeSummary(spark: SparkSession, dir: String,
+                      from: String = "2024-01-08",
+                      until: String = "2024-01-10"): DataFrame = {
+    val store = {
+      // fresh copy per call — the merge MUTATES the store, so the shared
+      // memoized layout must never be the target
+      val src = TimePartitionedStore.ensureDatedLayout(spark, dir)
+      val p = java.nio.file.Files.createTempDirectory("graft_cdc_merge_")
+      sys.addShutdownHook {
+        import scala.jdk.CollectionConverters._
+        if (java.nio.file.Files.exists(p))
+          java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+      spark.read.parquet(src).write.mode("overwrite")
+        .partitionBy("event_date").parquet(p.toString)
+      p.toString
+    }
+    val windowed = spark.read.parquet(store)
+      .filter(col("event_date") >= lit(from) && col("event_date") <= lit(until))
+    val upserts = windowed.filter(col("event_id") % 13 === 0)
+      .withColumn("value", col("value") + 1000.0).withColumn("op", lit("upsert"))
+    val deletes = windowed.filter(col("event_id") % 17 === 0)
+      .withColumn("op", lit("delete"))
+    val inserts = windowed.filter(col("event_id") % 19 === 0)
+      .withColumn("event_id", col("event_id") + 10000000L)
+      .withColumn("op", lit("upsert"))
+    val changes = upserts.unionByName(deletes).unionByName(inserts)
+      .select((Seq("op") ++ dataCols).map(col): _*)
+    mergeChanges(spark, store, changes)
+    spark.read.parquet(store)
+      .groupBy(col("event_date"))
+      .agg(count(lit(1)).as("n_events"),
+        sum((col("value").cast("decimal(18,2)") * 100).cast("bigint"))
+          .as("value_cents"))
+      .orderBy(col("event_date"))
+  }
+}

@@ -82,6 +82,46 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet === expected.toSet)
   }
 
+  test("aHash: bit semantics, gain invariance") {
+    // strictly rising envelope: every frame-energy comparison fires
+    val rising = MediaCodec.encodeWav(8000,
+      Array.tabulate(130)(i => (i * 100).toShort))
+    assert(MediaCodec.aHash(rising) === -1L)
+    // constant amplitude: no comparison fires
+    val flat = MediaCodec.encodeWav(8000, Array.fill(130)(500.toShort))
+    assert(MediaCodec.aHash(flat) === 0L)
+    // uniform gain preserves every envelope-gradient sign (the acoustic
+    // property raw byte hashes lack)
+    val base = Array.tabulate(200)(i => ((i * 37) % 3000).toShort)
+    val louder = base.map(s => (s * 3).toShort)
+    assert(MediaCodec.aHash(MediaCodec.encodeWav(8000, base)) ===
+      MediaCodec.aHash(MediaCodec.encodeWav(8000, louder)))
+    // fewer samples than frames: defined (empty frames compare as 0/1)
+    val tiny = MediaCodec.encodeWav(8000, Array.tabulate(16)(i => (i * 50).toShort))
+    MediaCodec.aHash(tiny) // must not throw
+  }
+
+  test("mediaAhashPairs: pairs verify against a local recomputation, non-vacuous") {
+    val pairs = Multimodal.mediaAhashPairs(spark, sfDir).collect()
+    assert(pairs.length >= 5, s"near-vacuous: ${pairs.length} pairs")
+    val hashes = Multimodal.renderedAudio(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> MediaCodec.aHash(r.getAs[Array[Byte]](1))).toMap
+    pairs.foreach { r =>
+      val (a, b, hm) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(a < b)
+      assert(java.lang.Long.bitCount(hashes(a) ^ hashes(b)).toLong === hm)
+      assert(hm <= 12)
+    }
+    def bandKeys(h: Long): Set[(Int, Long)] =
+      (0 until 4).map(b => b -> ((h >>> (b * 16)) & 0xffffL)).toSet
+    val expected = for {
+      (a, ha) <- hashes.toSeq; (b, hb) <- hashes.toSeq
+      if a < b && bandKeys(ha).intersect(bandKeys(hb)).nonEmpty &&
+        java.lang.Long.bitCount(ha ^ hb) <= 12
+    } yield (a, b)
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet === expected.toSet)
+  }
+
   test("resize: nearest-neighbor BMP scaling preserves content structure") {
     // source: 4x2 image with pixel bytes = linear ramp
     val src = MediaCodec.encodeBmp(4, 2, i => {
