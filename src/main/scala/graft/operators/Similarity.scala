@@ -503,6 +503,75 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** One spherical-k-means (Lloyd) refinement step for the IVF codebook
+    * — the TRAINING half of the IVF story ([[ivfTopK]] consumes a
+    * hash-sampled codebook; real indexes refine it): assign every vector
+    * to its max-cosine centroid, replace each centroid with the
+    * normalized mean of its members' unit vectors (the exact minimizer
+    * of the Σ(1−cos) objective for fixed assignments, so the objective
+    * is non-increasing — pinned in SimilaritySpec), keep the old
+    * centroid for an empty cluster.
+    *
+    * Scale: the assignment is a broadcast of the k×64 codebook against
+    * one linear scan (same shape as [[ivfAssigned]]); the update is one
+    * hash-agg over (cent_id, pos) with map-side combine — k·64 output
+    * rows. The codebook itself is driver-side state, as in any IVF
+    * trainer; at 100 TB the scan is the cost and it happens once per
+    * iteration.
+    *
+    * Returns (refined codebook as (cent_id, cent_emb), Σ(1−cos) before,
+    * Σ(1−cos) after).
+    */
+  def kmeansRefineCodebook(spark: SparkSession, dir: String,
+                           codebookK: Int = CodebookK)
+      : (Seq[(Long, Array[Float])], Double, Double) = {
+    val emb = Tables.embeddings(spark, dir)
+    val init = hashSampleCentroids(emb, codebookK)
+
+    def assigned(cent: DataFrame): DataFrame =
+      emb.crossJoin(broadcast(cent))
+        .select(col("vec_id"), col("embedding"), col("cent_id"),
+          cosine(col("embedding"), col("cent_emb")).as("csim"))
+        .groupBy(col("vec_id"))
+        .agg(graft.functions.FirstByOrder.first_by_order(
+          struct(col("embedding"), col("cent_id"), col("csim")),
+          struct((lit(1.0) - col("csim")).as("inv"), col("cent_id"))).as("w"))
+        .select(col("w.embedding").as("embedding"),
+          col("w.cent_id").as("cent_id"), col("w.csim").as("csim"))
+    def cost(a: DataFrame): Double =
+      a.agg(sum(lit(1.0) - col("csim"))).collect()(0).getDouble(0)
+
+    val a0 = assigned(init).persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val costBefore = cost(a0)
+    // normalized-mean update: mean over members' UNIT vectors, per
+    // component — one hash-agg, k·64 rows to the driver
+    val means = a0
+      .withColumn("nrm", sqrt(aggregate(
+        transform(col("embedding"), x => x * x), lit(0.0d), (acc, x) => acc + x)))
+      .select(col("cent_id"),
+        posexplode(transform(col("embedding"), x => x / col("nrm"))))
+      .groupBy(col("cent_id"), col("pos"))
+      .agg(avg(col("col")).as("m"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    val byCent = means.groupBy(_._1).map { case (cid, rows) =>
+      val v = rows.sortBy(_._2).map(_._3)
+      val n = math.sqrt(v.map(x => x * x).sum)
+      cid -> v.map(x => (x / n).toFloat)
+    }
+    val refined = init.collect().map { r =>
+      val cid = r.getLong(0)
+      cid -> byCent.getOrElse(cid,
+        r.getSeq[Float](1).toArray) // empty cluster keeps its centroid
+    }.sortBy(_._1).toSeq
+    a0.unpersist()
+
+    import spark.implicits._
+    val refinedDf = refined.toDF("cent_id", "cent_emb")
+    val costAfter = cost(assigned(refinedDf))
+    (refined, costBefore, costAfter)
+  }
+
   def cosineNearDupPairs(spark: SparkSession, dir: String,
                          threshold: Double = 0.35,
                          planes: Int = NumPlanes): DataFrame = {
