@@ -149,6 +149,9 @@ object SparkEntry {
     "text_length_histogram" -> (TextOps.lengthHistogram _),
     "text_pack_assign"   -> ((s, d) => TextOps.packAssign(s, d)),
     "dedup_contamination" -> ((s, d) => TextOps.trainTestContamination(s, d)),
+    // C4-style sub-document pass: per-doc sentence totals + how many
+    // sentence instances are shared with >= 2 distinct docs
+    "dedup_sentences" -> ((s, d) => TextOps.sentenceDedup(s, d)),
     "text_corpus_profile" -> (TextOps.corpusProfile _),
     // per-(lang,source) deterministic hash sample: counts + id checksum
     "q_sample_stratified" -> ((s, d) => TextOps.stratifiedSample(s, d)),
@@ -1095,6 +1098,19 @@ object SparkEntry {
                      |  count($c) AS n_nonnull, count(DISTINCT $c) AS n_distinct
                      |FROM orders""".stripMargin)
         .mkString("", "\nUNION ALL\n", "\nORDER BY col_name"),
+    "dedup_sentences" ->
+      """WITH s AS (
+        |  SELECT doc_id, md5(sent) AS h
+        |  FROM (SELECT doc_id, unnest(string_split(text, '. ')) AS sent
+        |        FROM documents)
+        |  WHERE length(trim(sent)) > 0),
+        |shared AS (SELECT h FROM s GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+        |tot AS (SELECT doc_id, count(*) AS n_sentences FROM s GROUP BY 1),
+        |shr AS (SELECT s.doc_id, count(*) AS n_shared
+        |        FROM s JOIN shared USING (h) GROUP BY 1)
+        |SELECT t.doc_id, t.n_sentences, COALESCE(shr.n_shared, 0) AS n_shared
+        |FROM tot t LEFT JOIN shr ON t.doc_id = shr.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
     // train→eval contamination via df-capped winnowing fingerprints
     "dedup_contamination" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),

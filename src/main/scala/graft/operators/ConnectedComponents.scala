@@ -103,6 +103,23 @@ object ConnectedComponents {
       .distinct()
   }
 
+  /** WARM-START relabelling after new edges arrive — the incremental
+    * half of duplicate-cluster maintenance (the cluster analog of
+    * `MinHash.incrementalDedup`): the prior labelling re-enters as its
+    * star forest (every node → its component minimum — connectivity-
+    * equivalent to the full historical edge set, but only one edge per
+    * node), unioned with the NEW batch's edges. Because labels are
+    * min-id canonical, the result is identical to recomputing over the
+    * full union graph (pinned in ConnectedComponentsSpec), while the
+    * iteration never re-touches the historical pair set — at 100 TB
+    * the prior graph's edges are long gone; only its labels are stored.
+    */
+  def labelsIncremental(priorLabels: DataFrame,
+                        newEdges: DataFrame): DataFrame =
+    labels(priorLabels
+      .select(col("doc_id").as("u"), col("cluster_id").as("v"))
+      .unionByName(newEdges.select(col("u"), col("v"))))
+
   /** Drop the materialized RDD blocks behind a `localCheckpoint`ed
     * DataFrame (its analyzed plan is the checkpoint's `LogicalRDD`).
     * Non-blocking: the blocks are garbage, not a correctness hazard.

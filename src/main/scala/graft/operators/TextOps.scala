@@ -387,4 +387,35 @@ object TextOps {
         sum(col("n_chars")).as("total_chars"),
         sum(when(col("is_quality"), 1L).otherwise(0L)).as("n_quality"))
       .orderBy(col("lang"))
+
+  /** SENTENCE-level (sub-document) dedup accounting — the C4-style pass
+    * that document-granularity dedup cannot express: a doc that shares
+    * boilerplate sentences with other docs is partially duplicated even
+    * when no whole-doc pair fires. Sentences are '. '-split spans,
+    * md5-keyed; a sentence is SHARED when it appears in ≥ 2 distinct
+    * docs. Emits per-doc totals — the inputs a curation policy prunes
+    * or rewrites on.
+    *
+    * Scale: one explode pass; the shared-set reduction is a hash-agg on
+    * the sentence hash with map-side combine; the per-doc recount
+    * semi-joins the (small) shared set back — never doc×doc. This is
+    * exactly how C4's three-sentence-span dedup is staged over a
+    * 100 TB corpus.
+    */
+  def sentenceDedup(spark: SparkSession, dir: String): DataFrame = {
+    val s = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), "\\. ")).as("sent"))
+      .filter(length(trim(col("sent"))) > 0)
+      .select(col("doc_id"), md5(col("sent")).as("h"))
+    val shared = s.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select(col("h"))
+    val tot = s.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sentences"))
+    val shr = s.join(shared, Seq("h"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+    tot.join(shr, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_sentences"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+      .orderBy(col("doc_id"))
+  }
 }

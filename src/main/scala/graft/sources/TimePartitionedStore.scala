@@ -124,6 +124,28 @@ object TimePartitionedStore {
       .outputMode("append")
       .start()
 
+  /** Retention VACUUM — the third lake-maintenance job beside
+    * compaction and backfill: day partitions strictly older than
+    * `keepFrom` are deleted at the DIRECTORY level (a metadata
+    * operation — no file is ever read or rewritten, which is the whole
+    * point: at 100 TB a retention pass that scans data is a bug).
+    * Returns the dropped day names; kept days' files are untouched
+    * (mtime identity pinned in TimePartitionedStoreSpec).
+    */
+  def vacuumBefore(storeDir: String, keepFrom: String): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get(storeDir)
+    val dropped = java.nio.file.Files.list(root).iterator().asScala
+      .filter(p => p.getFileName.toString.startsWith("event_date="))
+      .filter(p => p.getFileName.toString.stripPrefix("event_date=") < keepFrom)
+      .toSeq
+    dropped.foreach { d =>
+      java.nio.file.Files.walk(d).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    dropped.map(_.getFileName.toString.stripPrefix("event_date=")).sorted
+  }
+
   /** Events SORTED at rest by `sortCol`: parquet keeps min/max stats
     * per row group, so a point/range predicate on the sort column
     * decodes only the row groups whose stat range matches — within-file

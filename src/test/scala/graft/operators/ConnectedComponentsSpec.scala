@@ -54,6 +54,34 @@ class ConnectedComponentsSpec extends SparkSpec {
     }
   }
 
+  test("warm-start relabelling == full recompute over the union graph") {
+    val rnd = new scala.util.Random(7)
+    (1 to 6).foreach { _ =>
+      val n = 10 + rnd.nextInt(30)
+      val old = Seq.fill(1 + rnd.nextInt(30))(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)).filter(e => e._1 != e._2)
+      val fresh = Seq.fill(1 + rnd.nextInt(15))(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)).filter(e => e._1 != e._2)
+      if (old.nonEmpty && fresh.nonEmpty) {
+        val prior = ConnectedComponents.labels(old.toDF("u", "v"))
+        val warm = ConnectedComponents
+          .labelsIncremental(prior, fresh.toDF("u", "v"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val full = run(old ++ fresh)
+        // nodes only in the prior graph keep labels; merged components
+        // relabel to the union minimum — exactly the full recompute
+        assert(warm === full)
+      }
+    }
+    // the operational case: a new edge BRIDGES two prior components
+    val prior = ConnectedComponents.labels(
+      Seq((1L, 2L), (10L, 11L)).toDF("u", "v"))
+    val bridged = ConnectedComponents
+      .labelsIncremental(prior, Seq((2L, 10L)).toDF("u", "v"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bridged === Map(1L -> 1L, 2L -> 1L, 10L -> 1L, 11L -> 1L))
+  }
+
   test("one Spark job per round, and prior rounds' checkpoint blocks are freed") {
     // a 9-node chain converges in a deterministic number of alternating-
     // star rounds; the convergence check is folded into the SAME action

@@ -172,4 +172,42 @@ class TimePartitionedStoreSpec extends SparkSpec {
     assert(decodedS < decodedU,
       s"sorted decoded $decodedS vs ts-sorted $decodedU — sorting bought nothing")
   }
+
+  test("vacuum drops only pre-retention day directories; kept files untouched") {
+    // fresh copy — the shared memoized layout must never be mutated
+    val src = TimePartitionedStore.ensureDatedLayout(spark, sfDir)
+    val store = java.nio.file.Files.createTempDirectory("graft_vacuum_").toString
+    spark.read.parquet(src).write.mode("overwrite")
+      .partitionBy("event_date").parquet(store)
+
+    val keepFrom = "2024-01-15"
+    val allDays = spark.read.parquet(store)
+      .select(col("event_date").cast("string")).distinct()
+      .collect().map(_.getString(0)).sorted
+    val (expectDrop, expectKeep) = allDays.partition(_ < keepFrom)
+    assert(expectDrop.nonEmpty && expectKeep.nonEmpty)
+
+    def fileState(day: String): Set[(String, Long)] = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(
+        java.nio.file.Paths.get(store, s"event_date=$day")).iterator().asScala
+        .map(p => p.toString ->
+          java.nio.file.Files.getLastModifiedTime(p).toMillis).toSet
+    }
+    val keptBefore = expectKeep.map(d => d -> fileState(d)).toMap
+
+    val dropped = TimePartitionedStore.vacuumBefore(store, keepFrom)
+    assert(dropped === expectDrop.toSeq)
+    expectDrop.foreach(d => assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(store, s"event_date=$d"))))
+    // kept days: identical files, not rewritten — vacuum is metadata-only
+    expectKeep.foreach(d => assert(fileState(d) === keptBefore(d)))
+
+    val after = spark.read.parquet(store)
+    assert(after.select(col("event_date").cast("string")).distinct()
+      .collect().map(_.getString(0)).sorted.toSeq === expectKeep.toSeq)
+    val expected = graft.Tables.events(spark, sfDir)
+      .filter(to_date(col("ts")) >= lit(keepFrom)).count()
+    assert(after.count() === expected && expected > 0)
+  }
 }
