@@ -56,6 +56,14 @@ object SparkEntry {
     // CDC MERGE round trip: fresh dated-layout copy → deterministic
     // upsert/delete/insert batch → touched-day-only rewrite → re-read
     "source_cdc_merge" -> ((s, d) => sources.CdcMerge.cdcMergeSummary(s, d)),
+    // retention vacuum round trip: copy → directory-level delete of
+    // pre-retention days → stats over what remains
+    "source_vacuum_retention" -> ((s, d) =>
+      sources.TimePartitionedStore.vacuumedDailyStats(s, d)),
+    // manifest file-skipping round trip: range-clustered layout +
+    // per-file stats; one user's events via stat-matching files only
+    "source_manifest_lookup" -> ((s, d) =>
+      sources.FileManifest.manifestLookup(s, d)),
     // ── relational analytics (SURVEY §7 M3) ──
     "q1_pricing_summary"    -> (Relational.q1PricingSummary _),
     "q3_shipping_priority"  -> (Relational.q3ShippingPriority _),
@@ -492,6 +500,16 @@ object SparkEntry {
         |FROM events
         |WHERE CAST(ts AS DATE) >= DATE '2024-01-08' AND CAST(ts AS DATE) < DATE '2024-01-15'
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "source_vacuum_retention" ->
+      """SELECT CAST(ts AS DATE) AS event_date, count(*) AS n_events,
+        |  CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM events
+        |WHERE CAST(ts AS DATE) >= DATE '2024-01-15'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "source_manifest_lookup" ->
+      """SELECT event_id, ts, user_id, event_type, value
+        |FROM events WHERE user_id = 7
+        |ORDER BY event_id""".stripMargin,
     // CDC merge: the oracle re-derives the same deterministic change
     // batch and applies it relationally — delete beats same-key upsert;
     // inserts are cloned keys (+10^7) that keep their day

@@ -63,4 +63,16 @@ object FileManifest {
     require(files.nonEmpty, s"manifest has no file covering user_id=$userId")
     spark.read.parquet(files: _*).filter(col("user_id") === userId)
   }
+
+  /** The oracle-gated row: one user's events read through the manifest
+    * (layout write + manifest build + stat-pruned read), against an
+    * oracle that just filters the raw table — a green row proves the
+    * clustered layout + manifest round trip loses and invents nothing.
+    */
+  def manifestLookup(spark: SparkSession, dir: String,
+                     userId: Long = 7L): DataFrame =
+    readForKey(spark, dir, userId)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .orderBy(col("event_id"))
 }

@@ -146,6 +146,33 @@ object TimePartitionedStore {
     dropped.map(_.getFileName.toString.stripPrefix("event_date=")).sorted
   }
 
+  /** The oracle-gated vacuum row: fresh layout copy → vacuum everything
+    * before `keepFrom` → per-day stats over what REMAINS. The oracle
+    * recomputes from raw events with the same retention bound, so a
+    * green row proves the directory-level delete removed exactly the
+    * pre-retention days and nothing else.
+    */
+  def vacuumedDailyStats(spark: SparkSession, dir: String,
+                         keepFrom: String = "2024-01-15"): DataFrame = {
+    val src = ensureDatedLayout(spark, dir)
+    val p = java.nio.file.Files.createTempDirectory("graft_vacuum_row_")
+    sys.addShutdownHook {
+      import scala.jdk.CollectionConverters._
+      if (java.nio.file.Files.exists(p))
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    spark.read.parquet(src).write.mode("overwrite")
+      .partitionBy("event_date").parquet(p.toString)
+    vacuumBefore(p.toString, keepFrom)
+    spark.read.parquet(p.toString)
+      .groupBy(col("event_date"))
+      .agg(count(lit(1)).as("n_events"),
+        sum((col("value").cast("decimal(18,2)") * 100).cast("bigint"))
+          .as("value_cents"))
+      .orderBy(col("event_date"))
+  }
+
   /** Events SORTED at rest by `sortCol`: parquet keeps min/max stats
     * per row group, so a point/range predicate on the sort column
     * decodes only the row groups whose stat range matches — within-file
