@@ -81,7 +81,10 @@ object Approx {
     val global = e.groupBy(col("event_type"), col("user_id"))
       .agg(count(lit(1)).as("n_rows"))
       .groupBy(col("event_type"))
-      .agg(count(lit(1)).as("exact_users"),
+      // count(user_id), not count(1): the replaced countDistinct ignores
+      // a NULL key, so the null group (if the corpus ever grows one)
+      // must not count as a user
+      .agg(count(col("user_id")).as("exact_users"),
            hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("global_users"))
     val rsd = 1.04 / math.sqrt(1 << 12) // lgConfigK = 12 default
     merged.join(global, Seq("event_type"))
@@ -157,7 +160,9 @@ object Approx {
       .groupBy(col("event_type"))
       .agg(
         sum(col("n_rows")).as("n_events"),
-        count(lit(1)).as("exact_users"),
+        // count(user_id), not count(1): countDistinct semantics exclude
+        // a NULL key — the null group must not count as a user
+        count(col("user_id")).as("exact_users"),
         approx_count_distinct(col("user_id"), rsd).as("approx_users"))
       .select(col("event_type"), col("n_events"), col("exact_users"),
         (abs(col("approx_users") - col("exact_users")) <=

@@ -224,7 +224,9 @@ object Relational {
       .groupBy(col("r_name"))
       .agg(
         sum(col("rev_o")).as("revenue"),
-        count(lit(1)).as("n_orders"))
+        // count(o_orderkey): countDistinct semantics (non-null inner-join
+        // key today, but the rewrite must not widen them)
+        count(col("o_orderkey")).as("n_orders"))
       .orderBy(col("r_name"))
   }
 
@@ -764,7 +766,9 @@ object Relational {
         sum(col("n_u")).as("n"),
         min(col("min_u")).as("min_value"),
         max(col("max_u")).as("max_value"),
-        count(lit(1)).as("n_users"))
+        // count(user_id), not count(1): the countDistinct this replaces
+        // would ignore a NULL key
+        count(col("user_id")).as("n_users"))
       .orderBy(col("event_type"))
 
   /** Semi-structured: parse the JSON `props` column and aggregate. */

@@ -340,15 +340,10 @@ object Similarity {
   def ensureIvfIndex(spark: SparkSession, dir: String,
                      codebookK: Int = CodebookK): String =
     ivfIndexDirs.computeIfAbsent(dir, { _ =>
-      val p = java.nio.file.Files.createTempDirectory("graft_ivf_idx_")
-      sys.addShutdownHook {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-          .foreach(f => java.nio.file.Files.deleteIfExists(f))
-      }
+      val p = graft.sources.Scratch.tempDir("graft_ivf_idx_")
       ivfAssigned(spark, dir, codebookK)
-        .write.mode("overwrite").partitionBy("list_id").parquet(p.toString)
-      p.toString
+        .write.mode("overwrite").partitionBy("list_id").parquet(p)
+      p
     })
 
   /** The search half of [[ivfTopKPruned]]: probe an ALREADY-BUILT index. */

@@ -76,14 +76,13 @@ object CdcMerge {
       // the view reads the directories this write replaces — materialize
       // the new content before the overwrite starts deleting them
       .localCheckpoint(true)
-    val prior = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try merged.write.mode("overwrite").partitionBy("event_date")
+    // per-WRITE dynamic mode (writer option, not session conf): a
+    // session-global toggle would race any concurrent writer in the
+    // same session into a silent partial overwrite
+    merged.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("event_date")
       .parquet(storeDir)
-    finally prior match {
-      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None    => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-    }
     // dynamic overwrite only replaces partitions PRESENT in the output:
     // a touched day whose rows were all deleted writes nothing and would
     // silently keep its stale files — drop those directories explicitly
@@ -116,16 +115,10 @@ object CdcMerge {
       // fresh copy per call — the merge MUTATES the store, so the shared
       // memoized layout must never be the target
       val src = TimePartitionedStore.ensureDatedLayout(spark, dir)
-      val p = java.nio.file.Files.createTempDirectory("graft_cdc_merge_")
-      sys.addShutdownHook {
-        import scala.jdk.CollectionConverters._
-        if (java.nio.file.Files.exists(p))
-          java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-            .foreach(java.nio.file.Files.deleteIfExists(_))
-      }
+      val p = Scratch.tempDir("graft_cdc_merge_")
       spark.read.parquet(src).write.mode("overwrite")
-        .partitionBy("event_date").parquet(p.toString)
-      p.toString
+        .partitionBy("event_date").parquet(p)
+      p
     }
     val windowed = spark.read.parquet(store)
       .filter(col("event_date") >= lit(from) && col("event_date") <= lit(until))

@@ -109,7 +109,7 @@ object DedupLogStore {
   def compactionRoundTrip(spark: SparkSession, dir: String,
                           format: String = "parquet"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val tmp = java.nio.file.Files.createTempDirectory("graft_dedup_log_").toString
+    val tmp = Scratch.tempDir("graft_dedup_log_")
     val store = new DedupLogStore(spark, s"$tmp/store", format, nBuckets = 16)
     val now = java.sql.Timestamp.valueOf("2030-01-01 00:00:00")
     val w = Window.partitionBy(col("user_id"), col("event_type"))

@@ -30,19 +30,14 @@ object FileManifest {
   def ensureClusteredLayout(spark: SparkSession, dir: String,
                             nFiles: Int = 8): (String, Seq[(String, Long, Long)]) =
     layouts.computeIfAbsent(dir, { _ =>
-      val p = java.nio.file.Files.createTempDirectory("graft_manifest_")
-      sys.addShutdownHook {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-          .foreach(f => java.nio.file.Files.deleteIfExists(f))
-      }
+      val p = Scratch.tempDir("graft_manifest_")
       Tables.events(spark, dir)
         .repartitionByRange(nFiles, col("user_id"))
-        .write.mode("overwrite").parquet(p.toString)
+        .write.mode("overwrite").parquet(p)
       // the one-time manifest job: per-file key range (what a table
       // format persists at write time; recomputed here because plain
       // parquet has no transaction log to carry it)
-      val manifest = spark.read.parquet(p.toString)
+      val manifest = spark.read.parquet(p)
         .select(col("user_id"), input_file_name().as("path"))
         .groupBy(col("path"))
         .agg(min(col("user_id")).as("lo"), max(col("user_id")).as("hi"))
@@ -56,12 +51,16 @@ object FileManifest {
     * spec asserts `inputFiles` is the matching subset, not the layout.
     */
   def readForKey(spark: SparkSession, dir: String, userId: Long): DataFrame = {
-    val (_, manifest) = ensureClusteredLayout(spark, dir)
+    val (dataDir, manifest) = ensureClusteredLayout(spark, dir)
     val files = manifest.collect {
       case (path, lo, hi) if lo <= userId && userId <= hi => path
     }
-    require(files.nonEmpty, s"manifest has no file covering user_id=$userId")
-    spark.read.parquet(files: _*).filter(col("user_id") === userId)
+    if (files.isEmpty)
+      // no file's stat range covers the key: that IS the manifest
+      // working — an empty result with the layout's schema, zero files
+      // opened (limit(0) keeps it a metadata-only plan)
+      spark.read.parquet(dataDir).limit(0)
+    else spark.read.parquet(files: _*).filter(col("user_id") === userId)
   }
 
   /** The oracle-gated row: one user's events read through the manifest

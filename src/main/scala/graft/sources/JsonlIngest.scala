@@ -55,14 +55,9 @@ object JsonlIngest {
 
   private def corruptedJsonlDir(spark: SparkSession, dir: String): String =
     writtenDirs.computeIfAbsent(dir, { _ =>
-      val p = java.nio.file.Files.createTempDirectory("graft_jsonl_")
-      sys.addShutdownHook {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-          .foreach(f => java.nio.file.Files.deleteIfExists(f))
-      }
-      writeCorrupted(spark, dir, p.toString)
-      p.toString
+      val p = Scratch.tempDir("graft_jsonl_")
+      writeCorrupted(spark, dir, p)
+      p
     })
 
   /** The oracle-gated round trip: per-lane counts + exact n_chars sums

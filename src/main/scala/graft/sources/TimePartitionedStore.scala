@@ -31,16 +31,11 @@ object TimePartitionedStore {
 
   def ensureDatedLayout(spark: SparkSession, dir: String): String =
     storeDirs.computeIfAbsent(dir, { _ =>
-      val p = java.nio.file.Files.createTempDirectory("graft_dated_events_")
-      sys.addShutdownHook {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-          .foreach(f => java.nio.file.Files.deleteIfExists(f))
-      }
+      val p = Scratch.tempDir("graft_dated_events_")
       Tables.events(spark, dir)
         .withColumn("event_date", to_date(col("ts")))
-        .write.mode("overwrite").partitionBy("event_date").parquet(p.toString)
-      p.toString
+        .write.mode("overwrite").partitionBy("event_date").parquet(p)
+      p
     })
 
   /** Pruned re-read: only the window's day directories are listed. */
@@ -75,7 +70,11 @@ object TimePartitionedStore {
   def compactDatedLayout(spark: SparkSession, storeDir: String,
                          outDir: String, filesPerDay: Int = 1): Unit =
     spark.read.parquet(storeDir)
-      .repartition(col("event_date"))
+      // the within-day salt honors filesPerDay (and parallelizes a hot
+      // day across that many tasks); at the default 1 the salt is
+      // constant and each day compacts to a single file
+      .repartition(col("event_date"),
+        pmod(col("event_id"), lit(filesPerDay.toLong)))
       .sortWithinPartitions(col("event_date"), col("ts"))
       .write.mode("overwrite").partitionBy("event_date")
       .parquet(outDir)
@@ -90,18 +89,16 @@ object TimePartitionedStore {
     * rewritten (file modification identity, not just row equality).
     */
   def backfillDay(spark: SparkSession, storeDir: String, day: String,
-                  rows: DataFrame): Unit = {
-    val prior = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try rows
+                  rows: DataFrame): Unit =
+    rows
       .withColumn("event_date", to_date(col("ts")))
       .filter(col("event_date") === lit(day))
-      .write.mode("overwrite").partitionBy("event_date").parquet(storeDir)
-    finally prior match {
-      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None    => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-    }
-  }
+      .write.mode("overwrite")
+      // per-WRITE dynamic mode (writer option, not session conf): a
+      // session-global toggle would race concurrent writers in the
+      // same session into silent partial overwrites
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("event_date").parquet(storeDir)
 
   /** Streaming ingest into the SAME dated layout: `writeStream` with a
     * file sink commits each micro-batch's files through the
@@ -155,17 +152,11 @@ object TimePartitionedStore {
   def vacuumedDailyStats(spark: SparkSession, dir: String,
                          keepFrom: String = "2024-01-15"): DataFrame = {
     val src = ensureDatedLayout(spark, dir)
-    val p = java.nio.file.Files.createTempDirectory("graft_vacuum_row_")
-    sys.addShutdownHook {
-      import scala.jdk.CollectionConverters._
-      if (java.nio.file.Files.exists(p))
-        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-          .foreach(java.nio.file.Files.deleteIfExists(_))
-    }
+    val p = Scratch.tempDir("graft_vacuum_row_")
     spark.read.parquet(src).write.mode("overwrite")
-      .partitionBy("event_date").parquet(p.toString)
-    vacuumBefore(p.toString, keepFrom)
-    spark.read.parquet(p.toString)
+      .partitionBy("event_date").parquet(p)
+    vacuumBefore(p, keepFrom)
+    spark.read.parquet(p)
       .groupBy(col("event_date"))
       .agg(count(lit(1)).as("n_events"),
         sum((col("value").cast("decimal(18,2)") * 100).cast("bigint"))

@@ -34,9 +34,20 @@ object ZOrder {
                           blockBytes: Long = 64 * 1024): Unit = {
     val e = Tables.events(spark, dir)
       .withColumn("value_bucket", floor(col("value")).cast("bigint"))
-    e.select(max(col("user_id")), max(col("value_bucket"))).collect()(0) match {
-      case r => require(r.getLong(0) < 1024 && r.getLong(1) < 1024,
-        "z-order bit budget exceeded — widen bits")
+    // both bounds matter: a NEGATIVE value would sign-extend through
+    // shiftrightunsigned and silently destroy the interleaving (no
+    // error, just a layout with no locality); empty input is a clear
+    // failure, not an NPE on the null aggregate
+    e.select(min(col("user_id")), max(col("user_id")),
+             min(col("value_bucket")), max(col("value_bucket")))
+      .collect()(0) match {
+      case r =>
+        require(!r.isNullAt(0), "z-order layout write on an empty table")
+        require(r.getLong(0) >= 0 && r.getLong(1) < 1024 &&
+                r.getLong(2) >= 0 && r.getLong(3) < 1024,
+          s"z-order bit budget: need 0 <= value < 1024, got user_id in " +
+            s"[${r.getLong(0)}, ${r.getLong(1)}], bucket in " +
+            s"[${r.getLong(2)}, ${r.getLong(3)}] — widen bits or shift")
     }
     e.withColumn("__z", zValue(col("user_id"), col("value_bucket")))
       .repartition(1)

@@ -87,8 +87,12 @@ class TimePartitionedStoreSpec extends SparkSpec {
       .filter(col("event_date") === lit(day))
     val expected = corrected.filter(to_date(col("ts")) === lit(day))
     assert(dayRows.count() === expected.count())
-    assert(dayRows.agg(sum(col("value"))).collect()(0).getDouble(0) ===
-      expected.agg(sum(col("value"))).collect()(0).getDouble(0))
+    // int64-cents sum (FIXTURES §3): a raw double sum is partition-order
+    // dependent and would flake on a last-ulp difference
+    def centsSum(df: org.apache.spark.sql.DataFrame): Long =
+      df.agg(sum((col("value").cast("decimal(18,2)") * 100).cast("bigint")))
+        .collect()(0).getLong(0)
+    assert(centsSum(dayRows) === centsSum(expected))
   }
 
   test("streaming ingest into the dated layout equals the batch layout, exactly once") {
