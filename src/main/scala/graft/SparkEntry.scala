@@ -242,7 +242,10 @@ object SparkEntry {
       operators.Multimodal.mediaPhashPairs(s, d)),
     // acoustic twin of the phash lane over the rendered WAV column
     "dedup_media_ahash"       -> ((s, d) =>
-      operators.Multimodal.mediaAhashPairs(s, d)))
+      operators.Multimodal.mediaAhashPairs(s, d)),
+    // temporal twin over the rendered GRV0 clip — the triad's third leg
+    "dedup_media_vhash"       -> ((s, d) =>
+      operators.Multimodal.mediaVhashPairs(s, d)))
 
   // ───────────────────────── oracle SQL ─────────────────────────
 
@@ -1493,7 +1496,8 @@ object SparkEntry {
     "multimodal_stats"  -> multimodalGeometrySql,
     "multimodal_decode" -> multimodalGeometrySql,
     "dedup_media_phash" -> mediaPhashSql,
-    "dedup_media_ahash" -> mediaAhashSql)
+    "dedup_media_ahash" -> mediaAhashSql,
+    "dedup_media_vhash" -> mediaVhashSql)
 
   private val multimodalGeometrySql: String =
     """SELECT doc_id,
@@ -1554,6 +1558,54 @@ object SparkEntry {
       |         CASE WHEN n.s * a.c > a.s * n.c THEN 1 ELSE 0 END AS bit
       |  FROM fx a JOIN fx n ON a.doc_id = n.doc_id AND n.k = a.k + 1
       |  WHERE a.k < 64),
+      |ph AS (
+      |  SELECT doc_id, CAST(SUM(CASE WHEN bit = 0 THEN 0
+      |    WHEN b = 63 THEN -9223372036854775808
+      |    ELSE (CAST(1 AS BIGINT) << CAST(b AS INTEGER)) END) AS BIGINT) AS phash
+      |  FROM bits GROUP BY 1),
+      |bands AS (
+      |  SELECT doc_id, b.b AS band_id,
+      |         (phash >> CAST(b.b * 16 AS INTEGER)) & 65535 AS band_key
+      |  FROM ph, range(0, 4) b(b)),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+      |  FROM bands a JOIN bands b2
+      |    ON a.band_id = b2.band_id AND a.band_key = b2.band_key AND a.doc_id < b2.doc_id)
+      |SELECT c.doc_a, c.doc_b,
+      |       CAST(bit_count(xor(pa.phash, pb.phash)) AS BIGINT) AS hamming
+      |FROM cand c JOIN ph pa ON c.doc_a = pa.doc_id JOIN ph pb ON c.doc_b = pb.doc_id
+      |WHERE bit_count(xor(pa.phash, pb.phash)) <= 12
+      |ORDER BY c.doc_a, c.doc_b""".stripMargin
+
+  /** vHash temporal-dedup oracle: re-derives every sampled pixel from
+    * doc text — data byte j of the rendered GRV0 clip is
+    * content[j mod len] with j = (frame·h + row)·w + x
+    * (Multimodal.renderedVideo / MediaCodec.encodeRawVideo); cell
+    * (t, r) samples frame t·F/9, row r·h/8 and sums that row's w
+    * bytes — equal cell sizes, so the bit compare is a plain sum
+    * compare. Bit packing, bands and the Hamming verify mirror
+    * [[mediaPhashSql]].
+    */
+  private val mediaVhashSql: String =
+    """WITH vids AS (
+      |  SELECT doc_id, text,
+      |         (n_chars % 32 + 4) AS w, (n_chars % 24 + 4) AS h,
+      |         (n_chars % 30 + 1) AS f, strlen(text) AS len
+      |  FROM documents),
+      |cells AS (
+      |  SELECT v.doc_id, g1.t, g2.r,
+      |         SUM(ord(substr(v.text,
+      |           CAST(((((g1.t * v.f) // 9) * v.h + (g2.r * v.h) // 8) * v.w + x.x)
+      |                % v.len + 1 AS BIGINT), 1))) AS e
+      |  FROM vids v, range(0, 9) g1(t), range(0, 8) g2(r), range(0, 36) x(x)
+      |  WHERE x.x < v.w
+      |  GROUP BY 1, 2, 3),
+      |bits AS (
+      |  SELECT a.doc_id, (a.t * 8 + a.r) AS b,
+      |         CASE WHEN n.e > a.e THEN 1 ELSE 0 END AS bit
+      |  FROM cells a JOIN cells n
+      |    ON a.doc_id = n.doc_id AND a.r = n.r AND n.t = a.t + 1
+      |  WHERE a.t < 8),
       |ph AS (
       |  SELECT doc_id, CAST(SUM(CASE WHEN bit = 0 THEN 0
       |    WHEN b = 63 THEN -9223372036854775808

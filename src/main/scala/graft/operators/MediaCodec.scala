@@ -244,6 +244,41 @@ object MediaCodec {
     (b.getInt(4), b.getInt(8), b.getInt(12))
   }
 
+  /** 64-bit video fingerprint — the GRV0 counterpart of [[dHash]] /
+    * [[aHash]]: a 9×8 grid of (time-slice, row-band) cells sampled
+    * nearest-neighbor like dHash's — cell (t, r) reads the single
+    * representative frame t·F/9 and row r·h/8 (always in range for
+    * F ≥ 1, h ≥ 4) and sums that row's w gray bytes. Bit (t, r) is set
+    * iff slice t+1's row energy exceeds slice t's in the same band:
+    * TEMPORAL luma gradients, which survive uniform brightness shifts
+    * the way dHash's spatial ones do. Every cell has exactly w pixels,
+    * so the compare is a plain integer sum compare — bit-reproducible
+    * in any engine.
+    */
+  def vHash(bytes: Array[Byte]): Long = {
+    val (w, h, f) = decodeRawVideoHeader(bytes)
+    def cell(t: Int, r: Int): Long = {
+      val ft = t * f / 9
+      val yr = r * h / 8
+      val base = 16 + (ft * h + yr) * w
+      var s = 0L
+      var x = 0
+      while (x < w) { s += bytes(base + x) & 0xff; x += 1 }
+      s
+    }
+    var hash = 0L
+    var t = 0
+    while (t < 8) {
+      var r = 0
+      while (r < 8) {
+        if (cell(t + 1, r) > cell(t, r)) hash |= 1L << (t * 8 + r)
+        r += 1
+      }
+      t += 1
+    }
+    hash
+  }
+
   /** One gray8 frame's bytes. */
   def rawVideoFrame(bytes: Array[Byte], frameIdx: Int): Array[Byte] = {
     val (w, h, n) = decodeRawVideoHeader(bytes)

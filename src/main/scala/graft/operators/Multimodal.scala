@@ -207,6 +207,49 @@ object Multimodal {
     hammingLshPairs(ph, maxHamming)
   }
 
+  /** Every document rendered as its canonical GRV0 clip (the
+    * video-modality formulas of [[mediaTable]] applied to ALL docs) —
+    * the corpus's video column for the temporal-dedup lane.
+    */
+  def renderedVideo(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select("doc_id", "text", "n_chars")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("payload", BinaryType)))
+    implicit val enc: org.apache.spark.sql.Encoder[Row] =
+      org.apache.spark.sql.Encoders.row(schema)
+    docs.mapPartitions { it =>
+      it.map { r =>
+        val content = r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        def pix(i: Int): Byte =
+          if (content.isEmpty) 0 else content(i % content.length)
+        val nChars = r.getLong(2)
+        Row(r.getLong(0), MediaCodec.encodeRawVideo(
+          (nChars % 32 + 4).toInt, (nChars % 24 + 4).toInt,
+          (nChars % 30 + 1).toInt, pix))
+      }
+    }
+  }
+
+  /** Temporal-fingerprint near-dup pairs over the rendered video column
+    * — [[MediaCodec.vHash]] per row (one container parse, no shuffle),
+    * then the same Hamming-LSH band → exact-verify tail as the image
+    * and audio lanes ([[hammingLshPairs]]): the full multimodal dedup
+    * TRIAD shares one scale shape.
+    */
+  def mediaVhashPairs(spark: SparkSession, dir: String,
+                      maxHamming: Int = 12): DataFrame = {
+    val phSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("phash", LongType)))
+    implicit val enc: org.apache.spark.sql.Encoder[Row] =
+      org.apache.spark.sql.Encoders.row(phSchema)
+    val ph = renderedVideo(spark, dir).mapPartitions { it =>
+      it.map { r => Row(r.getLong(0), MediaCodec.vHash(r.getAs[Array[Byte]](1))) }
+    }
+    hammingLshPairs(ph, maxHamming)
+  }
+
   /** Metadata-only stats — no payload bytes touched (the pruning path). */
   def mediaStats(spark: SparkSession, dir: String): DataFrame =
     mediaTable(spark, dir).select(

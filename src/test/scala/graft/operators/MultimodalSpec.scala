@@ -122,6 +122,45 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet === expected.toSet)
   }
 
+  test("vHash: bit semantics, brightness invariance") {
+    // gray rises with the frame index: every temporal gradient fires
+    val rising = MediaCodec.encodeRawVideo(6, 8, 18,
+      i => ((i / (6 * 8)) * 10).toByte)
+    assert(MediaCodec.vHash(rising) === -1L)
+    // constant clip: nothing fires
+    val flat = MediaCodec.encodeRawVideo(6, 8, 18, _ => 80.toByte)
+    assert(MediaCodec.vHash(flat) === 0L)
+    // uniform brightness shift preserves every temporal gradient sign
+    val base = MediaCodec.encodeRawVideo(8, 10, 20, i => ((i * 13) % 170).toByte)
+    val brighter = MediaCodec.encodeRawVideo(8, 10, 20,
+      i => (((i * 13) % 170) + 60).toByte)
+    assert(MediaCodec.vHash(base) === MediaCodec.vHash(brighter))
+    // single-frame clip: all slices sample frame 0 -> defined, zero hash
+    val still = MediaCodec.encodeRawVideo(5, 4, 1, i => (i * 3).toByte)
+    assert(MediaCodec.vHash(still) === 0L)
+  }
+
+  test("mediaVhashPairs: pairs verify against a local recomputation, non-vacuous") {
+    val pairs = Multimodal.mediaVhashPairs(spark, sfDir).collect()
+    assert(pairs.length >= 5, s"near-vacuous: ${pairs.length} pairs")
+    val hashes = Multimodal.renderedVideo(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> MediaCodec.vHash(r.getAs[Array[Byte]](1))).toMap
+    pairs.foreach { r =>
+      val (a, b, hm) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(a < b)
+      assert(java.lang.Long.bitCount(hashes(a) ^ hashes(b)).toLong === hm)
+      assert(hm <= 12)
+    }
+    def bandKeys(h: Long): Set[(Int, Long)] =
+      (0 until 4).map(b => b -> ((h >>> (b * 16)) & 0xffffL)).toSet
+    val expected = for {
+      (a, ha) <- hashes.toSeq; (b, hb) <- hashes.toSeq
+      if a < b && bandKeys(ha).intersect(bandKeys(hb)).nonEmpty &&
+        java.lang.Long.bitCount(ha ^ hb) <= 12
+    } yield (a, b)
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet === expected.toSet)
+  }
+
   test("resize: nearest-neighbor BMP scaling preserves content structure") {
     // source: 4x2 image with pixel bytes = linear ramp
     val src = MediaCodec.encodeBmp(4, 2, i => {
