@@ -163,6 +163,10 @@ object SparkEntry {
     "text_corpus_profile" -> (TextOps.corpusProfile _),
     // per-(lang,source) deterministic hash sample: counts + id checksum
     "q_sample_stratified" -> ((s, d) => TextOps.stratifiedSample(s, d)),
+    // temperature-flattened domain mixture (share ∝ sqrt(n)), realized
+    // as deterministic per-source hash cutoffs — integer-weight float
+    // discipline makes the sampled set bit-identical in DuckDB
+    "q_sample_temperature" -> ((s, d) => TextOps.temperatureSample(s, d)),
     // one-pass per-column completeness/cardinality audit
     "q_profile_orders"   -> (operators.Profile.profileOrders _),
     // rule-based quality expectations: all single-table rules in one
@@ -1111,6 +1115,28 @@ object SparkEntry {
         |  CAST(SUM(doc_id * sampled) AS BIGINT) AS sampled_id_sum
         |FROM s GROUP BY 1, 2
         |ORDER BY lang, source""".stripMargin,
+    // temperature mixture: integer weights (floor(sqrt(n)*1e6)) make Z
+    // exact; the remaining ops are correctly-rounded IEEE with exact
+    // inputs, so the 2^60 cutoffs — and the sampled set — are
+    // bit-identical across engines
+    "q_sample_temperature" ->
+      """WITH c AS (SELECT source, count(*) AS n_docs,
+        |    CAST(floor(sqrt(SUM(n_chars)) * 1000000.0) AS BIGINT) AS w
+        |  FROM documents GROUP BY 1),
+        |z AS (SELECT CAST(SUM(w) AS BIGINT) AS z FROM c),
+        |cut AS (SELECT c.source, c.n_docs,
+        |    CAST(floor(least(1.0, 200.0 * c.w / z.z / c.n_docs)
+        |         * 1152921504606846976.0) AS BIGINT) AS cut
+        |  FROM c, z),
+        |u AS (SELECT d.doc_id, d.source,
+        |    CAST(CAST(('0x' || substr(md5('mix|' || CAST(d.doc_id AS VARCHAR)), 1, 15))
+        |         AS UBIGINT) AS BIGINT) AS u
+        |  FROM documents d)
+        |SELECT u.source, cut.n_docs,
+        |  CAST(SUM(CASE WHEN u.u < cut.cut THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+        |  CAST(SUM(CASE WHEN u.u < cut.cut THEN u.doc_id ELSE 0 END) AS BIGINT) AS sampled_id_sum
+        |FROM u JOIN cut ON u.source = cut.source
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
     // per-column profile: one SELECT per column, UNION ALL'd
     "q_profile_orders" ->
       Seq("o_custkey", "o_orderdate", "o_orderkey", "o_orderpriority",

@@ -227,6 +227,51 @@ object TextOps {
       .orderBy(col("lang"), col("source"))
   }
 
+  /** TEMPERATURE-weighted mixture sampling — the domain-reweighting
+    * pass of LLM data prep (UNIMAX/DoReMi shape): each source's target
+    * share ∝ n^(1/2) (temperature-flattened vs proportional), realized
+    * as a deterministic per-source md5-hash cutoff, so small domains
+    * are up-weighted and giant domains down-weighted without any RNG
+    * state.
+    *
+    * Oracle-exact float discipline: the per-source weight is
+    * floor(sqrt(n)·10^6) in INT64 (sqrt and the multiply are
+    * correctly-rounded IEEE ops — identical in any engine; the floor
+    * makes Z an integer sum, which is partition-order independent where
+    * a double sum is not). rate = min(1, target·w/Z) and the 2^60
+    * cutoff then use only exact-input correctly-rounded double ops, so
+    * the sampled set is bit-identical in DuckDB.
+    *
+    * Scale: two hash-aggs (source cardinality is tiny → the weights
+    * broadcast); the doc pass is one scan with a per-row hash compare.
+    */
+  def temperatureSample(spark: SparkSession, dir: String,
+                        totalTarget: Long = 200L): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val weights = d.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
+      // weight by TOKEN VOLUME, not doc count — the quantity a mixture
+      // actually balances (and the axis along which sources differ)
+      .withColumn("w", floor(sqrt(col("chars")) * lit(1e6)).cast("bigint"))
+    val withCut = weights
+      .crossJoin(broadcast(weights.agg(sum(col("w")).as("z"))))
+      .withColumn("rate", least(lit(1.0),
+        lit(totalTarget.toDouble) * col("w") / col("z") / col("n_docs")))
+      .withColumn("cut",
+        floor(col("rate") * lit(1152921504606846976.0)).cast("bigint")) // 2^60
+    val u = conv(substring(md5(concat(lit("mix|"), col("doc_id").cast("string"))),
+      1, 15), 16, 10).cast("bigint")
+    d.select(col("doc_id"), col("source"))
+      .join(broadcast(withCut.select(col("source"), col("n_docs"), col("cut"))),
+        Seq("source"))
+      .withColumn("sampled", (u < col("cut")).cast("long"))
+      .groupBy(col("source"), col("n_docs"))
+      .agg(sum(col("sampled")).as("n_sampled"),
+           sum(col("doc_id") * col("sampled")).as("sampled_id_sum"))
+      .orderBy(col("source"))
+  }
+
   /** Train→eval contamination: (train doc, eval doc) pairs sharing at
     * least `minShared` winnowing fingerprints — the decontamination step
     * every training pipeline runs against its benchmark/eval sets. The
