@@ -87,7 +87,17 @@ object Multimodal {
     * so the decode → fingerprint plumbing is exercised on real
     * container bytes.
     */
-  def renderedImages(spark: SparkSession, dir: String): DataFrame = {
+  def renderedImages(spark: SparkSession, dir: String): DataFrame =
+    renderedPayload(spark, dir) { (pix, nChars) =>
+      MediaCodec.encodeBmp((nChars % 64 + 4).toInt, (nChars % 48 + 4).toInt, pix)
+    }
+
+  /** Shared render plumbing for the three fingerprint lanes: every
+    * doc's text cycled through `pix` into an encoded container payload
+    * — the geometry formulas live with each modality's caller.
+    */
+  private def renderedPayload(spark: SparkSession, dir: String)
+      (encode: (Int => Byte, Long) => Array[Byte]): DataFrame = {
     val docs = Tables.documents(spark, dir).select("doc_id", "text", "n_chars")
     val schema = StructType(Seq(
       StructField("doc_id", LongType),
@@ -99,11 +109,23 @@ object Multimodal {
         val content = r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8)
         def pix(i: Int): Byte =
           if (content.isEmpty) 0 else content(i % content.length)
-        val nChars = r.getLong(2)
-        Row(r.getLong(0), MediaCodec.encodeBmp(
-          (nChars % 64 + 4).toInt, (nChars % 48 + 4).toInt, pix))
+        Row(r.getLong(0), encode(pix, r.getLong(2)))
       }
     }
+  }
+
+  /** One fingerprint row per payload, into the shared band/verify tail. */
+  private def fingerprintPairs(rendered: DataFrame,
+                               hash: Array[Byte] => Long,
+                               maxHamming: Int): DataFrame = {
+    val phSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("phash", LongType)))
+    implicit val enc: org.apache.spark.sql.Encoder[Row] =
+      org.apache.spark.sql.Encoders.row(phSchema)
+    hammingLshPairs(rendered.mapPartitions { it =>
+      it.map(r => Row(r.getLong(0), hash(r.getAs[Array[Byte]](1))))
+    }, maxHamming)
   }
 
   /** Perceptual-hash near-dup pairs over the rendered image column —
@@ -117,17 +139,8 @@ object Multimodal {
     * the shuffle carries bands and candidate pairs only.
     */
   def mediaPhashPairs(spark: SparkSession, dir: String,
-                      maxHamming: Int = 12): DataFrame = {
-    val phSchema = StructType(Seq(
-      StructField("doc_id", LongType),
-      StructField("phash", LongType)))
-    implicit val enc: org.apache.spark.sql.Encoder[Row] =
-      org.apache.spark.sql.Encoders.row(phSchema)
-    val ph = renderedImages(spark, dir).mapPartitions { it =>
-      it.map { r => Row(r.getLong(0), MediaCodec.dHash(r.getAs[Array[Byte]](1))) }
-    }
-    hammingLshPairs(ph, maxHamming)
-  }
+                      maxHamming: Int = 12): DataFrame =
+    fingerprintPairs(renderedImages(spark, dir), MediaCodec.dHash _, maxHamming)
 
   /** Shared 64-bit-fingerprint near-dup tail (images dHash / audio
     * aHash): band the hash into 4×16-bit LSH bands (two hashes within
@@ -168,26 +181,13 @@ object Multimodal {
     * audio-modality formulas of [[mediaTable]] applied to ALL docs) —
     * the corpus's audio column for the acoustic-dedup lane.
     */
-  def renderedAudio(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir).select("doc_id", "text", "n_chars")
-    val schema = StructType(Seq(
-      StructField("doc_id", LongType),
-      StructField("payload", BinaryType)))
-    implicit val enc: org.apache.spark.sql.Encoder[Row] =
-      org.apache.spark.sql.Encoders.row(schema)
-    docs.mapPartitions { it =>
-      it.map { r =>
-        val content = r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8)
-        def pix(i: Int): Byte =
-          if (content.isEmpty) 0 else content(i % content.length)
-        val nChars = r.getLong(2)
-        val n = audioSamples(nChars)
-        Row(r.getLong(0), MediaCodec.encodeWav(
-          (8000 + (nChars % 8) * 1000).toInt,
-          Array.tabulate(n)(i => (((pix(i) & 0xff) - 128) << 8).toShort)))
-      }
+  def renderedAudio(spark: SparkSession, dir: String): DataFrame =
+    renderedPayload(spark, dir) { (pix, nChars) =>
+      val n = audioSamples(nChars)
+      MediaCodec.encodeWav(
+        (8000 + (nChars % 8) * 1000).toInt,
+        Array.tabulate(n)(i => (((pix(i) & 0xff) - 128) << 8).toShort))
     }
-  }
 
   /** Acoustic-fingerprint near-dup pairs over the rendered audio column
     * — [[MediaCodec.aHash]] per row (one WAV parse, no shuffle), then
@@ -195,41 +195,19 @@ object Multimodal {
     * the image lane ([[hammingLshPairs]]).
     */
   def mediaAhashPairs(spark: SparkSession, dir: String,
-                      maxHamming: Int = 12): DataFrame = {
-    val phSchema = StructType(Seq(
-      StructField("doc_id", LongType),
-      StructField("phash", LongType)))
-    implicit val enc: org.apache.spark.sql.Encoder[Row] =
-      org.apache.spark.sql.Encoders.row(phSchema)
-    val ph = renderedAudio(spark, dir).mapPartitions { it =>
-      it.map { r => Row(r.getLong(0), MediaCodec.aHash(r.getAs[Array[Byte]](1))) }
-    }
-    hammingLshPairs(ph, maxHamming)
-  }
+                      maxHamming: Int = 12): DataFrame =
+    fingerprintPairs(renderedAudio(spark, dir), MediaCodec.aHash _, maxHamming)
 
   /** Every document rendered as its canonical GRV0 clip (the
     * video-modality formulas of [[mediaTable]] applied to ALL docs) —
     * the corpus's video column for the temporal-dedup lane.
     */
-  def renderedVideo(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir).select("doc_id", "text", "n_chars")
-    val schema = StructType(Seq(
-      StructField("doc_id", LongType),
-      StructField("payload", BinaryType)))
-    implicit val enc: org.apache.spark.sql.Encoder[Row] =
-      org.apache.spark.sql.Encoders.row(schema)
-    docs.mapPartitions { it =>
-      it.map { r =>
-        val content = r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8)
-        def pix(i: Int): Byte =
-          if (content.isEmpty) 0 else content(i % content.length)
-        val nChars = r.getLong(2)
-        Row(r.getLong(0), MediaCodec.encodeRawVideo(
-          (nChars % 32 + 4).toInt, (nChars % 24 + 4).toInt,
-          (nChars % 30 + 1).toInt, pix))
-      }
+  def renderedVideo(spark: SparkSession, dir: String): DataFrame =
+    renderedPayload(spark, dir) { (pix, nChars) =>
+      MediaCodec.encodeRawVideo(
+        (nChars % 32 + 4).toInt, (nChars % 24 + 4).toInt,
+        (nChars % 30 + 1).toInt, pix)
     }
-  }
 
   /** Temporal-fingerprint near-dup pairs over the rendered video column
     * — [[MediaCodec.vHash]] per row (one container parse, no shuffle),
@@ -238,17 +216,8 @@ object Multimodal {
     * TRIAD shares one scale shape.
     */
   def mediaVhashPairs(spark: SparkSession, dir: String,
-                      maxHamming: Int = 12): DataFrame = {
-    val phSchema = StructType(Seq(
-      StructField("doc_id", LongType),
-      StructField("phash", LongType)))
-    implicit val enc: org.apache.spark.sql.Encoder[Row] =
-      org.apache.spark.sql.Encoders.row(phSchema)
-    val ph = renderedVideo(spark, dir).mapPartitions { it =>
-      it.map { r => Row(r.getLong(0), MediaCodec.vHash(r.getAs[Array[Byte]](1))) }
-    }
-    hammingLshPairs(ph, maxHamming)
-  }
+                      maxHamming: Int = 12): DataFrame =
+    fingerprintPairs(renderedVideo(spark, dir), MediaCodec.vHash _, maxHamming)
 
   /** Metadata-only stats — no payload bytes touched (the pruning path). */
   def mediaStats(spark: SparkSession, dir: String): DataFrame =
