@@ -61,10 +61,11 @@ object Bench {
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","load_start":$loadStart%.2f,"load_end":$loadEnd%.2f}""")
     // Short headline line LAST: the driver's capture has truncated the
     // long per-query line head-first in past rounds, losing `"total"`.
-    // Anything tail-anchored keeps this parseable summary.
+    // Anything tail-anchored keeps this parseable summary. Distinct
+    // metric name so a consumer grepping "total" never double-counts.
     val slowest = results.sortBy(-_._2).take(5)
       .map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }.mkString("{", ",", "}")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"slowest":$slowest,"sf":"$sfDir","load_start":$loadStart%.2f,"load_end":$loadEnd%.2f}""")
+    println(f"""{"metric":"total_summary","value":$total%.3f,"unit":"sec","n_queries":${results.size},"slowest":$slowest,"sf":"$sfDir","load_start":$loadStart%.2f,"load_end":$loadEnd%.2f}""")
     spark.stop()
   }
 

@@ -1567,7 +1567,8 @@ object SparkEntry {
   private val mediaAhashSql: String =
     """WITH auds AS (
       |  SELECT doc_id, text, (n_chars % 256 + 16) AS n, strlen(text) AS len
-      |  FROM documents),
+      |  FROM documents
+      |  WHERE strlen(text) > 0 AND strlen(text) = length(text)),
       |fr AS (
       |  SELECT a.doc_id, (s.i * 65) // a.n AS k,
       |         SUM(abs(ord(substr(a.text, CAST(s.i % a.len + 1 AS BIGINT), 1)) - 128)) AS s,
@@ -1617,7 +1618,8 @@ object SparkEntry {
       |  SELECT doc_id, text,
       |         (n_chars % 32 + 4) AS w, (n_chars % 24 + 4) AS h,
       |         (n_chars % 30 + 1) AS f, strlen(text) AS len
-      |  FROM documents),
+      |  FROM documents
+      |  WHERE strlen(text) > 0 AND strlen(text) = length(text)),
       |cells AS (
       |  SELECT v.doc_id, g1.t, g2.r,
       |         SUM(ord(substr(v.text,
@@ -1657,7 +1659,8 @@ object SparkEntry {
       |         (n_chars % 64 + 4) AS w, (n_chars % 48 + 4) AS h,
       |         ((n_chars % 64 + 4) * 3 + 3) // 4 * 4 AS row_size,
       |         strlen(text) AS len
-      |  FROM documents),
+      |  FROM documents
+      |  WHERE strlen(text) > 0 AND strlen(text) = length(text)),
       |lum AS (
       |  SELECT i.doc_id, g2.gy, g1.gx,
       |         SUM(ord(substr(i.text,

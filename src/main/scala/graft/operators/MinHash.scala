@@ -301,28 +301,37 @@ object MinHash {
   /** One bucketed shingle-index materialization per (JVM, dir) — the
     * registry's incremental row probes a PERSISTED store, and writing it
     * is an ingest-time job that must not repeat per enumeration.
+    *
+    * The table lives in a SESSION's in-memory catalog while the memo is
+    * JVM-wide, so every hit re-checks `tableExists` against the caller's
+    * session and rebuilds if this session never registered it (a second
+    * SparkSession in the same JVM would otherwise get a dangling name).
     */
   private val indexTables =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  private[graft] def ensureShingleIndex(spark: SparkSession, dir: String): String =
-    indexTables.computeIfAbsent(dir, { _ =>
-      val table = "graft_shingle_idx_" + dir.replaceAll("[^A-Za-z0-9]", "_")
-      if (!spark.catalog.tableExists(table)) {
-        // the default in-memory catalog forgets tables across JVMs but
-        // their managed LOCATION under spark-warehouse survives —
-        // remove a stale one or saveAsTable refuses the name
-        val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
-        val loc = java.nio.file.Paths.get(wh, table.toLowerCase(java.util.Locale.ROOT))
-        if (java.nio.file.Files.exists(loc)) {
-          import scala.jdk.CollectionConverters._
-          java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
-            .foreach(f => java.nio.file.Files.deleteIfExists(f))
-        }
-        materializeShingleIndex(spark, dir, table)
-      }
-      table
-    })
+  private[graft] def ensureShingleIndex(spark: SparkSession, dir: String): String = {
+    val name = indexTables.computeIfAbsent(dir,
+      _ => "graft_shingle_idx_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
+    indexTables.synchronized {
+      if (!spark.catalog.tableExists(name)) buildShingleIndex(spark, dir, name)
+    }
+    name
+  }
+
+  private def buildShingleIndex(spark: SparkSession, dir: String, table: String): Unit = {
+    // the default in-memory catalog forgets tables across JVMs but
+    // their managed LOCATION under spark-warehouse survives —
+    // remove a stale one or saveAsTable refuses the name
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    val loc = java.nio.file.Paths.get(wh, table.toLowerCase(java.util.Locale.ROOT))
+    if (java.nio.file.Files.exists(loc)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
+        .foreach(f => java.nio.file.Files.deleteIfExists(f))
+    }
+    materializeShingleIndex(spark, dir, table)
+  }
 
   /** [[incrementalDedup]] probing the PERSISTED bucketed shingle index
     * instead of recomputing corpus signatures per run — the true

@@ -98,7 +98,14 @@ object Multimodal {
     */
   private def renderedPayload(spark: SparkSession, dir: String)
       (encode: (Int => Byte, Long) => Array[Byte]): DataFrame = {
+    // non-empty ASCII docs only, mirrored in the oracle SQL: the oracle
+    // indexes code points with a byte-length modulus, so a multi-byte
+    // character (or the empty doc's % 0) diverges from these raw UTF-8
+    // payload bytes — both sides restrict to the domain where the two
+    // decompositions agree
     val docs = Tables.documents(spark, dir).select("doc_id", "text", "n_chars")
+      .filter(length(col("text")) > 0 &&
+        octet_length(col("text")) === length(col("text")))
     val schema = StructType(Seq(
       StructField("doc_id", LongType),
       StructField("payload", BinaryType)))

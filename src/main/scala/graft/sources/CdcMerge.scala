@@ -60,7 +60,14 @@ object CdcMerge {
       .withColumn("__prio", lit(1))
     val deletes = batch.filter(col("op") === "delete")
       .select(col("event_id").as("__del_id"))
-    val w = Window.partitionBy(col("event_id")).orderBy(col("__prio").desc)
+    // event_id is the merge key and MUST be unique within the snapshot
+    // (precondition of any PK-keyed CDC merge; cdcMergeSummary asserts
+    // its synthetic insert keys can't collide). The extra orderings make
+    // the winner deterministic even if an upstream violates that —
+    // never a silent data-dependent pick.
+    val w = Window.partitionBy(col("event_id"))
+      .orderBy(col("__prio").desc, col("ts").desc,
+        col("event_date").desc, col("value").desc)
     snapshot.unionByName(upserts)
       .join(deletes, col("event_id") === col("__del_id"), "left_anti")
       .withColumn("__rn", row_number().over(w))
@@ -126,6 +133,13 @@ object CdcMerge {
       .withColumn("value", col("value") + 1000.0).withColumn("op", lit("upsert"))
     val deletes = windowed.filter(col("event_id") % 17 === 0)
       .withColumn("op", lit("delete"))
+    // the cloned-insert offset must clear the real key range or a clone
+    // collides with a live event_id and the merge silently drops one;
+    // fail loudly at the SF where ids outgrow the offset (the oracle SQL
+    // hard-codes the same +10^7, so it must stay a literal)
+    val maxId = windowed.agg(max(col("event_id"))).head.getLong(0)
+    require(maxId < 10000000L,
+      s"cdcMergeSummary insert-key offset 10^7 collides: max event_id=$maxId")
     val inserts = windowed.filter(col("event_id") % 19 === 0)
       .withColumn("event_id", col("event_id") + 10000000L)
       .withColumn("op", lit("upsert"))
