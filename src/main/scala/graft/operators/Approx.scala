@@ -123,10 +123,15 @@ object Approx {
         explode(array(rows.map(r =>
           struct(lit(r).as("r"), bucket(r).as("b"))): _*)).as("rb"): _*)
       .withColumn("r", col("rb.r")).withColumn("b", col("rb.b")).drop("rb")
-    // the CMS counter table: one count per (row, bucket) cell
+    // the CMS counter table: one count per (row, bucket) cell.
+    // Pinned broadcast: the table is d×w rows by construction (256 at
+    // defaults) regardless of data size, but its size ESTIMATE flows
+    // from the events scan stats, so left unpinned the planner can
+    // degrade this to a shuffle join at scale — exactly the wrong shape
+    // for a constant-size sketch probing a billion-key estimate side.
     val cells = rbOf(e).groupBy(col("r"), col("b")).agg(count(lit(1)).as("cnt"))
     val exact = e.groupBy(col("key")).agg(count(lit(1)).as("exact_n"))
-    val est = rbOf(exact).join(cells, Seq("r", "b"))
+    val est = rbOf(exact).join(broadcast(cells), Seq("r", "b"))
       .groupBy(col("key"), col("exact_n"))
       .agg(min(col("cnt")).as("cms_estimate"))
     est.orderBy(col("exact_n").desc, col("key")).limit(k)

@@ -77,4 +77,17 @@ class ApproxSpec extends SparkSpec {
       .sortBy { case (k, n) => (-n, k) }.take(rows.length)
     assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq === exact.toSeq)
   }
+
+  test("CMS estimate join broadcasts the constant-size cell table") {
+    // the d×w counter grid is constant-size by construction but its
+    // planner ESTIMATE derives from the events scan — the pick must be
+    // pinned so scale can't degrade it to a shuffle join
+    val df = Approx.cmsHeavyHitters(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected broadcast join for CMS cells, got:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      "CMS estimate join degraded to a shuffle join")
+  }
 }
