@@ -79,6 +79,75 @@ object MinHash {
       .select(col("doc_id"), col("bk.band_id").as("band_id"), col("bk.band_key").as("band_key"))
   }
 
+  /** Exact-duplicate classes by IDENTICAL shingle array: (doc_id, rep,
+    * n_sh) where rep is the class's minimum doc_id. The hot-band
+    * hardening pre-pass: exact duplicates share ALL bands, so a 10k-copy
+    * boilerplate class would put 10k rows into every one of its band
+    * buckets and the band self-join would emit 10k²/2 candidate rows
+    * before dedup. Collapsing each class to one banded representative
+    * bounds a band bucket by the number of distinct CLASSES in it; class
+    * members fan back out only after verification ([[expandPairs]]),
+    * where cost is proportional to the true pair output.
+    *
+    * The class key is md5 of the JSON-encoded shingle array — identical
+    * arrays (hence identical signatures, bands, and Jaccard against any
+    * other doc) collapse; 128-bit keys keep accidental merges out of
+    * reach at corpus scale. One shuffle (window min over the key).
+    */
+  def dupClasses(shArr: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__xkey"))
+    shArr.select(col("doc_id"),
+        size(col("shingles")).cast("bigint").as("n_sh"),
+        md5(to_json(struct(col("shingles")))).as("__xkey"))
+      .withColumn("rep", min(col("doc_id")).over(w))
+      .select(col("doc_id"), col("rep"), col("n_sh"))
+  }
+
+  /** Fan verified representative pairs back out to class members.
+    * Exactness: every member of a class has the SAME shingle array as
+    * its rep, so (a) cross-class member pairs inherit the rep pair's
+    * jaccard verbatim, and (b) intra-class pairs have jaccard exactly
+    * 1.0 (empty-shingle classes excluded — their 0/0 jaccard is NaN in
+    * the direct formulation and never passes a threshold). Classes
+    * partition the corpus, so no pair is emitted twice and no distinct
+    * is needed.
+    */
+  private[operators] def expandPairs(repPairs: DataFrame, members: DataFrame,
+                                     threshold: Double): DataFrame = {
+    val cross = repPairs
+      .select(col("doc_a").as("__ra"), col("doc_b").as("__rb"), col("jaccard"))
+      .join(members.select(col("rep").as("__ra"), col("doc_id").as("__ma")), Seq("__ra"))
+      .join(members.select(col("rep").as("__rb"), col("doc_id").as("__mb")), Seq("__rb"))
+      .select(least(col("__ma"), col("__mb")).as("doc_a"),
+        greatest(col("__ma"), col("__mb")).as("doc_b"), col("jaccard"))
+    val intra = members.filter(col("n_sh") > 0)
+      .select(col("rep"), col("doc_id").as("__ma"))
+      .join(members.select(col("rep"), col("doc_id").as("__mb")), Seq("rep"))
+      .filter(col("__ma") < col("__mb"))
+      .select(col("__ma").as("doc_a"), col("__mb").as("doc_b"),
+        lit(1.0).as("jaccard"))
+      .filter(lit(1.0) >= lit(threshold))
+    cross.unionByName(intra)
+  }
+
+  /** The collapsed verify pipeline shared by the cached, bucketed, and
+    * incremental paths: band `repSh` (one row per class), verify
+    * candidates against `verifySh`, fan members back out. `members`
+    * must be (doc_id, rep, n_sh); `repSh`/`verifySh` are (doc_id,
+    * shingles) frames — callers pick whether they come from the session
+    * cache or a bucketed store.
+    */
+  private[graft] def collapsedVerifiedPairs(
+      members: DataFrame, repSh: DataFrame, verifySh: DataFrame,
+      threshold: Double): DataFrame = {
+    val sigs = repSh.select(col("doc_id"),
+      graft.functions.functions.minhash_sig(col("shingles"), NumHashes).as("sig"))
+    val repPairs = exactJaccard(candidatePairs(bands(sigs)), verifySh)
+      .filter(col("jaccard") >= threshold)
+    expandPairs(repPairs, members, threshold)
+  }
+
   /** Candidate pairs (doc_a < doc_b) sharing at least one full band. */
   def candidatePairs(bands: DataFrame): DataFrame = {
     val a = bands.select(col("band_id"), col("band_key"), col("doc_id").as("doc_a"))
@@ -184,18 +253,30 @@ object MinHash {
     memoized(spark, "shingle_array", dir)(
       shingleArray(Tables.documents(spark, dir)))
 
+  /** Exact-dup classes over the corpus, memoized alongside the shingle
+    * index they derive from — every collapsed lane (pairs, incremental,
+    * clusters via pairs) shares one class computation per (session, dir).
+    */
+  private[operators] def cachedDupClasses(spark: SparkSession, dir: String): DataFrame =
+    memoized(spark, "dup_classes", dir)(
+      dupClasses(cachedShingleArray(spark, dir)))
+
   /** The verified near-dup pair graph at `threshold` — the shared
     * intermediate behind [[minhashDedup]], [[minhashSurvivors]],
     * [[dedupClusters]], [[clusterSurvivors]] and [[dedupReport]]:
     * computed once per (session, dir, threshold), consumed five times.
+    * Bands only exact-dup class representatives ([[dupClasses]]) so a
+    * large identical-doc class costs one banded row, not a quadratic
+    * band bucket.
     */
   def verifiedPairs(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame =
     memoized(spark, s"verified_pairs_$threshold", dir) {
       val shArr = cachedShingleArray(spark, dir)
-      val sigs = shArr.select(col("doc_id"),
-        graft.functions.functions.minhash_sig(col("shingles"), NumHashes).as("sig"))
-      val cand = candidatePairs(bands(sigs))
-      exactJaccard(cand, shArr).filter(col("jaccard") >= threshold)
+      val members = cachedDupClasses(spark, dir)
+      val repSh = shArr.join(
+        members.filter(col("doc_id") === col("rep")).select(col("doc_id")),
+        Seq("doc_id"))
+      collapsedVerifiedPairs(members, repSh, shArr, threshold)
     }
 
   /** MinHash-LSH near-dup pairs, exact-verified at `threshold` — the
@@ -213,9 +294,14 @@ object MinHash {
     * the table. Amortizes the index shuffle once at ingest.
     */
   def materializeShingleIndex(spark: SparkSession, dir: String,
-                              table: String, nBuckets: Int = 32): Unit =
+                              table: String, nBuckets: Int = 32): Unit = {
+    // the exact-dup class rep rides along in the store (computed once at
+    // ingest) so probe-time collapse never shuffles the store itself
+    val sh = shingleArray(Tables.documents(spark, dir))
     graft.sources.BucketedTables.writeBucketed(
-      shingleArray(Tables.documents(spark, dir)), table, "doc_id", nBuckets)
+      sh.join(dupClasses(sh).select(col("doc_id"), col("rep")), Seq("doc_id")),
+      table, "doc_id", nBuckets)
+  }
 
   /** [[minhashDedup]] with the verify join running against the
     * materialized bucketed index instead of an in-memory cache: same
@@ -226,9 +312,14 @@ object MinHash {
     */
   def minhashDedupBucketed(spark: SparkSession, dir: String, table: String,
                            threshold: Double = 0.5): DataFrame = {
-    val cand = candidatePairs(bands(signatures(Tables.documents(spark, dir))))
-    exactJaccard(cand, spark.table(table))
-      .filter(col("jaccard") >= threshold)
+    val store = spark.table(table) // doc_id, shingles, rep
+    val members = store.select(col("doc_id"), col("rep"),
+      size(col("shingles")).cast("bigint").as("n_sh"))
+    // class reps by row-local comparison — no shuffle, no join
+    val repSh = store.filter(col("doc_id") === col("rep"))
+      .select(col("doc_id"), col("shingles"))
+    collapsedVerifiedPairs(members, repSh,
+        store.select(col("doc_id"), col("shingles")), threshold)
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
@@ -278,19 +369,32 @@ object MinHash {
     // shingle arrays feed both verify-join sides — the session-shared
     // index materialization ([[cachedShingleArray]])
     val shArr = cachedShingleArray(spark, dir)
-    val sigs = shArr.select(col("doc_id"),
+    val members = cachedDupClasses(spark, dir)
+    def sigOf(df: DataFrame) = df.select(col("doc_id"),
       graft.functions.functions.minhash_sig(col("shingles"), NumHashes).as("sig"))
-    val bd = bands(sigs)
-    val cand = bd.filter(isBatch)
+    // hot-band hardening, both sides: a class with ≥1 corpus member is
+    // banded ONCE via its global rep (identical arrays ⇒ identical
+    // jaccard against any probe, so testing the rep is exact); batch
+    // docs likewise probe once per (class ∩ batch) and the verdict fans
+    // back to members afterwards. A 10k-copy boilerplate class costs one
+    // band row per side instead of a quadratic band bucket.
+    val corpusReps = members.filter(!isBatch)
+      .select(col("rep").as("doc_id")).distinct()
+    val batchReps = members.filter(isBatch)
+      .groupBy(col("rep")).agg(min(col("doc_id")).as("doc_id"))
+    val cand = bands(sigOf(shArr.join(batchReps.select(col("doc_id")), Seq("doc_id"))))
       .select(col("band_id"), col("band_key"), col("doc_id").as("doc_a"))
-      .join(bd.filter(!isBatch)
+      .join(bands(sigOf(shArr.join(corpusReps, Seq("doc_id"))))
         .select(col("band_id"), col("band_key"), col("doc_id").as("doc_b")),
         Seq("band_id", "band_key"))
       .select(col("doc_a"), col("doc_b")).distinct()
-    val matched = exactJaccard(cand, shArr)
+    val matchedBatchReps = exactJaccard(cand, shArr)
       .filter(col("jaccard") >= threshold)
-      .select(col("doc_a").as("doc_id")).distinct()
-      .withColumn("m", lit(1L))
+      .select(col("doc_a").as("__brep")).distinct()
+    val matched = members.filter(isBatch)
+      .join(batchReps.withColumnRenamed("doc_id", "__brep"), Seq("rep"))
+      .join(matchedBatchReps, Seq("__brep"))
+      .select(col("doc_id")).withColumn("m", lit(1L))
     docs.filter(isBatch).select(col("doc_id"))
       .join(matched, Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -354,16 +458,26 @@ object MinHash {
     val batchSh = shingleArray(Tables.documents(spark, dir).filter(isBatch))
     val batchBands = bands(batchSh.select(col("doc_id"),
       graft.functions.functions.minhash_sig(col("shingles"), NumHashes).as("sig")))
-    val corpusBands = bands(store.filter(!isBatch).select(col("doc_id"),
-      graft.functions.functions.minhash_sig(col("shingles"), NumHashes).as("sig")))
+    // hot-band hardening: band one row per exact-dup class (row-local
+    // rep comparison — the store is never shuffled), verify against the
+    // rep's shingles, and only then check the matched class actually has
+    // a CORPUS member — with the (tiny, candidate-bounded) match set
+    // broadcast so the store side still reads buckets shuffle-free
+    val corpusBands = bands(store.filter(col("doc_id") === col("rep"))
+      .select(col("doc_id"),
+        graft.functions.functions.minhash_sig(col("shingles"), NumHashes).as("sig")))
     val cand = broadcast(
         batchBands.select(col("band_id"), col("band_key"), col("doc_id").as("doc_a")))
       .join(corpusBands
         .select(col("band_id"), col("band_key"), col("doc_id").as("doc_b")),
         Seq("band_id", "band_key"))
       .select(col("doc_a"), col("doc_b")).distinct()
-    val matched = exactJaccard2(cand, batchSh, store)
+    val repMatches = exactJaccard2(cand, batchSh,
+        store.select(col("doc_id"), col("shingles")))
       .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"))
+    val matched = store.select(col("doc_id"), col("rep")).filter(!isBatch)
+      .join(broadcast(repMatches), col("rep") === col("doc_b"))
       .select(col("doc_a").as("doc_id")).distinct()
       .withColumn("m", lit(1L))
     Tables.documents(spark, dir).filter(isBatch).select(col("doc_id"))

@@ -158,16 +158,28 @@ object Multimodal {
     * `ph` must be (doc_id, phash); one persisted row per doc feeds the
     * band subtree and both verify lookups.
     */
-  private def hammingLshPairs(phUnpersisted: DataFrame,
-                              maxHamming: Int): DataFrame = {
+  private[operators] def hammingLshPairs(phUnpersisted: DataFrame,
+                                         maxHamming: Int): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val ph = phUnpersisted.persist(MEMORY_AND_DISK)
+    // Hot-band hardening (mirrors MinHash.dupClasses): docs with the
+    // SAME 64-bit fingerprint share every band, so a large identical-
+    // media class would make its band buckets quadratic. Hamming
+    // distance depends only on the fingerprints, so each distinct phash
+    // bands ONCE via its min-doc_id representative and members fan back
+    // out post-verify — intra-class pairs at distance 0, cross-class
+    // pairs inheriting the rep pair's distance verbatim.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("phash"))
+    val members = phUnpersisted
+      .withColumn("rep", min(col("doc_id")).over(w))
+      .persist(MEMORY_AND_DISK)
+    val reps = members.filter(col("doc_id") === col("rep"))
+      .select(col("doc_id"), col("phash"))
     val bandCols = (0 until 4).map { b =>
       struct(lit(b).as("band_id"),
         shiftrightunsigned(col("phash"), b * 16)
           .bitwiseAND(lit(65535L)).as("band_key"))
     }
-    val bands = ph.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+    val bands = reps.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band_id").as("band_id"),
         col("bk.band_key").as("band_key"))
     val cand = bands.select(col("band_id"), col("band_key"), col("doc_id").as("doc_a"))
@@ -175,12 +187,24 @@ object Multimodal {
         Seq("band_id", "band_key"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
-    val pa = ph.select(col("doc_id").as("doc_a"), col("phash").as("ph_a"))
-    val pb = ph.select(col("doc_id").as("doc_b"), col("phash").as("ph_b"))
-    cand.join(pa, Seq("doc_a")).join(pb, Seq("doc_b"))
+    val pa = reps.select(col("doc_id").as("doc_a"), col("phash").as("ph_a"))
+    val pb = reps.select(col("doc_id").as("doc_b"), col("phash").as("ph_b"))
+    val repPairs = cand.join(pa, Seq("doc_a")).join(pb, Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         bit_count(col("ph_a").bitwiseXOR(col("ph_b"))).cast("bigint").as("hamming"))
       .filter(col("hamming") <= maxHamming)
+    val cross = repPairs
+      .select(col("doc_a").as("__ra"), col("doc_b").as("__rb"), col("hamming"))
+      .join(members.select(col("rep").as("__ra"), col("doc_id").as("__ma")), Seq("__ra"))
+      .join(members.select(col("rep").as("__rb"), col("doc_id").as("__mb")), Seq("__rb"))
+      .select(least(col("__ma"), col("__mb")).as("doc_a"),
+        greatest(col("__ma"), col("__mb")).as("doc_b"), col("hamming"))
+    val intra = members.select(col("rep"), col("doc_id").as("__ma"))
+      .join(members.select(col("rep"), col("doc_id").as("__mb")), Seq("rep"))
+      .filter(col("__ma") < col("__mb"))
+      .select(col("__ma").as("doc_a"), col("__mb").as("doc_b"),
+        lit(0L).as("hamming"))
+    cross.unionByName(intra)
       .orderBy(col("doc_a"), col("doc_b"))
   }
 

@@ -132,6 +132,61 @@ class TextSpec extends SparkSpec {
     assert(default.except(unbounded).isEmpty && unbounded.except(default).isEmpty)
   }
 
+  test("exact-dup pre-collapse bounds band-bucket cardinality on a large identical-doc class") {
+    // 300 copies of one boilerplate doc: uncollapsed they share ALL
+    // bands, so the band self-join would emit 300·299/2 candidate rows;
+    // collapsed, the class bands once. Plus one genuine near-dup pair
+    // and a handful of distinct docs to keep the verify path honest.
+    val boiler = (1L to 300L).map(i => (i, "terms of service boilerplate common to every page"))
+    val extras = Seq(
+      (900L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (901L, "alpha beta gamma delta epsilon zeta eta iota"),
+      (950L, "completely unrelated text about spark partitioning"))
+    val docs = (boiler ++ extras).toDF("doc_id", "text")
+    val shArr = MinHash.shingleArray(docs)
+    val members = MinHash.dupClasses(shArr)
+    val repSh = shArr.join(
+      members.filter(col("doc_id") === col("rep")).select(col("doc_id")),
+      Seq("doc_id"))
+    // the banded candidate set is CLASS-level: 4 classes → at most 6
+    // pairs, vs 44850+ intra-boilerplate candidates uncollapsed
+    val repCand = MinHash.candidatePairs(MinHash.bands(repSh.select(col("doc_id"),
+      graft.functions.functions.minhash_sig(col("shingles"), MinHash.NumHashes).as("sig"))))
+    assert(repCand.count() <= 6, "rep-level candidates must be class-bounded")
+    // and the fanned-out verified pairs equal the uncollapsed pipeline
+    // verbatim — the exactness invariant of the collapse
+    val got = MinHash.collapsedVerifiedPairs(members, repSh, shArr, 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val uncollapsed = MinHash.exactJaccard(
+        MinHash.candidatePairs(MinHash.bands(MinHash.signatures(docs))), shArr)
+      .filter(col("jaccard") >= 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(got === uncollapsed,
+      s"missing=${(uncollapsed -- got).take(5)} extra=${(got -- uncollapsed).take(5)}")
+    // every intra-boilerplate pair is present with jaccard exactly 1.0
+    val j1 = MinHash.collapsedVerifiedPairs(members, repSh, shArr, 0.5)
+      .filter(col("doc_b") <= 300).select("jaccard").as[Double].collect()
+    assert(j1.length === 300 * 299 / 2 && j1.forall(_ == 1.0))
+  }
+
+  test("hamming LSH pre-collapse: identical-fingerprint class expands exactly") {
+    // 200 identical fingerprints + two near fingerprints (hamming 2
+    // from the class, 0 from each other... distinct values) + one far
+    val base = 0x0123456789abcdefL
+    val near = base ^ 3L            // 2 bit flips, same top bands
+    val far  = ~base                // hamming 64
+    val ph = ((1L to 200L).map(i => (i, base)) ++
+      Seq((500L, near), (600L, far))).toDF("doc_id", "phash")
+    val got = Multimodal.hammingLshPairs(ph, maxHamming = 12)
+      .as[(Long, Long, Long)].collect()
+    val intra = got.filter { case (a, b, _) => a <= 200 && b <= 200 }
+    assert(intra.length === 200 * 199 / 2 && intra.forall(_._3 == 0L))
+    // cross-class: every base member pairs with 500 at hamming 2
+    val cross = got.filter { case (_, b, _) => b == 500L }
+    assert(cross.length === 200 && cross.forall(_._3 == 2L))
+    assert(!got.exists { case (a, b, _) => a == 600L || b == 600L })
+  }
+
   test("incrementalDedup is consistent with the batch self-join pipeline") {
     val batchMod = 5
     val admitted = MinHash.incrementalDedup(spark, sfDir, batchMod = batchMod)

