@@ -1,6 +1,6 @@
 package graft.provider
 
-import java.util.concurrent.{CompletableFuture, ConcurrentHashMap}
+import java.util.concurrent.CompletableFuture
 
 /** In-process burst absorber: memoizes the first concurrent attempt per
   * cache key so racing callers share one storage round-trip
@@ -37,24 +37,46 @@ class NoDuplicateBurstAbsorber extends DuplicateBurstAbsorber {
   * same key block on the first caller's CompletableFuture — thread↔thread
   * boundary, exactly the reference's Caffeine behavior
   * (CachedDuplicateBurstAbsorber.kt:16-19). Entries expire `absorbMillis`
-  * after write; the size bound evicts oldest-written first.
+  * after write (a Caffeine `expireAfterWrite` analog, checked lazily on
+  * access); the size bound evicts least-recently-ACCESSED first via an
+  * access-ordered map — O(1) per overflow, no sort, matching the
+  * recency-based eviction the reference's Caffeine `maximumSize`
+  * implies. The monitor guards only O(1) map manipulation; the loader
+  * (a storage round trip) always runs outside it.
   */
 class CachedDuplicateBurstAbsorber(maxSize: Int, absorbMillis: Long,
                                    clock: () => Long = System.currentTimeMillis)
     extends DuplicateBurstAbsorber {
 
   private case class Entry(future: CompletableFuture[String], writtenAt: Long)
-  private val cache = new ConcurrentHashMap[String, Entry]()
+  // accessOrder=true: iteration order is least-recently-used first, and
+  // removeEldestEntry fires inside put once the bound is exceeded
+  private val cache = new java.util.LinkedHashMap[String, Entry](16, 0.75f, true) {
+    override def removeEldestEntry(e: java.util.Map.Entry[String, Entry]): Boolean =
+      size() > maxSize
+  }
 
   override def absorb(key: String, loader: () => String): String = {
     val now = clock()
     val fresh = new CompletableFuture[String]()
-    var winner = cache.compute(key, (_, cur) =>
-      if (cur == null || now - cur.writtenAt >= absorbMillis) Entry(fresh, now) else cur)
+    val winner = cache.synchronized {
+      val cur = cache.get(key) // get() refreshes this key's recency
+      if (cur == null || now - cur.writtenAt >= absorbMillis) {
+        val e = Entry(fresh, now)
+        cache.put(key, e)
+        e
+      } else cur
+    }
     if (winner.future eq fresh) {
       try fresh.complete(loader())
-      catch { case t: Throwable => cache.remove(key); fresh.completeExceptionally(t) }
-      if (cache.size() > maxSize) evictOldest()
+      catch { case t: Throwable =>
+        // drop the failed entry, but never a successor that replaced it
+        cache.synchronized {
+          val cur = cache.get(key)
+          if (cur != null && (cur.future eq fresh)) cache.remove(key)
+        }
+        fresh.completeExceptionally(t)
+      }
     }
     try winner.future.join()
     catch {
@@ -63,15 +85,8 @@ class CachedDuplicateBurstAbsorber(maxSize: Int, absorbMillis: Long,
     }
   }
 
-  override def evict(key: String): Unit = cache.remove(key)
+  override def evict(key: String): Unit =
+    cache.synchronized { cache.remove(key); () }
 
-  private[provider] def size: Int = cache.size()
-
-  private def evictOldest(): Unit = {
-    import scala.jdk.CollectionConverters._
-    cache.entrySet().asScala.toSeq
-      .sortBy(_.getValue.writtenAt)
-      .take(math.max(0, cache.size() - maxSize))
-      .foreach(e => cache.remove(e.getKey, e.getValue))
-  }
+  private[provider] def size: Int = cache.synchronized(cache.size())
 }

@@ -248,6 +248,48 @@ class DedupProviderSpec extends AnyFunSuite {
     assert(n.get === 2)
   }
 
+  test("absorber size bound evicts least-recently-accessed first") {
+    val a = new CachedDuplicateBurstAbsorber(3, 60_000L)
+    val n = new AtomicInteger
+    def load(k: String) = a.absorb(k, () => { n.incrementAndGet(); s"v$k" })
+    load("k1"); load("k2"); load("k3")
+    load("k1") // refresh k1's recency — k2 becomes the eldest
+    assert(n.get === 3)
+    load("k4") // overflow: k2 (LRU) leaves, not k1 (oldest-written)
+    assert(a.size === 3)
+    load("k1")
+    assert(n.get === 4, "k1 must still be memoized after the overflow")
+    load("k2")
+    assert(n.get === 5, "k2 must have been the evicted entry")
+  }
+
+  test("absorber overflow under contention: bound holds, every caller completes") {
+    val a = new CachedDuplicateBurstAbsorber(10, 60_000L)
+    val pool = Executors.newFixedThreadPool(16)
+    val started = new CountDownLatch(1)
+    try {
+      val futs = (1 to 16).map { t =>
+        pool.submit(new java.util.concurrent.Callable[Seq[Boolean]] {
+          override def call(): Seq[Boolean] = {
+            started.await(5, TimeUnit.SECONDS)
+            // overlapping key ranges: same-key races and overflow churn
+            // happen simultaneously
+            (0 until 50).map { i =>
+              val k = (t * 7 + i) % 40
+              a.absorb(s"k$k", () => s"v$k") == s"v$k"
+            }
+          }
+        })
+      }
+      started.countDown()
+      val results = futs.flatMap(_.get(30, TimeUnit.SECONDS))
+      // every caller got the value its key's loader produces — memoized
+      // or freshly loaded, never a torn/foreign entry
+      assert(results.length === 16 * 50 && results.forall(identity))
+      assert(a.size <= 10, s"size bound violated: ${a.size}")
+    } finally pool.shutdown()
+  }
+
   test("provider with absorber: in-process racers get DuplicateException without storage read") {
     val log = new InMemoryDedupLog
     val p = newProvider(log, absorber = new CachedDuplicateBurstAbsorber(100, 60_000L))
