@@ -175,6 +175,7 @@ object SparkEntry {
     // C4/Gopher repeated-n-gram signal as two exact int64s per doc
     "text_repetition"    -> (TextOps.repetition _),
     "dedup_exact_text"   -> (TextOps.exactDedup _),
+    "dedup_exact_unicode" -> (TextOps.exactDedupUnicode _),
     // ── near-dup dedup at scale ──
     "dedup_minhash_lsh"       -> ((s, d) => MinHash.minhashDedup(s, d)),
     "dedup_minhash_survivors" -> ((s, d) => MinHash.minhashSurvivors(s, d)),
@@ -1227,6 +1228,13 @@ object SparkEntry {
     "dedup_exact_text" ->
       """SELECT min(doc_id) AS doc_id, md5(lower(trim(text))) AS fp, count(*) AS n_copies
         |FROM documents GROUP BY md5(lower(trim(text)))""".stripMargin,
+    // same order as the engine: trim → NFC → lowercase → md5 (DuckDB's
+    // utf8proc lower agrees with root-locale Java lowercase on the
+    // normalized form)
+    "dedup_exact_unicode" ->
+      """SELECT min(doc_id) AS doc_id, md5(lower(nfc_normalize(trim(text)))) AS fp,
+        |       count(*) AS n_copies
+        |FROM documents GROUP BY 2""".stripMargin,
     "dedup_minhash_lsh" ->
       s"""$shingleCte,
          |$minhashCtes

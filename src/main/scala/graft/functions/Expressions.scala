@@ -93,6 +93,22 @@ object ExpressionKernels extends Serializable {
     out
   }
 
+  /** NFC-normalize + casefold — the canonicalization pre-pass for exact
+    * text dedup: composed and decomposed encodings of the same glyphs
+    * (U+00E9 vs e + U+0301) md5 identically after it, as do case
+    * variants. Root-locale lowercase keeps the mapping
+    * locale-independent (no Turkish dotted-I surprises) and agrees with
+    * DuckDB's utf8proc `lower`, which the oracle composes with
+    * `nfc_normalize` in the same order.
+    */
+  def nfcCasefold(text: UTF8String): UTF8String = {
+    val s = text.toString
+    val nfc =
+      if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) s
+      else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
+    UTF8String.fromString(nfc.toLowerCase(java.util.Locale.ROOT))
+  }
+
   /** Distinct word k-gram shingles of a single-space-separated string —
     * one pass, first-occurrence order (same contents as
     * array_distinct(transform(sequence…, concat_ws(element_at…)))), which
@@ -339,6 +355,18 @@ case class SimHash60(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** nfc_casefold(string) → string: NFC normalization + root-locale
+  * lowercase (see [[ExpressionKernels.nfcCasefold]]).
+  */
+case class NfcCasefold(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(v: Any): Any =
+    ExpressionKernels.nfcCasefold(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ExpressionKernels.nfcCasefold($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** word_shingles(string, k) → array<string> of distinct k-gram shingles. */
 case class WordShingles(child: Expression, k: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -436,6 +464,7 @@ object functions {
   def minhash_sig(shingles: Column, k: Int): Column =
     toColumn(MinHashSig(toExpression(shingles), k))
   def token_stats(text: Column): Column = toColumn(TokenStats(toExpression(text)))
+  def nfc_casefold(text: Column): Column = toColumn(NfcCasefold(toExpression(text)))
   def winnow_fingerprints(text: Column, k: Int, w: Int): Column =
     toColumn(WinnowFingerprints(toExpression(text), k, w))
   def pq_sub_dists(a: Column, b: Column, m: Int, subDim: Int): Column =

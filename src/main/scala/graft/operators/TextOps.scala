@@ -321,6 +321,21 @@ object TextOps {
       .select(col("doc_id"), col("fp"), col("n_copies"))
   }
 
+  /** [[exactDedup]] with a Unicode canonicalization pre-pass: NFC
+    * normalization + root-locale casefold before hashing, so composed
+    * vs decomposed encodings of the same glyphs (and case variants)
+    * land in one class — the first thing a real web-scale pipeline hits
+    * that byte-level hashing misses. Same single-shuffle hash-groupBy
+    * shape; the normalization is per-row codegen'd expression work.
+    */
+  def exactDedupUnicode(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).withColumn("fp",
+      md5(graft.functions.functions.nfc_casefold(trim(col("text")))))
+    d.groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+      .select(col("doc_id"), col("fp"), col("n_copies"))
+  }
+
   /** Corpus-wide n-gram frequency: top 20 word trigrams with counts —
     * inverted-index shape: shingle explode, hash agg, deterministic
     * top-k (count desc, shingle asc).

@@ -132,6 +132,30 @@ class TextSpec extends SparkSpec {
     assert(default.except(unbounded).isEmpty && unbounded.except(default).isEmpty)
   }
 
+  test("nfc_casefold collapses composed/decomposed and case variants to one class") {
+    import graft.functions.functions.nfc_casefold
+    val docs = Seq(
+      (1L, "café menu"),        // é composed (U+00E9)
+      (2L, "café menu"),       // e + combining acute (NFC → U+00E9)
+      (3L, "CAFÉ MENU"),        // uppercase composed
+      (4L, "coffee list"))           // genuinely different
+    .toDF("doc_id", "text")
+    val fps = docs.select(col("doc_id"), md5(nfc_casefold(trim(col("text")))).as("fp"))
+      .as[(Long, String)].collect().toMap
+    assert(fps(1L) === fps(2L) && fps(1L) === fps(3L))
+    assert(fps(4L) !== fps(1L))
+    // byte-level hashing splits the same fixtures three ways — the gap
+    // the pre-pass closes
+    val raw = docs.select(col("doc_id"), md5(lower(trim(col("text")))).as("fp"))
+      .as[(Long, String)].collect().toMap
+    assert(Set(raw(1L), raw(2L), raw(3L)).size === 2)
+    // and on documents (ASCII corpus) the unicode lane reproduces the
+    // byte-level lane exactly
+    val a = TextOps.exactDedup(spark, sfDir).collect().map(_.toString).sorted
+    val b = TextOps.exactDedupUnicode(spark, sfDir).collect().map(_.toString).sorted
+    assert(a.toSeq === b.toSeq)
+  }
+
   test("exact-dup pre-collapse bounds band-bucket cardinality on a large identical-doc class") {
     // 300 copies of one boilerplate doc: uncollapsed they share ALL
     // bands, so the band self-join would emit 300·299/2 candidate rows;
