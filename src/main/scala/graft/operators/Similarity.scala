@@ -184,9 +184,10 @@ object Similarity {
     * contract as [[lshRecall]], second index family under the gate.
     */
   def ivfRecall(spark: SparkSession, dir: String, k: Int = 5,
-                queryStride: Int = 50): DataFrame =
+                queryStride: Int = 50,
+                cent: Option[DataFrame] = None): DataFrame =
     recallVsTruth(cosineTopK(spark, dir, k, queryStride),
-      ivfTopK(spark, dir, k, queryStride), k)
+      ivfTopK(spark, dir, k, queryStride, cent = cent), k)
 
   /** Recall@k of the PQ code scan against the brute-force truth — the
     * compressed-domain index under the same contract. PQ ranks by
@@ -251,15 +252,15 @@ object Similarity {
     */
   def ivfTopK(spark: SparkSession, dir: String, k: Int = 5,
               queryStride: Int = 50, codebookK: Int = CodebookK,
-              nProbe: Int = 4): DataFrame = {
+              nProbe: Int = 4, cent: Option[DataFrame] = None): DataFrame = {
     // inverted lists: every vector assigned to its best centroid
     // (argmax via FirstByOrder — hash agg, no per-vector window sort;
     // ordering key (1.0 - csim, cent_id): x ↦ 1-x is strictly decreasing
     // and collision-free for 6-decimal-rounded sims, so min(1-csim)
     // selects exactly the window's csim DESC winner); queries probe
     // their nProbe nearest lists; exact cosine inside probed lists only.
-    val assigned = ivfAssigned(spark, dir, codebookK)
-    val probes = ivfProbes(spark, dir, queryStride, codebookK, nProbe)
+    val assigned = ivfAssigned(spark, dir, codebookK, cent)
+    val probes = ivfProbes(spark, dir, queryStride, codebookK, nProbe, cent)
     topKBySim(
       probes.join(assigned, Seq("list_id"))
         .filter(col("vec_id") =!= col("q_id"))
@@ -272,9 +273,10 @@ object Similarity {
     * variant materializes exactly the same lists.
     */
   private[graft] def ivfAssigned(spark: SparkSession, dir: String,
-                                 codebookK: Int = CodebookK): DataFrame = {
+                                 codebookK: Int = CodebookK,
+                                 centOverride: Option[DataFrame] = None): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    val cent = hashSampleCentroids(emb, codebookK)
+    val cent = centOverride.getOrElse(hashSampleCentroids(emb, codebookK))
     val scored = emb.crossJoin(broadcast(cent))
       .select(col("vec_id"), col("embedding"), col("cent_id"),
         round(cosine(col("embedding"), col("cent_emb")), 6).as("csim"))
@@ -291,9 +293,10 @@ object Similarity {
     */
   private[graft] def ivfProbes(spark: SparkSession, dir: String,
                                queryStride: Int = 50, codebookK: Int = CodebookK,
-                               nProbe: Int = 4): DataFrame = {
+                               nProbe: Int = 4,
+                               centOverride: Option[DataFrame] = None): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    val cent = hashSampleCentroids(emb, codebookK)
+    val cent = centOverride.getOrElse(hashSampleCentroids(emb, codebookK))
     val q = emb.filter(col("vec_id") % queryStride === 0)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     val wProbe = Window.partitionBy(col("q_id"))
@@ -520,8 +523,34 @@ object Similarity {
   def kmeansRefineCodebook(spark: SparkSession, dir: String,
                            codebookK: Int = CodebookK)
       : (Seq[(Long, Array[Float])], Double, Double) = {
+    val (cb, costs) = kmeansTrainCodebook(spark, dir, codebookK, maxIters = 1)
+    (cb, costs.head, costs.last)
+  }
+
+  /** Spherical k-means to CONVERGENCE: Lloyd steps until the relative
+    * objective drop falls under `tol` (or `maxIters`). Each step assigns
+    * every vector to its max-cosine centroid and replaces each centroid
+    * with the normalized mean of its members' unit vectors — the exact
+    * minimizer of the Σ(1−cos) objective for fixed assignments, so the
+    * per-codebook objective history is non-increasing (pinned in
+    * KmeansSpec). Empty clusters keep their previous centroid.
+    *
+    * Returns (final codebook, objective history: one entry per codebook
+    * INCLUDING the final one — history.length = iterations + 1).
+    *
+    * Scale: one broadcast-codebook scan plus one (cent_id, pos)-keyed
+    * hash-agg (k·64 output rows) per iteration; the per-round persist is
+    * dropped before the next round builds ([[ConnectedComponents]]
+    * pattern), so state never accumulates across iterations. The
+    * codebook itself is driver-side K×64 floats, as in any IVF trainer.
+    */
+  def kmeansTrainCodebook(spark: SparkSession, dir: String,
+                          codebookK: Int = CodebookK,
+                          maxIters: Int = 20, tol: Double = 1e-4)
+      : (Seq[(Long, Array[Float])], Seq[Double]) = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    import spark.implicits._
     val emb = Tables.embeddings(spark, dir)
-    val init = hashSampleCentroids(emb, codebookK)
 
     def assigned(cent: DataFrame): DataFrame =
       emb.crossJoin(broadcast(cent))
@@ -536,35 +565,44 @@ object Similarity {
     def cost(a: DataFrame): Double =
       a.agg(sum(lit(1.0) - col("csim"))).collect()(0).getDouble(0)
 
-    val a0 = assigned(init).persist(
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val costBefore = cost(a0)
-    // normalized-mean update: mean over members' UNIT vectors, per
-    // component — one hash-agg, k·64 rows to the driver
-    val means = a0
-      .withColumn("nrm", sqrt(aggregate(
-        transform(col("embedding"), x => x * x), lit(0.0d), (acc, x) => acc + x)))
-      .select(col("cent_id"),
-        posexplode(transform(col("embedding"), x => x / col("nrm"))))
-      .groupBy(col("cent_id"), col("pos"))
-      .agg(avg(col("col")).as("m"))
-      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
-    val byCent = means.groupBy(_._1).map { case (cid, rows) =>
-      val v = rows.sortBy(_._2).map(_._3)
-      val n = math.sqrt(v.map(x => x * x).sum)
-      cid -> v.map(x => (x / n).toFloat)
+    var centSeq: Seq[(Long, Array[Float])] =
+      hashSampleCentroids(emb, codebookK).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+        .sortBy(_._1).toSeq
+    def centDf: DataFrame = centSeq.toDF("cent_id", "cent_emb")
+    val costs = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var iter = 0
+    var converged = false
+    while (iter < maxIters && !converged) {
+      val a = assigned(centDf).persist(MEMORY_AND_DISK)
+      costs += cost(a)
+      // normalized-mean update: mean over members' UNIT vectors, per
+      // component — one hash-agg, k·64 rows to the driver
+      val means = a
+        .withColumn("nrm", sqrt(aggregate(
+          transform(col("embedding"), x => x * x), lit(0.0d), (acc, x) => acc + x)))
+        .select(col("cent_id"),
+          posexplode(transform(col("embedding"), x => x / col("nrm"))))
+        .groupBy(col("cent_id"), col("pos"))
+        .agg(avg(col("col")).as("m"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+      a.unpersist() // per-round: next round's assignment starts clean
+      val byCent = means.groupBy(_._1).map { case (cid, rows) =>
+        val v = rows.sortBy(_._2).map(_._3)
+        val n = math.sqrt(v.map(x => x * x).sum)
+        cid -> v.map(x => (x / n).toFloat)
+      }
+      centSeq = centSeq.map { case (cid, prev) =>
+        cid -> byCent.getOrElse(cid, prev) // empty cluster keeps its centroid
+      }
+      iter += 1
+      if (costs.length >= 2 &&
+          costs(costs.length - 2) - costs.last <=
+            tol * math.max(costs(costs.length - 2), 1e-12))
+        converged = true
     }
-    val refined = init.collect().map { r =>
-      val cid = r.getLong(0)
-      cid -> byCent.getOrElse(cid,
-        r.getSeq[Float](1).toArray) // empty cluster keeps its centroid
-    }.sortBy(_._1).toSeq
-    a0.unpersist()
-
-    import spark.implicits._
-    val refinedDf = refined.toDF("cent_id", "cent_emb")
-    val costAfter = cost(assigned(refinedDf))
-    (refined, costBefore, costAfter)
+    costs += cost(assigned(centDf)) // objective under the FINAL codebook
+    (centSeq, costs.toSeq)
   }
 
   def cosineNearDupPairs(spark: SparkSession, dir: String,

@@ -36,4 +36,38 @@ class KmeansSpec extends SparkSpec {
       a.zip(b).foreach { case (x, y) => assert(math.abs(x - y) <= 1e-5f) }
     }
   }
+
+  test("training to convergence: monotone objective, terminates, full codebook") {
+    val (cb, costs) = Similarity.kmeansTrainCodebook(spark, sfDir,
+      maxIters = 10, tol = 1e-4)
+    assert(cb.size === Similarity.CodebookK)
+    assert(costs.length >= 2 && costs.length <= 11)
+    costs.sliding(2).foreach { case Seq(a, b) =>
+      assert(b <= a + 1e-6, s"objective increased: $costs")
+    }
+    // converged: either the tolerance fired or maxIters ran out — on
+    // this corpus the relative drop must be under tol at the end
+    val lastDrop = costs(costs.length - 2) - costs.last
+    assert(lastDrop <= 1e-4 * costs(costs.length - 2) + 1e-9,
+      s"did not converge: $costs")
+  }
+
+  test("trained codebook does not lose recall vs the fixed hash-sampled codebook") {
+    import spark.implicits._
+    // gated at sf0.01 (the driver's correctness SF): recall@k at fixed
+    // nProbe is a step function of borderline queries, and the sf0.001
+    // corpus has so few query rows that a single flipped hit dominates;
+    // at sf0.01 the trained codebook wins decisively (34 vs 27 hits when
+    // this spec was written)
+    val dir = "/root/testdata/sf0.01"
+    val (cb, _) = Similarity.kmeansTrainCodebook(spark, dir,
+      maxIters = 10, tol = 1e-4)
+    val trained = cb.toDF("cent_id", "cent_emb")
+    def totalHits(df: org.apache.spark.sql.DataFrame): Long =
+      df.agg(org.apache.spark.sql.functions.sum("hits")).collect()(0).getLong(0)
+    val fixed = totalHits(Similarity.ivfRecall(spark, dir))
+    val retrained = totalHits(Similarity.ivfRecall(spark, dir, cent = Some(trained)))
+    assert(retrained >= fixed,
+      s"retrained codebook lost recall: $retrained < $fixed")
+  }
 }
