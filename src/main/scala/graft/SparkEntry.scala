@@ -190,6 +190,10 @@ object SparkEntry {
     // verify probe reads doc_id buckets) — same oracle SQL verbatim
     "dedup_incremental_bucketed" -> ((s, d) =>
       MinHash.incrementalDedupBucketed(s, d, MinHash.ensureShingleIndex(s, d))),
+    // the GROWN store (base build + appended batch, no file rewrites)
+    // must verify the same pairs as the one-shot pipeline — same oracle
+    // SQL as dedup_minhash_lsh verbatim
+    "dedup_lsh_grown"         -> ((s, d) => MinHash.minhashDedupGrown(s, d)),
     // cluster-aware curation: longest member of each duplicate cluster
     // survives (transitive-safe, unlike pairwise keep-lowest-id)
     "dedup_cluster_survivors" -> ((s, d) => MinHash.clusterSurvivors(s, d)),
@@ -229,6 +233,10 @@ object SparkEntry {
     // only the probed list directories — same oracle SQL verbatim
     "ann_ivf_pruned"          -> ((s, d) =>
       Similarity.ivfTopKPrunedAt(s, d, Similarity.ensureIvfIndex(s, d))),
+    // probe the GROWN index (base build + appended vector batch into
+    // their lists only) — append must be indistinguishable from a full
+    // rebuild, so the oracle SQL is ann_ivf_topk's verbatim
+    "ann_ivf_append"          -> ((s, d) => Similarity.ivfAppendTopK(s, d)),
     "ann_pq_recall"           -> ((s, d) => Similarity.pqRecall(s, d)),
     "ann_pq_topk"             -> ((s, d) => Similarity.pqTopK(s, d)),
     "dedup_embedding_cosine"  -> ((s, d) => Similarity.cosineNearDupPairs(s, d)),
@@ -1240,6 +1248,12 @@ object SparkEntry {
          |$minhashCtes
          |$jaccardFromSh
          |SELECT doc_a, doc_b, jaccard FROM pairj WHERE jaccard >= 0.5""".stripMargin,
+    // grown store ≡ one-shot pipeline: same SQL verbatim
+    "dedup_lsh_grown" ->
+      s"""$shingleCte,
+         |$minhashCtes
+         |$jaccardFromSh
+         |SELECT doc_a, doc_b, jaccard FROM pairj WHERE jaccard >= 0.5""".stripMargin,
     // per-source curation summary over the same verified-pair pipeline
     "dedup_report" ->
       s"""$shingleCte,
@@ -1447,6 +1461,16 @@ object SparkEntry {
          |  WHERE rk <= 5),
          |$recallTail""".stripMargin,
     "ann_ivf_topk" ->
+      s"""WITH $centCte,
+         |$ivfCtes
+         |SELECT q_id, vec_id, sim, CAST(rk AS BIGINT) AS rnk
+         |FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rk
+         |      FROM s)
+         |WHERE rk <= 5""".stripMargin,
+    // grown index (base + appended batch) ≡ full rebuild: append
+    // assigns per-row against the same immutable codebook ⇒ identical
+    // oracle SQL
+    "ann_ivf_append" ->
       s"""WITH $centCte,
          |$ivfCtes
          |SELECT q_id, vec_id, sim, CAST(rk AS BIGINT) AS rnk

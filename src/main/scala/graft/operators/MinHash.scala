@@ -294,14 +294,65 @@ object MinHash {
     * the table. Amortizes the index shuffle once at ingest.
     */
   def materializeShingleIndex(spark: SparkSession, dir: String,
-                              table: String, nBuckets: Int = 32): Unit = {
-    // the exact-dup class rep rides along in the store (computed once at
-    // ingest) so probe-time collapse never shuffles the store itself
-    val sh = shingleArray(Tables.documents(spark, dir))
+                              table: String, nBuckets: Int = 32): Unit =
     graft.sources.BucketedTables.writeBucketed(
-      sh.join(dupClasses(sh).select(col("doc_id"), col("rep")), Seq("doc_id")),
-      table, "doc_id", nBuckets)
+      shingleIndexRows(Tables.documents(spark, dir)), table, "doc_id", nBuckets)
+
+  /** The store row shape: (doc_id, shingles, rep) — the exact-dup class
+    * rep rides along (computed once at ingest/append) so probe-time
+    * collapse never shuffles the store itself. An appended batch
+    * computes reps WITHIN the batch only; a class straddling base and
+    * batch simply keeps two reps, which the collapse handles exactly
+    * (identical arrays ⇒ the two reps band identically, verify at
+    * jaccard 1.0, and their members cross-expand).
+    */
+  private def shingleIndexRows(docs: DataFrame): DataFrame = {
+    val sh = shingleArray(docs)
+    sh.join(dupClasses(sh).select(col("doc_id"), col("rep")), Seq("doc_id"))
   }
+
+  /** Append a document batch to an existing bucketed shingle index:
+    * new docs land as additional files in their doc_id buckets — no
+    * existing file is rewritten (mtime-identity pinned in
+    * BucketedTablesSpec), the incremental half of the index lifecycle.
+    */
+  def appendShingleIndex(spark: SparkSession, dir: String, table: String,
+                         batch: DataFrame, nBuckets: Int = 32): Unit =
+    graft.sources.BucketedTables.appendBucketed(
+      shingleIndexRows(batch), table, "doc_id", nBuckets)
+
+  /** One grown-store build per (JVM, dir): base store from
+    * doc_id % batchMod != 0, then [[appendShingleIndex]] of the rest —
+    * probing it must produce the same verified pairs as the in-memory
+    * full pipeline (the dedup_lsh_grown oracle row's gate).
+    */
+  private val grownTables =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] def ensureGrownShingleIndex(spark: SparkSession, dir: String,
+                                             batchMod: Int = 5): String = {
+    val name = grownTables.computeIfAbsent(dir,
+      _ => "graft_shingle_grown_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
+    grownTables.synchronized {
+      if (!spark.catalog.tableExists(name)) {
+        dropStaleLocation(spark, name)
+        val docs = Tables.documents(spark, dir)
+        graft.sources.BucketedTables.writeBucketed(
+          shingleIndexRows(docs.filter(col("doc_id") % batchMod =!= 0)),
+          name, "doc_id", 32)
+        appendShingleIndex(spark, dir, name,
+          docs.filter(col("doc_id") % batchMod === 0))
+      }
+    }
+    name
+  }
+
+  /** [[minhashDedupBucketed]] against the grown (base + appended batch)
+    * store — same pairs as the one-shot pipeline by construction.
+    */
+  def minhashDedupGrown(spark: SparkSession, dir: String,
+                        threshold: Double = 0.5): DataFrame =
+    minhashDedupBucketed(spark, dir, ensureGrownShingleIndex(spark, dir), threshold)
 
   /** [[minhashDedup]] with the verify join running against the
     * materialized bucketed index instead of an in-memory cache: same
@@ -424,9 +475,15 @@ object MinHash {
   }
 
   private def buildShingleIndex(spark: SparkSession, dir: String, table: String): Unit = {
-    // the default in-memory catalog forgets tables across JVMs but
-    // their managed LOCATION under spark-warehouse survives —
-    // remove a stale one or saveAsTable refuses the name
+    dropStaleLocation(spark, table)
+    materializeShingleIndex(spark, dir, table)
+  }
+
+  /** The default in-memory catalog forgets tables across JVMs but their
+    * managed LOCATION under spark-warehouse survives — remove a stale
+    * one or saveAsTable refuses the name.
+    */
+  private def dropStaleLocation(spark: SparkSession, table: String): Unit = {
     val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
     val loc = java.nio.file.Paths.get(wh, table.toLowerCase(java.util.Locale.ROOT))
     if (java.nio.file.Files.exists(loc)) {
@@ -434,7 +491,6 @@ object MinHash {
       java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
         .foreach(f => java.nio.file.Files.deleteIfExists(f))
     }
-    materializeShingleIndex(spark, dir, table)
   }
 
   /** [[incrementalDedup]] probing the PERSISTED bucketed shingle index

@@ -277,7 +277,15 @@ object Similarity {
                                  centOverride: Option[DataFrame] = None): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     val cent = centOverride.getOrElse(hashSampleCentroids(emb, codebookK))
-    val scored = emb.crossJoin(broadcast(cent))
+    assignWith(emb, cent)
+  }
+
+  /** The assignment kernel of [[ivfAssigned]] over an arbitrary vector
+    * frame — shared with the append path, which assigns only an
+    * incoming batch against the index's existing codebook.
+    */
+  private[graft] def assignWith(vectors: DataFrame, cent: DataFrame): DataFrame = {
+    val scored = vectors.crossJoin(broadcast(cent))
       .select(col("vec_id"), col("embedding"), col("cent_id"),
         round(cosine(col("embedding"), col("cent_emb")), 6).as("csim"))
     val winner = scored.groupBy(col("vec_id"))
@@ -348,6 +356,56 @@ object Similarity {
         .write.mode("overwrite").partitionBy("list_id").parquet(p)
       p
     })
+
+  /** Append a vector batch to an existing on-disk IVF index: the batch
+    * is assigned against the index's codebook (hash-sampled from the
+    * corpus — fixed at ingest, exactly as a production IVF index keeps
+    * its trained codebook immutable between rebuilds) and written in
+    * `append` mode partitioned by list_id, so ONLY the lists the batch
+    * lands in gain files; every pre-existing file is untouched
+    * (mtime-identity pinned in SimilaritySpec). Because assignment is
+    * per-row against the same codebook, the post-append index contents
+    * are byte-equivalent rows to a full rebuild — the probe results are
+    * identical, which is what the ann_ivf_append oracle row gates.
+    */
+  def appendIvfIndex(spark: SparkSession, dir: String, indexDir: String,
+                     batch: DataFrame, codebookK: Int = CodebookK): Unit =
+    assignWith(batch,
+        hashSampleCentroids(Tables.embeddings(spark, dir), codebookK))
+      .write.mode("append").partitionBy("list_id").parquet(indexDir)
+
+  /** One grown-index build per (JVM, corpus dir): base index from
+    * vec_id % batchMod != 0, then [[appendIvfIndex]] of the rest — the
+    * daily-ingest lifecycle (build once, append batches, probe) as a
+    * durable on-disk artifact. Probing it must equal the full rebuild.
+    */
+  private val ivfGrownDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def ensureGrownIvfIndex(spark: SparkSession, dir: String,
+                          codebookK: Int = CodebookK,
+                          batchMod: Int = 7): String =
+    ivfGrownDirs.computeIfAbsent(dir, { _ =>
+      val p = graft.sources.Scratch.tempDir("graft_ivf_grown_")
+      val emb = Tables.embeddings(spark, dir)
+      val cent = hashSampleCentroids(emb, codebookK)
+      assignWith(emb.filter(col("vec_id") % batchMod =!= 0), cent)
+        .write.mode("overwrite").partitionBy("list_id").parquet(p)
+      appendIvfIndex(spark, dir, p,
+        emb.filter(col("vec_id") % batchMod === 0), codebookK)
+      p
+    })
+
+  /** The ann_ivf_append registry row: top-k probes against the grown
+    * (base + appended batch) index — same oracle SQL as [[ivfTopK]]
+    * because append-then-probe must be indistinguishable from a full
+    * rebuild.
+    */
+  def ivfAppendTopK(spark: SparkSession, dir: String, k: Int = 5,
+                    queryStride: Int = 50, codebookK: Int = CodebookK,
+                    nProbe: Int = 4): DataFrame =
+    ivfTopKPrunedAt(spark, dir, ensureGrownIvfIndex(spark, dir, codebookK),
+      k, queryStride, codebookK, nProbe)
 
   /** The search half of [[ivfTopKPruned]]: probe an ALREADY-BUILT index. */
   def ivfTopKPrunedAt(spark: SparkSession, dir: String, indexDir: String,

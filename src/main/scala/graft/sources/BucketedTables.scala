@@ -30,6 +30,20 @@ object BucketedTables {
       .format("parquet")
       .saveAsTable(table) // managed location under spark.sql.warehouse.dir
 
+  /** Append to an existing bucketed table with the SAME bucket spec:
+    * new rows land as additional files in their hash buckets; every
+    * pre-existing file is untouched (append-only maintenance — the
+    * mtime-identity contract the grown-index specs pin).
+    */
+  def appendBucketed(df: DataFrame, table: String, key: String,
+                     nBuckets: Int = 32): Unit =
+    df.write
+      .mode(SaveMode.Append)
+      .bucketBy(nBuckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
+
   /** Join two bucketed tables on their bucket key — shuffle-free when
     * both sides were bucketed with the same count on the join columns.
     */

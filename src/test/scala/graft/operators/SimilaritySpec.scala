@@ -216,6 +216,47 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.planesFor(0L) === 8)
   }
 
+  test("IVF append touches only the batch's lists; probe equals full rebuild") {
+    import scala.jdk.CollectionConverters._
+    def fileState(root: String): Map[String, Long] =
+      java.nio.file.Files.walk(java.nio.file.Paths.get(root)).iterator().asScala
+        .filter(p => java.nio.file.Files.isRegularFile(p) &&
+          p.getFileName.toString.startsWith("part-"))
+        .map(p => p.toString -> java.nio.file.Files.getLastModifiedTime(p).toMillis)
+        .toMap
+    val idx = graft.sources.Scratch.tempDir("ivf_append_spec_")
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val cent = Similarity.hashSampleCentroids(emb, Similarity.CodebookK)
+    Similarity.assignWith(emb.filter(col("vec_id") % 7 =!= 0), cent)
+      .write.mode("overwrite").partitionBy("list_id").parquet(idx)
+    val before = fileState(idx)
+    // a tiny batch landing in a strict subset of lists
+    val batch = emb.filter(col("vec_id") % 7 === 0).limit(3)
+      .localCheckpoint(true)
+    val batchLists = Similarity.assignWith(batch, cent)
+      .select("list_id").distinct().as[Long].collect().toSet
+    assert(batchLists.size < Similarity.CodebookK)
+    Similarity.appendIvfIndex(spark, sfDir, idx, batch)
+    val after = fileState(idx)
+    // append-only: every pre-existing file survives byte-untouched
+    before.foreach { case (f, m) =>
+      assert(after.contains(f) && after(f) === m, s"rewrote $f")
+    }
+    // and new files appear ONLY under the batch's list directories
+    val newFiles = after.keySet -- before.keySet
+    assert(newFiles.nonEmpty)
+    newFiles.foreach { f =>
+      val list = "list_id=(\\d+)".r.findFirstMatchIn(f).get.group(1).toLong
+      assert(batchLists.contains(list), s"file in untouched list: $f")
+    }
+    // the fully-grown registry index probes identically to a rebuild
+    val grown = Similarity.ivfAppendTopK(spark, sfDir)
+      .collect().map(_.toString).sorted.toSeq
+    val full = Similarity.ivfTopK(spark, sfDir)
+      .collect().map(_.toString).sorted.toSeq
+    assert(grown === full)
+  }
+
   test("planeWeight matches the md5 formula the oracle SQL uses") {
     // spot value computed independently: md5('0_0') prefix
     val md = java.security.MessageDigest.getInstance("MD5")

@@ -109,6 +109,42 @@ class BucketedTablesSpec extends SparkSpec {
     } finally spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 
+  test("shingle-store append: no existing file rewritten, grown probe ≡ one-shot pairs") {
+    import graft.operators.MinHash
+    import scala.jdk.CollectionConverters._
+    val table = "shingle_grow_spec"
+    val docs = graft.Tables.documents(spark, sfDir)
+    val base = MinHash.shingleArray(docs.filter(col("doc_id") % 5 =!= 0))
+    graft.sources.BucketedTables.writeBucketed(
+      base.join(MinHash.dupClasses(base).select(col("doc_id"), col("rep")),
+        Seq("doc_id")),
+      table, "doc_id", 8)
+    try {
+      val loc = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:") +
+        "/" + table.toLowerCase(java.util.Locale.ROOT)
+      def fileState: Map[String, Long] =
+        java.nio.file.Files.walk(java.nio.file.Paths.get(loc)).iterator().asScala
+          .filter(p => java.nio.file.Files.isRegularFile(p) &&
+            p.getFileName.toString.startsWith("part-"))
+          .map(p => p.toString -> java.nio.file.Files.getLastModifiedTime(p).toMillis)
+          .toMap
+      val before = fileState
+      MinHash.appendShingleIndex(spark, sfDir, table,
+        docs.filter(col("doc_id") % 5 === 0), nBuckets = 8)
+      val after = fileState
+      before.foreach { case (f, m) =>
+        assert(after.contains(f) && after(f) === m, s"append rewrote $f")
+      }
+      assert((after.keySet -- before.keySet).nonEmpty, "append added no files")
+      // the grown store verifies the same pairs as the one-shot pipeline
+      val grown = MinHash.minhashDedupBucketed(spark, sfDir, table)
+        .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val oneShot = MinHash.minhashDedup(spark, sfDir)
+        .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(grown === oneShot)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
   test("bucketed fact-to-fact join plans without any shuffle exchange") {
     val l = graft.Tables.lineitem(spark, sfDir)
       .select("l_orderkey", "l_quantity", "l_extendedprice")
