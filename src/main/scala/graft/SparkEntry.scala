@@ -201,6 +201,11 @@ object SparkEntry {
     // the curation CAPSTONE: cluster-survivor dedup ∘ quality gate →
     // per-source in/dup-dropped/quality-dropped/shipped report
     "pipeline_curation"       -> (operators.Curation.curationSummary(_, _)),
+    // cross-modality capstone: text cluster-survivor ∧ image dHash ∧
+    // audio aHash ∧ video vHash lanes must all keep a doc; per-source
+    // per-lane drop counts — exercises the shared stage memos across
+    // all four families
+    "pipeline_crossmodal"     -> (operators.Curation.crossModalCuration(_, _)),
     "dedup_ngram_jaccard"     -> ((s, d) => MinHash.ngramJaccardPairs(s, d)),
     // dedup-index quality contract (the ANN-recall analog): every exact
     // n-gram-Jaccard truth pair flagged found/missed by the LSH index —
@@ -1335,6 +1340,42 @@ object SparkEntry {
          |  CAST(SUM(CASE WHEN kept = 1 AND NOT is_quality THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_dropped,
          |  CAST(SUM(CASE WHEN kept = 1 AND is_quality THEN 1 ELSE 0 END) AS BIGINT) AS n_final
          |FROM keptq GROUP BY 1 ORDER BY source""".stripMargin,
+    // cross-modality capstone: the text survivor CTEs plus all three
+    // media fingerprint pipelines re-derived in full (each embedded as
+    // a nested-WITH CTE), drop sets per lane, survivors of all four
+    "pipeline_crossmodal" ->
+      s"""$clusterCtes,
+         |lw AS (SELECT l.doc_id, l.cluster_id, d.n_chars
+         |       FROM lab l JOIN documents d USING (doc_id)),
+         |win AS (SELECT cluster_id, doc_id AS keep_id FROM (
+         |  SELECT cluster_id, doc_id, row_number() OVER (PARTITION BY cluster_id
+         |    ORDER BY n_chars DESC, doc_id) AS rk FROM lw) WHERE rk = 1),
+         |tkept AS (
+         |  SELECT d.doc_id,
+         |    CASE WHEN l.cluster_id IS NULL THEN 1
+         |         WHEN w.keep_id IS NOT NULL THEN 1 ELSE 0 END AS kept
+         |  FROM documents d
+         |  LEFT JOIN lab l ON d.doc_id = l.doc_id
+         |  LEFT JOIN win w ON w.cluster_id = l.cluster_id AND w.keep_id = d.doc_id),
+         |imgp AS ($mediaPhashSql),
+         |audp AS ($mediaAhashSql),
+         |vidp AS ($mediaVhashSql),
+         |idrop AS (SELECT DISTINCT doc_b AS doc_id FROM imgp),
+         |adrop AS (SELECT DISTINCT doc_b AS doc_id FROM audp),
+         |vdrop AS (SELECT DISTINCT doc_b AS doc_id FROM vidp)
+         |SELECT d.source, count(*) AS n_docs,
+         |  CAST(SUM(CASE WHEN t.kept = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_text_drop,
+         |  CAST(SUM(CASE WHEN i.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_image_drop,
+         |  CAST(SUM(CASE WHEN a.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_audio_drop,
+         |  CAST(SUM(CASE WHEN v.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_video_drop,
+         |  CAST(SUM(CASE WHEN t.kept = 1 AND i.doc_id IS NULL AND a.doc_id IS NULL
+         |                AND v.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_final
+         |FROM documents d
+         |JOIN tkept t ON t.doc_id = d.doc_id
+         |LEFT JOIN idrop i ON i.doc_id = d.doc_id
+         |LEFT JOIN adrop a ON a.doc_id = d.doc_id
+         |LEFT JOIN vdrop v ON v.doc_id = d.doc_id
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // df cap 128 on the inverted index, same as MinHash.DfCap — applied
     // consistently to intersections AND set sizes on both sides
     "dedup_ngram_jaccard" ->
