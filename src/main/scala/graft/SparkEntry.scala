@@ -244,6 +244,11 @@ object SparkEntry {
     "ann_ivf_append"          -> ((s, d) => Similarity.ivfAppendTopK(s, d)),
     "ann_pq_recall"           -> ((s, d) => Similarity.pqRecall(s, d)),
     "ann_pq_topk"             -> ((s, d) => Similarity.pqTopK(s, d)),
+    // IVFADC: coarse IVF probe confines the scan, PQ codes rank inside
+    // the probed lists by integer asymmetric distance — the
+    // billion-vector production composition of the two index halves
+    "ann_ivfadc_topk"         -> ((s, d) => Similarity.ivfadcTopK(s, d)),
+    "ann_ivfadc_recall"       -> ((s, d) => Similarity.ivfadcRecall(s, d)),
     "dedup_embedding_cosine"  -> ((s, d) => Similarity.cosineNearDupPairs(s, d)),
     // SemDeDup-style: IVF-list-confined cosine dedup, keep-lowest-id
     "dedup_semdedup"          -> ((s, d) => Similarity.semDedup(s, d)),
@@ -1559,6 +1564,46 @@ object SparkEntry {
         |  SELECT q_id, vec_id FROM (
         |    SELECT *, row_number() OVER (PARTITION BY q_id
         |      ORDER BY adc_dist, vec_id) AS rk FROM adc)
+        |  WHERE rk <= 5),
+        |$truthCte,
+        |$recallTail""".stripMargin,
+    // IVFADC: candidates from the probed IVF lists, ranked by PQ ADC —
+    // both CTE families reused verbatim (same codebook), composed by a
+    // list-confined ADC aggregation
+    "ann_ivfadc_topk" ->
+      s"""WITH $centCte,
+        |$ivfCtes,
+        |$pqCtes,
+        |adcq AS (
+        |  SELECT p.q_id, a.vec_id
+        |  FROM probes p JOIN assigned a ON p.list_id = a.list_id
+        |  WHERE a.vec_id <> p.q_id),
+        |ivfadc AS (
+        |  SELECT x.q_id, x.vec_id, CAST(SUM(q.dq) AS BIGINT) AS adc_dist
+        |  FROM adcq x JOIN codes c ON c.vec_id = x.vec_id
+        |  JOIN qd q ON q.q_id = x.q_id AND q.s = c.s AND q.cent_id = c.code
+        |  GROUP BY 1, 2)
+        |SELECT q_id, vec_id, adc_dist, CAST(rk AS BIGINT) AS rnk
+        |FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+        |        ORDER BY adc_dist, vec_id) AS rk FROM ivfadc)
+        |WHERE rk <= 5""".stripMargin,
+    "ann_ivfadc_recall" ->
+      s"""WITH $centCte,
+        |$ivfCtes,
+        |$pqCtes,
+        |adcq AS (
+        |  SELECT p.q_id, a.vec_id
+        |  FROM probes p JOIN assigned a ON p.list_id = a.list_id
+        |  WHERE a.vec_id <> p.q_id),
+        |ivfadc AS (
+        |  SELECT x.q_id, x.vec_id, CAST(SUM(q.dq) AS BIGINT) AS adc_dist
+        |  FROM adcq x JOIN codes c ON c.vec_id = x.vec_id
+        |  JOIN qd q ON q.q_id = x.q_id AND q.s = c.s AND q.cent_id = c.code
+        |  GROUP BY 1, 2),
+        |apx AS (
+        |  SELECT q_id, vec_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY q_id
+        |      ORDER BY adc_dist, vec_id) AS rk FROM ivfadc)
         |  WHERE rk <= 5),
         |$truthCte,
         |$recallTail""".stripMargin,

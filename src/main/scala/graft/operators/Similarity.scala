@@ -445,23 +445,7 @@ object Similarity {
   def pqTopK(spark: SparkSession, dir: String, k: Int = 5,
              queryStride: Int = 50, codebookK: Int = CodebookK,
              m: Int = 8, subDim: Int = 8): DataFrame = {
-    import graft.functions.functions.pq_sub_dists
-    val emb = Tables.embeddings(spark, dir)
-    val cent = hashSampleCentroids(emb, codebookK)
-    // (vec, cent) → array of m quantized sub-distances → (vec, cent, s, dq)
-    val vd = emb.crossJoin(broadcast(cent))
-      .select(col("vec_id"), col("cent_id"),
-        posexplode(pq_sub_dists(col("embedding"), col("cent_emb"), m, subDim))
-          .as(Seq("s", "dq")))
-    // PQ encoding: per (vector, subspace) the nearest centroid id
-    val codes = vd.groupBy(col("vec_id"), col("s"))
-      .agg(graft.functions.FirstByOrder.first_by_order(
-        struct(col("cent_id")), struct(col("dq"), col("cent_id"))).as("w"))
-      .select(col("vec_id"), col("s"), col("w.cent_id").as("code"))
-    // ADC lookup table for the query subset (queries are vectors, so the
-    // same vd rows serve, no recompute)
-    val qd = vd.filter(col("vec_id") % queryStride === 0)
-      .select(col("vec_id").as("q_id"), col("cent_id"), col("s"), col("dq"))
+    val (codes, qd) = pqTables(spark, dir, queryStride, codebookK, m, subDim)
     val adc = codes.join(qd, qd("s") === codes("s") && qd("cent_id") === codes("code"))
       .filter(col("vec_id") =!= col("q_id"))
       .groupBy(col("q_id"), col("vec_id"))
@@ -471,6 +455,73 @@ object Similarity {
       .withColumnRenamed("rk", "rnk")
       .orderBy(col("q_id"), col("rnk"))
   }
+
+  /** The PQ building blocks shared by [[pqTopK]] and [[ivfadcTopK]]:
+    * `codes` — per (vector, subspace) the nearest centroid id (the
+    * compressed representation); `qd` — the query subset's quantized
+    * sub-distance table (queries are corpus vectors, so the same scored
+    * rows serve, no recompute).
+    */
+  private def pqTables(spark: SparkSession, dir: String, queryStride: Int,
+                       codebookK: Int, m: Int, subDim: Int)
+      : (DataFrame, DataFrame) = {
+    import graft.functions.functions.pq_sub_dists
+    val emb = Tables.embeddings(spark, dir)
+    val cent = hashSampleCentroids(emb, codebookK)
+    // (vec, cent) → array of m quantized sub-distances → (vec, cent, s, dq)
+    val vd = emb.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("cent_id"),
+        posexplode(pq_sub_dists(col("embedding"), col("cent_emb"), m, subDim))
+          .as(Seq("s", "dq")))
+    val codes = vd.groupBy(col("vec_id"), col("s"))
+      .agg(graft.functions.FirstByOrder.first_by_order(
+        struct(col("cent_id")), struct(col("dq"), col("cent_id"))).as("w"))
+      .select(col("vec_id"), col("s"), col("w.cent_id").as("code"))
+    val qd = vd.filter(col("vec_id") % queryStride === 0)
+      .select(col("vec_id").as("q_id"), col("cent_id"), col("s"), col("dq"))
+    (codes, qd)
+  }
+
+  /** IVFADC — the production pairing of the two index halves: the IVF
+    * coarse quantizer confines each query to its nProbe inverted lists,
+    * and ranking inside the probed lists runs on PQ codes via integer
+    * asymmetric distance, never on the raw vectors. At 100 TB this is
+    * the structure that makes billion-vector search tractable: the scan
+    * touches nProbe/K of the corpus AND reads ~1/32-size codes instead
+    * of embeddings — the residual full-vector work is zero. Both halves
+    * reuse the same deterministic hash-sampled codebook, so the whole
+    * composition stays oracle-checkable.
+    */
+  def ivfadcTopK(spark: SparkSession, dir: String, k: Int = 5,
+                 queryStride: Int = 50, codebookK: Int = CodebookK,
+                 nProbe: Int = 4, m: Int = 8, subDim: Int = 8): DataFrame = {
+    val assigned = ivfAssigned(spark, dir, codebookK)
+      .select(col("vec_id"), col("list_id"))
+    val probes = ivfProbes(spark, dir, queryStride, codebookK, nProbe)
+      .select(col("q_id"), col("list_id"))
+    val cand = probes.join(assigned, Seq("list_id"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"))
+    val (codes, qd) = pqTables(spark, dir, queryStride, codebookK, m, subDim)
+    val adc = cand.join(codes, Seq("vec_id"))
+      .join(qd, qd("q_id") === cand("q_id") && qd("s") === codes("s") &&
+        qd("cent_id") === codes("code"))
+      .groupBy(cand("q_id"), col("vec_id"))
+      .agg(sum(col("dq")).as("adc_dist"))
+      .select(col("q_id"), col("vec_id"), col("adc_dist"))
+    Dedup.topKPerKey(adc, Seq("q_id"), Seq(col("adc_dist"), col("vec_id")), k)
+      .withColumnRenamed("rk", "rnk")
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
+  /** Recall@k of IVFADC vs brute force — quantifies the combined
+    * coarse-pruning + quantization loss under the shared exact-integer
+    * recall contract.
+    */
+  def ivfadcRecall(spark: SparkSession, dir: String, k: Int = 5,
+                   queryStride: Int = 50): DataFrame =
+    recallVsTruth(cosineTopK(spark, dir, k, queryStride),
+      ivfadcTopK(spark, dir, k, queryStride), k)
 
   /** Int8 quantization summary — the ANN index-build precursor (PQ/IVF
     * stores ship int8 codes, not floats; 4× smaller scans at 100 TB).

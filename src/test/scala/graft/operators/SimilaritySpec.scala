@@ -216,6 +216,29 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.planesFor(0L) === 8)
   }
 
+  test("IVFADC with every list probed degenerates to the pure PQ ranking") {
+    // nProbe = K removes the coarse pruning entirely, so the ADC ranking
+    // must equal pqTopK's — pins that the list confinement is the ONLY
+    // thing IVFADC changes
+    val full = Similarity.ivfadcTopK(spark, sfDir, nProbe = Similarity.CodebookK)
+      .collect().map(_.toString).sorted.toSeq
+    val pq = Similarity.pqTopK(spark, sfDir)
+      .collect().map(_.toString).sorted.toSeq
+    assert(full === pq)
+    // and with the default nProbe the candidates stay list-confined:
+    // every reported neighbor shares a probed list with its query
+    val probed = Similarity.ivfProbes(spark, sfDir)
+      .select("q_id", "list_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val assigned = Similarity.ivfAssigned(spark, sfDir)
+      .select("vec_id", "list_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Similarity.ivfadcTopK(spark, sfDir).collect().foreach { r =>
+      val (q, v) = (r.getLong(0), r.getLong(1))
+      assert(probed(q).contains(assigned(v)), s"neighbor $v outside $q's probed lists")
+    }
+  }
+
   test("IVF append touches only the batch's lists; probe equals full rebuild") {
     import scala.jdk.CollectionConverters._
     def fileState(root: String): Map[String, Long] =
