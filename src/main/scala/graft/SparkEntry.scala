@@ -176,6 +176,10 @@ object SparkEntry {
     "text_repetition"    -> (TextOps.repetition _),
     "dedup_exact_text"   -> (TextOps.exactDedup _),
     "dedup_exact_unicode" -> (TextOps.exactDedupUnicode _),
+    // perplexity-proxy quality signal: per-doc char-trigram corpus-
+    // frequency statistics (exact integers — the oracle-safe form of
+    // LM likelihood scoring)
+    "text_charlm_score"  -> (TextOps.charTrigramScore _),
     // ── near-dup dedup at scale ──
     "dedup_minhash_lsh"       -> ((s, d) => MinHash.minhashDedup(s, d)),
     "dedup_minhash_survivors" -> ((s, d) => MinHash.minhashSurvivors(s, d)),
@@ -207,6 +211,9 @@ object SparkEntry {
     // all four families
     "pipeline_crossmodal"     -> (operators.Curation.crossModalCuration(_, _)),
     "dedup_ngram_jaccard"     -> ((s, d) => MinHash.ngramJaccardPairs(s, d)),
+    // one-sided containment: the partial-duplication detector (short
+    // doc quoted inside a long one) Jaccard misses; both orientations
+    "dedup_ngram_containment" -> ((s, d) => MinHash.ngramContainmentPairs(s, d)),
     // dedup-index quality contract (the ANN-recall analog): every exact
     // n-gram-Jaccard truth pair flagged found/missed by the LSH index —
     // the r=4×b=3 collision curve made visible and oracle-exact
@@ -1253,6 +1260,19 @@ object SparkEntry {
       """SELECT min(doc_id) AS doc_id, md5(lower(nfc_normalize(trim(text)))) AS fp,
         |       count(*) AS n_copies
         |FROM documents GROUP BY 2""".stripMargin,
+    // per-doc char-trigram corpus-frequency stats (both engines index
+    // characters 1-based; the division is exact-int inputs → IEEE-stable)
+    "text_charlm_score" ->
+      """WITH tri AS (
+        |  SELECT doc_id, substr(text, CAST(i AS BIGINT), 3) AS tri
+        |  FROM documents, unnest(range(1, length(text) - 1)) u(i)
+        |  WHERE length(text) >= 3),
+        |cf AS (SELECT tri, count(*) AS cf FROM tri GROUP BY 1)
+        |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tri,
+        |  CAST(SUM(c.cf) AS BIGINT) AS freq_sum,
+        |  CAST(SUM(c.cf) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_freq
+        |FROM tri t JOIN cf c USING (tri)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "dedup_minhash_lsh" ->
       s"""$shingleCte,
          |$minhashCtes
@@ -1398,6 +1418,28 @@ object SparkEntry {
          |  JOIN (SELECT doc_id, count(*) AS n FROM shc GROUP BY 1) sa ON i.doc_a = sa.doc_id
          |  JOIN (SELECT doc_id, count(*) AS n FROM shc GROUP BY 1) sb ON i.doc_b = sb.doc_id)
          |SELECT doc_a, doc_b, jaccard FROM pairj WHERE jaccard >= 0.5""".stripMargin,
+    // one-sided containment |A∩B|/|A| over the same df-capped index —
+    // both orientations of each intersecting pair, threshold 0.8
+    "dedup_ngram_containment" ->
+      s"""$shingleCte,
+         |shc AS (SELECT sh.doc_id, sh.shingle FROM sh
+         |        JOIN (SELECT shingle FROM sh GROUP BY 1 HAVING count(*) <= 128) ok
+         |        USING (shingle)),
+         |inter AS (SELECT s1.doc_id AS doc_a, s2.doc_id AS doc_b, count(*) AS inter
+         |          FROM shc s1 JOIN shc s2 ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id
+         |          GROUP BY 1, 2),
+         |sized AS (
+         |  SELECT i.doc_a, i.doc_b, i.inter, sa.n AS n_a, sb.n AS n_b
+         |  FROM inter i
+         |  JOIN (SELECT doc_id, count(*) AS n FROM shc GROUP BY 1) sa ON i.doc_a = sa.doc_id
+         |  JOIN (SELECT doc_id, count(*) AS n FROM shc GROUP BY 1) sb ON i.doc_b = sb.doc_id),
+         |both_dirs AS (
+         |  SELECT doc_a AS inner_doc, doc_b AS outer_doc,
+         |         CAST(inter AS DOUBLE) / CAST(n_a AS DOUBLE) AS containment FROM sized
+         |  UNION ALL
+         |  SELECT doc_b, doc_a, CAST(inter AS DOUBLE) / CAST(n_b AS DOUBLE) FROM sized)
+         |SELECT inner_doc, outer_doc, containment
+         |FROM both_dirs WHERE containment >= 0.8""".stripMargin,
     // truth = df-capped exact n-gram Jaccard pairs; found = the LSH
     // pipeline's verified pairs (pairj); flag per truth pair
     "dedup_lsh_recall" ->

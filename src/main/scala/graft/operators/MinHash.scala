@@ -664,6 +664,54 @@ object MinHash {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** One-sided n-gram CONTAINMENT: |A∩B| / |A| for ordered pairs — the
+    * partial-duplication detector Jaccard misses. A short doc quoted
+    * wholesale inside a long one has tiny Jaccard (the union is big) but
+    * containment ≈ 1 in the quote direction, so curation pipelines run
+    * both: Jaccard for near-identical docs, containment for
+    * quote/boilerplate inclusion. Emits BOTH orientations of a pair
+    * when each passes the threshold (containment is asymmetric).
+    *
+    * Scale: same df-capped inverted index as [[ngramJaccardPairsOf]] —
+    * the cap bounds the self-join at Σ min(df, cap)² and is mirrored in
+    * the oracle; the orientation explosion is a projection of the same
+    * intersection rows, not a second join.
+    */
+  def ngramContainmentPairs(spark: SparkSession, dir: String,
+                            threshold: Double = 0.8,
+                            dfCap: Int = DfCap): DataFrame =
+    memoized(spark, s"ngram_containment_${threshold}_$dfCap", dir)(
+      ngramContainmentPairsOf(Tables.documents(spark, dir), threshold, dfCap))
+
+  private[graft] def ngramContainmentPairsOf(docs: DataFrame, threshold: Double,
+                                             dfCap: Int): DataFrame = {
+    {
+      val shAll = shingles(docs)
+      val hot = shAll.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+        .filter(col("df") > dfCap)
+        .select(col("shingle"))
+      val sh = shAll.join(hot, Seq("shingle"), "left_anti")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val inter = sh.select(col("doc_id").as("doc_a"), col("shingle"))
+        .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("shingle"))
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("inter"))
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val sized = inter
+        .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), Seq("doc_a"))
+        .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), Seq("doc_b"))
+      // both orientations from the one joined frame: A-in-B and B-in-A
+      val aInB = sized.select(col("doc_a").as("inner_doc"), col("doc_b").as("outer_doc"),
+        (col("inter").cast("double") / col("n_a").cast("double")).as("containment"))
+      val bInA = sized.select(col("doc_b").as("inner_doc"), col("doc_a").as("outer_doc"),
+        (col("inter").cast("double") / col("n_b").cast("double")).as("containment"))
+      aInB.unionByName(bInA)
+        .filter(col("containment") >= threshold)
+        .orderBy(col("inner_doc"), col("outer_doc"))
+    }
+  }
+
   /** Index-quality contract for the DEDUP family, mirroring the ANN
     * recall rows: every ground-truth near-dup pair (exact df-capped
     * n-gram Jaccard ≥ threshold, [[ngramJaccardPairs]]) labeled with

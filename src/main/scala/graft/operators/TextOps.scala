@@ -336,6 +336,38 @@ object TextOps {
       .select(col("doc_id"), col("fp"), col("n_copies"))
   }
 
+  /** Char-trigram likelihood score — the perplexity-proxy quality
+    * signal: per doc, the count of char trigrams, the sum of their
+    * CORPUS frequencies, and the average frequency. Gibberish and
+    * encoding garbage are built from rare trigrams (low score); fluent
+    * text from common ones — the deterministic stand-in for an LM
+    * quality filter (log-prob scoring is the same join with log-count
+    * weights, but logs aren't cross-engine exact, so the gate ships the
+    * exact-integer formulation).
+    *
+    * Scale: the trigram count table is alphabet-bounded (≪ corpus), so
+    * the frequency join broadcasts; everything else is one explode +
+    * two hash-aggs, linear in corpus bytes.
+    */
+  def charTrigramScore(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val tri = docs.select(col("doc_id"),
+      explode(expr(
+        """CASE WHEN char_length(text) >= 3
+          |THEN transform(sequence(1, char_length(text) - 2),
+          |               i -> substring(text, i, 3))
+          |ELSE array() END""".stripMargin)).as("tri"))
+    val counts = tri.groupBy(col("tri")).agg(count(lit(1)).as("cf"))
+    tri.join(counts, Seq("tri"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tri"),
+        sum(col("cf")).as("freq_sum"))
+      .select(col("doc_id"), col("n_tri"), col("freq_sum"),
+        (col("freq_sum").cast("double") / col("n_tri").cast("double"))
+          .as("avg_freq"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Corpus-wide n-gram frequency: top 20 word trigrams with counts —
     * inverted-index shape: shingle explode, hash agg, deterministic
     * top-k (count desc, shingle asc).

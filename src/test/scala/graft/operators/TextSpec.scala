@@ -211,6 +211,23 @@ class TextSpec extends SparkSpec {
     assert(!got.exists { case (a, b, _) => a == 600L || b == 600L })
   }
 
+  test("containment catches a wholesale quote that Jaccard misses") {
+    // a 6-shingle notice quoted inside a 48-shingle article: jaccard
+    // ≈ 6/48 (tiny), but containment(notice in article) = 1.0
+    val notice = "all rights reserved by the original author here"
+    val filler = (1 to 44).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$filler $notice"),
+      (2L, notice),
+      (3L, "entirely unrelated content about query planning")).toDF("doc_id", "text")
+    val cont = MinHash.ngramContainmentPairsOf(docs, threshold = 0.8, dfCap = 128)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(cont.toSeq === Seq((2L, 1L, 1.0)),
+      s"expected exactly the quote orientation, got ${cont.toSeq}")
+    val jac = MinHash.ngramJaccardPairsOf(docs, threshold = 0.5, dfCap = 128).count()
+    assert(jac === 0L, "jaccard should miss the asymmetric quote pair")
+  }
+
   test("incrementalDedup is consistent with the batch self-join pipeline") {
     val batchMod = 5
     val admitted = MinHash.incrementalDedup(spark, sfDir, batchMod = batchMod)
