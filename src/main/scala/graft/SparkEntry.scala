@@ -109,6 +109,11 @@ object SparkEntry {
     // Count-Min heavy hitters: md5-bucketed sketch is a pure function of
     // the data, so the estimates themselves sit under the exact gate
     "q_approx_heavy_hitters"  -> ((s, d) => operators.Approx.cmsHeavyHitters(s, d)),
+    // KMV theta-sketch set intersection (the operation HLL can't do),
+    // estimate next to exact — every hash md5, bit-exact in the oracle
+    "q_approx_kmv_intersection" -> ((s, d) => operators.Approx.kmvIntersection(s, d)),
+    // market-basket co-occurrence: top part pairs ordered together
+    "q_copurchase_pairs"      -> ((s, d) => operators.Relational.qCopurchasePairs(s, d)),
     "q_approx_value_quantiles" -> (operators.Approx.approxValueQuantilesChecked(_, _)),
     // sketch re-aggregation: per-day HLL sketches unioned ≡ one global
     // sketch (structural register-max property), within 5·rsd of exact
@@ -857,6 +862,39 @@ object SparkEntry {
         |SELECT e.key, e.exact_n, est.cms_estimate
         |FROM exact e JOIN est ON e.key = est.key
         |ORDER BY e.exact_n DESC, e.key LIMIT 20""".stripMargin,
+    // KMV sketch rebuilt hash-for-hash; the estimate's operation tree
+    // mirrors the engine exactly so the IEEE roundings coincide
+    "q_approx_kmv_intersection" ->
+      """WITH h AS (SELECT DISTINCT event_type, md5(CAST(user_id AS VARCHAR)) AS h
+        |           FROM events WHERE event_type IN ('view', 'purchase')),
+        |sk AS (SELECT event_type, h FROM (
+        |  SELECT event_type, h,
+        |         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk FROM h)
+        |  WHERE rk <= 64),
+        |merged AS (SELECT DISTINCT h FROM sk ORDER BY h LIMIT 64),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n_merged, max(h) AS hk FROM merged),
+        |rho AS (SELECT CAST(count(*) AS BIGINT) AS rho FROM merged m
+        |  WHERE m.h IN (SELECT h FROM sk WHERE event_type = 'view')
+        |    AND m.h IN (SELECT h FROM sk WHERE event_type = 'purchase')),
+        |ex AS (SELECT CAST(count(*) AS BIGINT) AS exact_inter FROM (
+        |  SELECT DISTINCT user_id FROM events WHERE event_type = 'view'
+        |  INTERSECT SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'))
+        |SELECT CAST(64 AS BIGINT) AS k, st.n_merged, rho.rho,
+        |  CASE WHEN st.n_merged < 64 THEN CAST(rho.rho AS DOUBLE)
+        |       ELSE (CAST(rho.rho AS DOUBLE) / 64.0) * (63.0 /
+        |         (CAST(CAST(('0x' || substr(st.hk, 1, 15)) AS UBIGINT) AS DOUBLE)
+        |          / 1152921504606846976.0)) END AS kmv_estimate,
+        |  ex.exact_inter
+        |FROM st, rho, ex""".stripMargin,
+    // co-occurrence self-join keyed on the order, deterministic tie-break
+    "q_copurchase_pairs" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |p AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n_orders
+        |      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |      WHERE a.l_partkey < b.l_partkey GROUP BY 1, 2)
+        |SELECT part_a, part_b, n_orders,
+        |  CAST(row_number() OVER (ORDER BY n_orders DESC, part_a, part_b) AS BIGINT) AS rnk
+        |FROM p ORDER BY n_orders DESC, part_a, part_b LIMIT 20""".stripMargin,
     "q_events_sessionize" ->
       """WITH l AS (SELECT user_id, event_id, ts,
         |             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts

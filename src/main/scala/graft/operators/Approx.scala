@@ -216,4 +216,60 @@ object Approx {
         inBounds(0.99, "lt99", "le99").as("p99_in_bounds"))
       .orderBy(col("event_type"))
   }
+
+  /** KMV (k-minimum-values) theta-sketch INTERSECTION — the set
+    * operation HLL cannot do: estimated |view-users ∩ purchase-users|
+    * from two k=64 sketches, next to the exact answer. Each sketch is
+    * the k lexicographically-smallest md5(user_id) digests (md5 hex is
+    * uniform, and string order below equals numeric order); merged
+    * theta = the k-th smallest over the union, ρ = merged hashes
+    * present in BOTH sketches, estimate = (ρ/k)·((k−1)/θ). A saturated
+    * case (fewer than k distinct hashes overall) degenerates to the
+    * exact ρ. Every hash is md5, so the whole sketch — not just its
+    * contract — is reproduced bit-exactly by the oracle.
+    *
+    * Scale: sketches are k-bounded per group (TopKByOrder heaps — one
+    * map-side-combined pass, no global sort); everything after the
+    * sketch is constant-size driver-free arithmetic. This is the
+    * mergeable-sketch story for distributed set intersection: ship 64
+    * hashes per partition, never user sets.
+    */
+  def kmvIntersection(spark: SparkSession, dir: String, k: Int = 64): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val ev = Tables.events(spark, dir)
+    val h = ev.filter(col("event_type").isin("view", "purchase"))
+      .select(col("event_type"), md5(col("user_id").cast("string")).as("h"))
+      .distinct()
+    val sk = Dedup.topKPerKey(h, Seq("event_type"), Seq(col("h")), k)
+      .select(col("event_type"), col("h"))
+      .persist(MEMORY_AND_DISK) // feeds the merge and both ρ probes
+    val merged = sk.select(col("h")).distinct()
+      .orderBy(col("h")).limit(k)
+      .persist(MEMORY_AND_DISK)
+    val stats = merged.agg(count(lit(1)).as("n_merged"), max(col("h")).as("hk"))
+    val rho = merged
+      .join(sk.filter(col("event_type") === "view").select(col("h")),
+        Seq("h"), "left_semi")
+      .join(sk.filter(col("event_type") === "purchase").select(col("h")),
+        Seq("h"), "left_semi")
+      .agg(count(lit(1)).as("rho"))
+    val exact = ev.filter(col("event_type") === "view").select(col("user_id"))
+      .intersect(ev.filter(col("event_type") === "purchase").select(col("user_id")))
+      .agg(count(lit(1)).as("exact_inter"))
+    // θ = hk / 2^60 from the first 15 hex digits; the estimate's
+    // operation tree ((ρ/k) · ((k−1)/θ)) is mirrored exactly in the
+    // oracle so the IEEE roundings coincide
+    val theta = conv(substring(col("hk"), 1, 15), 16, 10)
+      .cast("bigint").cast("double") / lit(1152921504606846976.0)
+    stats.crossJoin(broadcast(rho)).crossJoin(broadcast(exact))
+      .select(
+        lit(k.toLong).as("k"),
+        col("n_merged"),
+        col("rho"),
+        when(col("n_merged") < k, col("rho").cast("double"))
+          .otherwise((col("rho").cast("double") / lit(k.toDouble)) *
+            (lit((k - 1).toDouble) / theta))
+          .as("kmv_estimate"),
+        col("exact_inter"))
+  }
 }

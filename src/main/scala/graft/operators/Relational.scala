@@ -838,4 +838,33 @@ object Relational {
       .union(late.except(early).withColumn("which", lit("late_only")))
       .orderBy(col("event_type"))
   }
+
+  /** Market-basket co-occurrence: the top 20 part pairs ordered together
+    * most often — the collaborative-filtering / co-occurrence-matrix
+    * precursor every recommendation pipeline starts from.
+    *
+    * Scale: the self-join is keyed on l_orderkey, so its size is
+    * Σ_orders (lines per order)² — bounded by the ~7-line order cap, a
+    * constant multiple of the lineitem scan, NEVER parts². Distinct
+    * partkeys per order first (array-free, one hash-agg) so multi-line
+    * part repeats don't inflate counts; the top-k is the per-partition
+    * heap (TopKByOrder), no global sort.
+    */
+  def qCopurchasePairs(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val pairs = li.select(col("l_orderkey"), col("l_partkey").as("part_a"))
+      .join(li.select(col("l_orderkey"), col("l_partkey").as("part_b")),
+        Seq("l_orderkey"))
+      .filter(col("part_a") < col("part_b"))
+      .groupBy(col("part_a"), col("part_b"))
+      .agg(count(lit(1)).as("n_orders"))
+    // TakeOrderedAndProject: per-partition k-heaps + one k-row merge,
+    // no global sort; ties broken on the pair so the cut is exact
+    pairs.orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
+      .limit(k)
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(
+          col("n_orders").desc, col("part_a"), col("part_b"))).cast("bigint"))
+  }
 }
