@@ -96,17 +96,28 @@ object ExpressionKernels extends Serializable {
   /** NFC-normalize + casefold — the canonicalization pre-pass for exact
     * text dedup: composed and decomposed encodings of the same glyphs
     * (U+00E9 vs e + U+0301) md5 identically after it, as do case
-    * variants. Root-locale lowercase keeps the mapping
-    * locale-independent (no Turkish dotted-I surprises) and agrees with
-    * DuckDB's utf8proc `lower`, which the oracle composes with
-    * `nfc_normalize` in the same order.
+    * variants. Lowercasing is codepoint-wise simple mapping —
+    * locale-independent (no Turkish dotted-I surprises) and the exact
+    * semantics of DuckDB's utf8proc `lower`, which the oracle composes
+    * with `nfc_normalize` in the same order.
     */
   def nfcCasefold(text: UTF8String): UTF8String = {
     val s = text.toString
     val nfc =
       if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) s
       else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
-    UTF8String.fromString(nfc.toLowerCase(java.util.Locale.ROOT))
+    // codepoint-wise SIMPLE lowercase (Character.toLowerCase), not
+    // String.toLowerCase: the latter applies full context-sensitive
+    // mappings (Greek final sigma, U+0130 → "i̇") that DuckDB's
+    // utf8proc `lower` — the oracle's half of this contract — does not
+    val sb = new java.lang.StringBuilder(nfc.length)
+    var i = 0
+    while (i < nfc.length) {
+      val cp = nfc.codePointAt(i)
+      sb.appendCodePoint(Character.toLowerCase(cp))
+      i += Character.charCount(cp)
+    }
+    UTF8String.fromString(sb.toString)
   }
 
   /** Distinct word k-gram shingles of a single-space-separated string —

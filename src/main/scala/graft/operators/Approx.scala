@@ -234,7 +234,15 @@ object Approx {
     * mergeable-sketch story for distributed set intersection: ship 64
     * hashes per partition, never user sets.
     */
-  def kmvIntersection(spark: SparkSession, dir: String, k: Int = 64): DataFrame = {
+  def kmvIntersection(spark: SparkSession, dir: String, k: Int = 64): DataFrame =
+    // session-memoized like every other multi-consumer lane: repeated
+    // registry enumeration reuses one pair of persisted sketch frames
+    // instead of pinning a fresh copy per call
+    StageMemo.memoized(spark, s"kmv_intersection_$k", dir)(
+      kmvIntersectionBuild(spark, dir, k))
+
+  private def kmvIntersectionBuild(spark: SparkSession, dir: String,
+                                   k: Int): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val ev = Tables.events(spark, dir)
     val h = ev.filter(col("event_type").isin("view", "purchase"))

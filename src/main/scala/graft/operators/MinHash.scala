@@ -108,8 +108,9 @@ object MinHash {
     * Exactness: every member of a class has the SAME shingle array as
     * its rep, so (a) cross-class member pairs inherit the rep pair's
     * jaccard verbatim, and (b) intra-class pairs have jaccard exactly
-    * 1.0 (empty-shingle classes excluded — their 0/0 jaccard is NaN in
-    * the direct formulation and never passes a threshold). Classes
+    * 1.0 (empty-shingle classes excluded via n_sh, matching the banding
+    * exclusion in [[collapsedVerifiedPairs]] — an empty doc never pairs,
+    * exactly as in the oracle's exploded inverted index). Classes
     * partition the corpus, so no pair is emitted twice and no distinct
     * is needed.
     */
@@ -141,8 +142,14 @@ object MinHash {
   private[graft] def collapsedVerifiedPairs(
       members: DataFrame, repSh: DataFrame, verifySh: DataFrame,
       threshold: Double): DataFrame = {
-    val sigs = repSh.select(col("doc_id"),
-      graft.functions.functions.minhash_sig(col("shingles"), NumHashes).as("sig"))
+    // empty-shingle docs never band: their jaccard against anything is
+    // 0/0 = NaN, which Spark's NaN-is-greatest comparison would let
+    // PASS a >= threshold filter, while the oracle's inverted index
+    // (built by exploding shingles) never contains them at all —
+    // excluding them here keeps every path on the oracle's semantics
+    val sigs = repSh.filter(size(col("shingles")) > 0)
+      .select(col("doc_id"),
+        graft.functions.functions.minhash_sig(col("shingles"), NumHashes).as("sig"))
     val repPairs = exactJaccard(candidatePairs(bands(sigs)), verifySh)
       .filter(col("jaccard") >= threshold)
     expandPairs(repPairs, members, threshold)
@@ -201,50 +208,9 @@ object MinHash {
     * side-effect free. At 100 TB both intermediates would be bucketed
     * tables ([[materializeShingleIndex]]), not caches.
     */
-  private val stageCache = new java.util.WeakHashMap[SparkSession,
-    java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]]()
-
-  /** NOT computeIfAbsent: stages memoize their own inputs (labels →
-    * pairs → shingle arrays), and a nested computeIfAbsent on the same
-    * map throws "Recursive update" whenever two keys land in one hash
-    * bin. Double-checked under a reentrant monitor instead.
-    *
-    * WEAK-keyed by the session object: a stopped session's entries (and
-    * the DataFrames they pin) become collectable, and — unlike an
-    * identityHashCode key — a new session can never collide into a dead
-    * session's plans. A hit whose persist was dropped (e.g. a spec
-    * calling `clearCache()` on the shared session) is re-persisted, so
-    * the memo stays a memo instead of silently degrading to a
-    * recompute-per-consumer plan.
-    */
   private def memoized(spark: SparkSession, stage: String, dir: String)
-                      (build: => DataFrame): DataFrame = {
-    val perSession = stageCache.synchronized {
-      var m = stageCache.get(spark)
-      if (m == null) {
-        m = new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
-        stageCache.put(spark, m)
-      }
-      m
-    }
-    val key = (stage, dir)
-    def repersisted(df: DataFrame): DataFrame = {
-      if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      df
-    }
-    val hit = perSession.get(key)
-    if (hit != null) repersisted(hit)
-    else perSession.synchronized {
-      val again = perSession.get(key)
-      if (again != null) repersisted(again)
-      else {
-        val df = build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        perSession.put(key, df)
-        df
-      }
-    }
-  }
+                      (build: => DataFrame): DataFrame =
+    StageMemo.memoized(spark, stage, dir)(build)
 
   /** The shingle-array index, shared across the whole family (verify
     * joins read it from both sides; [[incrementalDedup]] probes it).
@@ -327,12 +293,12 @@ object MinHash {
     * full pipeline (the dedup_lsh_grown oracle row's gate).
     */
   private val grownTables =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), String]()
 
   private[graft] def ensureGrownShingleIndex(spark: SparkSession, dir: String,
                                              batchMod: Int = 5): String = {
-    val name = grownTables.computeIfAbsent(dir,
-      _ => "graft_shingle_grown_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
+    val name = grownTables.computeIfAbsent((dir, batchMod),
+      _ => s"graft_shingle_grown_${batchMod}_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
     grownTables.synchronized {
       if (!spark.catalog.tableExists(name)) {
         dropStaleLocation(spark, name)
@@ -361,9 +327,21 @@ object MinHash {
     * subtree exchanges. This is the shape a repeated-ingest pipeline
     * runs daily.
     */
+  /** A store written before reps rode along (schema doc_id, shingles)
+    * gets its classes derived at read time — one extra shuffle, clearly
+    * worse than the stored-rep path but a working migration instead of
+    * an unresolved-column error.
+    */
+  private def withRep(store: DataFrame): DataFrame =
+    if (store.columns.contains("rep")) store
+    else store.join(
+      dupClasses(store.select(col("doc_id"), col("shingles")))
+        .select(col("doc_id"), col("rep")),
+      Seq("doc_id"))
+
   def minhashDedupBucketed(spark: SparkSession, dir: String, table: String,
                            threshold: Double = 0.5): DataFrame = {
-    val store = spark.table(table) // doc_id, shingles, rep
+    val store = withRep(spark.table(table)) // doc_id, shingles, rep
     val members = store.select(col("doc_id"), col("rep"),
       size(col("shingles")).cast("bigint").as("n_sh"))
     // class reps by row-local comparison — no shuffle, no join
@@ -421,8 +399,9 @@ object MinHash {
     // index materialization ([[cachedShingleArray]])
     val shArr = cachedShingleArray(spark, dir)
     val members = cachedDupClasses(spark, dir)
-    def sigOf(df: DataFrame) = df.select(col("doc_id"),
-      graft.functions.functions.minhash_sig(col("shingles"), NumHashes).as("sig"))
+    def sigOf(df: DataFrame) = df.filter(size(col("shingles")) > 0)
+      .select(col("doc_id"),
+        graft.functions.functions.minhash_sig(col("shingles"), NumHashes).as("sig"))
     // hot-band hardening, both sides: a class with ≥1 corpus member is
     // banded ONCE via its global rep (identical arrays ⇒ identical
     // jaccard against any probe, so testing the rep is exact); batch
@@ -509,19 +488,21 @@ object MinHash {
   def incrementalDedupBucketed(spark: SparkSession, dir: String, table: String,
                                threshold: Double = 0.5, batchMod: Int = 5): DataFrame = {
     val isBatch = col("doc_id") % batchMod === 0
-    val store = spark.table(table)
+    val store = withRep(spark.table(table))
     // the incoming batch: shingled + signed fresh from the source table
     val batchSh = shingleArray(Tables.documents(spark, dir).filter(isBatch))
-    val batchBands = bands(batchSh.select(col("doc_id"),
-      graft.functions.functions.minhash_sig(col("shingles"), NumHashes).as("sig")))
+    val batchBands = bands(batchSh.filter(size(col("shingles")) > 0)
+      .select(col("doc_id"),
+        graft.functions.functions.minhash_sig(col("shingles"), NumHashes).as("sig")))
     // hot-band hardening: band one row per exact-dup class (row-local
     // rep comparison — the store is never shuffled), verify against the
     // rep's shingles, and only then check the matched class actually has
     // a CORPUS member — with the (tiny, candidate-bounded) match set
     // broadcast so the store side still reads buckets shuffle-free
-    val corpusBands = bands(store.filter(col("doc_id") === col("rep"))
-      .select(col("doc_id"),
-        graft.functions.functions.minhash_sig(col("shingles"), NumHashes).as("sig")))
+    val corpusBands = bands(
+      store.filter(col("doc_id") === col("rep") && size(col("shingles")) > 0)
+        .select(col("doc_id"),
+          graft.functions.functions.minhash_sig(col("shingles"), NumHashes).as("sig")))
     val cand = broadcast(
         batchBands.select(col("band_id"), col("band_key"), col("doc_id").as("doc_a")))
       .join(corpusBands
@@ -630,14 +611,29 @@ object MinHash {
     */
   def ngramJaccardPairs(spark: SparkSession, dir: String, threshold: Double = 0.5,
                         dfCap: Int = DfCap): DataFrame =
-    // the exact pair set is the ground TRUTH stage: the pair row and the
-    // index-recall row both consume it, so it stages once per session
-    // like the LSH pair graph
-    memoized(spark, s"ngram_pairs_${threshold}_$dfCap", dir)(
-      ngramJaccardPairsOf(Tables.documents(spark, dir), threshold, dfCap))
+    // the intersection frame is the ground-TRUTH stage shared with the
+    // containment row and the index-recall row ([[corpusSized]] memo);
+    // the jaccard projection and threshold on top are plain codegen
+    jaccardFromSized(corpusSized(spark, dir, dfCap))
+      .filter(col("jaccard") >= threshold)
+      .orderBy(col("doc_a"), col("doc_b"))
 
   private[graft] def ngramJaccardPairsOf(docs: DataFrame, threshold: Double,
-                                         dfCap: Int): DataFrame = {
+                                         dfCap: Int): DataFrame =
+    jaccardFromSized(sizedOf(docs, dfCap))
+      .filter(col("jaccard") >= threshold)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** The df-capped intersection frame both exact-ngram rows share:
+    * (doc_a, doc_b, inter, n_a, n_b) for every intersecting unordered
+    * pair — memoized per (session, dir, cap) so the jaccard and
+    * containment rows stage ONE inverted-index self-join between them.
+    */
+  private def corpusSized(spark: SparkSession, dir: String, dfCap: Int): DataFrame =
+    memoized(spark, s"ngram_sized_$dfCap", dir)(
+      sizedOf(Tables.documents(spark, dir), dfCap))
+
+  private def sizedOf(docs: DataFrame, dfCap: Int): DataFrame = {
     val shAll = shingles(docs)
     // anti join against the HOT set (df > cap): at most totalShingleRows /
     // cap distinct shingles, typically tiny → AQE broadcasts it. The
@@ -648,21 +644,21 @@ object MinHash {
       .select(col("shingle"))
     val sh = shAll.join(hot, Seq("shingle"), "left_anti")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val allPairs = sh.select(col("doc_id").as("doc_a"), col("shingle"))
+    val inter = sh.select(col("doc_id").as("doc_a"), col("shingle"))
       .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("shingle"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("inter"))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    allPairs
+    inter
       .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), Seq("doc_a"))
       .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), Seq("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        (col("inter").cast("double") /
-          (col("n_a") + col("n_b") - col("inter")).cast("double")).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
-      .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  private def jaccardFromSized(sized: DataFrame): DataFrame =
+    sized.select(col("doc_a"), col("doc_b"),
+      (col("inter").cast("double") /
+        (col("n_a") + col("n_b") - col("inter")).cast("double")).as("jaccard"))
 
   /** One-sided n-gram CONTAINMENT: |A∩B| / |A| for ordered pairs — the
     * partial-duplication detector Jaccard misses. A short doc quoted
@@ -680,36 +676,22 @@ object MinHash {
   def ngramContainmentPairs(spark: SparkSession, dir: String,
                             threshold: Double = 0.8,
                             dfCap: Int = DfCap): DataFrame =
-    memoized(spark, s"ngram_containment_${threshold}_$dfCap", dir)(
-      ngramContainmentPairsOf(Tables.documents(spark, dir), threshold, dfCap))
+    containmentFromSized(corpusSized(spark, dir, dfCap), threshold)
 
   private[graft] def ngramContainmentPairsOf(docs: DataFrame, threshold: Double,
-                                             dfCap: Int): DataFrame = {
-    {
-      val shAll = shingles(docs)
-      val hot = shAll.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-        .filter(col("df") > dfCap)
-        .select(col("shingle"))
-      val sh = shAll.join(hot, Seq("shingle"), "left_anti")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val inter = sh.select(col("doc_id").as("doc_a"), col("shingle"))
-        .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("shingle"))
-        .filter(col("doc_a") < col("doc_b"))
-        .groupBy(col("doc_a"), col("doc_b"))
-        .agg(count(lit(1)).as("inter"))
-      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      val sized = inter
-        .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), Seq("doc_a"))
-        .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), Seq("doc_b"))
-      // both orientations from the one joined frame: A-in-B and B-in-A
-      val aInB = sized.select(col("doc_a").as("inner_doc"), col("doc_b").as("outer_doc"),
-        (col("inter").cast("double") / col("n_a").cast("double")).as("containment"))
-      val bInA = sized.select(col("doc_b").as("inner_doc"), col("doc_a").as("outer_doc"),
-        (col("inter").cast("double") / col("n_b").cast("double")).as("containment"))
-      aInB.unionByName(bInA)
-        .filter(col("containment") >= threshold)
-        .orderBy(col("inner_doc"), col("outer_doc"))
-    }
+                                             dfCap: Int): DataFrame =
+    containmentFromSized(sizedOf(docs, dfCap), threshold)
+
+  private def containmentFromSized(sized: DataFrame,
+                                   threshold: Double): DataFrame = {
+    // both orientations from the one joined frame: A-in-B and B-in-A
+    val aInB = sized.select(col("doc_a").as("inner_doc"), col("doc_b").as("outer_doc"),
+      (col("inter").cast("double") / col("n_a").cast("double")).as("containment"))
+    val bInA = sized.select(col("doc_b").as("inner_doc"), col("doc_a").as("outer_doc"),
+      (col("inter").cast("double") / col("n_b").cast("double")).as("containment"))
+    aInB.unionByName(bInA)
+      .filter(col("containment") >= threshold)
+      .orderBy(col("inner_doc"), col("outer_doc"))
   }
 
   /** Index-quality contract for the DEDUP family, mirroring the ANN

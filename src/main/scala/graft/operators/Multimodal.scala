@@ -153,41 +153,11 @@ object Multimodal {
   /** Session-scoped memo for the three fingerprint-pair frames — the
     * cross-modal capstone consumes all three on top of their own
     * registry rows, and each is a full render + codec + LSH pipeline
-    * that a curation DAG would stage exactly once (same pattern and
-    * rationale as MinHash's stage memo: weak-keyed by session, lazily
-    * persisted, re-persisted if a spec cleared the cache).
+    * that a curation DAG would stage exactly once ([[StageMemo]]).
     */
-  private val stageCache = new java.util.WeakHashMap[SparkSession,
-    java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]]()
-
   private def memoized(spark: SparkSession, stage: String, dir: String)
-                      (build: => DataFrame): DataFrame = {
-    val perSession = stageCache.synchronized {
-      var m = stageCache.get(spark)
-      if (m == null) {
-        m = new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
-        stageCache.put(spark, m)
-      }
-      m
-    }
-    val key = (stage, dir)
-    def repersisted(df: DataFrame): DataFrame = {
-      if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      df
-    }
-    val hit = perSession.get(key)
-    if (hit != null) repersisted(hit)
-    else perSession.synchronized {
-      val again = perSession.get(key)
-      if (again != null) repersisted(again)
-      else {
-        val df = build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        perSession.put(key, df)
-        df
-      }
-    }
-  }
+                      (build: => DataFrame): DataFrame =
+    StageMemo.memoized(spark, stage, dir)(build)
 
   /** Shared 64-bit-fingerprint near-dup tail (images dHash / audio
     * aHash): band the hash into 4×16-bit LSH bands (two hashes within

@@ -346,16 +346,22 @@ object Similarity {
     * exit.
     */
   private val ivfIndexDirs =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), String]()
 
   def ensureIvfIndex(spark: SparkSession, dir: String,
-                     codebookK: Int = CodebookK): String =
-    ivfIndexDirs.computeIfAbsent(dir, { _ =>
-      val p = graft.sources.Scratch.tempDir("graft_ivf_idx_")
-      ivfAssigned(spark, dir, codebookK)
-        .write.mode("overwrite").partitionBy("list_id").parquet(p)
-      p
-    })
+                     codebookK: Int = CodebookK): String = {
+    // computeIfAbsent only names the path (trivial); the multi-job build
+    // runs under a separate monitor, guarded by the parquet _SUCCESS
+    // marker — never inside the map's bin lock
+    val p = ivfIndexDirs.computeIfAbsent((dir, codebookK),
+      _ => graft.sources.Scratch.tempDir("graft_ivf_idx_"))
+    ivfIndexDirs.synchronized {
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(p, "_SUCCESS")))
+        ivfAssigned(spark, dir, codebookK)
+          .write.mode("overwrite").partitionBy("list_id").parquet(p)
+    }
+    p
+  }
 
   /** Append a vector batch to an existing on-disk IVF index: the batch
     * is assigned against the index's codebook (hash-sampled from the
@@ -380,21 +386,29 @@ object Similarity {
     * durable on-disk artifact. Probing it must equal the full rebuild.
     */
   private val ivfGrownDirs =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int), String]()
 
   def ensureGrownIvfIndex(spark: SparkSession, dir: String,
                           codebookK: Int = CodebookK,
-                          batchMod: Int = 7): String =
-    ivfGrownDirs.computeIfAbsent(dir, { _ =>
-      val p = graft.sources.Scratch.tempDir("graft_ivf_grown_")
-      val emb = Tables.embeddings(spark, dir)
-      val cent = hashSampleCentroids(emb, codebookK)
-      assignWith(emb.filter(col("vec_id") % batchMod =!= 0), cent)
-        .write.mode("overwrite").partitionBy("list_id").parquet(p)
-      appendIvfIndex(spark, dir, p,
-        emb.filter(col("vec_id") % batchMod === 0), codebookK)
-      p
-    })
+                          batchMod: Int = 7): String = {
+    val p = ivfGrownDirs.computeIfAbsent((dir, codebookK, batchMod),
+      _ => graft.sources.Scratch.tempDir("graft_ivf_grown_"))
+    // explicit completion marker: _SUCCESS exists after the BASE write
+    // already, so it can't distinguish a half-grown index
+    val marker = java.nio.file.Paths.get(p, "_GRAFT_GROWN")
+    ivfGrownDirs.synchronized {
+      if (!java.nio.file.Files.exists(marker)) {
+        val emb = Tables.embeddings(spark, dir)
+        val cent = hashSampleCentroids(emb, codebookK)
+        assignWith(emb.filter(col("vec_id") % batchMod =!= 0), cent)
+          .write.mode("overwrite").partitionBy("list_id").parquet(p)
+        appendIvfIndex(spark, dir, p,
+          emb.filter(col("vec_id") % batchMod === 0), codebookK)
+        java.nio.file.Files.createFile(marker)
+      }
+    }
+    p
+  }
 
   /** The ann_ivf_append registry row: top-k probes against the grown
     * (base + appended batch) index — same oracle SQL as [[ivfTopK]]

@@ -136,10 +136,13 @@ object CdcMerge {
     // the cloned-insert offset must clear the real key range or a clone
     // collides with a live event_id and the merge silently drops one;
     // fail loudly at the SF where ids outgrow the offset (the oracle SQL
-    // hard-codes the same +10^7, so it must stay a literal)
-    val maxId = windowed.agg(max(col("event_id"))).head.getLong(0)
-    require(maxId < 10000000L,
-      s"cdcMergeSummary insert-key offset 10^7 collides: max event_id=$maxId")
+    // hard-codes the same +10^7, so it must stay a literal). max() over
+    // an empty window is NULL — nothing to clone then, so nothing to
+    // guard.
+    val maxIdRow = windowed.agg(max(col("event_id"))).head
+    if (!maxIdRow.isNullAt(0))
+      require(maxIdRow.getLong(0) < 10000000L,
+        s"cdcMergeSummary insert-key offset 10^7 collides: max event_id=${maxIdRow.getLong(0)}")
     val inserts = windowed.filter(col("event_id") % 19 === 0)
       .withColumn("event_id", col("event_id") + 10000000L)
       .withColumn("op", lit("upsert"))

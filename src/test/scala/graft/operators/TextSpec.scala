@@ -144,6 +144,14 @@ class TextSpec extends SparkSpec {
       .as[(Long, String)].collect().toMap
     assert(fps(1L) === fps(2L) && fps(1L) === fps(3L))
     assert(fps(4L) !== fps(1L))
+    // SIMPLE case mapping only, matching DuckDB's utf8proc lower: a
+    // Greek capital final sigma lowercases to σ (U+03C3), never the
+    // context-sensitive final form ς (U+03C2); U+0130 maps to plain i
+    val simple = Seq((10L, "ΟΔΟΣ"), (11L, "İ")).toDF("doc_id", "text")
+      .select(col("doc_id"), nfc_casefold(col("text")).as("t"))
+      .as[(Long, String)].collect().toMap
+    assert(simple(10L) === "οδοσ", s"got ${simple(10L).map(_.toInt.toHexString)}")
+    assert(simple(11L) === "i")
     // byte-level hashing splits the same fixtures three ways — the gap
     // the pre-pass closes
     val raw = docs.select(col("doc_id"), md5(lower(trim(col("text")))).as("fp"))
@@ -165,7 +173,12 @@ class TextSpec extends SparkSpec {
     val extras = Seq(
       (900L, "alpha beta gamma delta epsilon zeta eta theta"),
       (901L, "alpha beta gamma delta epsilon zeta eta iota"),
-      (950L, "completely unrelated text about spark partitioning"))
+      (950L, "completely unrelated text about spark partitioning"),
+      // an exact-dup class with EMPTY shingle sets (< 3 words): its 0/0
+      // jaccard is NaN, which Spark's NaN-is-greatest comparison would
+      // pass through a >= threshold filter — these docs must never pair
+      (960L, "too short"),
+      (961L, "too short"))
     val docs = (boiler ++ extras).toDF("doc_id", "text")
     val shArr = MinHash.shingleArray(docs)
     val members = MinHash.dupClasses(shArr)
@@ -178,11 +191,18 @@ class TextSpec extends SparkSpec {
       graft.functions.functions.minhash_sig(col("shingles"), MinHash.NumHashes).as("sig"))))
     assert(repCand.count() <= 6, "rep-level candidates must be class-bounded")
     // and the fanned-out verified pairs equal the uncollapsed pipeline
-    // verbatim — the exactness invariant of the collapse
+    // verbatim — the exactness invariant of the collapse (the
+    // comparator bands only non-empty docs, the oracle-faithful
+    // semantics both pipelines implement)
     val got = MinHash.collapsedVerifiedPairs(members, repSh, shArr, 0.5)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(!got.exists { case (a, b) => a >= 960L || b >= 960L },
+      "empty-shingle docs must never pair")
     val uncollapsed = MinHash.exactJaccard(
-        MinHash.candidatePairs(MinHash.bands(MinHash.signatures(docs))), shArr)
+        MinHash.candidatePairs(MinHash.bands(
+          shArr.filter(size(col("shingles")) > 0).select(col("doc_id"),
+            graft.functions.functions.minhash_sig(col("shingles"),
+              MinHash.NumHashes).as("sig")))), shArr)
       .filter(col("jaccard") >= 0.5)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
     assert(got === uncollapsed,
