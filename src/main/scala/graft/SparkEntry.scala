@@ -53,6 +53,9 @@ object SparkEntry {
     // PRUNED window re-read (PartitionFilters + numFiles attested in
     // TimePartitionedStoreSpec) → per-(day, type) exact stats
     "source_time_partitioned" -> (sources.TimePartitionedStore.prunedDailyStats(_, _)),
+    // incrementally-maintained daily rollup: partial (day, type) aggs,
+    // newest day appended, merged on read — must equal the direct agg
+    "source_rollup_incremental" -> (sources.TimePartitionedStore.rollupTotals(_, _)),
     // CDC MERGE round trip: fresh dated-layout copy → deterministic
     // upsert/delete/insert batch → touched-day-only rewrite → re-read
     "source_cdc_merge" -> ((s, d) => sources.CdcMerge.cdcMergeSummary(s, d)),
@@ -538,6 +541,11 @@ object SparkEntry {
         |FROM events
         |WHERE CAST(ts AS DATE) >= DATE '2024-01-08' AND CAST(ts AS DATE) < DATE '2024-01-15'
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // merged partials must equal the direct aggregation of raw events
+    "source_rollup_incremental" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "source_vacuum_retention" ->
       """SELECT CAST(ts AS DATE) AS event_date, count(*) AS n_events,
         |  CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS value_cents

