@@ -351,14 +351,20 @@ object TextOps {
     */
   def charTrigramScore(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val tri = docs.select(col("doc_id"),
-      explode(expr(
-        """CASE WHEN char_length(text) >= 3
-          |THEN transform(sequence(1, char_length(text) - 2),
-          |               i -> substring(text, i, 3))
-          |ELSE array() END""".stripMargin)).as("tri"))
+    // staged once: the exploded trigram frame feeds BOTH the count
+    // build and the scoring join — without the memo each branch would
+    // re-scan and re-explode the corpus
+    val tri = StageMemo.memoized(spark, "char_trigrams", dir)(
+      docs.select(col("doc_id"),
+        explode(expr(
+          """CASE WHEN char_length(text) >= 3
+            |THEN transform(sequence(1, char_length(text) - 2),
+            |               i -> substring(text, i, 3))
+            |ELSE array() END""".stripMargin)).as("tri")))
     val counts = tri.groupBy(col("tri")).agg(count(lit(1)).as("cf"))
-    tri.join(counts, Seq("tri"))
+    // the count table is alphabet-bounded (distinct trigrams ≪ corpus
+    // rows) but its estimate flows from the explode — pin the broadcast
+    tri.join(broadcast(counts), Seq("tri"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tri"),
         sum(col("cf")).as("freq_sum"))
