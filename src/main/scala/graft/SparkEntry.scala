@@ -165,6 +165,10 @@ object SparkEntry {
     "text_length_histogram" -> (TextOps.lengthHistogram _),
     "text_pack_assign"   -> ((s, d) => TextOps.packAssign(s, d)),
     "dedup_contamination" -> ((s, d) => TextOps.trainTestContamination(s, d)),
+    // corpus-internal local near-dup: doc pairs sharing >= 3 winnow
+    // fingerprints — the plagiarism/shared-span detector (guaranteed to
+    // fire on any shared run of >= w+k-1 tokens)
+    "dedup_winnow_spans" -> ((s, d) => TextOps.winnowSpanPairs(s, d)),
     // C4-style sub-document pass: per-doc sentence totals + how many
     // sentence instances are shared with >= 2 distinct docs
     "dedup_sentences" -> ((s, d) => TextOps.sentenceDedup(s, d)),
@@ -1256,6 +1260,25 @@ object SparkEntry {
         |JOIN fpl ev ON tr.fp = ev.fp
         |JOIN splits se ON ev.doc_id = se.doc_id AND se.split <> 'train'
         |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
+    // same winnow fingerprint chain, corpus-internal self-join
+    "dedup_winnow_spans" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |pos AS (SELECT doc_id, i, array_to_string(t[i:i+2], ' ') AS shingle
+        |        FROM toks, unnest(range(1, len(t) - 1)) u(i)),
+        |h AS (SELECT doc_id, i,
+        |        CAST(('0x' || substr(md5(shingle), 1, 15)) AS UBIGINT) AS hv,
+        |        count(*) OVER (PARTITION BY doc_id) AS n_sh
+        |      FROM pos),
+        |wm AS (SELECT doc_id, i, n_sh,
+        |         CAST(min(hv) OVER (PARTITION BY doc_id ORDER BY i
+        |           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS BIGINT) AS fp
+        |       FROM h),
+        |fps AS (SELECT DISTINCT doc_id, fp FROM wm WHERE i <= n_sh - 3),
+        |live AS (SELECT fp FROM fps GROUP BY 1 HAVING count(*) <= 128),
+        |fpl AS (SELECT fps.* FROM fps JOIN live USING (fp))
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+        |FROM fpl a JOIN fpl b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 3""".stripMargin,
     // winnowing (MOSS): positional trigram hashes, min per full window of
     // 4, distinct values — window-min by VALUE, so tie order is moot
     "text_winnow" ->

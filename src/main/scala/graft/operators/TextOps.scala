@@ -282,13 +282,47 @@ object TextOps {
     * shared by thousands of docs is noise, and its d² pair blow-up is a
     * job-killer at scale.
     */
+  /** The df-capped winnow fingerprint index — the stage shared by the
+    * contamination and span-pair rows (one materialization per
+    * (session, dir, cap), not one persisted copy per caller).
+    */
+  private def liveWinnowIndex(spark: SparkSession, dir: String,
+                              dfCap: Int): DataFrame =
+    StageMemo.memoized(spark, s"winnow_live_$dfCap", dir) {
+      val fps = winnowFingerprints(spark, dir)
+      val hot = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+        .filter(col("df") > dfCap).select(col("fp"))
+      fps.join(hot, Seq("fp"), "left_anti")
+    }
+
+  /** Corpus-internal LOCAL near-dup detection: pairs of docs sharing at
+    * least `minShared` winnow fingerprints — the plagiarism/shared-span
+    * detector. Winnowing guarantees any shared token run of ≥ w+k-1
+    * tokens yields a shared fingerprint, so this finds docs with long
+    * common passages even when their overall Jaccard is tiny — the
+    * sublinear cousin of [[MinHash.ngramContainmentPairs]] (fingerprints
+    * are a selected subset of shingles, so the inverted index is a
+    * fraction of the shingle index's size).
+    *
+    * Scale: same df-capped inverted-index self-join shape as the ngram
+    * rows — the cap bounds the join at Σ min(df, cap)², and the
+    * fingerprint universe is already winnow-thinned.
+    */
+  def winnowSpanPairs(spark: SparkSession, dir: String,
+                      minShared: Int = 3, dfCap: Int = 128): DataFrame = {
+    val live = liveWinnowIndex(spark, dir, dfCap)
+    live.select(col("doc_id").as("doc_a"), col("fp"))
+      .join(live.select(col("doc_id").as("doc_b"), col("fp")), Seq("fp"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   def trainTestContamination(spark: SparkSession, dir: String,
                              minShared: Int = 2, dfCap: Int = 128): DataFrame = {
-    val fps = winnowFingerprints(spark, dir)
-    val hot = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
-      .filter(col("df") > dfCap).select(col("fp"))
-    val live = fps.join(hot, Seq("fp"), "left_anti")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val live = liveWinnowIndex(spark, dir, dfCap)
     val splits = splitAssign(Tables.documents(spark, dir)).select(col("doc_id"), col("split"))
     val train = live.join(splits.filter(col("split") === "train"), Seq("doc_id"))
       .select(col("doc_id").as("train_doc"), col("fp"))
