@@ -87,19 +87,23 @@ object Similarity {
       .orderBy(col("q_id"), col("rnk"))
 
   /** Brute-force cosine top-k: queries = every `queryStride`-th vector.
-    * Output: (q_id, vec_id, sim, rank).
+    * Output: (q_id, vec_id, sim, rank). Session-staged: this is the
+    * ground-truth eval set all four recall rows (LSH/IVF/PQ/IVFADC)
+    * measure against — a production eval harness computes it once, so
+    * the registry does too instead of paying the O(n·q) scan per row.
     */
   def cosineTopK(spark: SparkSession, dir: String, k: Int = 5,
-                 queryStride: Int = 50): DataFrame = {
-    val emb = Tables.embeddings(spark, dir)
-    val q = emb.filter(col("vec_id") % queryStride === 0)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-    val joined = emb.crossJoin(broadcast(q))
-      .filter(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id"),
-        round(cosine(col("q_emb"), col("embedding")), 6).as("sim"))
-    topKBySim(joined, k)
-  }
+                 queryStride: Int = 50): DataFrame =
+    StageMemo.memoized(spark, s"cosine_topk_${k}_$queryStride", dir) {
+      val emb = Tables.embeddings(spark, dir)
+      val q = emb.filter(col("vec_id") % queryStride === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val joined = emb.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          round(cosine(col("q_emb"), col("embedding")), 6).as("sim"))
+      topKBySim(joined, k)
+    }
 
   /** Deterministic pseudo-random hyperplane weight for (plane, dim):
     * integer in [-1000, 1000] from an md5 prefix — same formula the
