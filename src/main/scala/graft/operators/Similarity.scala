@@ -339,6 +339,7 @@ object Similarity {
                     k: Int = 5, queryStride: Int = 50,
                     codebookK: Int = CodebookK, nProbe: Int = 4): DataFrame = {
     ivfAssigned(spark, dir, codebookK)
+      .repartition(col("list_id")) // one file per list dir, not one per task
       .write.mode("overwrite").partitionBy("list_id").parquet(indexDir)
     ivfTopKPrunedAt(spark, dir, indexDir, k, queryStride, codebookK, nProbe)
   }
@@ -362,6 +363,7 @@ object Similarity {
     ivfIndexDirs.synchronized {
       if (!java.nio.file.Files.exists(java.nio.file.Paths.get(p, "_SUCCESS")))
         ivfAssigned(spark, dir, codebookK)
+          .repartition(col("list_id"))
           .write.mode("overwrite").partitionBy("list_id").parquet(p)
     }
     p
@@ -382,6 +384,7 @@ object Similarity {
                      batch: DataFrame, codebookK: Int = CodebookK): Unit =
     assignWith(batch,
         hashSampleCentroids(Tables.embeddings(spark, dir), codebookK))
+      .repartition(col("list_id"))
       .write.mode("append").partitionBy("list_id").parquet(indexDir)
 
   /** One grown-index build per (JVM, corpus dir): base index from
@@ -405,6 +408,7 @@ object Similarity {
         val emb = Tables.embeddings(spark, dir)
         val cent = hashSampleCentroids(emb, codebookK)
         assignWith(emb.filter(col("vec_id") % batchMod =!= 0), cent)
+          .repartition(col("list_id"))
           .write.mode("overwrite").partitionBy("list_id").parquet(p)
         appendIvfIndex(spark, dir, p,
           emb.filter(col("vec_id") % batchMod === 0), codebookK)
