@@ -117,6 +117,10 @@ object SparkEntry {
     "q_approx_kmv_intersection" -> ((s, d) => operators.Approx.kmvIntersection(s, d)),
     // market-basket co-occurrence: top part pairs ordered together
     "q_copurchase_pairs"      -> ((s, d) => operators.Relational.qCopurchasePairs(s, d)),
+    // integer PageRank over the customer-supplier trade graph, 5
+    // iterations, exact in both engines (damping as the rational 17/20,
+    // per-edge integer division) — the influence rank degree can't see
+    "q_pagerank_trade"        -> ((s, d) => operators.PageRank.supplierPageRank(s, d)),
     "q_approx_value_quantiles" -> (operators.Approx.approxValueQuantilesChecked(_, _)),
     // sketch re-aggregation: per-day HLL sketches unioned ≡ one global
     // sketch (structural register-max property), within 5·rsd of exact
@@ -478,6 +482,32 @@ object SparkEntry {
       |  FROM codes c JOIN qd q ON q.s = c.s AND q.cent_id = c.code
       |  WHERE c.vec_id <> q.q_id
       |  GROUP BY 1, 2)""".stripMargin
+
+  /** Five unrolled integer power iterations over the bidirectional
+    * customer↔supplier edge list — it0 is the uniform init; each itN
+    * joins the previous ranks to the edges and sums the exact per-edge
+    * integer contributions plus the teleport constant.
+    */
+  private val pagerankSql: String = {
+    val its = (1 to 5).map { i =>
+      s"""it$i AS (
+         |  SELECT e.dst AS node,
+         |         CAST(150000 + SUM((n.r * 17) // (20 * dg.d)) AS BIGINT) AS r
+         |  FROM edges e JOIN it${i - 1} n ON e.src = n.node
+         |  JOIN deg dg ON dg.src = e.src
+         |  GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS (
+       |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+       |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY 1),
+       |it0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS r FROM deg),
+       |$its
+       |SELECT node, r AS rank_micro, CAST(rnk AS BIGINT) AS rnk
+       |FROM (SELECT *, row_number() OVER (ORDER BY r DESC, node) AS rnk FROM it5)
+       |WHERE rnk <= 20 ORDER BY rnk""".stripMargin
+  }
 
   private val asofSql =
     """WITH u AS (
@@ -898,6 +928,10 @@ object SparkEntry {
         |          / 1152921504606846976.0)) END AS kmv_estimate,
         |  ex.exact_inter
         |FROM st, rho, ex""".stripMargin,
+    // five unrolled exact-integer power iterations — SUM of per-edge
+    // (r*17)//(20*deg) contributions is order-independent, so the rank
+    // values match the engine bit-for-bit
+    "q_pagerank_trade" -> pagerankSql,
     // co-occurrence self-join keyed on the order, deterministic tie-break
     "q_copurchase_pairs" ->
       """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),

@@ -81,11 +81,30 @@ object TimePartitionedStore {
     * events (the oracle computes exactly that).
     */
   def rollupTotals(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(ensureDailyRollup(spark, dir))
+    totalsOf(spark, ensureDailyRollup(spark, dir))
+
+  /** Merge-on-read over any rollup directory's partial rows. */
+  def totalsOf(spark: SparkSession, rollupDir: String): DataFrame =
+    spark.read.parquet(rollupDir)
       .groupBy(col("event_type"))
       .agg(sum(col("n_events")).as("n_events"),
         sum(col("value_cents")).as("value_cents"))
       .orderBy(col("event_type"))
+
+  /** The STREAMING half of rollup maintenance: append one set of
+    * partial-aggregate rows per micro-batch (`foreachBatch` caller).
+    * Partials are algebraic (SUM/COUNT), so merge-on-read equals the
+    * one-shot aggregation no matter how arrivals were batched — the
+    * incremental-view-maintenance property StreamingRollupSpec pins.
+    */
+  def appendRollupPartials(spark: SparkSession, rollupDir: String,
+                           batch: DataFrame): Unit =
+    batch.withColumn("event_date", to_date(col("ts")))
+      .groupBy(col("event_date"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum((col("value").cast("decimal(18,2)") * 100).cast("bigint"))
+          .as("value_cents"))
+      .write.mode("append").partitionBy("event_date").parquet(rollupDir)
 
   /** Pruned re-read: only the window's day directories are listed. */
   def readWindow(spark: SparkSession, storeDir: String,
