@@ -97,8 +97,7 @@ object TimePartitionedStore {
     * one-shot aggregation no matter how arrivals were batched — the
     * incremental-view-maintenance property StreamingRollupSpec pins.
     */
-  def appendRollupPartials(spark: SparkSession, rollupDir: String,
-                           batch: DataFrame): Unit =
+  def appendRollupPartials(rollupDir: String, batch: DataFrame): Unit =
     batch.withColumn("event_date", to_date(col("ts")))
       .groupBy(col("event_date"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),

@@ -145,6 +145,25 @@ class BucketedTablesSpec extends SparkSpec {
     } finally spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 
+  test("pre-rep store schema (doc_id, shingles) still probes via read-time class derivation") {
+    import graft.operators.MinHash
+    val table = "shingle_prerep_spec"
+    // the OLD schema, as materializeShingleIndex wrote it before class
+    // reps rode along — the migration branch derives reps at read time
+    BucketedTables.writeBucketed(
+      MinHash.shingleArray(graft.Tables.documents(spark, sfDir)),
+      table, "doc_id", 8)
+    try {
+      val viaOld = MinHash.minhashDedupBucketed(spark, sfDir, table)
+        .select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val viaCache = MinHash.minhashDedup(spark, sfDir)
+        .select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(viaOld === viaCache)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
   test("bucketed fact-to-fact join plans without any shuffle exchange") {
     val l = graft.Tables.lineitem(spark, sfDir)
       .select("l_orderkey", "l_quantity", "l_extendedprice")

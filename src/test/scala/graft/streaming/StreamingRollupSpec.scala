@@ -27,7 +27,7 @@ class StreamingRollupSpec extends SparkSpec {
     val q = incoming.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
         if (!batch.isEmpty) {
-          TimePartitionedStore.appendRollupPartials(spark, rollup,
+          TimePartitionedStore.appendRollupPartials(rollup,
             batch.localCheckpoint(true))
           ()
         }
