@@ -231,6 +231,46 @@ class TextSpec extends SparkSpec {
     assert(!got.exists { case (a, b, _) => a == 600L || b == 600L })
   }
 
+  test("property: collapse ≡ uncollapsed on random dup-heavy corpora") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // random corpora BUILT to stress the collapse: a few distinct texts
+    // (some under the 3-word shingle floor → empty shingle classes),
+    // each duplicated a random number of times, plus near-dup variants
+    val word = Gen.oneOf("alpha", "beta", "gamma", "delta", "omega",
+      "kappa", "sigma", "tau", "phi", "zeta")
+    val textGen = for {
+      n <- Gen.chooseNum(1, 9) // 1-2 words → empty shingle set
+      ws <- Gen.listOfN(n, word)
+    } yield ws.mkString(" ")
+    val corpusGen = for {
+      texts <- Gen.nonEmptyListOf(textGen)
+      copies <- Gen.sequence[List[Int], Int](texts.map(_ => Gen.chooseNum(1, 6)))
+    } yield texts.zip(copies).flatMap { case (t, c) => Seq.fill(c)(t) }
+    (1 to 6).foreach { i =>
+      val corpus = corpusGen(Gen.Parameters.default, Seed(1000L + i)).get
+      val docs = corpus.zipWithIndex
+        .map { case (t, id) => (id.toLong, t) }.toDF("doc_id", "text")
+      val shArr = MinHash.shingleArray(docs)
+      val members = MinHash.dupClasses(shArr)
+      val repSh = shArr.join(
+        members.filter(col("doc_id") === col("rep")).select(col("doc_id")),
+        Seq("doc_id"))
+      val got = MinHash.collapsedVerifiedPairs(members, repSh, shArr, 0.5)
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+      val uncollapsed = MinHash.exactJaccard(
+          MinHash.candidatePairs(MinHash.bands(
+            shArr.filter(size(col("shingles")) > 0).select(col("doc_id"),
+              graft.functions.functions.minhash_sig(col("shingles"),
+                MinHash.NumHashes).as("sig")))), shArr)
+        .filter(col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+      assert(got === uncollapsed,
+        s"seed ${1000 + i}: missing=${(uncollapsed -- got).take(5)} " +
+          s"extra=${(got -- uncollapsed).take(5)}")
+    }
+  }
+
   test("containment catches a wholesale quote that Jaccard misses") {
     // a 6-shingle notice quoted inside a 48-shingle article: jaccard
     // ≈ 6/48 (tiny), but containment(notice in article) = 1.0
