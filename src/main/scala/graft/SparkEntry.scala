@@ -192,6 +192,9 @@ object SparkEntry {
     "text_repetition"    -> (TextOps.repetition _),
     "dedup_exact_text"   -> (TextOps.exactDedup _),
     "dedup_exact_unicode" -> (TextOps.exactDedupUnicode _),
+    // bloom membership prefilter next to the exact truth: the one-sided
+    // contract (no false negatives) sits in the gated values themselves
+    "dedup_bloom_prefilter" -> ((s, d) => operators.Dedup.bloomPrefilter(s, d)),
     // perplexity-proxy quality signal: per-doc char-trigram corpus-
     // frequency statistics (exact integers — the oracle-safe form of
     // LM likelihood scoring)
@@ -1356,6 +1359,30 @@ object SparkEntry {
     "dedup_exact_text" ->
       """SELECT min(doc_id) AS doc_id, md5(lower(trim(text))) AS fp, count(*) AS n_copies
         |FROM documents GROUP BY md5(lower(trim(text)))""".stripMargin,
+    // md5-position bloom rebuilt bit-for-bit; bloom_maybe requires every
+    // distinct position set, exact_dup is the plain key semi-join
+    "dedup_bloom_prefilter" ->
+      """WITH k AS (SELECT doc_id, lower(trim(text)) AS key FROM documents),
+        |pos AS (SELECT DISTINCT doc_id, bit FROM (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substr(md5(CAST(h AS VARCHAR) || '|' || key), 1, 15)) AS UBIGINT)
+        |      % 2048 AS bit
+        |  FROM k, range(0, 4) t(h) WHERE doc_id % 5 = 0)),
+        |cb AS (SELECT DISTINCT
+        |    CAST(('0x' || substr(md5(CAST(h AS VARCHAR) || '|' || key), 1, 15)) AS UBIGINT)
+        |      % 2048 AS bit
+        |  FROM k, range(0, 4) t(h) WHERE doc_id % 5 <> 0),
+        |mb AS (SELECT p.doc_id,
+        |    CAST(CASE WHEN count(*) = count(cb.bit) THEN 1 ELSE 0 END AS BIGINT) AS bloom_maybe
+        |  FROM pos p LEFT JOIN cb USING (bit) GROUP BY 1),
+        |ex AS (SELECT b.doc_id,
+        |    CAST(CASE WHEN c.key IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS exact_dup
+        |  FROM k b LEFT JOIN (SELECT DISTINCT key FROM k WHERE doc_id % 5 <> 0) c
+        |    ON b.key = c.key
+        |  WHERE b.doc_id % 5 = 0)
+        |SELECT e.doc_id, m.bloom_maybe, e.exact_dup
+        |FROM ex e JOIN mb m ON e.doc_id = m.doc_id
+        |ORDER BY 1""".stripMargin,
     // same order as the engine: trim → NFC → lowercase → md5 (DuckDB's
     // utf8proc lower agrees with root-locale Java lowercase on the
     // normalized form)

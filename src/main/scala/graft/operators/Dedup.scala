@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -88,6 +88,67 @@ object Dedup {
     top.select(
       (cols.map(c => top.col(s"__row.$c").as(c)) :+
         (col("__pos") + 1).cast("bigint").as("rk")): _*)
+  }
+
+  /** Bloom-prefiltered membership — the scale pattern every ingest
+    * dedup runs before its exact check: a constant-size bit set built
+    * from the corpus (j=4 md5-derived positions per key in an m-bit
+    * space) is broadcast, and a batch doc goes to the expensive exact
+    * path only if ALL its positions are set. Emits, per batch doc, the
+    * bloom verdict NEXT TO the exact-membership truth, so the one-sided
+    * contract is in the gated values themselves: exact_dup = 1 ⇒
+    * bloom_maybe = 1 (no false negatives, ever), while bloom_maybe = 1
+    * ∧ exact_dup = 0 rows count the false positives the m/j sizing
+    * buys.
+    *
+    * Deliberately NOT Spark's built-in BloomFilter aggregate: its
+    * murmur-based bits aren't reproducible in the oracle; the
+    * md5-position formulation is value-identical in DuckDB, which makes
+    * even the sketch itself oracle-checkable.
+    *
+    * Scale: the bit set is ≤ m rows (a constant) → broadcast; the batch
+    * probe is j codegen'd hashes per row plus one broadcast join. At
+    * 100 TB the win is that only the maybe-set (true dups + εm false
+    * positives) reaches the exact semi-join.
+    */
+  def bloomPrefilter(spark: SparkSession, dir: String, m: Int = 2048,
+                     batchMod: Int = 5): DataFrame =
+    bloomPrefilterOf(graft.Tables.documents(spark, dir), m, batchMod)
+
+  /** [[bloomPrefilter]] over an explicit document frame — the spec
+    * seam for dup-heavy synthetic corpora. The registry default m=2048
+    * is deliberately UNDERSIZED for the 400-key corpus (~1.6k set bits
+    * → ~50% fill → ~8% false-positive band), so the maybe-but-not-dup
+    * rows are visibly non-zero while the no-false-negative side stays
+    * absolute; production sizes m = −n·ln(ε)/ln(2)² as usual, which
+    * changes only this constant, not the plan.
+    */
+  private[graft] def bloomPrefilterOf(docs: DataFrame, m: Int,
+                                      batchMod: Int): DataFrame = {
+    val j = 4
+    val k = docs.select(col("doc_id"), lower(trim(col("text"))).as("key"))
+    def pos(h: Int) = pmod(
+      conv(substring(md5(concat(lit(s"$h|"), col("key"))), 1, 15), 16, 10)
+        .cast("bigint"), lit(m.toLong))
+    val posArr = array_distinct(array((0 until j).map(pos): _*))
+    val corpusBits = k.filter(col("doc_id") % batchMod =!= 0)
+      .select(explode(posArr).as("bit")).distinct()
+      .withColumn("hit", lit(1L))
+    val mb = k.filter(col("doc_id") % batchMod === 0)
+      .select(col("doc_id"), explode(posArr).as("bit"))
+      .join(broadcast(corpusBits), Seq("bit"), "left")
+      .groupBy(col("doc_id"))
+      .agg(when(count(lit(1)) === sum(coalesce(col("hit"), lit(0L))), 1L)
+        .otherwise(0L).as("bloom_maybe"))
+    val ex = k.filter(col("doc_id") % batchMod === 0)
+      .join(k.filter(col("doc_id") % batchMod =!= 0)
+          .select(col("key")).distinct().withColumn("e", lit(1L)),
+        Seq("key"), "left")
+      .select(col("doc_id"),
+        when(col("e").isNotNull, 1L).otherwise(0L).as("exact_dup"))
+    ex.join(mb, Seq("doc_id"))
+      .select(col("doc_id"), col("bloom_maybe"), col("exact_dup"))
+      .orderBy(col("doc_id"))
   }
 
   /** Built-in `min_by` formulation — kept as the reference semantics spec

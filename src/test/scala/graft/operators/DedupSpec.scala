@@ -192,4 +192,33 @@ class DedupSpec extends SparkSpec {
     val distinctTimes = bridged.select("event_time").distinct().count()
     assert(distinctTimes === 6L)
   }
+
+  test("bloom prefilter: never a false negative; tiny bit space shows false positives") {
+    // batch docs 0,5,10,... — docs 0 and 5 are exact copies of corpus
+    // docs 1 and 6, so exact_dup = 1 for them; the rest are unique
+    val docs = (0L until 40L).map { id =>
+      val text = if (id == 0L) "copied corpus text one"
+      else if (id == 5L) "copied corpus text two"
+      else if (id == 1L) "copied corpus text one"
+      else if (id == 6L) "copied corpus text two"
+      else s"unique document number $id with its own words"
+    (id, text)
+    }.toDF("doc_id", "text")
+    val wide = Dedup.bloomPrefilterOf(docs, m = 32768, batchMod = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // the one-sided contract: exact_dup = 1 ⇒ bloom_maybe = 1, always
+    wide.foreach { case (id, maybe, exact) =>
+      if (exact == 1L) assert(maybe === 1L, s"false negative on doc $id")
+    }
+    assert(wide.count(_._3 == 1L) === 2)
+    // a deliberately tiny bit space saturates: false positives appear
+    // (maybe = 1, exact = 0) yet false negatives remain impossible
+    val tiny = Dedup.bloomPrefilterOf(docs, m = 8, batchMod = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    tiny.foreach { case (id, maybe, exact) =>
+      if (exact == 1L) assert(maybe === 1L, s"false negative on doc $id at m=8")
+    }
+    assert(tiny.exists { case (_, maybe, exact) => maybe == 1L && exact == 0L },
+      "m=8 should produce false positives")
+  }
 }
