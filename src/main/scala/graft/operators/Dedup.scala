@@ -113,7 +113,11 @@ object Dedup {
     */
   def bloomPrefilter(spark: SparkSession, dir: String, m: Int = 2048,
                      batchMod: Int = 5): DataFrame =
-    bloomPrefilterOf(graft.Tables.documents(spark, dir), m, batchMod)
+    // memoized: the build references the keyed corpus from four
+    // subtrees, so it stages once per session instead of re-scanning
+    // per enumeration
+    StageMemo.memoized(spark, s"bloom_prefilter_${m}_$batchMod", dir)(
+      bloomPrefilterOf(graft.Tables.documents(spark, dir), m, batchMod))
 
   /** [[bloomPrefilter]] over an explicit document frame — the spec
     * seam for dup-heavy synthetic corpora. The registry default m=2048
@@ -126,7 +130,11 @@ object Dedup {
   private[graft] def bloomPrefilterOf(docs: DataFrame, m: Int,
                                       batchMod: Int): DataFrame = {
     val j = 4
+    // four subtrees read the keyed frame (corpus bits, batch probe,
+    // exact batch side, exact corpus side) — persist it so the source
+    // scans once per build (the caller memoizes the build per session)
     val k = docs.select(col("doc_id"), lower(trim(col("text"))).as("key"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def pos(h: Int) = pmod(
       conv(substring(md5(concat(lit(s"$h|"), col("key"))), 1, 15), 16, 10)
         .cast("bigint"), lit(m.toLong))
