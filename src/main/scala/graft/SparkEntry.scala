@@ -188,6 +188,8 @@ object SparkEntry {
     // rule-based quality expectations: all single-table rules in one
     // agg pass per table, referential+temporal rules share one join
     "q_quality_expectations" -> (operators.Profile.expectations _),
+    // robust daily volume anomaly monitor: median/MAD in exact integers
+    "q_anomaly_days"     -> (operators.Profile.anomalyDays _),
     // C4/Gopher repeated-n-gram signal as two exact int64s per doc
     "text_repetition"    -> (TextOps.repetition _),
     "dedup_exact_text"   -> (TextOps.exactDedup _),
@@ -1250,6 +1252,25 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN u.u < cut.cut THEN u.doc_id ELSE 0 END) AS BIGINT) AS sampled_id_sum
         |FROM u JOIN cut ON u.source = cut.source
         |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+    // median/MAD anomaly monitor — rank-selected medians, integer
+    // deviations, 3×MAD band with a floor of 1
+    "q_anomaly_days" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS event_date, count(*) AS n_events
+        |  FROM events GROUP BY 1),
+        |r1 AS (SELECT *, row_number() OVER (ORDER BY n_events, event_date) AS rk,
+        |              count(*) OVER () AS cnt FROM daily),
+        |med AS (SELECT n_events AS med_n FROM r1 WHERE rk = (cnt + 1) // 2),
+        |dev AS (SELECT d.event_date, d.n_events, m.med_n,
+        |               abs(d.n_events - m.med_n) AS dev FROM daily d, med m),
+        |r2 AS (SELECT *, row_number() OVER (ORDER BY dev, event_date) AS rk,
+        |              count(*) OVER () AS cnt FROM dev),
+        |mad AS (SELECT dev AS mad_n FROM r2 WHERE rk = (cnt + 1) // 2)
+        |SELECT d.event_date, CAST(d.n_events AS BIGINT) AS n_events,
+        |  CAST(d.med_n AS BIGINT) AS med_n, CAST(m.mad_n AS BIGINT) AS mad_n,
+        |  CAST(CASE WHEN d.dev > 3 * GREATEST(m.mad_n, 1) THEN 1 ELSE 0 END AS BIGINT)
+        |    AS is_anomaly
+        |FROM dev d, mad m ORDER BY 1""".stripMargin,
     // per-column profile: one SELECT per column, UNION ALL'd
     "q_profile_orders" ->
       Seq("o_custkey", "o_orderdate", "o_orderkey", "o_orderpriority",

@@ -96,4 +96,40 @@ object Profile {
       .select(col("r.rule").as("rule"), col("r.n_checked").as("n_checked"),
         col("r.n_violations").as("n_violations"))
   }
+
+  /** Robust per-day volume anomaly detection — the freshness/volume
+    * monitor every ingest pipeline runs: a day is anomalous when its
+    * event count deviates from the median daily count by more than
+    * 3×MAD (median absolute deviation). Median/MAD instead of
+    * mean/stddev so one bad day can't drag the baseline toward itself,
+    * and everything stays in exact integer arithmetic (rank-selected
+    * medians, integer deviations) — no float, fully oracle-exact.
+    *
+    * Scale: the day-level reduction is the only corpus-sized pass; the
+    * two median selections rank a calendar-cardinality frame (≤ days),
+    * so the single-partition windows are constant work at any SF.
+    */
+  def anomalyDays(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("event_date"))
+      .agg(count(lit(1)).as("n_events"))
+    def medianOf(df: DataFrame, valueCol: String, out: String): DataFrame = {
+      val w = Window.orderBy(col(valueCol), col("event_date"))
+      df.withColumn("__rk", row_number().over(w))
+        .withColumn("__cnt", count(lit(1)).over(
+          Window.partitionBy(lit(1))))
+        .filter(col("__rk") === expr("(__cnt + 1) div 2")) // integer div: even counts pick the lower middle
+        .select(col(valueCol).as(out))
+    }
+    val med = medianOf(daily, "n_events", "med_n")
+    val dev = daily.crossJoin(broadcast(med))
+      .withColumn("dev", abs(col("n_events") - col("med_n")))
+    val mad = medianOf(dev, "dev", "mad_n")
+    dev.crossJoin(broadcast(mad))
+      .select(col("event_date"), col("n_events"), col("med_n"), col("mad_n"),
+        when(col("dev") > lit(3) * greatest(col("mad_n"), lit(1L)), 1L)
+          .otherwise(0L).as("is_anomaly"))
+      .orderBy(col("event_date"))
+  }
 }
