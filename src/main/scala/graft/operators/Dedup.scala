@@ -154,9 +154,17 @@ object Dedup {
         Seq("key"), "left")
       .select(col("doc_id"),
         when(col("e").isNotNull, 1L).otherwise(0L).as("exact_dup"))
-    ex.join(mb, Seq("doc_id"))
+    val out = ex.join(mb, Seq("doc_id"))
       .select(col("doc_id"), col("bloom_maybe"), col("exact_dup"))
       .orderBy(col("doc_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materialize the (batch-cardinality) result so the keyed
+    // intermediate can be released now instead of pinning the source
+    // scan for the session lifetime; StageMemo's persist of the
+    // returned frame is then a same-level no-op
+    out.count()
+    k.unpersist()
+    out
   }
 
   /** Built-in `min_by` formulation — kept as the reference semantics spec

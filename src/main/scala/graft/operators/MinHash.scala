@@ -281,9 +281,11 @@ object MinHash {
     * new docs land as additional files in their doc_id buckets — no
     * existing file is rewritten (mtime-identity pinned in
     * BucketedTablesSpec), the incremental half of the index lifecycle.
+    * The batch frame alone determines what is appended — no source-dir
+    * parameter, so callers can't wrongly assume one scopes the append.
     */
-  def appendShingleIndex(spark: SparkSession, dir: String, table: String,
-                         batch: DataFrame, nBuckets: Int = 32): Unit =
+  def appendShingleIndex(table: String, batch: DataFrame,
+                         nBuckets: Int = 32): Unit =
     graft.sources.BucketedTables.appendBucketed(
       shingleIndexRows(batch), table, "doc_id", nBuckets)
 
@@ -300,17 +302,29 @@ object MinHash {
     val name = grownTables.computeIfAbsent((dir, batchMod),
       _ => s"graft_shingle_grown_${batchMod}_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
     grownTables.synchronized {
-      if (!spark.catalog.tableExists(name)) {
+      // tableExists is true as soon as the BASE writeBucketed lands, so
+      // it cannot distinguish a half-grown store whose append failed —
+      // an explicit marker written AFTER the append is the completion
+      // check (mirrors ensureGrownIvfIndex's _GRAFT_GROWN).
+      if (!spark.catalog.tableExists(name) ||
+          !java.nio.file.Files.exists(grownMarker(spark, name))) {
+        if (spark.catalog.tableExists(name)) spark.sql(s"DROP TABLE $name")
         dropStaleLocation(spark, name)
         val docs = Tables.documents(spark, dir)
         graft.sources.BucketedTables.writeBucketed(
           shingleIndexRows(docs.filter(col("doc_id") % batchMod =!= 0)),
           name, "doc_id", 32)
-        appendShingleIndex(spark, dir, name,
-          docs.filter(col("doc_id") % batchMod === 0))
+        appendShingleIndex(name, docs.filter(col("doc_id") % batchMod === 0))
+        java.nio.file.Files.createFile(grownMarker(spark, name))
       }
     }
     name
+  }
+
+  /** Completion-marker path inside the grown table's managed location. */
+  private def grownMarker(spark: SparkSession, table: String): java.nio.file.Path = {
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    java.nio.file.Paths.get(wh, table.toLowerCase(java.util.Locale.ROOT), "_GRAFT_GROWN")
   }
 
   /** [[minhashDedupBucketed]] against the grown (base + appended batch)

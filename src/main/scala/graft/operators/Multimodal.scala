@@ -214,8 +214,15 @@ object Multimodal {
       .filter(col("__ma") < col("__mb"))
       .select(col("__ma").as("doc_a"), col("__mb").as("doc_b"),
         lit(0L).as("hamming"))
-    cross.unionByName(intra)
+    val out = cross.unionByName(intra)
       .orderBy(col("doc_a"), col("doc_b"))
+      .persist(MEMORY_AND_DISK)
+    // materialize the (pair-cardinality) result so the per-doc member
+    // frame can be released instead of staying pinned for the session;
+    // the callers' StageMemo persist is then a same-level no-op
+    out.count()
+    members.unpersist()
+    out
   }
 
   /** Every document rendered as its canonical 16-bit mono WAV (the

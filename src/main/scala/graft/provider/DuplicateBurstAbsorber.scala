@@ -49,11 +49,26 @@ class CachedDuplicateBurstAbsorber(maxSize: Int, absorbMillis: Long,
     extends DuplicateBurstAbsorber {
 
   private case class Entry(future: CompletableFuture[String], writtenAt: Long)
-  // accessOrder=true: iteration order is least-recently-used first, and
-  // removeEldestEntry fires inside put once the bound is exceeded
-  private val cache = new java.util.LinkedHashMap[String, Entry](16, 0.75f, true) {
-    override def removeEldestEntry(e: java.util.Map.Entry[String, Entry]): Boolean =
-      size() > maxSize
+  // accessOrder=true: iteration order is least-recently-used first.
+  // Eviction is NOT removeEldestEntry (which would fire inside put and
+  // could victimize an entry whose loader is still in flight — a
+  // concurrent duplicate burst on that key would then run a second
+  // loader); overflow is trimmed explicitly, preferring completed
+  // entries in LRU order and touching an in-flight one only when every
+  // entry is in flight (the size bound stays hard).
+  private val cache = new java.util.LinkedHashMap[String, Entry](16, 0.75f, true)
+
+  private def trimOverflow(): Unit = {
+    while (cache.size() > maxSize) {
+      val it = cache.entrySet().iterator()
+      var victim: String = null
+      while (victim == null && it.hasNext) {
+        val e = it.next()
+        if (e.getValue.future.isDone) victim = e.getKey
+      }
+      if (victim != null) cache.remove(victim)
+      else cache.remove(cache.entrySet().iterator().next().getKey)
+    }
   }
 
   override def absorb(key: String, loader: () => String): String = {
@@ -64,6 +79,7 @@ class CachedDuplicateBurstAbsorber(maxSize: Int, absorbMillis: Long,
       if (cur == null || now - cur.writtenAt >= absorbMillis) {
         val e = Entry(fresh, now)
         cache.put(key, e)
+        trimOverflow()
         e
       } else cur
     }

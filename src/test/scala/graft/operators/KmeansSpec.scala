@@ -58,8 +58,11 @@ class KmeansSpec extends SparkSpec {
     // nProbe is a step function of borderline queries, and the sf0.001
     // corpus has so few query rows that a single flipped hit dominates;
     // at sf0.01 the trained codebook wins decisively (34 vs 27 hits when
-    // this spec was written)
-    val dir = "/root/testdata/sf0.01"
+    // this spec was written). Derived from the suite's sfDir convention
+    // (sibling sf dir), cancelled with a message where it doesn't exist.
+    val dir = java.nio.file.Paths.get(sfDir).resolveSibling("sf0.01").toString
+    assume(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir)),
+      s"recall gate needs the sf0.01 fixtures at $dir")
     val (cb, _) = Similarity.kmeansTrainCodebook(spark, dir,
       maxIters = 10, tol = 1e-4)
     val trained = cb.toDF("cent_id", "cent_emb")

@@ -263,6 +263,38 @@ class DedupProviderSpec extends AnyFunSuite {
     assert(n.get === 5, "k2 must have been the evicted entry")
   }
 
+  test("absorber overflow never evicts an in-flight entry while a completed one exists") {
+    val a = new CachedDuplicateBurstAbsorber(2, 60_000L)
+    val n = new AtomicInteger
+    val enteredA = new CountDownLatch(1)
+    val releaseA = new CountDownLatch(1)
+    val pool = Executors.newFixedThreadPool(2)
+    try {
+      // kA's loader parks: the entry sits in the cache incomplete
+      val inFlight = pool.submit(new java.util.concurrent.Callable[String] {
+        override def call(): String = a.absorb("kA", () => {
+          enteredA.countDown()
+          releaseA.await(10, TimeUnit.SECONDS)
+          n.incrementAndGet(); "vA"
+        })
+      })
+      assert(enteredA.await(5, TimeUnit.SECONDS))
+      a.absorb("kB", () => "vB") // completed entry, more recent than kA
+      a.absorb("kC", () => "vC") // overflow: kB (done) leaves, NOT in-flight kA
+      // a duplicate burst on kA must join the parked loader, not run a
+      // second one — the absorption guarantee the eviction could break
+      val burst = pool.submit(new java.util.concurrent.Callable[String] {
+        override def call(): String =
+          a.absorb("kA", () => { n.incrementAndGet(); "vA2" })
+      })
+      releaseA.countDown()
+      assert(inFlight.get(10, TimeUnit.SECONDS) === "vA")
+      assert(burst.get(10, TimeUnit.SECONDS) === "vA")
+      assert(n.get === 1, "in-flight entry was evicted: a second loader ran")
+      assert(a.size <= 2)
+    } finally pool.shutdown()
+  }
+
   test("absorber overflow under contention: bound holds, every caller completes") {
     val a = new CachedDuplicateBurstAbsorber(10, 60_000L)
     val pool = Executors.newFixedThreadPool(16)

@@ -129,7 +129,7 @@ class BucketedTablesSpec extends SparkSpec {
           .map(p => p.toString -> java.nio.file.Files.getLastModifiedTime(p).toMillis)
           .toMap
       val before = fileState
-      MinHash.appendShingleIndex(spark, sfDir, table,
+      MinHash.appendShingleIndex(table,
         docs.filter(col("doc_id") % 5 === 0), nBuckets = 8)
       val after = fileState
       before.foreach { case (f, m) =>
@@ -143,6 +143,27 @@ class BucketedTablesSpec extends SparkSpec {
         .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(grown === oneShot)
     } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
+  test("grown shingle store: absent completion marker forces a rebuild, never a half-grown serve") {
+    import graft.operators.MinHash
+    val table = MinHash.ensureGrownShingleIndex(spark, sfDir)
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    val loc = java.nio.file.Paths.get(wh, table.toLowerCase(java.util.Locale.ROOT))
+    val marker = loc.resolve("_GRAFT_GROWN")
+    assert(java.nio.file.Files.exists(marker),
+      "completed build must leave the _GRAFT_GROWN marker")
+    // simulate the half-grown hazard: the base write landed (table
+    // exists) but the append "failed" — marker gone AND the appended
+    // batch rows removed; tableExists alone would serve this store
+    java.nio.file.Files.delete(marker)
+    val expected = MinHash.minhashDedup(spark, sfDir)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val reprobed = MinHash.minhashDedupGrown(spark, sfDir)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(reprobed === expected, "marker-less store was not rebuilt")
+    assert(java.nio.file.Files.exists(marker),
+      "rebuild must re-create the completion marker")
   }
 
   test("pre-rep store schema (doc_id, shingles) still probes via read-time class derivation") {
