@@ -23,15 +23,23 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  /** events.parquet stores `ts` as parquet TIMESTAMP(NANOS), which Spark
-    * rejects by default (PARQUET_TYPE_ILLEGAL). Read nanos as long and
-    * truncate to microseconds — exactly what DuckDB does when it reads
-    * the same file, so oracle comparisons agree.
+  /** Driver-written events.parquet stores `ts` as parquet
+    * TIMESTAMP(NANOS), which Spark rejects by default
+    * (PARQUET_TYPE_ILLEGAL). Read nanos as long and truncate to
+    * microseconds — exactly what DuckDB does when it reads the same
+    * file, so oracle comparisons agree. Files written by Spark itself
+    * (e.g. the GenData scale corpus) store micros and arrive as a
+    * TimestampType column already — pass those through unchanged.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val raw = load(s, d, "events")
+    val ts = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)")
+      case _ => org.apache.spark.sql.functions.col("ts")
+    }
+    raw.withColumn("ts", ts)
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")

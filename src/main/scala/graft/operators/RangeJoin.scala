@@ -51,7 +51,11 @@ object RangeJoin {
     * shuffles more than its bin key. Bin = 1 hour of event time.
     */
   def qSessionConcurrency(spark: SparkSession, dir: String): DataFrame = {
-    val micros = (c: org.apache.spark.sql.Column) => unix_micros(c)
+    // unix_micros rejects TIMESTAMP_NTZ; the cast is a no-op for
+    // TIMESTAMP and reinterprets NTZ wall-clock in the session zone
+    // (pinned UTC), so both driver file flavors (µs-NTZ since round 8,
+    // nanos→TIMESTAMP before) yield identical epoch values.
+    val micros = (c: org.apache.spark.sql.Column) => unix_micros(c.cast("timestamp"))
     val sessions = Relational.sessionize(Tables.events(spark, dir))
       .select(micros(col("session_start")).as("s"),
               micros(col("session_end")).as("e"))
