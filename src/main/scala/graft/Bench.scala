@@ -40,32 +40,66 @@ object Bench {
     // rounds), the timestamps localize the noise window directly instead
     // of requiring forensic analysis of the alphabetical ordering
     def nowUtc(): String = java.time.Instant.now().toString
+    def timeOnce(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      }
+      (System.nanoTime() - t0) / 1e9
+    }
+    var prevSnap = BenchProtocol.cpuSnap()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val startedAt = nowUtc()
-      val times = (1 to repeats).map { _ =>
-        val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        }
-        (System.nanoTime() - t0) / 1e9
+      val times = (1 to repeats).map(_ => timeOnce(name, fn))
+      // per-query noise provenance: a 1-min load sample (context) and
+      // the average EXTERNAL cores busy while this query ran (the
+      // contamination signal — immune to the bench's own load).
+      val loadAfter = loadAvg()
+      val snap = BenchProtocol.cpuSnap()
+      val ext = (prevSnap, snap) match {
+        case (Some(a), Some(b)) => BenchProtocol.externalCores(a, b, cpus.toInt)
+        case _ => -1.0
       }
+      prevSnap = snap
       System.err.println(
-        f"[bench] $startedAt $name%-28s ${times.min}%8.3f s (min of $repeats)")
-      name -> times.min
+        f"[bench] $startedAt $name%-28s ${times.min}%8.3f s (min of $repeats, load $loadAfter%.1f, ext $ext%.1f)")
+      (name, times.min, loadAfter, ext)
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
+    // Self-defense (BenchProtocol, judge rule r7): flag the record when
+    // external load contaminated it, and re-time queries that blew past
+    // 3x their committed quiet-run expectation — the raw value stays in
+    // `queries`; the re-timed minimum lands in `queries_retimed` so a
+    // reader can separate machine noise from algorithmic regression
+    // without a forensic replay.
+    val expected = BenchProtocol.expectedFor(sfDir)
+    val retimed = results.collect {
+      case (name, sec, _, _) if BenchProtocol.needsRetime(sec, expected.get(name)) =>
+        val again = timeOnce(name, SparkEntry.queries(name))
+        System.err.println(f"[bench] retime $name%-28s raw $sec%.3f -> $again%.3f s")
+        name -> math.min(sec, again)
+    }
+    val qs = results.map { case (k, v, _, _) => "\"" + k + f"""\":$v%.3f""" }
+      .mkString("{", ",", "}")
+    val loads = results.map { case (k, _, l, _) => "\"" + k + f"""\":$l%.2f""" }
+      .mkString("{", ",", "}")
+    val exts = results.map { case (k, _, _, e) => "\"" + k + f"""\":$e%.2f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val loadEnd = loadAvg()
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","load_start":$loadStart%.2f,"load_end":$loadEnd%.2f}""")
+    val isNoisy = BenchProtocol.noisy(loadStart, results.map(_._4), cpus.toInt)
+    val retimedJson = retimed.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
+      .mkString("{", ",", "}")
+    val totalRetimed = results.map { case (k, v, _, _) =>
+      retimed.collectFirst { case (`k`, r) => r }.getOrElse(v) }.sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","load_start":$loadStart%.2f,"load_end":$loadEnd%.2f,"noisy":$isNoisy,"query_loads":$loads,"query_external_cores":$exts,"queries_retimed":$retimedJson,"total_retimed":$totalRetimed%.3f}""")
     // Short headline line LAST: the driver's capture has truncated the
     // long per-query line head-first in past rounds, losing `"total"`.
     // Anything tail-anchored keeps this parseable summary. Distinct
     // metric name so a consumer grepping "total" never double-counts.
     val slowest = results.sortBy(-_._2).take(5)
-      .map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }.mkString("{", ",", "}")
-    println(f"""{"metric":"total_summary","value":$total%.3f,"unit":"sec","n_queries":${results.size},"slowest":$slowest,"sf":"$sfDir","load_start":$loadStart%.2f,"load_end":$loadEnd%.2f}""")
+      .map { case (k, v, _, _) => "\"" + k + f"""\":$v%.3f""" }.mkString("{", ",", "}")
+    println(f"""{"metric":"total_summary","value":$total%.3f,"unit":"sec","n_queries":${results.size},"slowest":$slowest,"sf":"$sfDir","load_start":$loadStart%.2f,"load_end":$loadEnd%.2f,"noisy":$isNoisy,"n_retimed":${retimed.size},"total_retimed":$totalRetimed%.3f}""")
     spark.stop()
   }
 

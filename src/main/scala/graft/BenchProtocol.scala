@@ -1,0 +1,114 @@
+package graft
+
+/** Noise-defense logic for the per-round bench record (BASELINE.md
+  * protocol). Three of seven driver rounds produced a load-contaminated
+  * record (r4 490 s, r6 232 s, r7 597 s vs 165 s quiet on identical
+  * code) that *looked* like an algorithmic regression each time; the
+  * record now carries enough provenance to adjudicate itself:
+  *
+  *  - a 1-min load-average sample taken after every query,
+  *  - a top-level `noisy` flag per the judge's rule (external load at
+  *    start, or any sample beyond 2×cpus/8 mid-run),
+  *  - an automatic re-time pass over queries that exceeded 3× their
+  *    committed expected time, reporting BOTH raw and re-timed values
+  *    (re-time = the minima protocol applied selectively).
+  *
+  * Pure functions, no Spark — BenchSpec pins the thresholds.
+  */
+object BenchProtocol {
+
+  /** Noise rule: contaminated at start (1-min load > 2 before any work
+    * ran — the BASELINE.md protocol precondition), or any mid-run
+    * EXTERNAL-CPU sample above cpus/8 foreign cores (4 on the 32-cpu
+    * protocol box). External cores, not raw load: the bench itself
+    * saturates local[32], and a measured quiet-box run integrates 1-min
+    * load up to ~12 across the heavy near-dup block purely from
+    * self-load, so the raw-load variant of this rule flags every clean
+    * run. Samples < 0 mean "unavailable" and never trip the flag.
+    */
+  def noisy(loadStart: Double, externalCoreSamples: Iterable[Double], cpus: Int): Boolean =
+    loadStart > 2.0 || externalCoreSamples.exists(s => s >= 0 && s > cpus / 8.0)
+
+  /** One reading of the machine/process CPU accounting, in the shared
+    * jiffy unit of /proc (so no HZ or wall-clock conversion is needed):
+    * `busyTicks`/`totalTicks` from the aggregate `cpu` line of
+    * /proc/stat (busy = all states minus idle+iowait), `procTicks` =
+    * utime+stime of this JVM from /proc/self/stat.
+    */
+  final case class CpuSnap(busyTicks: Long, totalTicks: Long, procTicks: Long)
+
+  /** Parse the aggregate `cpu  u n s i io irq sirq steal ...` line →
+    * (busyTicks, totalTicks).
+    */
+  def parseProcStatCpu(line: String): (Long, Long) = {
+    val f = line.trim.split("\\s+").drop(1).map(_.toLong)
+    val total = f.sum
+    val idle = f(3) + (if (f.length > 4) f(4) else 0L) // idle + iowait
+    (total - idle, total)
+  }
+
+  /** Parse /proc/self/stat → utime+stime (fields 14+15, 1-based; the
+    * comm field may contain spaces but is parenthesized — split after
+    * the closing paren).
+    */
+  def parseSelfStat(line: String): Long = {
+    val rest = line.substring(line.lastIndexOf(')') + 2).split("\\s+")
+    // after (comm) state, fields: state=1 ... utime=12 stime=13 (0-based in rest)
+    rest(11).toLong + rest(12).toLong
+  }
+
+  /** Average FOREIGN cores busy between two snapshots: the machine's
+    * busy ticks minus this process's ticks, as a share of total ticks,
+    * scaled to the core count. ≈0 on a quiet box even while the bench
+    * saturates every core; ≈k when k external cores compete. Returns -1
+    * when the accounting is unusable (no elapsed ticks, counter wrap).
+    */
+  def externalCores(a: CpuSnap, b: CpuSnap, cpus: Int): Double = {
+    val total = b.totalTicks - a.totalTicks
+    val busy = b.busyTicks - a.busyTicks
+    val proc = b.procTicks - a.procTicks
+    if (total <= 0 || busy < 0 || proc < 0) -1.0
+    else math.max(0.0, (busy - proc).toDouble / total * cpus)
+  }
+
+  /** Current CpuSnap from /proc, None off-Linux (flag then relies on
+    * load_start only).
+    */
+  def cpuSnap(): Option[CpuSnap] =
+    scala.util.Try {
+      val statLine = scala.io.Source.fromFile("/proc/stat").getLines()
+        .find(_.startsWith("cpu ")).get
+      val selfLine = scala.io.Source.fromFile("/proc/self/stat").getLines().next()
+      val (busy, total) = parseProcStatCpu(statLine)
+      CpuSnap(busy, total, parseSelfStat(selfLine))
+    }.toOption
+
+  /** A query re-times when a committed expectation exists and the
+    * measured pass exceeded 3× it. Queries without an expectation (new
+    * this round, or a non-protocol sf dir) never re-time.
+    */
+  def needsRetime(sec: Double, expected: Option[Double]): Boolean =
+    expected.exists(e => sec > 3.0 * e)
+
+  /** Committed per-query expected seconds for the protocol sf dir —
+    * `bench_expected_<basename>.tsv` on the classpath (quiet-machine
+    * protocol run; regenerate via `graft.Bench` on a quiet box and
+    * commit). Missing resource (non-protocol dirs like the sf1 drill
+    * corpus) disables re-timing rather than mis-applying sf0.1 bounds.
+    */
+  def expectedFor(sfDir: String): Map[String, Double] = {
+    val base = sfDir.replaceAll("/+$", "").split('/').last
+    val in = getClass.getResourceAsStream(s"/bench_expected_$base.tsv")
+    if (in == null) Map.empty
+    else try {
+      scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
+        .flatMap { l =>
+          l.split('\t') match {
+            case Array(name, sec) => scala.util.Try(name -> sec.toDouble).toOption
+            case _ => None
+          }
+        }.toMap
+    } finally in.close()
+  }
+}

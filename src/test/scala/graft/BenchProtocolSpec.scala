@@ -1,0 +1,78 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the bench noise-defense thresholds (VERDICT r7 next-round #2):
+  * the record must self-identify contamination instead of reading as a
+  * performance regression.
+  */
+class BenchProtocolSpec extends AnyFunSuite {
+
+  test("noisy: contaminated start trips the flag regardless of samples") {
+    assert(BenchProtocol.noisy(2.01, Nil, 32))
+    assert(!BenchProtocol.noisy(2.0, Nil, 32))
+    assert(!BenchProtocol.noisy(0.3, Seq(1.0, 3.9), 32))
+  }
+
+  test("noisy: any mid-run external-cores sample above cpus/8 trips the flag") {
+    assert(BenchProtocol.noisy(0.1, Seq(0.0, 4.01, 2.0), 32))
+    assert(!BenchProtocol.noisy(0.1, Seq(4.0, 3.9), 32))
+    // threshold scales with the cpu count the bench actually used
+    assert(BenchProtocol.noisy(0.1, Seq(1.01), 8))
+    assert(!BenchProtocol.noisy(0.1, Seq(0.9), 8))
+  }
+
+  test("noisy: unavailable samples (-1) never trip the flag") {
+    assert(!BenchProtocol.noisy(-1.0, Seq(-1.0, -1.0), 32))
+  }
+
+  test("external-cores meter: self-load is invisible, foreign load counts") {
+    import BenchProtocol.{CpuSnap, externalCores}
+    // 32 cpus, 1000 total ticks elapsed; process consumed all busy time
+    assert(externalCores(CpuSnap(0, 0, 0), CpuSnap(800, 1000, 800), 32) === 0.0)
+    // half the busy time was foreign: (800-400)/1000*32 = 12.8 cores
+    assert(math.abs(externalCores(CpuSnap(0, 0, 0), CpuSnap(800, 1000, 400), 32) - 12.8) < 1e-9)
+    // degenerate accounting (no elapsed ticks / counter wrap) -> -1
+    assert(externalCores(CpuSnap(0, 0, 0), CpuSnap(0, 0, 0), 32) === -1.0)
+    assert(externalCores(CpuSnap(100, 100, 100), CpuSnap(50, 200, 100), 32) === -1.0)
+  }
+
+  test("/proc parsers: aggregate cpu line and self stat with spaced comm") {
+    val (busy, total) = BenchProtocol.parseProcStatCpu(
+      "cpu  100 0 50 800 40 5 5 0 0 0")
+    assert(total === 1000 && busy === 160) // idle 800 + iowait 40 excluded
+    val ticks = BenchProtocol.parseSelfStat(
+      "1234 (java -cp foo) S 1 1 1 0 -1 4194560 5000 0 0 0 777 223 0 0 20 0 33 0 100 1000000 500")
+    assert(ticks === 1000) // utime 777 + stime 223
+  }
+
+  test("live cpuSnap reads this machine's accounting") {
+    BenchProtocol.cpuSnap() match {
+      case Some(s) =>
+        assert(s.totalTicks > 0 && s.busyTicks >= 0 && s.busyTicks <= s.totalTicks)
+        assert(s.procTicks >= 0)
+      case None => cancel("/proc unavailable on this platform")
+    }
+  }
+
+  test("retime fires only past 3x a committed expectation") {
+    assert(BenchProtocol.needsRetime(3.1, Some(1.0)))
+    assert(!BenchProtocol.needsRetime(3.0, Some(1.0)))
+    assert(!BenchProtocol.needsRetime(100.0, None))
+  }
+
+  test("expected table: protocol dir loads every registered query; other dirs disable") {
+    val exp = BenchProtocol.expectedFor("/root/testdata/sf0.1")
+    if (exp.nonEmpty) {
+      // every committed expectation refers to a live query, and the
+      // table covers the full suite (a renamed query must re-commit)
+      val names = SparkEntry.queries.keySet
+      assert(exp.keySet.subsetOf(names), s"stale rows: ${exp.keySet.diff(names)}")
+      assert(names.subsetOf(exp.keySet), s"missing rows: ${names.diff(exp.keySet)}")
+      assert(exp.values.forall(v => v > 0 && v < 600))
+    }
+    assert(BenchProtocol.expectedFor("/no/such/dir").isEmpty)
+    // trailing slash resolves to the same resource
+    assert(BenchProtocol.expectedFor("/root/testdata/sf0.1/") === exp)
+  }
+}
