@@ -31,44 +31,48 @@ object BenchProtocol {
 
   /** One reading of the machine/process CPU accounting, in the shared
     * jiffy unit of /proc (so no HZ or wall-clock conversion is needed):
-    * `busyTicks`/`totalTicks` from the aggregate `cpu` line of
-    * /proc/stat (busy = all states minus idle+iowait), `procTicks` =
-    * utime+stime of this JVM from /proc/self/stat.
+    * `userTicks`/`totalTicks` from the aggregate `cpu` line of
+    * /proc/stat (user+nice ONLY — kernel time is deliberately excluded,
+    * see [[externalCores]]), `procUserTicks` = utime of this JVM from
+    * /proc/self/stat.
     */
-  final case class CpuSnap(busyTicks: Long, totalTicks: Long, procTicks: Long)
+  final case class CpuSnap(userTicks: Long, totalTicks: Long, procUserTicks: Long)
 
   /** Parse the aggregate `cpu  u n s i io irq sirq steal ...` line →
-    * (busyTicks, totalTicks).
+    * (userTicks = user+nice, totalTicks).
     */
   def parseProcStatCpu(line: String): (Long, Long) = {
     val f = line.trim.split("\\s+").drop(1).map(_.toLong)
-    val total = f.sum
-    val idle = f(3) + (if (f.length > 4) f(4) else 0L) // idle + iowait
-    (total - idle, total)
+    (f(0) + f(1), f.sum)
   }
 
-  /** Parse /proc/self/stat → utime+stime (fields 14+15, 1-based; the
-    * comm field may contain spaces but is parenthesized — split after
-    * the closing paren).
+  /** Parse /proc/self/stat → utime (field 14, 1-based; the comm field
+    * may contain spaces but is parenthesized — split after the closing
+    * paren).
     */
   def parseSelfStat(line: String): Long = {
     val rest = line.substring(line.lastIndexOf(')') + 2).split("\\s+")
-    // after (comm) state, fields: state=1 ... utime=12 stime=13 (0-based in rest)
-    rest(11).toLong + rest(12).toLong
+    // after (comm) state, fields: state=1 ... utime=12 (0-based in rest)
+    rest(11).toLong
   }
 
-  /** Average FOREIGN cores busy between two snapshots: the machine's
-    * busy ticks minus this process's ticks, as a share of total ticks,
-    * scaled to the core count. ≈0 on a quiet box even while the bench
-    * saturates every core; ≈k when k external cores compete. Returns -1
+  /** Average FOREIGN user-mode cores busy between two snapshots: the
+    * machine's user ticks minus this process's user ticks, as a share
+    * of total ticks, scaled to the core count. User-mode only, on both
+    * sides: an IO-heavy query's kernel writeback runs in unattributable
+    * kworker threads, so a busy-ticks meter charges the bench's OWN
+    * flushes as "external" (measured: 4-6.5 phantom cores on the three
+    * store-writing queries of a solo sf1 run); a contaminating process
+    * (another sbt/JVM/bench) burns user time and is caught. ≈0 on a
+    * quiet box even while the bench saturates every core. Returns -1
     * when the accounting is unusable (no elapsed ticks, counter wrap).
     */
   def externalCores(a: CpuSnap, b: CpuSnap, cpus: Int): Double = {
     val total = b.totalTicks - a.totalTicks
-    val busy = b.busyTicks - a.busyTicks
-    val proc = b.procTicks - a.procTicks
-    if (total <= 0 || busy < 0 || proc < 0) -1.0
-    else math.max(0.0, (busy - proc).toDouble / total * cpus)
+    val user = b.userTicks - a.userTicks
+    val proc = b.procUserTicks - a.procUserTicks
+    if (total <= 0 || user < 0 || proc < 0) -1.0
+    else math.max(0.0, (user - proc).toDouble / total * cpus)
   }
 
   /** Current CpuSnap from /proc, None off-Linux (flag then relies on
@@ -79,8 +83,8 @@ object BenchProtocol {
       val statLine = scala.io.Source.fromFile("/proc/stat").getLines()
         .find(_.startsWith("cpu ")).get
       val selfLine = scala.io.Source.fromFile("/proc/self/stat").getLines().next()
-      val (busy, total) = parseProcStatCpu(statLine)
-      CpuSnap(busy, total, parseSelfStat(selfLine))
+      val (user, total) = parseProcStatCpu(statLine)
+      CpuSnap(user, total, parseSelfStat(selfLine))
     }.toOption
 
   /** A query re-times when a committed expectation exists and the

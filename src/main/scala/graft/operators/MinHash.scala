@@ -141,15 +141,20 @@ object MinHash {
     */
   private[graft] def collapsedVerifiedPairs(
       members: DataFrame, repSh: DataFrame, verifySh: DataFrame,
-      threshold: Double): DataFrame = {
+      threshold: Double, repSig: Option[DataFrame] = None): DataFrame = {
     // empty-shingle docs never band: their jaccard against anything is
     // 0/0 = NaN, which Spark's NaN-is-greatest comparison would let
     // PASS a >= threshold filter, while the oracle's inverted index
     // (built by exploding shingles) never contains them at all —
-    // excluding them here keeps every path on the oracle's semantics
-    val sigs = repSh.filter(size(col("shingles")) > 0)
-      .select(col("doc_id"),
-        graft.functions.functions.minhash_sig(col("shingles"), NumHashes).as("sig"))
+    // excluding them here keeps every path on the oracle's semantics.
+    // A store carrying ingest-time signatures passes them via repSig
+    // (already empty-shingle-filtered) and skips the recompute — the
+    // signature is the measured dominant probe cost at sf1 (BASELINE.md
+    // scale drill).
+    val sigs = repSig.getOrElse(
+      repSh.filter(size(col("shingles")) > 0)
+        .select(col("doc_id"),
+          graft.functions.functions.minhash_sig(col("shingles"), NumHashes).as("sig")))
     val repPairs = exactJaccard(candidatePairs(bands(sigs)), verifySh)
       .filter(col("jaccard") >= threshold)
     expandPairs(repPairs, members, threshold)
@@ -264,9 +269,15 @@ object MinHash {
     graft.sources.BucketedTables.writeBucketed(
       shingleIndexRows(Tables.documents(spark, dir)), table, "doc_id", nBuckets)
 
-  /** The store row shape: (doc_id, shingles, rep) — the exact-dup class
-    * rep rides along (computed once at ingest/append) so probe-time
-    * collapse never shuffles the store itself. An appended batch
+  /** The store row shape: (doc_id, shingles, rep, sig) — the exact-dup
+    * class rep AND the minhash signature ride along (computed once at
+    * ingest/append) so probe-time collapse never shuffles the store and
+    * probe-time banding never recomputes signatures. The signature is
+    * the standard ingest artifact of a production LSH index (immutable
+    * per doc, NumHashes md5-min passes over the shingle array — the
+    * sf1 scale drill measured it as the dominant probe cost when
+    * recomputed). Storage trade: ~NumHashes hex digests per doc next to
+    * the shingle array the verify join needs anyway. An appended batch
     * computes reps WITHIN the batch only; a class straddling base and
     * batch simply keeps two reps, which the collapse handles exactly
     * (identical arrays ⇒ the two reps band identically, verify at
@@ -274,7 +285,10 @@ object MinHash {
     */
   private def shingleIndexRows(docs: DataFrame): DataFrame = {
     val sh = shingleArray(docs)
-    sh.join(dupClasses(sh).select(col("doc_id"), col("rep")), Seq("doc_id"))
+      .withColumn("sig",
+        graft.functions.functions.minhash_sig(col("shingles"), NumHashes))
+    sh.join(dupClasses(sh.select(col("doc_id"), col("shingles")))
+      .select(col("doc_id"), col("rep")), Seq("doc_id"))
   }
 
   /** Append a document batch to an existing bucketed shingle index:
@@ -285,9 +299,19 @@ object MinHash {
     * parameter, so callers can't wrongly assume one scopes the append.
     */
   def appendShingleIndex(table: String, batch: DataFrame,
-                         nBuckets: Int = 32): Unit =
-    graft.sources.BucketedTables.appendBucketed(
-      shingleIndexRows(batch), table, "doc_id", nBuckets)
+                         nBuckets: Int = 32): Unit = {
+    val rows = shingleIndexRows(batch)
+    // schema-adaptive: a store written before signatures rode along
+    // (doc_id, shingles, rep) keeps its shape — appending the sig
+    // column would fail the table-schema check; such stores stay on
+    // the probe-time recompute path until rebuilt
+    val spark = batch.sparkSession
+    val conformed =
+      if (spark.catalog.tableExists(table) &&
+          !spark.table(table).columns.contains("sig")) rows.drop("sig")
+      else rows
+    graft.sources.BucketedTables.appendBucketed(conformed, table, "doc_id", nBuckets)
+  }
 
   /** One grown-store build per (JVM, dir): base store from
     * doc_id % batchMod != 0, then [[appendShingleIndex]] of the rest —
@@ -355,14 +379,21 @@ object MinHash {
 
   def minhashDedupBucketed(spark: SparkSession, dir: String, table: String,
                            threshold: Double = 0.5): DataFrame = {
-    val store = withRep(spark.table(table)) // doc_id, shingles, rep
+    val store = withRep(spark.table(table)) // doc_id, shingles, rep[, sig]
     val members = store.select(col("doc_id"), col("rep"),
       size(col("shingles")).cast("bigint").as("n_sh"))
     // class reps by row-local comparison — no shuffle, no join
     val repSh = store.filter(col("doc_id") === col("rep"))
       .select(col("doc_id"), col("shingles"))
+    // ingest-time signatures (stores written before the sig column fall
+    // back to the probe-time recompute inside collapsedVerifiedPairs)
+    val repSig =
+      if (store.columns.contains("sig"))
+        Some(store.filter(col("doc_id") === col("rep") && size(col("shingles")) > 0)
+          .select(col("doc_id"), col("sig")))
+      else None
     collapsedVerifiedPairs(members, repSh,
-        store.select(col("doc_id"), col("shingles")), threshold)
+        store.select(col("doc_id"), col("shingles")), threshold, repSig)
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
@@ -513,10 +544,11 @@ object MinHash {
     // rep's shingles, and only then check the matched class actually has
     // a CORPUS member — with the (tiny, candidate-bounded) match set
     // broadcast so the store side still reads buckets shuffle-free
+    val corpusReps = store.filter(col("doc_id") === col("rep") && size(col("shingles")) > 0)
     val corpusBands = bands(
-      store.filter(col("doc_id") === col("rep") && size(col("shingles")) > 0)
-        .select(col("doc_id"),
-          graft.functions.functions.minhash_sig(col("shingles"), NumHashes).as("sig")))
+      if (store.columns.contains("sig")) corpusReps.select(col("doc_id"), col("sig"))
+      else corpusReps.select(col("doc_id"),
+        graft.functions.functions.minhash_sig(col("shingles"), NumHashes).as("sig")))
     val cand = broadcast(
         batchBands.select(col("band_id"), col("band_key"), col("doc_id").as("doc_a")))
       .join(corpusBands

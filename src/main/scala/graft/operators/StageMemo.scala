@@ -27,6 +27,19 @@ private[operators] object StageMemo {
   private val stageCache = new java.util.WeakHashMap[SparkSession,
     java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]]()
 
+  /** Storage level for memoized stages, overridable via
+    * `-Dgraft.stagememo.level=MEMORY_AND_DISK_SER` (r7 next-round #8:
+    * the memo footprint is the eviction-thrash surface under a
+    * constrained driver heap). Default stays MEMORY_AND_DISK: SQL-cache
+    * blocks are compressed columnar CachedBatches either way, and the
+    * measured footprint delta at sf0.1 is ~0 (BASELINE.md persist-
+    * footprint notes) — the knob exists so a constrained deployment can
+    * flip it without a code change.
+    */
+  private[operators] def level: org.apache.spark.storage.StorageLevel =
+    org.apache.spark.storage.StorageLevel.fromString(
+      sys.props.getOrElse("graft.stagememo.level", "MEMORY_AND_DISK"))
+
   def memoized(spark: SparkSession, stage: String, dir: String)
               (build: => DataFrame): DataFrame = {
     val perSession = stageCache.synchronized {
@@ -40,7 +53,7 @@ private[operators] object StageMemo {
     val key = (stage, dir)
     def repersisted(df: DataFrame): DataFrame = {
       if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        df.persist(level)
       df
     }
     val hit = perSession.get(key)
@@ -49,7 +62,7 @@ private[operators] object StageMemo {
       val again = perSession.get(key)
       if (again != null) repersisted(again)
       else {
-        val df = build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val df = build.persist(level)
         perSession.put(key, df)
         df
       }

@@ -16,6 +16,13 @@ import org.apache.spark.sql.functions._
   */
 object StreamingJoin {
 
+  /** Event-time watermarks require TIMESTAMP; driver files since round 8
+    * load `ts` as TIMESTAMP_NTZ. The cast is a no-op for TIMESTAMP and
+    * reinterprets NTZ wall-clock in the session zone (pinned UTC).
+    */
+  private def tsAsInstant(df: DataFrame): DataFrame =
+    df.withColumn("ts", col("ts").cast("timestamp"))
+
   /** (view_id, purchase_id, user_id, view_ts, purchase_ts) pairs where
     * the view preceded the purchase by at most `windowSeconds`, both
     * sides streaming (columns: user_id, event_id, event_type, ts).
@@ -24,11 +31,11 @@ object StreamingJoin {
   def viewPurchaseAttribution(views: DataFrame, purchases: DataFrame,
                               windowSeconds: Long = 3600,
                               delay: String = "10 minutes"): DataFrame = {
-    val v = views.filter(col("event_type") === "view")
+    val v = tsAsInstant(views).filter(col("event_type") === "view")
       .withWatermark("ts", delay)
       .select(col("user_id"), col("event_id").as("view_id"),
         col("ts").as("view_ts"))
-    val p = purchases.filter(col("event_type") === "purchase")
+    val p = tsAsInstant(purchases).filter(col("event_type") === "purchase")
       .withWatermark("ts", delay)
       .select(col("user_id").as("p_user_id"),
         col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
@@ -53,11 +60,11 @@ object StreamingJoin {
   def viewPurchaseAttributionOuter(views: DataFrame, purchases: DataFrame,
                                    windowSeconds: Long = 3600,
                                    delay: String = "10 minutes"): DataFrame = {
-    val v = views.filter(col("event_type") === "view")
+    val v = tsAsInstant(views).filter(col("event_type") === "view")
       .withWatermark("ts", delay)
       .select(col("user_id"), col("event_id").as("view_id"),
         col("ts").as("view_ts"))
-    val p = purchases.filter(col("event_type") === "purchase")
+    val p = tsAsInstant(purchases).filter(col("event_type") === "purchase")
       .withWatermark("ts", delay)
       .select(col("user_id").as("p_user_id"),
         col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))

@@ -104,18 +104,31 @@ object GenData {
     "documents" -> (50000 * sf).round.max(2),
     "embeddings" -> math.max(500L, (8000 * math.pow(sf, 0.6)).round))
 
-  def genAll(spark: SparkSession, dir: String, sf: Double, opts: GenOpts = GenOpts()): Unit = {
+  /** `multiFile = false` (default): one plain parquet file per table —
+    * byte-layout parity with the driver corpus, required when DuckDB
+    * (the oracle) reads `<dir>/<table>.parquet` as a file. A 6M-row
+    * single Spark-written file has ONE row group, so every pre-exchange
+    * pipeline over it runs in one task — fine at oracle scale (sf≤0.01),
+    * a measured 12-50× scan-serialization pathology at sf1.
+    *
+    * `multiFile = true`: `<table>.parquet` is a DIRECTORY holding the
+    * engine's natural write parallelism (~one file per core) — the
+    * layout any production pipeline produces and the right substrate
+    * for the scale drill; `Tables.load` reads both identically.
+    */
+  def genAll(spark: SparkSession, dir: String, sf: Double, opts: GenOpts = GenOpts(),
+             multiFile: Boolean = false): Unit = {
     val n = sizes(sf)
-    writeOne(region(spark), dir, "region")
-    writeOne(nation(spark), dir, "nation")
-    writeOne(customer(spark, n("customer"), opts.seed), dir, "customer")
-    writeOne(supplier(spark, n("supplier"), opts.seed), dir, "supplier")
-    writeOne(part(spark, n("part"), opts.seed), dir, "part")
-    writeOne(orders(spark, n("orders"), n("customer"), opts.seed), dir, "orders")
-    writeOne(lineitem(spark, n("orders"), n("part"), n("supplier"), opts.seed), dir, "lineitem")
-    writeOne(events(spark, n("events"), n("users"), opts.seed), dir, "events")
-    writeOne(documents(spark, n("documents"), opts), dir, "documents")
-    writeOne(embeddings(spark, n("embeddings"), opts.seed), dir, "embeddings")
+    writeOne(region(spark), dir, "region", multiFile)
+    writeOne(nation(spark), dir, "nation", multiFile)
+    writeOne(customer(spark, n("customer"), opts.seed), dir, "customer", multiFile)
+    writeOne(supplier(spark, n("supplier"), opts.seed), dir, "supplier", multiFile)
+    writeOne(part(spark, n("part"), opts.seed), dir, "part", multiFile)
+    writeOne(orders(spark, n("orders"), n("customer"), opts.seed), dir, "orders", multiFile)
+    writeOne(lineitem(spark, n("orders"), n("part"), n("supplier"), opts.seed), dir, "lineitem", multiFile)
+    writeOne(events(spark, n("events"), n("users"), opts.seed), dir, "events", multiFile)
+    writeOne(documents(spark, n("documents"), opts), dir, "documents", multiFile)
+    writeOne(embeddings(spark, n("embeddings"), opts.seed), dir, "embeddings", multiFile)
   }
 
   def region(spark: SparkSession): DataFrame = {
@@ -283,9 +296,18 @@ object GenData {
     * Upstream computation stays parallel; only the final write funnels
     * through one task (repartition(1) shuffles computed rows).
     */
-  def writeOne(df: DataFrame, dir: String, name: String): Unit = {
+  def writeOne(df: DataFrame, dir: String, name: String,
+               multiFile: Boolean = false): Unit = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     Files.createDirectories(Paths.get(dir))
+    if (multiFile) {
+      // natural engine parallelism (~one file per core); the repartition
+      // also restores width for frames a global window collapsed to one
+      // partition (events)
+      df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+        .write.mode(SaveMode.Overwrite).parquet(s"$dir/$name.parquet")
+      return
+    }
     val tmp = s"$dir/.tmp_$name"
     df.repartition(1).write.mode(SaveMode.Overwrite).parquet(tmp)
     val part = Files.list(Paths.get(tmp)).iterator()
@@ -309,11 +331,14 @@ object GenData {
     }
   }
 
-  /** `GenData <outDir> <sf> [seed] [nearDupRate exactDupRate nonAsciiRate emptyDocRate]` */
+  /** `GenData <outDir> <sf> [seed] [nearDupRate exactDupRate nonAsciiRate emptyDocRate]`;
+    * set SPARK_GRAFT_GEN_MULTIFILE=1 for the scale-drill directory layout.
+    */
   def main(args: Array[String]): Unit = {
     val dir = args(0)
     val sf = args(1).toDouble
     val seed = if (args.length > 2) args(2).toLong else 42L
+    val multiFile = sys.env.get("SPARK_GRAFT_GEN_MULTIFILE").contains("1")
     val opts =
       if (args.length > 6) GenOpts(seed, args(3).toDouble, args(4).toDouble,
         args(5).toDouble, args(6).toDouble)
@@ -328,7 +353,7 @@ object GenData {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val t0 = System.nanoTime()
-    genAll(spark, dir, sf, opts)
+    genAll(spark, dir, sf, opts, multiFile)
     println(f"[gendata] wrote sf=$sf seed=$seed to $dir in ${(System.nanoTime() - t0) / 1e9}%.1f s")
     spark.stop()
   }

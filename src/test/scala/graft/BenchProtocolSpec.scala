@@ -26,31 +26,33 @@ class BenchProtocolSpec extends AnyFunSuite {
     assert(!BenchProtocol.noisy(-1.0, Seq(-1.0, -1.0), 32))
   }
 
-  test("external-cores meter: self-load is invisible, foreign load counts") {
+  test("external-cores meter: self user-load and kernel IO invisible, foreign user load counts") {
     import BenchProtocol.{CpuSnap, externalCores}
-    // 32 cpus, 1000 total ticks elapsed; process consumed all busy time
+    // 32 cpus, 1000 total ticks elapsed; process consumed all user time
     assert(externalCores(CpuSnap(0, 0, 0), CpuSnap(800, 1000, 800), 32) === 0.0)
-    // half the busy time was foreign: (800-400)/1000*32 = 12.8 cores
+    // half the user time was foreign: (800-400)/1000*32 = 12.8 cores
     assert(math.abs(externalCores(CpuSnap(0, 0, 0), CpuSnap(800, 1000, 400), 32) - 12.8) < 1e-9)
     // degenerate accounting (no elapsed ticks / counter wrap) -> -1
     assert(externalCores(CpuSnap(0, 0, 0), CpuSnap(0, 0, 0), 32) === -1.0)
     assert(externalCores(CpuSnap(100, 100, 100), CpuSnap(50, 200, 100), 32) === -1.0)
   }
 
-  test("/proc parsers: aggregate cpu line and self stat with spaced comm") {
-    val (busy, total) = BenchProtocol.parseProcStatCpu(
-      "cpu  100 0 50 800 40 5 5 0 0 0")
-    assert(total === 1000 && busy === 160) // idle 800 + iowait 40 excluded
+  test("/proc parsers: user-only cpu line and self-stat utime with spaced comm") {
+    val (user, total) = BenchProtocol.parseProcStatCpu(
+      "cpu  100 10 50 800 40 5 5 0 0 0")
+    // user+nice only: kernel writeback (system ticks) is self-inflicted
+    // IO on store-writing queries, not contamination
+    assert(total === 1010 && user === 110)
     val ticks = BenchProtocol.parseSelfStat(
       "1234 (java -cp foo) S 1 1 1 0 -1 4194560 5000 0 0 0 777 223 0 0 20 0 33 0 100 1000000 500")
-    assert(ticks === 1000) // utime 777 + stime 223
+    assert(ticks === 777) // utime only
   }
 
   test("live cpuSnap reads this machine's accounting") {
     BenchProtocol.cpuSnap() match {
       case Some(s) =>
-        assert(s.totalTicks > 0 && s.busyTicks >= 0 && s.busyTicks <= s.totalTicks)
-        assert(s.procTicks >= 0)
+        assert(s.totalTicks > 0 && s.userTicks >= 0 && s.userTicks <= s.totalTicks)
+        assert(s.procUserTicks >= 0)
       case None => cancel("/proc unavailable on this platform")
     }
   }

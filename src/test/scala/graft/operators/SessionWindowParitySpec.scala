@@ -30,10 +30,13 @@ class SessionWindowParitySpec extends SparkSpec {
     // when the next event is >= last + gap — on this corpus of
     // microsecond timestamps an exact-1800s gap would be the only
     // divergence, and parity proves there is none)
+    // raw objects: ts is TIMESTAMP_NTZ (LocalDateTime) on round-8+
+    // driver files, java.sql.Timestamp on older ones — both sides of
+    // the parity produce the same type either way
     val b = builtin.collect().map(r =>
-      (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3))).toSet
+      (r.getLong(0), r.get(1), r.get(2), r.getLong(3))).toSet
     val c = custom.collect().map(r =>
-      (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3))).toSet
+      (r.getLong(0), r.get(1), r.get(2), r.getLong(3))).toSet
     assert(b.nonEmpty)
     assert(b === c)
   }

@@ -54,6 +54,53 @@ class PlanSnapshotSpec extends SparkSpec {
       "exchanges=" + n("Exchange")).mkString(" ")
   }
 
+  // The memoized near-dup lanes, snapshotted CANONICALLY (VERDICT r7
+  // next-round #7): a fresh session per lane (fresh StageMemo — the
+  // memo is weak-keyed by session) with the shared cache cleared first,
+  // so the signature is the plan a production session builds on first
+  // use, not whatever InMemoryRelation substitutions the suite order
+  // left behind. Stage persists registered DURING the build substitute
+  // deterministically (same order every time in a fresh world), so the
+  // signature is stable — broadcast decay in the highest-value family
+  // now fails a spec too.
+  private val NearDup = Seq(
+    "dedup_minhash_lsh",
+    "dedup_incremental_bucketed",
+    "dedup_media_phash")
+
+  private val nearDupSnapshotPath =
+    java.nio.file.Paths.get("src/test/resources/plan_snapshot_neardup.txt")
+
+  test("near-dup lanes: fresh-session canonical plans match the snapshot") {
+    val current = NearDup.map { name =>
+      val fresh = spark.newSession()
+      fresh.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.sharedState.cacheManager.clearCache()
+      name -> signatureOf(SparkEntry.queries(name)(fresh, sfDir))
+    }
+    // drop this spec's stage builds so later suites rebuild their memos
+    // from a clean cache instead of half-evicted leftovers
+    spark.sharedState.cacheManager.clearCache()
+    if (sys.env.get("PLAN_SNAPSHOT_WRITE").contains("1")) {
+      val body = current.map { case (k, v) => s"$k $v" }.mkString("", "\n", "\n")
+      java.nio.file.Files.createDirectories(nearDupSnapshotPath.getParent)
+      java.nio.file.Files.writeString(nearDupSnapshotPath, body)
+      info(s"snapshot rewritten: $nearDupSnapshotPath")
+    } else {
+      assert(java.nio.file.Files.exists(nearDupSnapshotPath),
+        s"missing $nearDupSnapshotPath — regenerate with PLAN_SNAPSHOT_WRITE=1")
+      val expected = java.nio.file.Files.readString(nearDupSnapshotPath)
+        .linesIterator.filter(_.nonEmpty).map { l =>
+          val i = l.indexOf(' '); l.take(i) -> l.drop(i + 1)
+        }.toMap
+      current.foreach { case (name, sig) =>
+        assert(expected.contains(name), s"$name missing from snapshot")
+        assert(sig === expected(name),
+          s"$name plan shape drifted: now [$sig], snapshot [${expected(name)}]")
+      }
+    }
+  }
+
   test("headline query plans match the committed join/exchange snapshot") {
     val prev = spark.conf.getOption("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")

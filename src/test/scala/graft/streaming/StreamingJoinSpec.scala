@@ -10,7 +10,11 @@ import graft.SparkSpec
 class StreamingJoinSpec extends SparkSpec {
 
   test("stream-stream view→purchase join matches the batch join") {
+    // instant-typed ts on both batch and stream sides (round-8+ driver
+    // files load as TIMESTAMP_NTZ, which watermarks reject and
+    // getTimestamp can't read)
     val events = graft.Tables.events(spark, sfDir)
+      .withColumn("ts", col("ts").cast("timestamp"))
       .select("user_id", "event_id", "event_type", "ts")
     val tmp = java.nio.file.Files.createTempDirectory("stream-join").toString
     events.write.parquet(s"$tmp/in")
@@ -44,7 +48,11 @@ class StreamingJoinSpec extends SparkSpec {
   }
 
   test("left-outer stream-stream join: misses emit on watermark, parity with batch left-anti") {
+    // instant-typed ts on both batch and stream sides (round-8+ driver
+    // files load as TIMESTAMP_NTZ, which watermarks reject and
+    // getTimestamp can't read)
     val events = graft.Tables.events(spark, sfDir)
+      .withColumn("ts", col("ts").cast("timestamp"))
       .select("user_id", "event_id", "event_type", "ts")
     val tmp = java.nio.file.Files.createTempDirectory("stream-join-outer").toString
     events.write.parquet(s"$tmp/in")
