@@ -17,17 +17,22 @@ package graft
   */
 object BenchProtocol {
 
-  /** Noise rule: contaminated at start (1-min load > 2 before any work
-    * ran — the BASELINE.md protocol precondition), or any mid-run
-    * EXTERNAL-CPU sample above cpus/8 foreign cores (4 on the 32-cpu
-    * protocol box). External cores, not raw load: the bench itself
-    * saturates local[32], and a measured quiet-box run integrates 1-min
-    * load up to ~12 across the heavy near-dup block purely from
-    * self-load, so the raw-load variant of this rule flags every clean
-    * run. Samples < 0 mean "unavailable" and never trip the flag.
+  /** Noise rule: any per-query EXTERNAL-CPU sample above cpus/8 foreign
+    * cores (4 on the 32-cpu protocol box); when the meter is
+    * unavailable (non-Linux), fall back to the 1-min load_start > 2
+    * precondition. The meter supersedes load_start because load average
+    * cannot attribute: it integrates the bench's own launcher (an sbt
+    * compile immediately before the run reads load ~3 on an otherwise
+    * idle box) and the bench's own self-load (measured up to ~12 across
+    * the heavy near-dup block), while foreign user-mode CPU during the
+    * run — the thing that actually inflates timings — is exactly what
+    * the per-query samples measure. Samples < 0 mean "unavailable".
     */
-  def noisy(loadStart: Double, externalCoreSamples: Iterable[Double], cpus: Int): Boolean =
-    loadStart > 2.0 || externalCoreSamples.exists(s => s >= 0 && s > cpus / 8.0)
+  def noisy(loadStart: Double, externalCoreSamples: Iterable[Double], cpus: Int): Boolean = {
+    val usable = externalCoreSamples.exists(_ >= 0)
+    if (usable) externalCoreSamples.exists(s => s >= 0 && s > cpus / 8.0)
+    else loadStart > 2.0
+  }
 
   /** One reading of the machine/process CPU accounting, in the shared
     * jiffy unit of /proc (so no HZ or wall-clock conversion is needed):

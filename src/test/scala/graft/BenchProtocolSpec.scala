@@ -8,9 +8,14 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class BenchProtocolSpec extends AnyFunSuite {
 
-  test("noisy: contaminated start trips the flag regardless of samples") {
+  test("noisy: load_start is the fallback only when the meter is unavailable") {
+    // no usable samples -> load_start rule
     assert(BenchProtocol.noisy(2.01, Nil, 32))
+    assert(BenchProtocol.noisy(2.01, Seq(-1.0, -1.0), 32))
     assert(!BenchProtocol.noisy(2.0, Nil, 32))
+    // usable samples supersede load_start (an sbt launch compile reads
+    // load ~3 on an idle box; the meter exonerates the run)
+    assert(!BenchProtocol.noisy(3.1, Seq(0.1, 0.2), 32))
     assert(!BenchProtocol.noisy(0.3, Seq(1.0, 3.9), 32))
   }
 
