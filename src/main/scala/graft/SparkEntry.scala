@@ -1138,7 +1138,7 @@ object SparkEntry {
     "text_token_count" ->
       """SELECT doc_id,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
-        |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_bpe_tokens
+        |  CAST(len(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_bpe_tokens
         |FROM documents""".stripMargin,
     "text_fingerprint" ->
       """SELECT doc_id, md5(text) AS fp_md5,
@@ -1378,12 +1378,12 @@ object SparkEntry {
         |       CAST(COALESCE(d.n_distinct, 0) AS BIGINT) AS n_distinct
         |FROM t LEFT JOIN d ON t.doc_id = d.doc_id""".stripMargin,
     "dedup_exact_text" ->
-      """SELECT min(doc_id) AS doc_id, md5(lower(trim(text))) AS fp, count(*) AS n_copies
-        |FROM documents GROUP BY md5(lower(trim(text)))""".stripMargin,
+      """SELECT min(doc_id) AS doc_id, md5(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')) AS fp, count(*) AS n_copies
+        |FROM documents GROUP BY md5(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'))""".stripMargin,
     // md5-position bloom rebuilt bit-for-bit; bloom_maybe requires every
     // distinct position set, exact_dup is the plain key semi-join
     "dedup_bloom_prefilter" ->
-      """WITH k AS (SELECT doc_id, lower(trim(text)) AS key FROM documents),
+      """WITH k AS (SELECT doc_id, translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz') AS key FROM documents),
         |pos AS (SELECT DISTINCT doc_id, bit FROM (
         |  SELECT doc_id,
         |    CAST(('0x' || substr(md5(CAST(h AS VARCHAR) || '|' || key), 1, 15)) AS UBIGINT)

@@ -133,7 +133,10 @@ object Dedup {
     // four subtrees read the keyed frame (corpus bits, batch probe,
     // exact batch side, exact corpus side) — persist it so the source
     // scans once per build (the caller memoizes the build per session)
-    val k = docs.select(col("doc_id"), lower(trim(col("text"))).as("key"))
+    // ASCII-only case fold (TextOps.asciiLower rationale): lower() is
+    // engine-divergent on Unicode and this key is oracle-compared
+    val k = docs.select(col("doc_id"),
+      TextOps.asciiLower(trim(col("text"))).as("key"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def pos(h: Int) = pmod(
       conv(substring(md5(concat(lit(s"$h|"), col("key"))), 1, 15), 16, 10)

@@ -135,11 +135,23 @@ object TextOps {
   /** BPE-ish token counting: words, numbers, and single non-space symbols
     * as separate tokens (the classic pre-tokenizer regex).
     */
+  /** Engine-neutral ASCII case fold: translate A-Z to a-z, leave every
+    * other codepoint untouched. `lower()` is NOT portable across
+    * engines on Unicode (Spark's full case mapping vs DuckDB's
+    * utf8proc diverge on U+0130/final sigma/etc. — surfaced by the
+    * round-8 second-seed fuzz); the lanes that want full Unicode
+    * canonicalization use [[graft.functions.Expressions.NfcCasefold]]
+    * (`dedup_exact_unicode`), everything else folds ASCII case only,
+    * identically in both engines by construction.
+    */
+  private[operators] def asciiLower(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    translate(c, ('A' to 'Z').mkString, ('a' to 'z').mkString)
+
   def tokenCount(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir).select(
       col("doc_id"),
       size(split(col("text"), " ")).cast("bigint").as("n_ws_tokens"),
-      size(regexp_extract_all(lower(col("text")), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+      size(regexp_extract_all(asciiLower(col("text")), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
         .cast("bigint").as("n_bpe_tokens"))
 
   /** Winnowing fingerprints (MOSS): per-doc distinct window-min k-gram
@@ -349,7 +361,7 @@ object TextOps {
     */
   def exactDedup(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
-      .withColumn("fp", md5(lower(trim(col("text")))))
+      .withColumn("fp", md5(asciiLower(trim(col("text")))))
     d.groupBy(col("fp"))
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
       .select(col("doc_id"), col("fp"), col("n_copies"))

@@ -448,4 +448,23 @@ class TextSpec extends SparkSpec {
            farDist.sum.toDouble / farDist.length,
       s"near avg ${nearDist.sum / nearDist.length} !< far avg ${farDist.sum / farDist.length}")
   }
+
+  test("asciiLower is engine-neutral: folds A-Z only, Unicode untouched") {
+    // The round-8 second-seed fuzz (non-ASCII corpus) surfaced lower()
+    // divergence between Spark (full Unicode case mapping) and DuckDB
+    // (utf8proc) on U+0130 / final sigma / sharp s. The oracle-compared
+    // ASCII-fold lanes (exact dedup fingerprint, bloom prefilter key,
+    // BPE token count) must therefore fold ASCII case ONLY — full
+    // canonicalization is nfc_casefold's lane (dedup_exact_unicode).
+    import spark.implicits._
+    val rows = Seq("MiXeD ASCII 123", "İstanbul", "STRASSE straße", "ΟΔΟΣ οδός", "café")
+      .toDF("t")
+      .select(TextOps.asciiLower(org.apache.spark.sql.functions.col("t")).as("f"))
+      .collect().map(_.getString(0))
+    assert(rows(0) === "mixed ascii 123")
+    assert(rows(1) === "İstanbul")         // U+0130 NOT folded
+    assert(rows(2) === "strasse straße")   // ASCII folded, ß untouched
+    assert(rows(3) === "ΟΔΟΣ οδός")        // Greek untouched (no final-sigma trap)
+    assert(rows(4) === "café")
+  }
 }
