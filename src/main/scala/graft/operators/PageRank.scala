@@ -67,6 +67,8 @@ object PageRank {
       ranks = next
       round += 1
     }
+    // partition-less window over the limit(k) frame: ≤ k rows move to
+    // one partition (the "No Partition Defined" warning is report-sized)
     val out = ranks.orderBy(col("r").desc, col("node")).limit(k)
       .withColumn("rnk", row_number().over(
         org.apache.spark.sql.expressions.Window.orderBy(

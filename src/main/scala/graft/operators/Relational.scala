@@ -861,6 +861,9 @@ object Relational {
       .agg(count(lit(1)).as("n_orders"))
     // TakeOrderedAndProject: per-partition k-heaps + one k-row merge,
     // no global sort; ties broken on the pair so the cut is exact
+    // the partition-less window below triggers Spark's "No Partition
+    // Defined" warning, but its input is the limit(k) frame — moving
+    // ≤ k report rows to one partition, never corpus data
     pairs.orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
       .limit(k)
       .withColumn("rnk", row_number().over(

@@ -382,10 +382,20 @@ object Similarity {
     */
   def appendIvfIndex(spark: SparkSession, dir: String, indexDir: String,
                      batch: DataFrame, codebookK: Int = CodebookK): Unit =
-    assignWith(batch,
-        hashSampleCentroids(Tables.embeddings(spark, dir), codebookK))
+    assignBatch(spark, dir, batch, codebookK)
       .repartition(col("list_id"))
       .write.mode("append").partitionBy("list_id").parquet(indexDir)
+
+  /** A vector batch assigned against the corpus codebook — the
+    * (vec_id, embedding, label, list_id) rows an IVF ingest writes.
+    * Deterministic per row (hash-sampled codebook fixed by the corpus),
+    * so any partitioning of the batch — one shot, micro-batches, a
+    * replayed micro-batch — produces identical assignments.
+    */
+  def assignBatch(spark: SparkSession, dir: String, batch: DataFrame,
+                  codebookK: Int = CodebookK): DataFrame =
+    assignWith(batch,
+      hashSampleCentroids(Tables.embeddings(spark, dir), codebookK))
 
   /** One grown-index build per (JVM, corpus dir): base index from
     * vec_id % batchMod != 0, then [[appendIvfIndex]] of the rest — the

@@ -47,4 +47,48 @@ object StreamingIvf {
       }
     checkpoint.fold(writer)(c => writer.option("checkpointLocation", c)).start()
   }
+
+  /** EXACTLY-ONCE variant of [[appendSink]], closing the at-least-once
+    * caveat: each micro-batch's assignment lands under its own
+    * `batch_id=<n>` idempotence directory (Overwrite mode — a replayed
+    * batch REPLACES its previous partial output), with the inverted
+    * lists nested inside (`batch_id=N/list_id=K/…`). Probes read the
+    * root exactly as they read the flat layout — `list_id` is still a
+    * partition column, so `list_id IN (probed)` prunes list directories
+    * under every batch. Retry orchestration and the idempotence
+    * contract come from [[ExactlyOnceSink]] (reference retry law);
+    * assignment determinism ([[Similarity.assignBatch]]) makes the
+    * replayed write byte-equivalent, StreamingIvfSpec pins both.
+    *
+    * Trade vs the flat layout: one directory level per micro-batch —
+    * the ingest compaction job (rewrite N batch dirs into the flat
+    * store, [[Similarity.appendIvfIndex]]) bounds the dir count, the
+    * same lifecycle as any log-structured store.
+    */
+  def exactlyOnceAppendSink(spark: SparkSession, corpusDir: String,
+                            indexDir: String, vectors: DataFrame,
+                            codebookK: Int = Similarity.CodebookK,
+                            strategy: graft.provider.RetryStrategy =
+                              new graft.provider.NoRetryStrategy,
+                            checkpoint: Option[String] = None): StreamingQuery = {
+    val writer = exactlyOnceWriter(spark, corpusDir, indexDir, codebookK, strategy)
+    val w = vectors.writeStream.outputMode("append")
+      .foreachBatch { (batch: Dataset[Row], id: Long) => writer(batch.toDF(), id) }
+    checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
+  }
+
+  /** The idempotent per-batch writer behind [[exactlyOnceAppendSink]],
+    * exposed so specs (and replay tooling) can re-invoke a batch id
+    * directly and assert the replay leaves the store byte-identical.
+    */
+  def exactlyOnceWriter(spark: SparkSession, corpusDir: String, indexDir: String,
+                        codebookK: Int = Similarity.CodebookK,
+                        strategy: graft.provider.RetryStrategy =
+                          new graft.provider.NoRetryStrategy): (DataFrame, Long) => Unit =
+    new ExactlyOnceSink(indexDir, "parquet", strategy,
+      Some((df, dir) =>
+        Similarity.assignBatch(spark, corpusDir, df, codebookK)
+          .repartition(org.apache.spark.sql.functions.col("list_id"))
+          .write.mode("overwrite")
+          .partitionBy("list_id").parquet(dir))).writer
 }

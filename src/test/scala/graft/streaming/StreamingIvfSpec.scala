@@ -70,4 +70,39 @@ class StreamingIvfSpec extends SparkSpec {
     }
     assert(after.size > baseFiles.size, "appends must add files")
   }
+
+  test("exactly-once sink: replayed micro-batch leaves the store row-identical") {
+    import spark.implicits._
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val rest = emb.filter(col("vec_id") % 7 === 0)
+      .select("vec_id", "embedding", "label")
+    val idxEo = graft.sources.Scratch.tempDir("ivf-eo-idx")
+    val idxFlat = graft.sources.Scratch.tempDir("ivf-eo-flat")
+    Similarity.appendIvfIndex(spark, sfDir, idxFlat, rest)
+
+    val writer = StreamingIvf.exactlyOnceWriter(spark, sfDir, idxEo)
+    val rows = rest.as[(Long, Array[Float], Int)].collect().toSeq
+    val chunks = rows.grouped(math.max(1, rows.size / 3)).toSeq
+    chunks.zipWithIndex.foreach { case (chunk, id) =>
+      writer(chunk.toDF("vec_id", "embedding", "label"), id.toLong)
+    }
+    // the layout nests lists under batch dirs; list_id stays a partition col
+    assert(indexRows(idxEo) === indexRows(idxFlat))
+
+    // REPLAY batch 1 (failure re-execution): store must not change
+    val before = indexRows(idxEo)
+    writer(chunks(1).toDF("vec_id", "embedding", "label"), 1L)
+    assert(indexRows(idxEo) === before, "replayed batch duplicated rows")
+
+    // a PARTIAL previous attempt of a batch is replaced, not merged
+    writer(chunks(2).take(1).toDF("vec_id", "embedding", "label"), 5L)
+    writer(chunks(2).toDF("vec_id", "embedding", "label"), 5L)
+    val withFive = indexRows(idxEo)
+    val expectedFive = (before ++ chunks(2).map(r =>
+      // chunk 2 re-lands under batch 5: assignments are deterministic,
+      // so the duplicate vec_ids appear exactly once more
+      (r._1, -1))).map(_._1).sorted
+    assert(withFive.map(_._1).sorted === expectedFive,
+      "partial batch attempt was merged instead of replaced")
+  }
 }
