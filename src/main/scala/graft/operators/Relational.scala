@@ -708,8 +708,16 @@ object Relational {
     events
       .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
       .withColumn("new_session",
+        // exact MICROSECOND gap, matching the oracle's epoch_us: the
+        // earlier unix_timestamp form truncated each endpoint to whole
+        // seconds BEFORE differencing, so a gap of 1800.9s read as 1800
+        // and fused two true sessions — invisible at sf0.01 (~0.2
+        // boundary gaps expected), surfaced by the sf1 scale drill (11
+        // of ~955k sessions diverged). The cast is a no-op for
+        // TIMESTAMP and UTC-reinterprets NTZ driver files.
         when(col("prev_ts").isNull ||
-             unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > gapSeconds, 1)
+             unix_micros(col("ts").cast("timestamp")) -
+               unix_micros(col("prev_ts").cast("timestamp")) > gapSeconds * 1000000L, 1)
           .otherwise(0))
       .withColumn("session_id", sum(col("new_session")).over(
         byUser.rowsBetween(Window.unboundedPreceding, 0)))

@@ -15,8 +15,10 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * watermark has closed, (user_id, session_id, n_events, session_start,
   * session_end) equals the batch sessionizer on the same events,
   * including the per-user 1-based session numbering in time order and
-  * the batch gap convention (epoch-SECOND difference > gap — batch uses
-  * `unix_timestamp`, which truncates sub-second precision).
+  * the batch gap convention (exact MICROSECOND difference > gap,
+  * matching the oracle's epoch_us — the sf1 scale drill showed the
+  * older epoch-second truncation fuses sessions at fractional-second
+  * boundaries).
   *
   * State per user: the open session (4 longs) plus the session counter —
   * constant size, reclaimed down to the counter when a session closes.
@@ -35,6 +37,14 @@ object StreamingSessionize {
                 (implicit spark: SparkSession): Dataset[Session] = {
     import spark.implicits._
     val gapMs = gapSeconds * 1000L
+    val gapUs = gapSeconds * 1000000L
+    def micros(t: Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000
+    def fromMicros(us: Long): Timestamp = {
+      val ts = new Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+      ts.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+      ts
+    }
     // state tuple: (nextId, start, end, n) — nextId is the id the OPEN
     // (or next) session takes, 1-based; n == 0 ⇔ no open session. A
     // tuple, not a nested case class: product encoders for private
@@ -47,7 +57,7 @@ object StreamingSessionize {
         (user: Long, rows: Iterator[Ev],
          state: GroupState[(Long, Long, Long, Long)]) =>
           def closed(s: (Long, Long, Long, Long)): Session =
-            Session(user, s._1, s._4, new Timestamp(s._2), new Timestamp(s._3))
+            Session(user, s._1, s._4, fromMicros(s._2), fromMicros(s._3))
           if (state.hasTimedOut) {
             val s = state.get
             // keep the counter so the next session continues the numbering
@@ -57,11 +67,11 @@ object StreamingSessionize {
             val out = scala.collection.mutable.ArrayBuffer.empty[Session]
             var s = state.getOption.getOrElse((1L, 0L, 0L, 0L))
             // deterministic intra-batch order = the batch window's order
-            rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
-              val t = e.ts.getTime
+            rows.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
+              val t = micros(e.ts) // state start/end are epoch MICROS
               if (s._4 == 0) s = (s._1, t, t, 1L)
-              // batch convention: unix_timestamp() truncates to seconds
-              else if (t / 1000 - s._3 / 1000 > gapSeconds) {
+              // batch convention: exact microsecond difference > gap
+              else if (t - s._3 > gapUs) {
                 out += closed(s)
                 s = (s._1 + 1, t, t, 1L)
               } else s = (s._1, s._2, math.max(s._3, t), s._4 + 1)
@@ -69,7 +79,7 @@ object StreamingSessionize {
             state.update(s)
             if (s._4 > 0)
               state.setTimeoutTimestamp(
-                math.max(s._3 + gapMs + 1000, state.getCurrentWatermarkMs() + 1))
+                math.max(s._3 / 1000 + gapMs + 1000, state.getCurrentWatermarkMs() + 1))
             out.iterator
           }
       }

@@ -63,16 +63,17 @@ class StreamingSessionizeSpec extends SparkSpec {
       s"stream-only: ${streamed -- batch}; batch-only: ${batch -- streamed}")
   }
 
-  test("second-truncation gap convention matches batch (boundary events)") {
+  test("exact-microsecond gap convention matches batch (boundary events)") {
     implicit val s = spark
     import s.implicits._
     implicit val sc = s.sqlContext
-    // 1800s gap: event at +1800.9s is SAME session under unix_timestamp
-    // truncation (1800 not > 1800); +1801.0s starts a new one
+    // exact-µs convention (the sf1 drill retired second-truncation,
+    // which fused sessions at fractional-second boundaries): a gap of
+    // 1799.9s stays in-session; 1800.000001s opens a new one
     val originals = Seq(
       Ev(9L, Timestamp.valueOf("2024-01-01 08:00:00.500"), 1L),
-      Ev(9L, Timestamp.valueOf("2024-01-01 08:30:00.900"), 2L), // 1800s trunc → same
-      Ev(9L, Timestamp.valueOf("2024-01-01 09:00:02.000"), 3L)) // >1800s → new
+      Ev(9L, Timestamp.valueOf("2024-01-01 08:30:00.400"), 2L), // 1799.9s → same
+      Ev(9L, Timestamp.valueOf("2024-01-01 09:00:00.400001"), 3L)) // 1800.000001s → new
     val sentinels = Seq(Ev(9L, t("2024-01-01 13:00:00"), 100L))
     val input = MemoryStream[Ev]
     val q = StreamingSessionize.sessionize(input.toDS())
