@@ -158,6 +158,8 @@ object SparkEntry {
     "q_set_ops"             -> (Relational.qSetOps _),
     // ── text analysis ──
     "text_quality"       -> (TextOps.qualityScore _),
+    // Gopher-style rule gate: each curation rule as an exact 0/1 column
+    "text_quality_gopher" -> (TextOps.gopherRules _),
     "text_langid"        -> (TextOps.langId _),
     "text_token_count"   -> (TextOps.tokenCount _),
     "text_fingerprint"   -> (TextOps.fingerprint _),
@@ -1119,6 +1121,29 @@ object SparkEntry {
         |        CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_types,
         |        CAST(len(list_filter(string_split(text, ' '),
         |          t -> t IN ('the','a','of','and','is','to','in'))) AS BIGINT) AS n_stopwords
+        |      FROM documents)""".stripMargin,
+    "text_quality_gopher" ->
+      """SELECT doc_id,
+        |  CAST(n_words >= 20 AND n_words <= 100000 AS BIGINT) AS r_word_count,
+        |  CAST(ns >= n_words * 3 AND ns <= n_words * 10 AS BIGINT) AS r_mean_word_len,
+        |  CAST(alpha_words * 5 >= n_words * 4 AS BIGINT) AS r_alpha_words,
+        |  CAST(n_stops >= 2 AS BIGINT) AS r_stopwords,
+        |  CAST(n_words >= 20 AND n_words <= 100000 AS BIGINT)
+        |    * CAST(ns >= n_words * 3 AND ns <= n_words * 10 AS BIGINT)
+        |    * CAST(alpha_words * 5 >= n_words * 4 AS BIGINT)
+        |    * CAST(n_stops >= 2 AS BIGINT) AS passes
+        |FROM (SELECT doc_id,
+        |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |        CAST(length(regexp_replace(text, ' ', '', 'g')) AS BIGINT) AS ns,
+        |        CAST(len(list_filter(string_split(text, ' '),
+        |          w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS alpha_words,
+        |        CAST(list_contains(string_split(text, ' '), 'the') AS BIGINT)
+        |          + CAST(list_contains(string_split(text, ' '), 'a') AS BIGINT)
+        |          + CAST(list_contains(string_split(text, ' '), 'of') AS BIGINT)
+        |          + CAST(list_contains(string_split(text, ' '), 'and') AS BIGINT)
+        |          + CAST(list_contains(string_split(text, ' '), 'is') AS BIGINT)
+        |          + CAST(list_contains(string_split(text, ' '), 'to') AS BIGINT)
+        |          + CAST(list_contains(string_split(text, ' '), 'in') AS BIGINT) AS n_stops
         |      FROM documents)""".stripMargin,
     "text_langid" ->
       """SELECT doc_id, labeled_lang,

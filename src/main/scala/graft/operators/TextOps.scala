@@ -91,6 +91,46 @@ object TextOps {
         (col("stopword_ratio") < lit(0.5)) && (col("avg_token_len") < lit(12.0)))
   }
 
+  /** Gopher-style quality-rule gate (Rae et al. 2021 §A1.1, adapted to
+    * the corpus scale): per document, each rule as an exact 0/1 integer
+    * plus the conjunction — the form a curation pipeline materializes
+    * so every drop is attributable to a rule, and the oracle-safe form
+    * (no ratios; every threshold is cross-multiplied into int64
+    * arithmetic per FIXTURES.md §3):
+    *
+    *  - r_word_count:    20 ≤ words ≤ 100000 (Gopher's 50 floor scaled
+    *                     to the 10-100-word synthetic docs)
+    *  - r_mean_word_len: 3 ≤ mean word length ≤ 10, as
+    *                     3·words ≤ non-space chars ≤ 10·words
+    *  - r_alpha_words:   ≥ 80% of words contain an ASCII letter
+    *                     (5·alpha_words ≥ 4·words; [A-Za-z] matches
+    *                     identically in Java and RE2)
+    *  - r_stopwords:     ≥ 2 distinct stop words present
+    *
+    * Engine-neutral by construction: whitespace split, ASCII letter
+    * class, per-stopword array membership — no lower(), no division,
+    * no engine-specific regex.
+    */
+  def gopherRules(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val words = split(col("text"), " ")
+    val nWords = size(words).cast("bigint")
+    val nonSpace = length(regexp_replace(col("text"), " ", "")).cast("bigint")
+    val alphaWords = size(filter(words, w => w.rlike("[A-Za-z]"))).cast("bigint")
+    val nStops = StopWords.map(sw => array_contains(words, sw).cast("bigint"))
+      .reduce(_ + _)
+    d.select(
+        col("doc_id"),
+        (nWords >= 20 && nWords <= 100000).cast("bigint").as("r_word_count"),
+        (nonSpace >= nWords * 3 && nonSpace <= nWords * 10)
+          .cast("bigint").as("r_mean_word_len"),
+        (alphaWords * 5 >= nWords * 4).cast("bigint").as("r_alpha_words"),
+        (nStops >= 2).cast("bigint").as("r_stopwords"))
+      .withColumn("passes",
+        col("r_word_count") * col("r_mean_word_len") *
+          col("r_alpha_words") * col("r_stopwords"))
+  }
+
   /** Language-ID heuristic: marker-word voting with fixed argmax order,
     * one codegen'd [[graft.functions.LangScores]] pass per row.
     * (The corpus `lang` labels are synthetic and uncorrelated with the

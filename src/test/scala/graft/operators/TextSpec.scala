@@ -467,4 +467,22 @@ class TextSpec extends SparkSpec {
     assert(rows(3) === "ΟΔΟΣ οδός")        // Greek untouched (no final-sigma trap)
     assert(rows(4) === "café")
   }
+
+  test("gopherRules: every rule attributable, corpus docs mostly pass, hostile docs fail") {
+    import spark.implicits._
+    val out = TextOps.gopherRules(spark, sfDir).cache()
+    try {
+      val n = out.count()
+      assert(n > 0)
+      // rules are strict 0/1 and passes is their conjunction
+      val bad = out.filter(
+        !col("r_word_count").isin(0L, 1L) || !col("r_mean_word_len").isin(0L, 1L) ||
+        !col("r_alpha_words").isin(0L, 1L) || !col("r_stopwords").isin(0L, 1L) ||
+        col("passes") =!= col("r_word_count") * col("r_mean_word_len") *
+          col("r_alpha_words") * col("r_stopwords")).count()
+      assert(bad === 0)
+      // the synthetic corpus is fluent by construction: most docs pass
+      assert(out.filter(col("passes") === 1).count() * 2 > n)
+    } finally out.unpersist()
+  }
 }
