@@ -72,12 +72,23 @@ object Bench {
     // `queries`; the re-timed minimum lands in `queries_retimed` so a
     // reader can separate machine noise from algorithmic regression
     // without a forensic replay.
+    // Each retime carries its own external-cores sample (same meter as
+    // the main pass): a retimed minimum without provenance could itself
+    // be contamination-inflated — or quietly "fixed" — outside the noisy
+    // flag's coverage. Retime samples fold into the noisy computation.
     val expected = BenchProtocol.expectedFor(sfDir)
+    var retimeSnap = BenchProtocol.cpuSnap()
     val retimed = results.collect {
       case (name, sec, _, _) if BenchProtocol.needsRetime(sec, expected.get(name)) =>
         val again = timeOnce(name, SparkEntry.queries(name))
-        System.err.println(f"[bench] retime $name%-28s raw $sec%.3f -> $again%.3f s")
-        name -> math.min(sec, again)
+        val snap = BenchProtocol.cpuSnap()
+        val ext = (retimeSnap, snap) match {
+          case (Some(a), Some(b)) => BenchProtocol.externalCores(a, b, cpus.toInt)
+          case _ => -1.0
+        }
+        retimeSnap = snap
+        System.err.println(f"[bench] retime $name%-28s raw $sec%.3f -> $again%.3f s (ext $ext%.1f)")
+        (name, math.min(sec, again), ext)
     }
     val qs = results.map { case (k, v, _, _) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
@@ -87,12 +98,15 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val loadEnd = loadAvg()
-    val isNoisy = BenchProtocol.noisy(loadStart, results.map(_._4), cpus.toInt)
-    val retimedJson = retimed.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
+    val isNoisy = BenchProtocol.noisy(
+      loadStart, results.map(_._4) ++ retimed.map(_._3), cpus.toInt)
+    val retimedJson = retimed.map { case (k, v, _) => "\"" + k + f"""\":$v%.3f""" }
+      .mkString("{", ",", "}")
+    val retimedExtJson = retimed.map { case (k, _, e) => "\"" + k + f"""\":$e%.2f""" }
       .mkString("{", ",", "}")
     val totalRetimed = results.map { case (k, v, _, _) =>
-      retimed.collectFirst { case (`k`, r) => r }.getOrElse(v) }.sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","load_start":$loadStart%.2f,"load_end":$loadEnd%.2f,"noisy":$isNoisy,"query_loads":$loads,"query_external_cores":$exts,"queries_retimed":$retimedJson,"total_retimed":$totalRetimed%.3f}""")
+      retimed.collectFirst { case (`k`, r, _) => r }.getOrElse(v) }.sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","load_start":$loadStart%.2f,"load_end":$loadEnd%.2f,"noisy":$isNoisy,"query_loads":$loads,"query_external_cores":$exts,"queries_retimed":$retimedJson,"retimed_external_cores":$retimedExtJson,"total_retimed":$totalRetimed%.3f}""")
     // Short headline line LAST: the driver's capture has truncated the
     // long per-query line head-first in past rounds, losing `"total"`.
     // Anything tail-anchored keeps this parseable summary. Distinct

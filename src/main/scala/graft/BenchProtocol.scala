@@ -8,7 +8,8 @@ package graft
   *
   *  - a 1-min load-average sample taken after every query,
   *  - a top-level `noisy` flag per the judge's rule (external load at
-  *    start, or any sample beyond 2×cpus/8 mid-run),
+  *    start, or any per-query external-cores sample beyond cpus/8
+  *    mid-run — 4 foreign cores on the 32-cpu protocol box),
   *  - an automatic re-time pass over queries that exceeded 3× their
   *    committed expected time, reporting BOTH raw and re-timed values
   *    (re-time = the minima protocol applied selectively).
@@ -44,11 +45,15 @@ object BenchProtocol {
   final case class CpuSnap(userTicks: Long, totalTicks: Long, procUserTicks: Long)
 
   /** Parse the aggregate `cpu  u n s i io irq sirq steal ...` line →
-    * (userTicks = user+nice, totalTicks).
+    * (userTicks = user+nice, totalTicks). totalTicks sums only the
+    * first 8 fields (user..steal), the standard /proc/stat total:
+    * Linux already folds guest/guest_nice into user/nice, so summing
+    * all fields would double-count guest time and under-report
+    * external contamination on hosts running VMs.
     */
   def parseProcStatCpu(line: String): (Long, Long) = {
     val f = line.trim.split("\\s+").drop(1).map(_.toLong)
-    (f(0) + f(1), f.sum)
+    (f(0) + f(1), f.take(8).sum)
   }
 
   /** Parse /proc/self/stat → utime (field 14, 1-based; the comm field

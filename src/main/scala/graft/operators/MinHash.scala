@@ -331,7 +331,7 @@ object MinHash {
       // an explicit marker written AFTER the append is the completion
       // check (mirrors ensureGrownIvfIndex's _GRAFT_GROWN).
       if (!spark.catalog.tableExists(name) ||
-          !java.nio.file.Files.exists(grownMarker(spark, name))) {
+          !graft.sources.FsPaths.exists(spark, grownMarker(spark, name))) {
         if (spark.catalog.tableExists(name)) spark.sql(s"DROP TABLE $name")
         dropStaleLocation(spark, name)
         val docs = Tables.documents(spark, dir)
@@ -339,17 +339,19 @@ object MinHash {
           shingleIndexRows(docs.filter(col("doc_id") % batchMod =!= 0)),
           name, "doc_id", 32)
         appendShingleIndex(name, docs.filter(col("doc_id") % batchMod === 0))
-        java.nio.file.Files.createFile(grownMarker(spark, name))
+        graft.sources.FsPaths.touch(spark, grownMarker(spark, name))
       }
     }
     name
   }
 
-  /** Completion-marker path inside the grown table's managed location. */
-  private def grownMarker(spark: SparkSession, table: String): java.nio.file.Path = {
-    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
-    java.nio.file.Paths.get(wh, table.toLowerCase(java.util.Locale.ROOT), "_GRAFT_GROWN")
-  }
+  /** Completion-marker path inside the grown table's managed location —
+    * resolved via the warehouse's own FileSystem (hdfs/s3a-safe), not
+    * java.nio (see [[graft.sources.FsPaths]]).
+    */
+  private def grownMarker(spark: SparkSession, table: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(
+      graft.sources.FsPaths.warehouseTablePath(spark, table), "_GRAFT_GROWN")
 
   /** [[minhashDedupBucketed]] against the grown (base + appended batch)
     * store — same pairs as the one-shot pipeline by construction.
@@ -507,15 +509,9 @@ object MinHash {
     * managed LOCATION under spark-warehouse survives — remove a stale
     * one or saveAsTable refuses the name.
     */
-  private def dropStaleLocation(spark: SparkSession, table: String): Unit = {
-    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
-    val loc = java.nio.file.Paths.get(wh, table.toLowerCase(java.util.Locale.ROOT))
-    if (java.nio.file.Files.exists(loc)) {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
-        .foreach(f => java.nio.file.Files.deleteIfExists(f))
-    }
-  }
+  private def dropStaleLocation(spark: SparkSession, table: String): Unit =
+    graft.sources.FsPaths.deleteRecursively(
+      spark, graft.sources.FsPaths.warehouseTablePath(spark, table))
 
   /** [[incrementalDedup]] probing the PERSISTED bucketed shingle index
     * instead of recomputing corpus signatures per run — the true

@@ -411,10 +411,13 @@ object Similarity {
     val p = ivfGrownDirs.computeIfAbsent((dir, codebookK, batchMod),
       _ => graft.sources.Scratch.tempDir("graft_ivf_grown_"))
     // explicit completion marker: _SUCCESS exists after the BASE write
-    // already, so it can't distinguish a half-grown index
-    val marker = java.nio.file.Paths.get(p, "_GRAFT_GROWN")
+    // already, so it can't distinguish a half-grown index. Resolved via
+    // the index path's own FileSystem (graft.sources.FsPaths) so a
+    // non-local index dir (hdfs://, s3a://) keeps marker and data in
+    // the same namespace.
+    val marker = new org.apache.hadoop.fs.Path(p, "_GRAFT_GROWN")
     ivfGrownDirs.synchronized {
-      if (!java.nio.file.Files.exists(marker)) {
+      if (!graft.sources.FsPaths.exists(spark, marker)) {
         val emb = Tables.embeddings(spark, dir)
         val cent = hashSampleCentroids(emb, codebookK)
         assignWith(emb.filter(col("vec_id") % batchMod =!= 0), cent)
@@ -422,7 +425,7 @@ object Similarity {
           .write.mode("overwrite").partitionBy("list_id").parquet(p)
         appendIvfIndex(spark, dir, p,
           emb.filter(col("vec_id") % batchMod === 0), codebookK)
-        java.nio.file.Files.createFile(marker)
+        graft.sources.FsPaths.touch(spark, marker)
       }
     }
     p

@@ -25,6 +25,14 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * The counter survives closure so later sessions keep the batch
   * numbering; at 100 TB that residual is 3 longs per user ever seen,
   * the same order as any per-user aggregate state.
+  *
+  * CHECKPOINT COMPATIBILITY: the state tuple's start/end changed meaning
+  * from epoch-MILLIS to epoch-MICROS when the sessionizer moved to exact
+  * microsecond gaps (commit b8c05f6). A streaming query restarted from a
+  * pre-change checkpoint would silently reinterpret old millis as micros
+  * (timestamps ~1000× too early, spurious session splits); a magnitude
+  * guard in the state handler rejects such state loudly — restart the
+  * query with a fresh checkpoint instead.
   */
 object StreamingSessionize {
 
@@ -58,6 +66,18 @@ object StreamingSessionize {
          state: GroupState[(Long, Long, Long, Long)]) =>
           def closed(s: (Long, Long, Long, Long)): Session =
             Session(user, s._1, s._4, fromMicros(s._2), fromMicros(s._3))
+          // Magnitude guard: epoch-micros for any modern date is ≥1e14
+          // (year 1973+); epoch-millis never exceeds ~1e13 before year
+          // 2286. State below the threshold is a pre-micros checkpoint —
+          // fail loudly instead of emitting corrupted sessions.
+          state.getOption.foreach { s =>
+            if (s._4 > 0 && s._2 < 100000000000000L)
+              throw new IllegalStateException(
+                s"StreamingSessionize state for user $user has session start ${s._2} " +
+                  "below the epoch-micros range: this checkpoint predates the " +
+                  "millis->micros state change (commit b8c05f6) and cannot be " +
+                  "resumed. Restart the query with a fresh checkpoint location.")
+          }
           if (state.hasTimedOut) {
             val s = state.get
             // keep the counter so the next session continues the numbering

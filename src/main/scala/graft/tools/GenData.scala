@@ -310,18 +310,22 @@ object GenData {
     }
     val tmp = s"$dir/.tmp_$name"
     df.repartition(1).write.mode(SaveMode.Overwrite).parquet(tmp)
-    val part = Files.list(Paths.get(tmp)).iterator()
-    var moved = false
-    while (part.hasNext && !moved) {
-      val p = part.next()
-      if (p.getFileName.toString.endsWith(".parquet")) {
-        Files.move(p, Paths.get(s"$dir/$name.parquet"), StandardCopyOption.REPLACE_EXISTING)
-        moved = true
-      }
-    }
-    require(moved, s"no parquet part written for $name")
-    Files.walk(Paths.get(tmp)).iterator().asInstanceOf[java.util.Iterator[java.nio.file.Path]]
-      .asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    // Collect to a Seq before mutating, and close both NIO streams —
+    // a leaked Files.list/walk holds a directory fd per table, and a
+    // walk over a directory being deleted is undefined.
+    val listStream = Files.list(Paths.get(tmp))
+    val parts =
+      try listStream.iterator().asScala.toSeq
+      finally listStream.close()
+    val part = parts.find(_.getFileName.toString.endsWith(".parquet"))
+    require(part.isDefined, s"no parquet part written for $name")
+    Files.move(part.get, Paths.get(s"$dir/$name.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val walkStream = Files.walk(Paths.get(tmp))
+    val toDelete =
+      try walkStream.iterator()
+        .asInstanceOf[java.util.Iterator[java.nio.file.Path]].asScala.toSeq
+      finally walkStream.close()
+    toDelete.reverse.foreach(Files.deleteIfExists(_))
   }
 
   private implicit class IterOps[A](it: java.util.Iterator[A]) {

@@ -48,6 +48,11 @@ class BenchProtocolSpec extends AnyFunSuite {
     // user+nice only: kernel writeback (system ticks) is self-inflicted
     // IO on store-writing queries, not contamination
     assert(total === 1010 && user === 110)
+    // guest/guest_nice (fields 9-10) are already folded into user/nice
+    // by the kernel — totalTicks must not double-count them on VM hosts
+    val (userG, totalG) = BenchProtocol.parseProcStatCpu(
+      "cpu  100 10 50 800 40 5 5 0 30 7")
+    assert(totalG === 1010 && userG === 110)
     val ticks = BenchProtocol.parseSelfStat(
       "1234 (java -cp foo) S 1 1 1 0 -1 4194560 5000 0 0 0 777 223 0 0 20 0 33 0 100 1000000 500")
     assert(ticks === 777) // utime only
