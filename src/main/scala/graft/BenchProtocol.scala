@@ -104,6 +104,34 @@ object BenchProtocol {
   def needsRetime(sec: Double, expected: Option[Double]): Boolean =
     expected.exists(e => sec > 3.0 * e)
 
+  /** One recorded protocol round: (round, nQueries, totalS, sPerQuery,
+    * protocol description).
+    */
+  final case class TrendRow(round: Int, nQueries: Int, totalS: Double,
+                            sPerQuery: Double, protocol: String)
+
+  /** The committed round-over-round protocol trend
+    * (`bench_trend.tsv` on the classpath) — eight rounds of recordable
+    * numbers lived only in BASELINE.md prose before; the file makes a
+    * rate regression a spec failure instead of an archaeology exercise.
+    * Rows are append-only, one per round with a clean record.
+    */
+  def trend(): Seq[TrendRow] = {
+    val in = getClass.getResourceAsStream("/bench_trend.tsv")
+    if (in == null) Seq.empty
+    else try {
+      scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
+        .flatMap { l =>
+          l.split('\t') match {
+            case Array(r, n, t, s, p) => scala.util.Try(
+              TrendRow(r.toInt, n.toInt, t.toDouble, s.toDouble, p)).toOption
+            case _ => None
+          }
+        }.toSeq
+    } finally in.close()
+  }
+
   /** Committed per-query expected seconds for the protocol sf dir —
     * `bench_expected_<basename>.tsv` on the classpath (quiet-machine
     * protocol run; regenerate via `graft.Bench` on a quiet box and

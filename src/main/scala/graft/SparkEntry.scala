@@ -22,6 +22,39 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("dedup_first_wins")(spark, "/root/testdata/sf0.001")
 
+  /** INGEST seam per ingest-shaped query: the idempotent store/stage
+    * build the query probes. The bench times each builder separately
+    * (`queries_build` in the record) so index construction and probe
+    * stop conflating — the round-8 sf1 drill's two "outliers"
+    * (dedup_cluster_survivors 12.7×, dedup_lsh_grown pre-fix 12.6×)
+    * were both build cost riding on the first probe reading. Builders
+    * must be idempotent: families sharing one store list it under every
+    * member, and whichever member the bench reaches first pays the
+    * build in its own build_s (the rest read ~0).
+    */
+  def stageBuilders: Map[String, (SparkSession, String) => Unit] = {
+    val nearDup: (SparkSession, String) => Unit =
+      (s, d) => MinHash.ensureNearDupStages(s, d)
+    Map(
+      "dedup_minhash_lsh"       -> nearDup,
+      "dedup_minhash_survivors" -> nearDup,
+      "dedup_clusters"          -> nearDup,
+      "dedup_cluster_survivors" -> nearDup,
+      "dedup_report"            -> nearDup,
+      "pipeline_curation"       -> nearDup,
+      "pipeline_crossmodal"     -> nearDup,
+      "dedup_incremental"       -> nearDup,
+      "dedup_incremental_bucketed" -> ((s, d) => { MinHash.ensureShingleIndex(s, d); () }),
+      "dedup_lsh_grown"         -> ((s, d) => { MinHash.ensureGrownShingleIndex(s, d); () }),
+      "dedup_winnow_spans"      -> ((s, d) => TextOps.ensureWinnowIndex(s, d)),
+      "dedup_contamination"     -> ((s, d) => TextOps.ensureWinnowIndex(s, d)),
+      "ann_ivf_pruned"          -> ((s, d) => { Similarity.ensureIvfIndex(s, d); () }),
+      "ann_ivf_append"          -> ((s, d) => { Similarity.ensureGrownIvfIndex(s, d); () }),
+      "source_rollup_incremental" -> ((s, d) => { sources.TimePartitionedStore.ensureDailyRollup(s, d); () }),
+      "source_time_partitioned" -> ((s, d) => { sources.TimePartitionedStore.ensureDatedLayout(s, d); () }),
+      "dedup_log_compaction"    -> ((s, d) => { sources.DedupLogStore.ensureCompactedLog(s, d); () }))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ── dedup core (SURVEY §2 O1-O11, set-oriented translation §2.1) ──
     "dedup_first_wins" -> ((s, d) =>
@@ -45,7 +78,8 @@ object SparkEntry {
     // the file-backed log's full write→TTL-compact→read round trip
     // (O1/O17 append, O10 reclaim, O2 read) under the hash gate — the
     // oracle reproduces the same derivation + TTL filter in pure SQL
-    "dedup_log_compaction" -> (sources.DedupLogStore.compactionRoundTrip(_, _)),
+    "dedup_log_compaction" -> ((s, d) => sources.DedupLogStore.statsOf(
+      s, sources.DedupLogStore.ensureCompactedLog(s, d))),
     // JSONL landing zone: write → deterministic corruption → schema-
     // enforced PERMISSIVE re-read → per-lane (incl. quarantine) counts
     "source_jsonl_quarantine" -> (sources.JsonlIngest.quarantineAccounting(_, _)),
@@ -168,6 +202,16 @@ object SparkEntry {
     "text_vocab"         -> ((s, d) => TextOps.vocab(s, d)),
     // BPE merge-candidate table: frequency-weighted char-pair counts
     "text_bpe_pairs"     -> ((s, d) => TextOps.bpePairs(s, d)),
+    // the actual BPE TRAINER: 8 iterative merge rounds over the
+    // distinct-word frame (PageRank-style bounded driver loop), each
+    // emitting (merge_rank, left, right, new_token, n); the oracle is
+    // the same loop unrolled as a DuckDB CTE
+    "text_bpe_train"     -> ((s, d) => TextOps.bpeTrain(s, d)),
+    // PII scrub lane (C4/CCNet-style): per-doc class counts + masked
+    // text on a deterministically seeded corpus; the report row is the
+    // per-source curation face of the same lane
+    "text_pii_scrub"     -> (TextOps.piiScrub _),
+    "pipeline_pii_report" -> (TextOps.piiReport _),
     "text_length_histogram" -> (TextOps.lengthHistogram _),
     "text_pack_assign"   -> ((s, d) => TextOps.packAssign(s, d)),
     "dedup_contamination" -> ((s, d) => TextOps.trainTestContamination(s, d)),
@@ -514,6 +558,83 @@ object SparkEntry {
        |SELECT node, r AS rank_micro, CAST(rnk AS BIGINT) AS rnk
        |FROM (SELECT *, row_number() OVER (ORDER BY r DESC, node) AS rnk FROM it5)
        |WHERE rnk <= 20 ORDER BY rnk""".stripMargin
+  }
+
+  /** The BPE training loop ([[graft.operators.TextOps.bpeTrain]])
+    * unrolled as a DuckDB CTE — the PageRank-oracle pattern for bounded
+    * driver loops: round k counts adjacent char pairs of the
+    * single-char-symbol word representations (r_{k-1}), picks the
+    * argmax by (count desc, pair bytes asc), fuses it via literal
+    * `replace` (= the greedy non-overlapping merge scan, because every
+    * symbol is one char), and assigns the new token the private-use
+    * char U+E000+k-1 via chr(). The final SELECT expands each round's
+    * pair back to readable symbol strings by reverse-substituting
+    * later-round chars with their pairs (j = k-1 down to 1 resolves
+    * every private-use char, since round j's pair only contains chars
+    * from rounds < j).
+    */
+  private def bpeTrainSql(merges: Int): String = {
+    def bChar(k: Int) = s"chr(${0xE000 + k - 1})"
+    // expansion of scalar expression `e` as seen after round k's pick
+    def expand(k: Int, e: String): String =
+      (k - 1 to 1 by -1).foldLeft(e)((acc, j) =>
+        s"replace($acc, ${bChar(j)}, (SELECT pair FROM b$j))")
+    val rounds = (1 to merges).map { k =>
+      s"""p$k AS (
+         |  SELECT pair, CAST(sum(freq) AS BIGINT) AS n FROM (
+         |    SELECT unnest(list_transform(range(1, length(repr)),
+         |                  i -> substring(repr, i, 2))) AS pair, freq
+         |    FROM r${k - 1} WHERE length(repr) >= 2)
+         |  GROUP BY pair),
+         |b$k AS (SELECT pair, n FROM p$k ORDER BY n DESC, pair LIMIT 1),
+         |r$k AS (SELECT replace(repr, (SELECT pair FROM b$k), ${bChar(k)}) AS repr, freq
+         |        FROM r${k - 1})""".stripMargin
+    }.mkString(",\n")
+    val rows = (1 to merges).map { k =>
+      val l = expand(k, s"substring((SELECT pair FROM b$k), 1, 1)")
+      val r = expand(k, s"substring((SELECT pair FROM b$k), 2, 1)")
+      val t = expand(k, s"(SELECT pair FROM b$k)")
+      s"""SELECT CAST($k AS BIGINT) AS merge_rank, $l AS "left", $r AS "right",
+         |       $t AS new_token, (SELECT n FROM b$k) AS n""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH r0 AS (
+       |  SELECT word AS repr, CAST(count(*) AS BIGINT) AS freq FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+       |  WHERE length(word) > 0
+       |    AND NOT regexp_matches(word, '[\\x{E000}-\\x{F8FF}]')
+       |  GROUP BY word),
+       |$rounds
+       |$rows""".stripMargin
+  }
+
+  /** The PII regex classes verbatim ([[graft.operators.TextOps]]
+    * constants — engine-neutral by construction) in DuckDB spelling:
+    * counts via regexp_extract_all length, masking via the 'g' flag
+    * (DuckDB's regexp_replace is first-match-only without it), in the
+    * same fixed email → phone → IPv4 order as the engine.
+    */
+  private def piiRe(s: String): String = s.replace("'", "''")
+  // NB: continuation lines must not begin with '||' — stripMargin eats
+  // the first pipe and ships a bitwise-or to DuckDB
+  private val piiSeededSql: String =
+    """WITH seeded AS (
+      |  SELECT doc_id, source, text ||
+      |    CASE WHEN doc_id % 3 = 0 THEN ' contact u' || CAST(doc_id AS VARCHAR) ||
+      |         '@ex' || CAST(doc_id % 7 AS VARCHAR) || '.org' ELSE '' END ||
+      |    CASE WHEN doc_id % 4 = 0 THEN ' ip 10.' || CAST(doc_id % 256 AS VARCHAR) ||
+      |         '.' || CAST(doc_id % 100 AS VARCHAR) || '.1' ELSE '' END ||
+      |    CASE WHEN doc_id % 5 = 0 THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') ||
+      |         '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END AS text
+      |  FROM documents)""".stripMargin
+  private val piiScrubColsSql: String = {
+    val e = piiRe(operators.TextOps.PiiEmailRe)
+    val p = piiRe(operators.TextOps.PiiPhoneRe)
+    val i = piiRe(operators.TextOps.PiiIpv4Re)
+    s"""CAST(len(regexp_extract_all(text, '$e')) AS BIGINT) AS n_emails,
+       |  CAST(len(regexp_extract_all(text, '$p')) AS BIGINT) AS n_phones,
+       |  CAST(len(regexp_extract_all(text, '$i')) AS BIGINT) AS n_ipv4,
+       |  regexp_replace(regexp_replace(regexp_replace(text,
+       |    '$e', '<EMAIL>', 'g'), '$p', '<PHONE>', 'g'), '$i', '<IP>', 'g') AS masked""".stripMargin
   }
 
   private val asofSql =
@@ -1243,6 +1364,17 @@ object SparkEntry {
         |      WHERE len(term) >= 2)
         |SELECT pair, count(*) AS n FROM p GROUP BY 1
         |ORDER BY n DESC, pair LIMIT 50""".stripMargin,
+    "text_bpe_train" -> bpeTrainSql(8),
+    "text_pii_scrub" -> s"$piiSeededSql SELECT doc_id, $piiScrubColsSql FROM seeded",
+    "pipeline_pii_report" ->
+      s"""$piiSeededSql,
+         |scrubbed AS (SELECT source, $piiScrubColsSql FROM seeded)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(SUM(CASE WHEN n_emails + n_phones + n_ipv4 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_scrubbed,
+         |  CAST(SUM(n_emails) AS BIGINT) AS n_emails,
+         |  CAST(SUM(n_phones) AS BIGINT) AS n_phones,
+         |  CAST(SUM(n_ipv4) AS BIGINT) AS n_ipv4
+         |FROM scrubbed GROUP BY source ORDER BY source""".stripMargin,
     // stratified hash sampling: exact per-stratum counts + id-sum
     // checksum of the sampled set (pins WHICH docs, not just how many)
     "q_sample_stratified" ->

@@ -92,7 +92,7 @@ object ConnectedComponents {
       // the convergence action above was the last reader of the PRIOR
       // round's checkpoint blocks — free them, or block-manager memory
       // grows by one edge-set copy per round
-      unpersistCheckpoint(cur)
+      unpersistLocalCheckpoint(cur)
       cur = next
       round += 1
     }
@@ -123,8 +123,9 @@ object ConnectedComponents {
   /** Drop the materialized RDD blocks behind a `localCheckpoint`ed
     * DataFrame (its analyzed plan is the checkpoint's `LogicalRDD`).
     * Non-blocking: the blocks are garbage, not a correctness hazard.
+    * Shared with the other bounded driver loops (BPE training).
     */
-  private def unpersistCheckpoint(df: DataFrame): Unit =
+  private[operators] def unpersistLocalCheckpoint(df: DataFrame): Unit =
     df.queryExecution.analyzed.foreach {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
       case _ => ()

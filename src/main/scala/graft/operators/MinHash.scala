@@ -591,6 +591,24 @@ object MinHash {
         .select(col("doc_a").as("u"), col("doc_b").as("v")))
     }
 
+  /** Materialize the whole near-dup stage chain (shingle index →
+    * exact-dup classes → verified pair graph → cluster labels) — the
+    * INGEST half of the family, exposed so the bench can time it apart
+    * from the per-query readout (round-8 drill: the first family
+    * consumer absorbed the ~19 s sf1 build into its own reading, and
+    * the 12.7× "outlier" was build accounting, not a plan problem —
+    * the memo-hit readout measures ≈2× for 10× data). Idempotent: each
+    * stage is the session memo itself; count() fills its persisted
+    * cache.
+    */
+  def ensureNearDupStages(spark: SparkSession, dir: String,
+                          threshold: Double = 0.5): Unit = {
+    cachedShingleArray(spark, dir).count()
+    cachedDupClasses(spark, dir).count()
+    verifiedPairs(spark, dir, threshold).count()
+    clusterLabels(spark, dir, threshold).count()
+  }
+
   def dedupClusters(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
     val labels = clusterLabels(spark, dir, threshold)
     val sizes = labels.groupBy(col("cluster_id"))

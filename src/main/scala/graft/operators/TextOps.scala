@@ -347,6 +347,14 @@ object TextOps {
       fps.join(hot, Seq("fp"), "left_anti")
     }
 
+  /** Materialize the df-capped winnow index (the ingest half of the
+    * span-pair and contamination rows) — bench build/probe seam; see
+    * [[MinHash.ensureNearDupStages]] for the rationale.
+    */
+  def ensureWinnowIndex(spark: SparkSession, dir: String,
+                        dfCap: Int = 128): Unit =
+    liveWinnowIndex(spark, dir, dfCap).count()
+
   /** Corpus-internal LOCAL near-dup detection: pairs of docs sharing at
     * least `minShared` winnow fingerprints — the plagiarism/shared-span
     * detector. Winnowing guarantees any shared token run of ≥ w+k-1
@@ -498,6 +506,172 @@ object TextOps {
       .limit(k)
       .withColumn("token_id", row_number().over(w).cast("bigint"))
   }
+
+  /** PII scrub patterns — the C4/CCNet-style regex classes every public
+    * pre-training pipeline masks before anything else sees the text.
+    * Engine-neutral subset by construction: plain character classes,
+    * bounded repetition, `\b`, non-capturing groups — no lookaround, no
+    * backreferences (RE2 lacks them), and `\d` is ASCII [0-9] in both
+    * Java's default mode and RE2, so Spark and DuckDB match the same
+    * spans byte-for-byte.
+    */
+  val PiiEmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PiiPhoneRe = "\\+?\\d{1,3}[- ]\\d{3}[- ]\\d{4}"
+  val PiiIpv4Re  = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
+
+  /** Per-doc PII accounting + masked text in ONE projection (all
+    * regexp_count/regexp_replace calls are codegen'd built-ins inside a
+    * single whole-stage span — zero shuffle, linear in corpus bytes):
+    * match counts per class on the RAW text, then the masked text with
+    * the classes replaced in the fixed order email → phone → IPv4
+    * (counts are per-class raw-text facts; masking is sequential, so a
+    * span matching two classes — a digits-and-dashes email local part —
+    * is masked by the first class only; the oracle mirrors both rules
+    * exactly).
+    */
+  private[graft] def piiScrubOf(docs: DataFrame): DataFrame =
+    docs.select(
+      (docs.columns.filter(_ != "text").map(col).toSeq ++ Seq(
+        regexp_count(col("text"), lit(PiiEmailRe)).cast("bigint").as("n_emails"),
+        regexp_count(col("text"), lit(PiiPhoneRe)).cast("bigint").as("n_phones"),
+        regexp_count(col("text"), lit(PiiIpv4Re)).cast("bigint").as("n_ipv4"),
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("text"), PiiEmailRe, "<EMAIL>"),
+            PiiPhoneRe, "<PHONE>"),
+          PiiIpv4Re, "<IP>").as("masked"))): _*)
+
+  /** Deterministic PII seeding for the gate corpus: the synthetic
+    * documents carry no organic emails/phones/IPs, so the oracle row
+    * would attest nothing — both engines append the SAME derived PII
+    * spans (doc_id-keyed) before scrubbing, making every count column
+    * and the masked-text hash non-vacuous.
+    */
+  private def piiSeeded(docs: DataFrame): DataFrame =
+    docs.withColumn("text", concat(col("text"),
+      when(col("doc_id") % 3 === 0,
+        concat(lit(" contact u"), col("doc_id").cast("string"), lit("@ex"),
+          (col("doc_id") % 7).cast("string"), lit(".org"))).otherwise(lit("")),
+      when(col("doc_id") % 4 === 0,
+        concat(lit(" ip 10."), (col("doc_id") % 256).cast("string"), lit("."),
+          (col("doc_id") % 100).cast("string"), lit(".1"))).otherwise(lit("")),
+      when(col("doc_id") % 5 === 0,
+        concat(lit(" call 555-"),
+          lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+        .otherwise(lit(""))))
+
+  /** The oracle-gated scrub row: per-doc class counts + masked text
+    * over the seeded corpus.
+    */
+  def piiScrub(spark: SparkSession, dir: String): DataFrame =
+    piiScrubOf(piiSeeded(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text"))))
+
+  /** The curation-report face of the scrub lane: per-source scrub
+    * volume (docs touched, spans per class) — the third drop/transform
+    * lane a curation run publishes beside dedup and quality.
+    */
+  def piiReport(spark: SparkSession, dir: String): DataFrame =
+    piiScrubOf(piiSeeded(
+      Tables.documents(spark, dir).select(col("doc_id"), col("source"), col("text"))))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("n_emails") + col("n_phones") + col("n_ipv4") > 0, 1L)
+          .otherwise(0L)).as("n_docs_scrubbed"),
+        sum(col("n_emails")).as("n_emails"),
+        sum(col("n_phones")).as("n_phones"),
+        sum(col("n_ipv4")).as("n_ipv4"))
+      .orderBy(col("source"))
+
+  /** Iterative BPE merge-loop TRAINING — the step [[bpePairs]] stops
+    * short of: run `merges` rounds, each picking the highest-count
+    * adjacent symbol pair (tie-break: count desc, then pair bytes asc —
+    * identical UTF-8 binary comparison in Spark and DuckDB) and fusing
+    * it corpus-wide, emitting one vocabulary row per round:
+    * (merge_rank, left, right, new_token, n). This is the actual BPE
+    * trainer (Sennrich et al. 2016): new_token joins the symbol
+    * alphabet and later rounds merge ON it.
+    *
+    * Representation: training runs over the DISTINCT-WORD frame
+    * (word → corpus frequency) — the standard trainer optimization
+    * (cost per round ∝ vocabulary, not corpus). Each word's current
+    * symbol SEQUENCE is a string in which every symbol is exactly one
+    * character: base symbols are the word's own characters, and merge
+    * round k assigns its new token the single private-use character
+    * U+E000+k-1. One-char symbols make `replace(repr, leftChar ∘
+    * rightChar, newChar)` EXACTLY the greedy left-to-right
+    * non-overlapping merge scan BPE specifies (a match can never span
+    * symbol boundaries, and a just-merged char can never re-match
+    * inside the same round), with no separator bookkeeping. Words
+    * containing private-use chars (possible in a hostile corpus) are
+    * excluded from training up front, identically in the oracle.
+    *
+    * Driver-loop discipline (the [[PageRank]] pattern): bounded rounds;
+    * one K-bounded collect per round (the single argmax row);
+    * localCheckpoint per round with prior-round unpersist so lineage
+    * and cache stay O(1) in rounds. Counts are integer sums —
+    * partial-aggregation order cannot change a bit. Scale: per round =
+    * one hash-agg over the vocab frame + one per-row replace; the
+    * corpus is scanned ONCE (word-frequency build).
+    *
+    * The oracle is the same loop unrolled as a DuckDB CTE
+    * ([[graft.SparkEntry]] builds it programmatically per round).
+    */
+  def bpeTrain(spark: SparkSession, dir: String, merges: Int = 8): DataFrame =
+    bpeTrainOf(Tables.documents(spark, dir), merges)
+
+  /** [[bpeTrain]] over any (doc_id, text) frame — spec entry point. */
+  private[graft] def bpeTrainOf(docs: DataFrame, merges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    require(merges >= 1 && merges <= BpeMaxMerges,
+      s"merges must be in [1, $BpeMaxMerges]")
+    val words = docs
+      .select(explode(tokens(col("text"))).as("word"))
+      .filter(length(col("word")) > 0)
+      .filter(!col("word").rlike("[\\uE000-\\uF8FF]"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .select(col("word").as("repr"), col("freq"))
+    var cur = words.localCheckpoint(false)
+    val expand = scala.collection.mutable.Map.empty[String, String]
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, String, String, Long)]
+    for (k <- 1 to merges) {
+      val best = cur.filter(length(col("repr")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, length(repr) - 1), i -> substring(repr, i, 2))"))
+          .as("pair"), col("freq"))
+        .groupBy(col("pair")).agg(sum(col("freq")).as("n"))
+        .orderBy(col("n").desc, col("pair"))
+        .limit(1).collect() // exactly one row — K-bounded by construction
+      require(best.nonEmpty, s"corpus exhausted before merge $k")
+      val pair = best(0).getString(0)
+      val n = best(0).getLong(1)
+      val newChar = (0xE000 + k - 1).toChar.toString
+      val (l, r) = (pair.substring(0, 1), pair.substring(1))
+      val lExp = expand.getOrElse(l, l)
+      val rExp = expand.getOrElse(r, r)
+      expand(newChar) = lExp + rExp
+      out += ((k.toLong, lExp, rExp, lExp + rExp, n))
+      // EAGER checkpoint: the merged frame must materialize while the
+      // prior round's blocks still exist (CC's lazy variant is safe
+      // only because its convergence action runs before the unpersist)
+      val next = cur
+        .withColumn("repr", replace(col("repr"), lit(pair), lit(newChar)))
+        .localCheckpoint(true)
+      ConnectedComponents.unpersistLocalCheckpoint(cur)
+      cur = next
+    }
+    ConnectedComponents.unpersistLocalCheckpoint(cur)
+    import spark.implicits._
+    out.toSeq.toDF("merge_rank", "left", "right", "new_token", "n")
+  }
+
+  /** BMP private-use area size bounds the merge count (one fresh
+    * single-char symbol per round).
+    */
+  val BpeMaxMerges: Int = 0xF8FF - 0xE000 + 1
 
   /** Intra-document repetition (the C4/Gopher repeated-n-gram quality
     * signal): per doc, the total 3-gram position count and the DISTINCT

@@ -26,12 +26,7 @@ import graft.operators.Dedup
 class DedupLogStore(spark: SparkSession, root: String,
                     format: String = "parquet", nBuckets: Int = 64) {
 
-  val schema: StructType = StructType(Seq(
-    StructField("key", StringType, nullable = false),
-    StructField("event_time", TimestampType, nullable = false),
-    StructField("record_uuid", StringType, nullable = false),
-    StructField("state", ShortType, nullable = false),
-    StructField("expires_at", TimestampType, nullable = true)))
+  val schema: StructType = DedupLogStore.LogSchema
 
   private def path(keyspace: String, table: String) = s"$root/$keyspace/$table"
 
@@ -92,6 +87,16 @@ class DedupLogStore(spark: SparkSession, root: String,
 
 object DedupLogStore {
 
+  /** The reference table's fixed schema (DeduplicationProvider.kt:226-236)
+    * in its Spark mapping (SURVEY §1.3).
+    */
+  val LogSchema: StructType = StructType(Seq(
+    StructField("key", StringType, nullable = false),
+    StructField("event_time", TimestampType, nullable = false),
+    StructField("record_uuid", StringType, nullable = false),
+    StructField("state", ShortType, nullable = false),
+    StructField("expires_at", TimestampType, nullable = true)))
+
   /** End-to-end log round trip under the correctness gate: derive
     * attempt rows from `events` (deterministically — recorded state =
     * protocol rank per key, every 5th event_id pre-expired), APPEND them
@@ -107,9 +112,43 @@ object DedupLogStore {
     * are immortal — the reference's `USING TTL 0` contract.
     */
   def compactionRoundTrip(spark: SparkSession, dir: String,
-                          format: String = "parquet"): DataFrame = {
+                          format: String = "parquet"): DataFrame =
+    statsOf(spark, buildCompactedLog(spark, dir, format,
+      Scratch.tempDir("graft_dedup_log_")), format)
+
+  /** One compacted log per (JVM, corpus dir, format) — the ingest seam
+    * of the registry row, so the bench can time the append+compact
+    * build apart from the read-back probe (same lifecycle as
+    * [[graft.operators.MinHash.ensureGrownShingleIndex]]): a fresh
+    * Verify JVM still exercises the full write→compact→read trip; bench
+    * repeat passes probe the already-built store. Completion marker per
+    * the grown-store pattern (_SUCCESS lands after the BASE append
+    * already, so only an explicit post-compact marker proves the trip
+    * finished).
+    */
+  private val compactedDirs =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+
+  def ensureCompactedLog(spark: SparkSession, dir: String,
+                         format: String = "parquet"): String = {
+    val p = compactedDirs.computeIfAbsent((dir, format),
+      _ => Scratch.tempDir("graft_dedup_log_"))
+    val marker = new org.apache.hadoop.fs.Path(p, "_GRAFT_COMPACTED")
+    compactedDirs.synchronized {
+      if (!FsPaths.exists(spark, marker)) {
+        buildCompactedLog(spark, dir, format, p)
+        FsPaths.touch(spark, marker)
+      }
+    }
+    s"$p/compacted"
+  }
+
+  /** Derive attempts → append → compact into `tmp/compacted`; returns
+    * the compacted path.
+    */
+  private def buildCompactedLog(spark: SparkSession, dir: String,
+                                format: String, tmp: String): String = {
     import org.apache.spark.sql.expressions.Window
-    val tmp = Scratch.tempDir("graft_dedup_log_")
     val store = new DedupLogStore(spark, s"$tmp/store", format, nBuckets = 16)
     val now = java.sql.Timestamp.valueOf("2030-01-01 00:00:00")
     val w = Window.partitionBy(col("user_id"), col("event_type"))
@@ -126,6 +165,15 @@ object DedupLogStore {
           .as("expires_at"))
     store.append("ks", "log", attempts)
     store.compact("ks", "log", now, s"$tmp/compacted")
+    s"$tmp/compacted"
+  }
+
+  /** Per-state row/key counts over a compacted log — the probe half. */
+  def statsOf(spark: SparkSession, compactedDir: String,
+              format: String = "parquet"): DataFrame = {
+    spark.read.format(format)
+      .schema(LogSchema.add(StructField("key_bucket", IntegerType)))
+      .load(compactedDir).drop("key_bucket")
       .groupBy(col("state"))
       .agg(count(lit(1)).as("n_rows"), countDistinct(col("key")).as("n_keys"))
       .orderBy(col("state"))

@@ -73,6 +73,34 @@ class BenchProtocolSpec extends AnyFunSuite {
     assert(!BenchProtocol.needsRetime(100.0, None))
   }
 
+  test("bench trend: rows well-formed, append-only by round, newest within 1.5x of best") {
+    val t = BenchProtocol.trend()
+    assert(t.nonEmpty, "bench_trend.tsv missing or empty")
+    assert(t.map(_.round) === t.map(_.round).sorted, "rows must be round-ordered")
+    assert(t.map(_.round).distinct.size === t.size, "one row per round")
+    t.foreach { r =>
+      assert(r.nQueries > 0 && r.totalS > 0)
+      assert(math.abs(r.sPerQuery - r.totalS / r.nQueries) < 0.005,
+        s"round ${r.round}: s_per_query must equal total/n")
+    }
+    // the regression tripwire: the newest recorded rate may not sit
+    // beyond 1.5x the best round ever recorded
+    val best = t.map(_.sPerQuery).min
+    assert(t.last.sPerQuery <= 1.5 * best,
+      f"round ${t.last.round} rate ${t.last.sPerQuery}%.3f s/q exceeds 1.5x best $best%.3f")
+  }
+
+  test("stage builders cover only live queries") {
+    val names = SparkEntry.queries.keySet
+    val b = SparkEntry.stageBuilders.keySet
+    assert(b.subsetOf(names), s"builders for unknown queries: ${b.diff(names)}")
+    // the five round-8 ingest-conflation rows all carry a builder
+    Seq("dedup_lsh_grown", "ann_ivf_append", "dedup_incremental_bucketed",
+        "dedup_log_compaction", "source_rollup_incremental",
+        "dedup_cluster_survivors")
+      .foreach(q => assert(b.contains(q), s"missing builder for $q"))
+  }
+
   test("expected table: protocol dir loads every registered query; other dirs disable") {
     val exp = BenchProtocol.expectedFor("/root/testdata/sf0.1")
     if (exp.nonEmpty) {
