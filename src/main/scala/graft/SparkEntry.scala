@@ -52,7 +52,9 @@ object SparkEntry {
       "ann_ivf_append"          -> ((s, d) => { Similarity.ensureGrownIvfIndex(s, d); () }),
       "source_rollup_incremental" -> ((s, d) => { sources.TimePartitionedStore.ensureDailyRollup(s, d); () }),
       "source_time_partitioned" -> ((s, d) => { sources.TimePartitionedStore.ensureDatedLayout(s, d); () }),
-      "dedup_log_compaction"    -> ((s, d) => { sources.DedupLogStore.ensureCompactedLog(s, d); () }))
+      "dedup_log_compaction"    -> ((s, d) => { sources.DedupLogStore.ensureCompactedLog(s, d); () }),
+      "text_bpe_encode"         -> ((s, d) => TextOps.ensureBpeMerges(s, d)),
+      "text_pack_bpe"           -> ((s, d) => TextOps.ensureBpeMerges(s, d)))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -212,6 +214,11 @@ object SparkEntry {
     // per-source curation face of the same lane
     "text_pii_scrub"     -> (TextOps.piiScrub _),
     "pipeline_pii_report" -> (TextOps.piiReport _),
+    // TOKENIZER APPLY: encode every doc with the trained-BPE vocabulary
+    // (merge memo warmed by the stage builder) — whitespace vs real BPE
+    // token budgets side by side; pack variant budgets on the real count
+    "text_bpe_encode"    -> ((s, d) => TextOps.bpeEncode(s, d)),
+    "text_pack_bpe"      -> ((s, d) => TextOps.packAssignBpe(s, d)),
     "text_length_histogram" -> (TextOps.lengthHistogram _),
     "text_pack_assign"   -> ((s, d) => TextOps.packAssign(s, d)),
     "dedup_contamination" -> ((s, d) => TextOps.trainTestContamination(s, d)),
@@ -573,12 +580,12 @@ object SparkEntry {
     * every private-use char, since round j's pair only contains chars
     * from rounds < j).
     */
-  private def bpeTrainSql(merges: Int): String = {
-    def bChar(k: Int) = s"chr(${0xE000 + k - 1})"
-    // expansion of scalar expression `e` as seen after round k's pick
-    def expand(k: Int, e: String): String =
-      (k - 1 to 1 by -1).foldLeft(e)((acc, j) =>
-        s"replace($acc, ${bChar(j)}, (SELECT pair FROM b$j))")
+  private def bpeChar(k: Int) = s"chr(${0xE000 + k - 1})"
+
+  /** The shared training-rounds CTE prefix: r0 (distinct-word reprs) and
+    * per-round p/b/r (pair counts, argmax pick, fused reprs).
+    */
+  private def bpeRoundsCte(merges: Int): String = {
     val rounds = (1 to merges).map { k =>
       s"""p$k AS (
          |  SELECT pair, CAST(sum(freq) AS BIGINT) AS n FROM (
@@ -587,9 +594,23 @@ object SparkEntry {
          |    FROM r${k - 1} WHERE length(repr) >= 2)
          |  GROUP BY pair),
          |b$k AS (SELECT pair, n FROM p$k ORDER BY n DESC, pair LIMIT 1),
-         |r$k AS (SELECT replace(repr, (SELECT pair FROM b$k), ${bChar(k)}) AS repr, freq
+         |r$k AS (SELECT replace(repr, (SELECT pair FROM b$k), ${bpeChar(k)}) AS repr, freq
          |        FROM r${k - 1})""".stripMargin
     }.mkString(",\n")
+    s"""r0 AS (
+       |  SELECT word AS repr, CAST(count(*) AS BIGINT) AS freq FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+       |  WHERE length(word) > 0
+       |    AND NOT regexp_matches(word, '[\\x{E000}-\\x{F8FF}]')
+       |  GROUP BY word),
+       |$rounds""".stripMargin
+  }
+
+  private def bpeTrainSql(merges: Int): String = {
+    // expansion of scalar expression `e` as seen after round k's pick
+    def expand(k: Int, e: String): String =
+      (k - 1 to 1 by -1).foldLeft(e)((acc, j) =>
+        s"replace($acc, ${bpeChar(j)}, (SELECT pair FROM b$j))")
     val rows = (1 to merges).map { k =>
       val l = expand(k, s"substring((SELECT pair FROM b$k), 1, 1)")
       val r = expand(k, s"substring((SELECT pair FROM b$k), 2, 1)")
@@ -597,15 +618,44 @@ object SparkEntry {
       s"""SELECT CAST($k AS BIGINT) AS merge_rank, $l AS "left", $r AS "right",
          |       $t AS new_token, (SELECT n FROM b$k) AS n""".stripMargin
     }.mkString("\nUNION ALL\n")
-    s"""WITH r0 AS (
-       |  SELECT word AS repr, CAST(count(*) AS BIGINT) AS freq FROM (
-       |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
-       |  WHERE length(word) > 0
-       |    AND NOT regexp_matches(word, '[\\x{E000}-\\x{F8FF}]')
-       |  GROUP BY word),
-       |$rounds
+    s"""WITH ${bpeRoundsCte(merges)}
        |$rows""".stripMargin
   }
+
+  /** The encoder's replace chain over full document text (merge pairs
+    * never contain a space, so the chain equals per-word encoding) plus
+    * the symbol-count arithmetic — see
+    * [[graft.operators.TextOps.bpeTokenCount]].
+    */
+  private def bpeEncChain(merges: Int): String =
+    (1 to merges).foldLeft("text")((acc, k) =>
+      s"replace($acc, (SELECT pair FROM b$k), ${bpeChar(k)})")
+
+  private def bpeNTokensSql(merges: Int): String =
+    s"CAST(length(${bpeEncChain(merges)}) - " +
+      "(length(text) - length(replace(text, ' ', ''))) AS BIGINT)"
+
+  private val bpeNoPuaSql = "NOT regexp_matches(text, '[\\x{E000}-\\x{F8FF}]')"
+
+  private def bpeEncodeSql(merges: Int): String =
+    s"""WITH ${bpeRoundsCte(merges)}
+       |SELECT doc_id,
+       |  CAST(length(text) AS BIGINT) AS n_chars,
+       |  CAST(len(list_filter(string_split(text, ' '), w -> length(w) > 0)) AS BIGINT) AS n_ws_tokens,
+       |  ${bpeNTokensSql(merges)} AS n_bpe_tokens
+       |FROM documents WHERE $bpeNoPuaSql""".stripMargin
+
+  private def bpePackSql(merges: Int, budget: Int): String =
+    s"""WITH ${bpeRoundsCte(merges)},
+       |enc AS (
+       |  SELECT doc_id, lang, ${bpeNTokensSql(merges)} AS n_tokens
+       |  FROM documents WHERE $bpeNoPuaSql),
+       |w AS (
+       |  SELECT doc_id, lang, n_tokens,
+       |    COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+       |  FROM enc)
+       |SELECT doc_id, lang, n_tokens, CAST(prior // $budget AS BIGINT) AS pack_id FROM w""".stripMargin
 
   /** The PII regex classes verbatim ([[graft.operators.TextOps]]
     * constants — engine-neutral by construction) in DuckDB spelling:
@@ -1365,6 +1415,8 @@ object SparkEntry {
         |SELECT pair, count(*) AS n FROM p GROUP BY 1
         |ORDER BY n DESC, pair LIMIT 50""".stripMargin,
     "text_bpe_train" -> bpeTrainSql(8),
+    "text_bpe_encode" -> bpeEncodeSql(8),
+    "text_pack_bpe" -> bpePackSql(8, 2048),
     "text_pii_scrub" -> s"$piiSeededSql SELECT doc_id, $piiScrubColsSql FROM seeded",
     "pipeline_pii_report" ->
       s"""$piiSeededSql,
