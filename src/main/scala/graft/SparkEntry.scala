@@ -54,7 +54,16 @@ object SparkEntry {
       "source_time_partitioned" -> ((s, d) => { sources.TimePartitionedStore.ensureDatedLayout(s, d); () }),
       "dedup_log_compaction"    -> ((s, d) => { sources.DedupLogStore.ensureCompactedLog(s, d); () }),
       "text_bpe_encode"         -> ((s, d) => TextOps.ensureBpeMerges(s, d)),
-      "text_pack_bpe"           -> ((s, d) => TextOps.ensureBpeMerges(s, d)))
+      "text_pack_bpe"           -> ((s, d) => TextOps.ensureBpeMerges(s, d)),
+      "ann_cosine_topk"         -> ((s, d) => Similarity.ensureAnnStages(s, d)),
+      "ann_ivf_topk"            -> ((s, d) => Similarity.ensureAnnStages(s, d)),
+      "ann_ivf_recall"          -> ((s, d) => Similarity.ensureAnnStages(s, d)),
+      "ann_pq_topk"             -> ((s, d) => Similarity.ensureAnnStages(s, d)),
+      "ann_pq_recall"           -> ((s, d) => Similarity.ensureAnnStages(s, d)),
+      "ann_ivfadc_topk"         -> ((s, d) => Similarity.ensureAnnStages(s, d)),
+      "ann_ivfadc_recall"       -> ((s, d) => Similarity.ensureAnnStages(s, d)),
+      "ann_lsh_recall"          -> ((s, d) => Similarity.ensureAnnStages(s, d)),
+      "dedup_semdedup"          -> ((s, d) => Similarity.ensureAnnStages(s, d)))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
