@@ -547,7 +547,7 @@ object TextOps {
     * spans (doc_id-keyed) before scrubbing, making every count column
     * and the masked-text hash non-vacuous.
     */
-  private def piiSeeded(docs: DataFrame): DataFrame =
+  private[graft] def piiSeeded(docs: DataFrame): DataFrame =
     docs.withColumn("text", concat(col("text"),
       when(col("doc_id") % 3 === 0,
         concat(lit(" contact u"), col("doc_id").cast("string"), lit("@ex"),
@@ -573,9 +573,16 @@ object TextOps {
     * lane a curation run publishes beside dedup and quality.
     */
   def piiReport(spark: SparkSession, dir: String): DataFrame =
-    piiScrubOf(piiSeeded(
-      Tables.documents(spark, dir).select(col("doc_id"), col("source"), col("text"))))
-      .groupBy(col("source"))
+    piiReportAggOf(piiScrubOf(piiSeeded(
+      Tables.documents(spark, dir).select(col("doc_id"), col("source"), col("text")))))
+      .orderBy(col("source"))
+
+  /** The report aggregation over a scrubbed frame, unordered — shared
+    * with the streaming twin ([[graft.streaming.StreamingCuration]]),
+    * where a sort is not expressible mid-stream.
+    */
+  private[graft] def piiReportAggOf(scrubbed: DataFrame): DataFrame =
+    scrubbed.groupBy(col("source"))
       .agg(
         count(lit(1)).as("n_docs"),
         sum(when(col("n_emails") + col("n_phones") + col("n_ipv4") > 0, 1L)
@@ -583,7 +590,6 @@ object TextOps {
         sum(col("n_emails")).as("n_emails"),
         sum(col("n_phones")).as("n_phones"),
         sum(col("n_ipv4")).as("n_ipv4"))
-      .orderBy(col("source"))
 
   /** Iterative BPE merge-loop TRAINING — the step [[bpePairs]] stops
     * short of: run `merges` rounds, each picking the highest-count

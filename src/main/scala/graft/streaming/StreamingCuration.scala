@@ -1,0 +1,36 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import graft.operators.TextOps
+
+/** Continuous CURATION — the always-on face of the PII-scrub lane
+  * (`text_pii_scrub` / `pipeline_pii_report`): each micro-batch of
+  * incoming documents is scrubbed by the SAME single-projection codegen
+  * kernel as the batch row, and the per-source scrub report is
+  * maintained as a streaming aggregation.
+  *
+  * Scale posture:
+  *  - The scrub itself is stateless per-row expression work, so
+  *    stream ≡ batch holds row-for-row by construction (pinned by
+  *    StreamingCurationSpec), and throughput is bounded only by scan
+  *    bandwidth — no shuffle, no state.
+  *  - The report's streaming state is ONE ROW PER SOURCE (corpus
+  *    catalog cardinality, not corpus size): integer counters merged
+  *    associatively across micro-batches. This is the invariant that
+  *    lets the report run forever against a 100 TB/day firehose.
+  */
+object StreamingCuration {
+
+  /** Stateless scrub of a (doc_id, source, text) stream: per-doc class
+    * counts + masked text, with the same deterministic seeding as the
+    * oracle-gated batch rows.
+    */
+  def scrubbed(stream: DataFrame): DataFrame =
+    TextOps.piiScrubOf(TextOps.piiSeeded(stream))
+
+  /** Per-source running scrub report — a streaming aggregation for
+    * complete/update output (state rows = |sources|).
+    */
+  def report(stream: DataFrame): DataFrame =
+    TextOps.piiReportAggOf(scrubbed(stream))
+}

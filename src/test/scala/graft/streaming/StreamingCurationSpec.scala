@@ -1,0 +1,62 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Streaming curation ≡ batch: the scrub kernel is stateless (row
+  * parity is exact per micro-batch) and the per-source report is a
+  * streaming aggregation whose state is source-cardinality-bounded and
+  * merges across micro-batches to exactly the batch report.
+  */
+class StreamingCurationSpec extends SparkSpec {
+
+  private def docsFrame = graft.Tables.documents(spark, sfDir)
+    .select(col("doc_id"), col("source"), col("text"))
+
+  test("streamed per-source scrub report matches the batch report across micro-batches") {
+    val tmp = java.nio.file.Files.createTempDirectory("stream-cur").toString
+    val d = docsFrame
+    // every source group spans both chunks → batch 2 must merge state
+    d.filter(col("doc_id") % 2 === 0).write.parquet(s"$tmp/in")
+
+    val incoming = spark.readStream.schema(d.schema).parquet(s"$tmp/in")
+    val q = StreamingCuration.report(incoming)
+      .writeStream.format("memory").queryName("cur_report")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      d.filter(col("doc_id") % 2 =!= 0).write.mode("append").parquet(s"$tmp/in")
+      q.processAllAvailable()
+      val st = q.lastProgress.stateOperators
+      assert(st.nonEmpty)
+      // state is one row per source — catalog cardinality, not corpus
+      val nSources = d.select("source").distinct().count()
+      assert(st.map(_.numRowsTotal).max <= nSources)
+    } finally q.stop()
+
+    def keyed(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val streamed = keyed(spark.table("cur_report").collect())
+    val batch = keyed(graft.operators.TextOps.piiReport(spark, sfDir).collect())
+    assert(batch.nonEmpty && batch.values.map(_._2).sum > 0, "report must be non-vacuous")
+    assert(streamed === batch)
+  }
+
+  test("stateless scrub: per-micro-batch rows equal the batch kernel row-for-row") {
+    val tmp = java.nio.file.Files.createTempDirectory("stream-cur2").toString
+    val d = docsFrame
+    d.write.parquet(s"$tmp/in")
+    val incoming = spark.readStream.schema(d.schema).parquet(s"$tmp/in")
+    val got = scala.collection.mutable.ArrayBuffer.empty[String]
+    val q = StreamingCuration.scrubbed(incoming).writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= b.collect().map(_.toString); ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val want = StreamingCuration.scrubbed(d).collect().map(_.toString)
+    assert(got.sorted.toSeq === want.sorted.toSeq)
+    assert(want.length === d.count())
+  }
+}
