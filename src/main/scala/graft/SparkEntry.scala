@@ -42,7 +42,12 @@ object SparkEntry {
       "dedup_cluster_survivors" -> nearDup,
       "dedup_report"            -> nearDup,
       "pipeline_curation"       -> nearDup,
-      "pipeline_crossmodal"     -> nearDup,
+      "pipeline_crossmodal"     -> ((s, d) => {
+        MinHash.ensureNearDupStages(s, d); operators.Multimodal.ensureMediaStages(s, d)
+      }),
+      "dedup_media_phash"       -> ((s, d) => operators.Multimodal.ensureMediaStages(s, d)),
+      "dedup_media_ahash"       -> ((s, d) => operators.Multimodal.ensureMediaStages(s, d)),
+      "dedup_media_vhash"       -> ((s, d) => operators.Multimodal.ensureMediaStages(s, d)),
       "dedup_incremental"       -> nearDup,
       "dedup_incremental_bucketed" -> ((s, d) => { MinHash.ensureShingleIndex(s, d); () }),
       "dedup_lsh_grown"         -> ((s, d) => { MinHash.ensureGrownShingleIndex(s, d); () }),

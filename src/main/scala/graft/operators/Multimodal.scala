@@ -269,6 +269,16 @@ object Multimodal {
     memoized(spark, s"vhash_pairs_$maxHamming", dir)(
       fingerprintPairs(renderedVideo(spark, dir), MediaCodec.vHash _, maxHamming))
 
+  /** Warm the three fingerprint-pair session stages (render + codec +
+    * LSH per modality) — the ingest half of the media dedup triad,
+    * bench build/probe seam (see [[MinHash.ensureNearDupStages]]).
+    */
+  def ensureMediaStages(spark: SparkSession, dir: String): Unit = {
+    mediaPhashPairs(spark, dir).count()
+    mediaAhashPairs(spark, dir).count()
+    mediaVhashPairs(spark, dir).count()
+  }
+
   /** Metadata-only stats — no payload bytes touched (the pruning path). */
   def mediaStats(spark: SparkSession, dir: String): DataFrame =
     mediaTable(spark, dir).select(

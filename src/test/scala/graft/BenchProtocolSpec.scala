@@ -99,6 +99,11 @@ class BenchProtocolSpec extends AnyFunSuite {
         "dedup_log_compaction", "source_rollup_incremental",
         "dedup_cluster_survivors")
       .foreach(q => assert(b.contains(q), s"missing builder for $q"))
+    // round-9 seams: the ANN in-memory index family and the BPE
+    // tokenizer-apply lanes stage their ingest artifacts too
+    Seq("ann_ivf_topk", "ann_pq_topk", "ann_ivfadc_topk", "dedup_semdedup",
+        "text_bpe_encode", "text_pack_bpe")
+      .foreach(q => assert(b.contains(q), s"missing builder for $q"))
   }
 
   test("expected table: protocol dir loads every registered query; other dirs disable") {
