@@ -243,6 +243,22 @@ object SparkEntry {
     // C4-style sub-document pass: per-doc sentence totals + how many
     // sentence instances are shared with >= 2 distinct docs
     "dedup_sentences" -> ((s, d) => TextOps.sentenceDedup(s, d)),
+    // content-defined chunk scrub: CDC boundary rule segments identical
+    // passages identically regardless of shift; chunks in >= 3 docs
+    // removed and the doc reassembled — the C4 line-removal TRANSFORM
+    "dedup_cdc_scrub" -> ((s, d) => TextOps.cdcScrub(s, d)),
+    // ExactSubstr span cut (Lee et al. 2022): positions covered by any
+    // cross-doc-repeated token 5-gram are cut from the text itself
+    "dedup_span_cut" -> ((s, d) => TextOps.spanCut(s, d)),
+    // CCNet-style per-language perplexity terciles over the trigram
+    // likelihood proxy: head/middle/tail volume stats
+    "text_ccnet_buckets" -> ((s, d) => TextOps.ccnetBuckets(s, d)),
+    // deterministic weighted source-mixture sampler: per-language token
+    // targets realized as int64 basis-point hash cutoffs
+    "q_sample_mixture" -> ((s, d) => TextOps.mixtureSample(s, d)),
+    // funnel capstone: CDC scrub -> quality gate on cleaned text ->
+    // mixture sampling, reported per language
+    "pipeline_llm_corpus" -> ((s, d) => operators.Curation.llmCorpusFunnel(s, d)),
     "text_corpus_profile" -> (TextOps.corpusProfile _),
     // per-(lang,source) deterministic hash sample: counts + id checksum
     "q_sample_stratified" -> ((s, d) => TextOps.stratifiedSample(s, d)),
@@ -700,6 +716,28 @@ object SparkEntry {
        |  regexp_replace(regexp_replace(regexp_replace(text,
        |    '$e', '<EMAIL>', 'g'), '$p', '<PHONE>', 'g'), '$i', '<IP>', 'g') AS masked""".stripMargin
   }
+
+  /** CDC segmentation CTEs shared by `dedup_cdc_scrub` and
+    * `pipeline_llm_corpus`: chunk frame `hs(doc_id, chunk_id,
+    * chunk_text, h)` + df-banned hash set `banned(h)`.
+    */
+  private val cdcChunkCtes: String =
+    """toks AS (
+      |  SELECT doc_id, i, t[i] AS tok
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |       unnest(range(1, len(t) + 1)) u(i)),
+      |b AS (SELECT doc_id, i, tok,
+      |        CASE WHEN CAST(('0x' || substr(md5(tok), 1, 15)) AS UBIGINT) % 8 = 0
+      |             THEN 1 ELSE 0 END AS f
+      |      FROM toks),
+      |c AS (SELECT doc_id, i, tok,
+      |        COALESCE(SUM(f) OVER (PARTITION BY doc_id ORDER BY i
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id
+      |      FROM b),
+      |ch AS (SELECT doc_id, chunk_id, string_agg(tok, ' ' ORDER BY i) AS chunk_text
+      |       FROM c GROUP BY 1, 2),
+      |hs AS (SELECT doc_id, chunk_id, chunk_text, md5(chunk_text) AS h FROM ch),
+      |banned AS (SELECT h FROM hs GROUP BY 1 HAVING count(DISTINCT doc_id) >= 3)""".stripMargin
 
   private val asofSql =
     """WITH u AS (
@@ -1515,6 +1553,139 @@ object SparkEntry {
         |SELECT t.doc_id, t.n_sentences, COALESCE(shr.n_shared, 0) AS n_shared
         |FROM tot t LEFT JOIN shr ON t.doc_id = shr.doc_id
         |ORDER BY t.doc_id""".stripMargin,
+    // content-defined chunking: boundary after any token whose 60-bit
+    // md5-prefix hash ≡ 0 (mod 8); chunks in >= 3 distinct docs scrubbed
+    "dedup_cdc_scrub" ->
+      s"""WITH $cdcChunkCtes,
+         |tot AS (SELECT doc_id, count(*) AS n_chunks FROM hs GROUP BY 1),
+         |kept AS (SELECT doc_id, count(*) AS n_kept,
+         |           string_agg(chunk_text, ' ' ORDER BY chunk_id) AS clean_text
+         |         FROM hs WHERE h NOT IN (SELECT h FROM banned) GROUP BY 1)
+         |SELECT t.doc_id, t.n_chunks,
+         |       t.n_chunks - COALESCE(k.n_kept, 0) AS n_removed,
+         |       COALESCE(k.clean_text, '') AS clean_text
+         |FROM tot t LEFT JOIN kept k USING (doc_id) ORDER BY t.doc_id""".stripMargin,
+    // the funnel capstone: CDC scrub -> Gopher gate on the CLEANED
+    // text -> mixture-rate sampling, one row per language
+    "pipeline_llm_corpus" ->
+      s"""WITH $cdcChunkCtes,
+         |kept AS (SELECT doc_id, string_agg(chunk_text, ' ' ORDER BY chunk_id) AS text
+         |         FROM hs WHERE h NOT IN (SELECT h FROM banned) GROUP BY 1),
+         |surv1 AS (SELECT k.doc_id, d.lang, k.text
+         |          FROM kept k JOIN documents d USING (doc_id)),
+         |gop AS (SELECT doc_id, lang, text FROM (
+         |  SELECT *,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+         |    CAST(length(regexp_replace(text, ' ', '', 'g')) AS BIGINT) AS ns,
+         |    CAST(len(list_filter(string_split(text, ' '),
+         |      w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS alpha_words,
+         |    CAST(list_contains(string_split(text, ' '), 'the') AS BIGINT)
+         |      + CAST(list_contains(string_split(text, ' '), 'a') AS BIGINT)
+         |      + CAST(list_contains(string_split(text, ' '), 'of') AS BIGINT)
+         |      + CAST(list_contains(string_split(text, ' '), 'and') AS BIGINT)
+         |      + CAST(list_contains(string_split(text, ' '), 'is') AS BIGINT)
+         |      + CAST(list_contains(string_split(text, ' '), 'to') AS BIGINT)
+         |      + CAST(list_contains(string_split(text, ' '), 'in') AS BIGINT) AS n_stops
+         |  FROM surv1)
+         |  WHERE n_words >= 20 AND n_words <= 100000
+         |    AND ns >= n_words * 3 AND ns <= n_words * 10
+         |    AND alpha_words * 5 >= n_words * 4 AND n_stops >= 2),
+         |d2 AS (SELECT doc_id, lang,
+         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM gop),
+         |inc AS (SELECT lang, count(*) AS n_in FROM documents GROUP BY 1),
+         |s1c AS (SELECT lang, count(*) AS n_after_scrub FROM surv1 GROUP BY 1),
+         |avail AS (SELECT lang, count(*) AS n_after_quality,
+         |            CAST(SUM(n_tok) AS BIGINT) AS avail_tokens FROM d2 GROUP BY 1),
+         |tot AS (SELECT CAST(COALESCE(SUM(avail_tokens), 0) AS BIGINT) AS total FROM avail),
+         |wt AS (SELECT * FROM (VALUES ('en', 40), ('de', 15), ('es', 15),
+         |                             ('fr', 15), ('zh', 15)) w(lang, w)),
+         |rates AS (SELECT i.lang, i.n_in,
+         |            COALESCE(s.n_after_scrub, 0) AS n_after_scrub,
+         |            COALESCE(a.n_after_quality, 0) AS n_after_quality,
+         |            COALESCE(a.avail_tokens, 0) AS avail_tokens,
+         |            CASE WHEN COALESCE(a.avail_tokens, 0) = 0 THEN 0
+         |                 ELSE LEAST(10000,
+         |                   (t.total * 30 // 100 * w.w // 100) * 10000 // a.avail_tokens)
+         |            END AS rate_bp
+         |          FROM inc i LEFT JOIN s1c s USING (lang) LEFT JOIN avail a USING (lang)
+         |          CROSS JOIN tot t JOIN wt w ON i.lang = w.lang),
+         |sampled AS (SELECT d2.lang, count(*) AS n_sampled,
+         |              CAST(SUM(d2.n_tok) AS BIGINT) AS tokens_sampled
+         |            FROM d2 JOIN rates r USING (lang)
+         |            WHERE CAST(('0x' || substr(md5(CAST(d2.doc_id AS VARCHAR)), 1, 15))
+         |                    AS UBIGINT) % 10000 < r.rate_bp
+         |            GROUP BY 1)
+         |SELECT r.lang, r.n_in, r.n_after_scrub, r.n_after_quality, r.avail_tokens,
+         |       CAST(r.rate_bp AS BIGINT) AS rate_bp,
+         |       COALESCE(s.n_sampled, 0) AS n_sampled,
+         |       COALESCE(s.tokens_sampled, 0) AS tokens_sampled
+         |FROM rates r LEFT JOIN sampled s USING (lang) ORDER BY r.lang""".stripMargin,
+    // ExactSubstr: token 5-grams repeated across >= 2 docs cover their
+    // 5 positions; cut text keeps only uncovered tokens in order
+    "dedup_span_cut" ->
+      """WITH base AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |toks AS (SELECT doc_id, i, t[i] AS tok
+        |         FROM base, unnest(range(1, len(t) + 1)) u(i)),
+        |grams AS (SELECT doc_id, i, md5(array_to_string(t[i:i+4], ' ')) AS h
+        |          FROM base, unnest(range(1, len(t) - 3)) u(i)),
+        |shared AS (SELECT h FROM grams GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),
+        |covered AS (SELECT DISTINCT g.doc_id, p AS pos
+        |            FROM grams g JOIN shared USING (h), unnest(range(g.i, g.i + 5)) v(p)),
+        |cov AS (SELECT doc_id, count(*) AS n_covered FROM covered GROUP BY 1),
+        |cut AS (SELECT tk.doc_id, string_agg(tk.tok, ' ' ORDER BY tk.i) AS cut_text
+        |        FROM toks tk LEFT JOIN covered cv ON tk.doc_id = cv.doc_id AND tk.i = cv.pos
+        |        WHERE cv.doc_id IS NULL GROUP BY 1),
+        |tot AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM base)
+        |SELECT t.doc_id, t.n_tokens,
+        |       COALESCE(c.n_covered, 0) AS n_covered,
+        |       COALESCE(ct.cut_text, '') AS cut_text
+        |FROM tot t LEFT JOIN cov c USING (doc_id) LEFT JOIN cut ct USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin,
+    // CCNet terciles: per-language ntile(3) over (avg_freq DESC, doc_id)
+    "text_ccnet_buckets" ->
+      """WITH tri AS (
+        |  SELECT doc_id, substr(text, CAST(i AS BIGINT), 3) AS tri
+        |  FROM documents, unnest(range(1, length(text) - 1)) u(i)
+        |  WHERE length(text) >= 3),
+        |cf AS (SELECT tri, count(*) AS cf FROM tri GROUP BY 1),
+        |scored AS (
+        |  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tri,
+        |    CAST(SUM(c.cf) AS BIGINT) AS freq_sum,
+        |    CAST(SUM(c.cf) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_freq
+        |  FROM tri t JOIN cf c USING (tri) GROUP BY 1),
+        |lb AS (SELECT s.doc_id, s.n_tri, s.freq_sum, d.lang,
+        |         ntile(3) OVER (PARTITION BY d.lang
+        |           ORDER BY s.avg_freq DESC, s.doc_id) AS tile
+        |       FROM scored s JOIN documents d USING (doc_id))
+        |SELECT lang,
+        |  CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket,
+        |  count(*) AS n_docs, CAST(SUM(n_tri) AS BIGINT) AS total_tri,
+        |  CAST(SUM(freq_sum) AS BIGINT) AS total_freq
+        |FROM lb GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // weighted mixture sampler: all-int64 rate arithmetic, hash cutoff
+    "q_sample_mixture" ->
+      """WITH d AS (SELECT doc_id, lang,
+        |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |           FROM documents),
+        |avail AS (SELECT lang, count(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS avail
+        |          FROM d GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(avail) AS BIGINT) AS total FROM avail),
+        |wt AS (SELECT * FROM (VALUES ('en', 40), ('de', 15), ('es', 15),
+        |                             ('fr', 15), ('zh', 15)) w(lang, w)),
+        |rates AS (SELECT a.lang, a.n_docs, a.avail,
+        |            LEAST(10000, (t.total * 30 // 100 * w.w // 100) * 10000 // a.avail)
+        |              AS rate_bp
+        |          FROM avail a CROSS JOIN tot t JOIN wt w ON a.lang = w.lang),
+        |sampled AS (SELECT d.lang, count(*) AS n_sampled,
+        |              CAST(SUM(d.n_tok) AS BIGINT) AS tokens_sampled
+        |            FROM d JOIN rates r USING (lang)
+        |            WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))
+        |                    AS UBIGINT) % 10000 < r.rate_bp
+        |            GROUP BY 1)
+        |SELECT r.lang, r.n_docs, r.avail, CAST(r.rate_bp AS BIGINT) AS rate_bp,
+        |       COALESCE(s.n_sampled, 0) AS n_sampled,
+        |       COALESCE(s.tokens_sampled, 0) AS tokens_sampled
+        |FROM rates r LEFT JOIN sampled s USING (lang) ORDER BY r.lang""".stripMargin,
     // train→eval contamination via df-capped winnowing fingerprints
     "dedup_contamination" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),

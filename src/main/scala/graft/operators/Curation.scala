@@ -89,4 +89,61 @@ object Curation {
           .as("n_final"))
       .orderBy(col("source"))
   }
+
+  /** The LLM-CORPUS capstone: the full text-curation funnel in one
+    * per-language report — CDC chunk scrub ([[TextOps.cdcScrub]]) →
+    * Gopher-style quality gate re-evaluated on the CLEANED text
+    * ([[TextOps.gopherRulesOf]]) → weighted mixture sampling of the
+    * survivors with the [[TextOps.mixtureSample]] rate arithmetic
+    * (zero-candidate languages rate 0 instead of dividing by zero).
+    * Columns: docs in → after scrub → after quality → available
+    * tokens → sampling rate → sampled docs/tokens.
+    *
+    * Scale: the scrub is the only corpus-sized stage (one window pass
+    * keyed on doc_id + df-filtered broadcast anti-join); the gate is a
+    * row-local projection; everything after reduces to
+    * language-cardinality frames (5 rows) that broadcast.
+    */
+  def llmCorpusFunnel(spark: SparkSession, dir: String,
+                      budgetPct: Int = 30): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val surv1 = TextOps.cdcScrubOf(docs)
+      .filter(col("clean_text") =!= "")
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("clean_text").as("text"))
+    val gateKeep = TextOps.gopherRulesOf(surv1.select(col("doc_id"), col("text")))
+      .filter(col("passes") === 1).select(col("doc_id"))
+    val cand = surv1.join(gateKeep, Seq("doc_id"))
+      .select(col("doc_id"), col("lang"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tok"))
+    val inC = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_in"))
+    val s1C = surv1.groupBy(col("lang")).agg(count(lit(1)).as("n_after_scrub"))
+    val avail = cand.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_after_quality"), sum(col("n_tok")).as("avail_tokens"))
+    val total = avail.agg(coalesce(sum(col("avail_tokens")), lit(0L)).as("total"))
+    val weights = Seq(("en", 40L), ("de", 15L), ("es", 15L), ("fr", 15L), ("zh", 15L))
+    val wdf = spark.createDataFrame(weights).toDF("lang", "w")
+    val rates = inC
+      .join(s1C, Seq("lang"), "left").join(avail, Seq("lang"), "left")
+      .crossJoin(broadcast(total)).join(broadcast(wdf), Seq("lang"))
+      .withColumn("n_after_scrub", coalesce(col("n_after_scrub"), lit(0L)))
+      .withColumn("n_after_quality", coalesce(col("n_after_quality"), lit(0L)))
+      .withColumn("avail_tokens", coalesce(col("avail_tokens"), lit(0L)))
+      .withColumn("target", expr(s"total * $budgetPct DIV 100 * w DIV 100"))
+      .withColumn("rate_bp", when(col("avail_tokens") === 0, lit(0L))
+        .otherwise(least(lit(10000L), expr("target * 10000 DIV avail_tokens"))))
+    val sampled = cand
+      .join(broadcast(rates.select(col("lang"), col("rate_bp"))), Seq("lang"))
+      .filter(TextOps.h60(col("doc_id").cast("string")) % 10000 < col("rate_bp"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_sampled"), sum(col("n_tok")).as("tokens_sampled"))
+    rates.select(col("lang"), col("n_in"), col("n_after_scrub"),
+        col("n_after_quality"), col("avail_tokens"), col("rate_bp"))
+      .join(sampled, Seq("lang"), "left")
+      .select(col("lang"), col("n_in"), col("n_after_scrub"),
+        col("n_after_quality"), col("avail_tokens"), col("rate_bp"),
+        coalesce(col("n_sampled"), lit(0L)).as("n_sampled"),
+        coalesce(col("tokens_sampled"), lit(0L)).as("tokens_sampled"))
+      .orderBy(col("lang"))
+  }
 }

@@ -111,8 +111,10 @@ object TextOps {
     * class, per-stopword array membership — no lower(), no division,
     * no engine-specific regex.
     */
-  def gopherRules(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir)
+  def gopherRules(spark: SparkSession, dir: String): DataFrame =
+    gopherRulesOf(Tables.documents(spark, dir))
+
+  private[graft] def gopherRulesOf(d: DataFrame): DataFrame = {
     val words = split(col("text"), " ")
     val nWords = size(words).cast("bigint")
     val nonSpace = length(regexp_replace(col("text"), " ", "")).cast("bigint")
@@ -878,5 +880,184 @@ object TextOps {
       .select(col("doc_id"), col("n_sentences"),
         coalesce(col("n_shared"), lit(0L)).as("n_shared"))
       .orderBy(col("doc_id"))
+  }
+
+  /** 60-bit positive integer from an md5 prefix — the engine-neutral
+    * hash both engines compute identically (DuckDB:
+    * `CAST('0x'||substr(md5(x),1,15) AS UBIGINT)`).
+    */
+  private[operators] def h60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("bigint")
+
+  /** CONTENT-DEFINED chunk scrub — C4's "remove lines occurring ≥ 3
+    * times in the corpus", made shift-robust for delimiter-free text by
+    * borrowing the storage-dedup trick (content-defined chunking, the
+    * rsync/LBFS boundary rule): a chunk ends after any token whose hash
+    * ≡ 0 (mod `mask`), so identical passages segment into identical
+    * chunks no matter where they sit in a document. Chunks present in
+    * ≥ `minDf` distinct docs are scrubbed and the document reassembled
+    * from the survivors in original order.
+    *
+    * Scale: one explode, one per-doc window pass (single shuffle keyed
+    * on doc_id — expected chunk length is `mask` tokens so state per doc
+    * is its own tokens), a df-filtered banned set (tiny ⇒ broadcast
+    * anti-join), and per-doc reassembly as a hash-agg. Never doc×doc;
+    * the banned set is bounded by corpus-repeated content only.
+    */
+  def cdcScrub(spark: SparkSession, dir: String,
+               mask: Int = 8, minDf: Int = 3): DataFrame =
+    cdcScrubOf(Tables.documents(spark, dir), mask, minDf)
+
+  private[graft] def cdcScrubOf(docs: DataFrame,
+                                mask: Int = 8, minDf: Int = 3): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val toks = docs
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("i0", "tok")))
+      .select(col("doc_id"), (col("i0") + 1).as("pos"), col("tok"))
+      .withColumn("f", when(h60(col("tok")) % mask === 0, 1L).otherwise(0L))
+    val chunks = toks
+      .withColumn("chunk_id", coalesce(sum(col("f")).over(w), lit(0L)))
+      .groupBy(col("doc_id"), col("chunk_id"))
+      .agg(array_join(transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+        x => x.getField("tok")), " ").as("chunk_text"))
+      .withColumn("h", md5(col("chunk_text")))
+    val banned = chunks.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= minDf).select(col("h"))
+    val tot = chunks.groupBy(col("doc_id")).agg(count(lit(1)).as("n_chunks"))
+    val kept = chunks.join(banned, Seq("h"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(array_sort(collect_list(struct(col("chunk_id"), col("chunk_text")))),
+          x => x.getField("chunk_text")), " ").as("clean_text"))
+    tot.join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chunks"),
+        (col("n_chunks") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** EXACT-SUBSTRING span cut (Lee et al. 2022, "Deduplicating Training
+    * Data Makes Language Models Better", §ExactSubstr): any token
+    * `k`-gram appearing in ≥ 2 distinct docs marks its k positions as
+    * duplicated; the cut text keeps only uncovered tokens. Unlike the
+    * winnow-span PAIR detector this is the transform — the per-doc
+    * coverage and the scrubbed text itself.
+    *
+    * Scale: the gram frame is one explode (n−k+1 rows per doc); shared
+    * grams come from a hash-agg with map-side combine; coverage is a
+    * bounded k-row explode per shared OCCURRENCE (linear in corpus, not
+    * pairs — a 10k-doc boilerplate gram costs 10k·k rows, never 10k²);
+    * reassembly is per-doc hash-agg. The suffix-array formulation of the
+    * paper is the single-node approach; this is its shuffle-native dual.
+    */
+  def spanCut(spark: SparkSession, dir: String, k: Int = 5): DataFrame =
+    spanCutOf(Tables.documents(spark, dir), k)
+
+  private[graft] def spanCutOf(docs: DataFrame, k: Int = 5): DataFrame = {
+    val base = docs
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .withColumn("n", size(col("t")))
+    val toks = base
+      .select(col("doc_id"), col("n"), posexplode(col("t")).as(Seq("i0", "tok")))
+      .select(col("doc_id"), col("n"), (col("i0") + 1).as("pos"), col("tok"))
+    val grams = base.filter(col("n") >= k)
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(1), col("n") - (k - 1))).as("i"))
+      .select(col("doc_id"), col("i"),
+        md5(array_join(slice(col("t"), col("i"), lit(k)), " ")).as("h"))
+    val shared = grams.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select(col("h"))
+    val covered = grams.join(shared, Seq("h"))
+      .select(col("doc_id"), explode(sequence(col("i"), col("i") + (k - 1))).as("pos"))
+      .distinct()
+    val cov = covered.groupBy(col("doc_id")).agg(count(lit(1)).as("n_covered"))
+    val cut = toks.join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(array_join(transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+        x => x.getField("tok")), " ").as("cut_text"))
+    val tot = base.select(col("doc_id"), col("n").cast("long").as("n_tokens"))
+    tot.join(cov, Seq("doc_id"), "left").join(cut, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_covered"), lit(0L)).as("n_covered"),
+        coalesce(col("cut_text"), lit("")).as("cut_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** CCNet-style perplexity BUCKETING: per language, rank documents by
+    * the char-trigram likelihood proxy ([[charTrigramScore]] — high
+    * avg corpus-frequency = fluent) and cut into head/middle/tail
+    * thirds; emit per-bucket volume stats. The standard three-way
+    * quality partition an LM-data pipeline trains different mixtures
+    * from (CCNet: per-language Wikipedia-LM perplexity terciles).
+    *
+    * Determinism: the ntile sort key is (avg_freq DESC, doc_id) — the
+    * double is a single division of exact int64s, correctly rounded and
+    * bit-identical in both engines, and the doc_id tiebreak makes the
+    * total order unique.
+    *
+    * Scale: rides the trigram-score stage (alphabet-bounded frequency
+    * table broadcast); the rank is per-language over per-DOC reductions
+    * (one row per doc, never corpus tokens), then a hash-agg.
+    */
+  def ccnetBuckets(spark: SparkSession, dir: String): DataFrame =
+    ccnetBucketsOf(charTrigramScore(spark, dir)
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("lang")), Seq("doc_id")))
+
+  /** `scored` = (doc_id, lang, n_tri, freq_sum, avg_freq) — one row per doc. */
+  private[graft] def ccnetBucketsOf(scored: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("avg_freq").desc, col("doc_id"))
+    scored.withColumn("tile", ntile(3).over(w))
+      .withColumn("bucket",
+        when(col("tile") === 1, "head").when(col("tile") === 2, "middle").otherwise("tail"))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tri")).as("total_tri"),
+        sum(col("freq_sum")).as("total_freq"))
+      .orderBy(col("lang"), col("bucket"))
+  }
+
+  /** Deterministic MIXTURE sampler: hit a target per-language token
+    * mixture (en 40 / de·es·fr·zh 15 each, percent) within a global
+    * budget of `budgetPct`% of corpus tokens. Per language the
+    * acceptance rate in basis points is `min(10000, target·10000 /
+    * available)` — all int64 arithmetic — and a document is kept iff
+    * its 60-bit id-hash falls under the rate, so membership is
+    * reproducible row-local work (the Dohan/Pile-style weighted
+    * source mixing stage, with hash sampling instead of an RNG).
+    *
+    * Scale: two scans (per-language reduction + row-local keep test),
+    * the language table is 5 rows ⇒ broadcast; no shuffle beyond the
+    * per-language hash-agg.
+    */
+  def mixtureSample(spark: SparkSession, dir: String,
+                    budgetPct: Int = 30): DataFrame =
+    mixtureSampleOf(Tables.documents(spark, dir), budgetPct)
+
+  private[graft] def mixtureSampleOf(docs: DataFrame, budgetPct: Int = 30): DataFrame = {
+    val spark = docs.sparkSession
+    val weights = Seq(("en", 40L), ("de", 15L), ("es", 15L), ("fr", 15L), ("zh", 15L))
+    val wdf = spark.createDataFrame(weights).toDF("lang", "w")
+    val d = docs
+      .select(col("doc_id"), col("lang"), size(tokens(col("text"))).cast("long").as("n_tok"))
+    val avail = d.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("avail"))
+    val total = avail.agg(sum(col("avail")).as("total"))
+    val rates = avail.crossJoin(broadcast(total)).join(broadcast(wdf), Seq("lang"))
+      .withColumn("target", expr(s"total * $budgetPct DIV 100 * w DIV 100"))
+      .withColumn("rate_bp", least(lit(10000L), expr("target * 10000 DIV avail")))
+    val sampled = d.join(broadcast(rates.select(col("lang"), col("rate_bp"))), Seq("lang"))
+      .filter(h60(col("doc_id").cast("string")) % 10000 < col("rate_bp"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_sampled"), sum(col("n_tok")).as("tokens_sampled"))
+    rates.select(col("lang"), col("n_docs"), col("avail"), col("rate_bp"))
+      .join(sampled, Seq("lang"), "left")
+      .select(col("lang"), col("n_docs"), col("avail"), col("rate_bp"),
+        coalesce(col("n_sampled"), lit(0L)).as("n_sampled"),
+        coalesce(col("tokens_sampled"), lit(0L)).as("tokens_sampled"))
+      .orderBy(col("lang"))
   }
 }
