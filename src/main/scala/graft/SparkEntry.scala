@@ -58,6 +58,7 @@ object SparkEntry {
       "source_rollup_incremental" -> ((s, d) => { sources.TimePartitionedStore.ensureDailyRollup(s, d); () }),
       "source_time_partitioned" -> ((s, d) => { sources.TimePartitionedStore.ensureDatedLayout(s, d); () }),
       "dedup_log_compaction"    -> ((s, d) => { sources.DedupLogStore.ensureCompactedLog(s, d); () }),
+      "dedup_cdc_grown"         -> ((s, d) => { TextOps.ensureGrownChunkIndex(s, d); () }),
       "text_bpe_encode"         -> ((s, d) => TextOps.ensureBpeMerges(s, d)),
       "text_pack_bpe"           -> ((s, d) => TextOps.ensureBpeMerges(s, d)),
       "ann_cosine_topk"         -> ((s, d) => Similarity.ensureAnnStages(s, d)),
@@ -247,6 +248,9 @@ object SparkEntry {
     // passages identically regardless of shift; chunks in >= 3 docs
     // removed and the doc reassembled — the C4 line-removal TRANSFORM
     "dedup_cdc_scrub" -> ((s, d) => TextOps.cdcScrub(s, d)),
+    // same scrub reading the persisted grown chunk store (segmentation
+    // paid once at ingest; scrub-on-read scans the bucketed store)
+    "dedup_cdc_grown" -> ((s, d) => TextOps.cdcScrubStored(s, d)),
     // ExactSubstr span cut (Lee et al. 2022): positions covered by any
     // cross-doc-repeated token 5-gram are cut from the text itself
     "dedup_span_cut" -> ((s, d) => TextOps.spanCut(s, d)),
@@ -738,6 +742,17 @@ object SparkEntry {
       |       FROM c GROUP BY 1, 2),
       |hs AS (SELECT doc_id, chunk_id, chunk_text, md5(chunk_text) AS h FROM ch),
       |banned AS (SELECT h FROM hs GROUP BY 1 HAVING count(DISTINCT doc_id) >= 3)""".stripMargin
+
+  private val cdcScrubSql: String =
+    s"""WITH $cdcChunkCtes,
+       |tot AS (SELECT doc_id, count(*) AS n_chunks FROM hs GROUP BY 1),
+       |kept AS (SELECT doc_id, count(*) AS n_kept,
+       |           string_agg(chunk_text, ' ' ORDER BY chunk_id) AS clean_text
+       |         FROM hs WHERE h NOT IN (SELECT h FROM banned) GROUP BY 1)
+       |SELECT t.doc_id, t.n_chunks,
+       |       t.n_chunks - COALESCE(k.n_kept, 0) AS n_removed,
+       |       COALESCE(k.clean_text, '') AS clean_text
+       |FROM tot t LEFT JOIN kept k USING (doc_id) ORDER BY t.doc_id""".stripMargin
 
   private val asofSql =
     """WITH u AS (
@@ -1555,16 +1570,9 @@ object SparkEntry {
         |ORDER BY t.doc_id""".stripMargin,
     // content-defined chunking: boundary after any token whose 60-bit
     // md5-prefix hash ≡ 0 (mod 8); chunks in >= 3 distinct docs scrubbed
-    "dedup_cdc_scrub" ->
-      s"""WITH $cdcChunkCtes,
-         |tot AS (SELECT doc_id, count(*) AS n_chunks FROM hs GROUP BY 1),
-         |kept AS (SELECT doc_id, count(*) AS n_kept,
-         |           string_agg(chunk_text, ' ' ORDER BY chunk_id) AS clean_text
-         |         FROM hs WHERE h NOT IN (SELECT h FROM banned) GROUP BY 1)
-         |SELECT t.doc_id, t.n_chunks,
-         |       t.n_chunks - COALESCE(k.n_kept, 0) AS n_removed,
-         |       COALESCE(k.clean_text, '') AS clean_text
-         |FROM tot t LEFT JOIN kept k USING (doc_id) ORDER BY t.doc_id""".stripMargin,
+    "dedup_cdc_scrub" -> cdcScrubSql,
+    // grown store ≡ one-shot scrub: same SQL verbatim
+    "dedup_cdc_grown" -> cdcScrubSql,
     // the funnel capstone: CDC scrub -> Gopher gate on the CLEANED
     // text -> mixture-rate sampling, one row per language
     "pipeline_llm_corpus" ->

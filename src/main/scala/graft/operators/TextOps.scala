@@ -908,21 +908,37 @@ object TextOps {
                mask: Int = 8, minDf: Int = 3): DataFrame =
     cdcScrubOf(Tables.documents(spark, dir), mask, minDf)
 
-  private[graft] def cdcScrubOf(docs: DataFrame,
-                                mask: Int = 8, minDf: Int = 3): DataFrame = {
+  /** The CDC segmentation stage on its own: one row per (doc, chunk)
+    * with the chunk text and its md5 — the frame the persisted chunk
+    * store holds and every scrub face derives from. Chunking is
+    * per-doc work (batch-local by construction), so an appended batch
+    * produces exactly the rows a full rebuild would.
+    */
+  private[graft] def cdcChunkRows(docs: DataFrame, mask: Int = 8): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("pos"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    val toks = docs
+    docs
       .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("i0", "tok")))
       .select(col("doc_id"), (col("i0") + 1).as("pos"), col("tok"))
       .withColumn("f", when(h60(col("tok")) % mask === 0, 1L).otherwise(0L))
-    val chunks = toks
       .withColumn("chunk_id", coalesce(sum(col("f")).over(w), lit(0L)))
       .groupBy(col("doc_id"), col("chunk_id"))
       .agg(array_join(transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
         x => x.getField("tok")), " ").as("chunk_text"))
       .withColumn("h", md5(col("chunk_text")))
+  }
+
+  private[graft] def cdcScrubOf(docs: DataFrame,
+                                mask: Int = 8, minDf: Int = 3): DataFrame =
+    cdcScrubFromChunks(cdcChunkRows(docs, mask), minDf)
+
+  /** Scrub report/reassembly from a chunk frame — shared by the
+    * in-memory lane and the persisted-store lane (`dedup_cdc_grown`),
+    * so both faces are one code path and the store twin's oracle is
+    * the one-shot SQL verbatim.
+    */
+  private[graft] def cdcScrubFromChunks(chunks: DataFrame, minDf: Int = 3): DataFrame = {
     val banned = chunks.groupBy(col("h"))
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= minDf).select(col("h"))
@@ -938,6 +954,63 @@ object TextOps {
         coalesce(col("clean_text"), lit("")).as("clean_text"))
       .orderBy(col("doc_id"))
   }
+
+  /** Append a document batch's chunk rows into a persisted bucketed
+    * chunk store: new docs land as additional files in their doc_id
+    * buckets, no existing file rewritten. Chunking is per-doc work, so
+    * the appended rows are exactly what a full rebuild would hold —
+    * the incremental half of the CDC store lifecycle (the streaming
+    * twin drives this per micro-batch).
+    */
+  def appendChunkIndex(table: String, batch: DataFrame, nBuckets: Int = 32): Unit =
+    graft.sources.BucketedTables.appendBucketed(
+      cdcChunkRows(batch), table, "doc_id", nBuckets)
+
+  /** One grown chunk-store build per (JVM, dir): base store from
+    * doc_id % batchMod != 0, then [[appendChunkIndex]] of the rest —
+    * scrubbing from it must equal the in-memory one-shot scrub (the
+    * dedup_cdc_grown oracle row's gate, SQL shared verbatim).
+    */
+  private val grownChunkTables =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), String]()
+
+  private[graft] def ensureGrownChunkIndex(spark: SparkSession, dir: String,
+                                           batchMod: Int = 5): String = {
+    val name = grownChunkTables.computeIfAbsent((dir, batchMod),
+      _ => s"graft_chunk_grown_${batchMod}_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
+    grownChunkTables.synchronized {
+      // marker AFTER the append is the completion check — tableExists
+      // alone cannot distinguish a half-grown store (see the shingle
+      // twin, MinHash.ensureGrownShingleIndex)
+      if (!spark.catalog.tableExists(name) ||
+          !graft.sources.FsPaths.exists(spark, chunkMarker(spark, name))) {
+        if (spark.catalog.tableExists(name)) spark.sql(s"DROP TABLE $name")
+        graft.sources.FsPaths.deleteRecursively(
+          spark, graft.sources.FsPaths.warehouseTablePath(spark, name))
+        val docs = Tables.documents(spark, dir)
+        graft.sources.BucketedTables.writeBucketed(
+          cdcChunkRows(docs.filter(col("doc_id") % batchMod =!= 0)),
+          name, "doc_id", 32)
+        appendChunkIndex(name, docs.filter(col("doc_id") % batchMod === 0))
+        graft.sources.FsPaths.touch(spark, chunkMarker(spark, name))
+      }
+    }
+    name
+  }
+
+  private def chunkMarker(spark: SparkSession, table: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(
+      graft.sources.FsPaths.warehouseTablePath(spark, table), "_GRAFT_GROWN")
+
+  /** [[cdcScrub]] reading the persisted grown chunk store instead of
+    * re-segmenting the corpus: the scrub's corpus-sized stage (explode
+    * + per-doc window) is ingest-time work paid once; every scrub-on-
+    * read is a scan of the bucketed store + the df-filtered anti-join.
+    */
+  def cdcScrubStored(spark: SparkSession, dir: String, minDf: Int = 3): DataFrame =
+    cdcScrubFromChunks(
+      spark.table(ensureGrownChunkIndex(spark, dir))
+        .select(col("doc_id"), col("chunk_id"), col("chunk_text"), col("h")), minDf)
 
   /** EXACT-SUBSTRING span cut (Lee et al. 2022, "Deduplicating Training
     * Data Makes Language Models Better", §ExactSubstr): any token

@@ -33,4 +33,30 @@ object StreamingCuration {
     */
   def report(stream: DataFrame): DataFrame =
     TextOps.piiReportAggOf(scrubbed(stream))
+
+  /** Streaming ingest into the persisted CDC chunk store — the
+    * sub-document twin of [[StreamingIvf.appendSink]]: each document
+    * micro-batch is segmented by the content-defined boundary rule
+    * (per-doc work, so every micro-batch produces exactly the chunk
+    * rows a batch rebuild would) and appended into its doc_id buckets
+    * via `foreachBatch`. The scrub itself stays a batch/on-read face
+    * ([[TextOps.cdcScrubStored]]) because the banned set is a
+    * corpus-df aggregate — the store appends forever, scrubs read
+    * current truth. Delivery: at-least-once on replay; the df count
+    * would double-count a replayed doc's chunks, so exactly-once
+    * deployments stage per-batch dirs ([[ExactlyOnceSink]] pattern),
+    * same trade as the IVF sink.
+    */
+  def chunkAppendSink(table: String,
+                      docs: org.apache.spark.sql.DataFrame,
+                      checkpoint: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = docs.writeStream
+      .outputMode("append")
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          TextOps.appendChunkIndex(table, batch.toDF())
+      }
+    checkpoint.fold(writer)(c => writer.option("checkpointLocation", c)).start()
+  }
 }

@@ -74,6 +74,17 @@ class CdcScrubSpec extends SparkSpec {
     }
   }
 
+  test("scrub from the grown persisted chunk store equals the one-shot scrub") {
+    val stored = TextOps.cdcScrubStored(spark, sfDir).collect().map(_.toString)
+    val oneShot = TextOps.cdcScrub(spark, sfDir).collect().map(_.toString)
+    assert(stored.nonEmpty)
+    assert(stored.sorted.toSeq === oneShot.sorted.toSeq)
+    // second ensure is a no-op memo hit (same table, nothing rebuilt)
+    val t1 = TextOps.ensureGrownChunkIndex(spark, sfDir)
+    val t2 = TextOps.ensureGrownChunkIndex(spark, sfDir)
+    assert(t1 === t2)
+  }
+
   test("reassembly preserves original chunk order") {
     // doc = A(banned) B A(banned) C with distinct unique chunks B, C
     val banned = s"${plain(40)} ${boundary(4)}"

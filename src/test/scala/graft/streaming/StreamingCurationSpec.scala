@@ -59,4 +59,31 @@ class StreamingCurationSpec extends SparkSpec {
     assert(got.sorted.toSeq === want.sorted.toSeq)
     assert(want.length === d.count())
   }
+
+  test("streamed chunk appends build the same store as one batch segmentation") {
+    val tmp = java.nio.file.Files.createTempDirectory("stream-chunks").toString
+    val d = graft.Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    d.filter(col("doc_id") % 2 === 0).write.parquet(s"$tmp/in")
+    val table = "graft_chunk_stream_spec"
+    if (spark.catalog.tableExists(table)) spark.sql(s"DROP TABLE $table")
+    graft.sources.FsPaths.deleteRecursively(
+      spark, graft.sources.FsPaths.warehouseTablePath(spark, table))
+    val incoming = spark.readStream.schema(d.schema).parquet(s"$tmp/in")
+    val q = StreamingCuration.chunkAppendSink(table, incoming)
+    try {
+      q.processAllAvailable()
+      d.filter(col("doc_id") % 2 =!= 0).write.mode("append").parquet(s"$tmp/in")
+      q.processAllAvailable()
+    } finally q.stop()
+    val stored = spark.table(table).collect().map(_.toString)
+    val oneShot = graft.operators.TextOps.cdcChunkRows(d).collect().map(_.toString)
+    assert(stored.nonEmpty)
+    assert(stored.sorted.toSeq === oneShot.sorted.toSeq)
+    // scrub-on-read over the streamed store ≡ the batch scrub
+    val scrub = graft.operators.TextOps.cdcScrubFromChunks(
+      spark.table(table).select(col("doc_id"), col("chunk_id"),
+        col("chunk_text"), col("h"))).collect().map(_.toString)
+    val batchScrub = graft.operators.TextOps.cdcScrubOf(d).collect().map(_.toString)
+    assert(scrub.sorted.toSeq === batchScrub.sorted.toSeq)
+  }
 }
