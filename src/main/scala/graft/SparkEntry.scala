@@ -59,6 +59,9 @@ object SparkEntry {
       "source_time_partitioned" -> ((s, d) => { sources.TimePartitionedStore.ensureDatedLayout(s, d); () }),
       "dedup_log_compaction"    -> ((s, d) => { sources.DedupLogStore.ensureCompactedLog(s, d); () }),
       "dedup_cdc_grown"         -> ((s, d) => { TextOps.ensureGrownChunkIndex(s, d); () }),
+      "dedup_cdc_scrub"         -> ((s, d) => TextOps.ensureCdcStages(s, d)),
+      "dedup_span_cut"          -> ((s, d) => TextOps.ensureSpanCutStages(s, d)),
+      "pipeline_llm_corpus"     -> ((s, d) => operators.Curation.ensureLlmStages(s, d)),
       "text_bpe_encode"         -> ((s, d) => TextOps.ensureBpeMerges(s, d)),
       "text_pack_bpe"           -> ((s, d) => TextOps.ensureBpeMerges(s, d)),
       "ann_cosine_topk"         -> ((s, d) => Similarity.ensureAnnStages(s, d)),

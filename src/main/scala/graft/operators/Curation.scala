@@ -107,15 +107,20 @@ object Curation {
   def llmCorpusFunnel(spark: SparkSession, dir: String,
                       budgetPct: Int = 30): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val surv1 = TextOps.cdcScrubOf(docs)
-      .filter(col("clean_text") =!= "")
-      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
-      .select(col("doc_id"), col("lang"), col("clean_text").as("text"))
+    // session-staged: the scrub output feeds FIVE consumers below
+    // (after-scrub counts, gate, candidates, avail, sampled) — one
+    // persisted frame instead of five scrub re-executions
+    val surv1 = StageMemo.memoized(spark, "llm_surv1", dir)(
+      TextOps.cdcScrub(spark, dir)
+        .filter(col("clean_text") =!= "")
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .select(col("doc_id"), col("lang"), col("clean_text").as("text")))
     val gateKeep = TextOps.gopherRulesOf(surv1.select(col("doc_id"), col("text")))
       .filter(col("passes") === 1).select(col("doc_id"))
-    val cand = surv1.join(gateKeep, Seq("doc_id"))
-      .select(col("doc_id"), col("lang"),
-        size(TextOps.tokens(col("text"))).cast("long").as("n_tok"))
+    val cand = StageMemo.memoized(spark, "llm_cand", dir)(
+      surv1.join(gateKeep, Seq("doc_id"))
+        .select(col("doc_id"), col("lang"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_tok")))
     val inC = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_in"))
     val s1C = surv1.groupBy(col("lang")).agg(count(lit(1)).as("n_after_scrub"))
     val avail = cand.groupBy(col("lang"))
@@ -145,5 +150,13 @@ object Curation {
         coalesce(col("n_sampled"), lit(0L)).as("n_sampled"),
         coalesce(col("tokens_sampled"), lit(0L)).as("tokens_sampled"))
       .orderBy(col("lang"))
+  }
+
+  /** Bench build seam for the funnel: materialize the staged scrub
+    * output and candidate frames (and transitively the chunk stage).
+    */
+  def ensureLlmStages(spark: SparkSession, dir: String): Unit = {
+    llmCorpusFunnel(spark, dir).count()
+    ()
   }
 }

@@ -906,7 +906,35 @@ object TextOps {
     */
   def cdcScrub(spark: SparkSession, dir: String,
                mask: Int = 8, minDf: Int = 3): DataFrame =
-    cdcScrubOf(Tables.documents(spark, dir), mask, minDf)
+    cdcScrubFromChunks(cdcChunks(spark, dir, mask), minDf)
+
+  /** Session-staged CDC chunk frame: the scrub's three consumers
+    * (banned set, per-doc totals, reassembly) and the funnel capstone
+    * all read ONE persisted segmentation instead of re-running the
+    * explode + per-doc window per branch — the [[StageMemo]] pattern
+    * the near-dup family set.
+    */
+  private[operators] def cdcChunks(spark: SparkSession, dir: String,
+                                   mask: Int = 8): DataFrame =
+    StageMemo.memoized(spark, s"cdc_chunks_$mask", dir)(
+      cdcChunkRows(Tables.documents(spark, dir), mask))
+
+  /** Bench build seam for the scrub lanes: materialize the chunk
+    * stage (and for the capstone, the scrub output itself).
+    */
+  def ensureCdcStages(spark: SparkSession, dir: String): Unit = {
+    cdcChunks(spark, dir).count()
+    ()
+  }
+
+  /** Bench build seam for the span-cut lane: one pass through the
+    * pipeline materializes the persisted gram and covered-position
+    * stages (the probe then re-runs only the final joins over them).
+    */
+  def ensureSpanCutStages(spark: SparkSession, dir: String, k: Int = 5): Unit = {
+    spanCut(spark, dir, k).count()
+    ()
+  }
 
   /** The CDC segmentation stage on its own: one row per (doc, chunk)
     * with the chunk text and its md5 — the frame the persisted chunk
@@ -1027,26 +1055,35 @@ object TextOps {
     * paper is the single-node approach; this is its shuffle-native dual.
     */
   def spanCut(spark: SparkSession, dir: String, k: Int = 5): DataFrame =
-    spanCutOf(Tables.documents(spark, dir), k)
+    spanCutImpl(Tables.documents(spark, dir), k,
+      (name, df) => StageMemo.memoized(spark, s"span_${name}_$k", dir)(df))
 
-  private[graft] def spanCutOf(docs: DataFrame, k: Int = 5): DataFrame = {
+  private[graft] def spanCutOf(docs: DataFrame, k: Int = 5): DataFrame =
+    spanCutImpl(docs, k, (_, df) => df)
+
+  /** `stage` wraps the multiply-consumed intermediates (gram frame,
+    * covered-position set) — session-persisted on the (spark, dir)
+    * path, identity for the pure spec path.
+    */
+  private def spanCutImpl(docs: DataFrame, k: Int,
+                          stage: (String, DataFrame) => DataFrame): DataFrame = {
     val base = docs
       .select(col("doc_id"), tokens(col("text")).as("t"))
       .withColumn("n", size(col("t")))
     val toks = base
       .select(col("doc_id"), col("n"), posexplode(col("t")).as(Seq("i0", "tok")))
       .select(col("doc_id"), col("n"), (col("i0") + 1).as("pos"), col("tok"))
-    val grams = base.filter(col("n") >= k)
+    val grams = stage("grams", base.filter(col("n") >= k)
       .select(col("doc_id"), col("t"),
         explode(sequence(lit(1), col("n") - (k - 1))).as("i"))
       .select(col("doc_id"), col("i"),
-        md5(array_join(slice(col("t"), col("i"), lit(k)), " ")).as("h"))
+        md5(array_join(slice(col("t"), col("i"), lit(k)), " ")).as("h")))
     val shared = grams.groupBy(col("h"))
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= 2).select(col("h"))
-    val covered = grams.join(shared, Seq("h"))
+    val covered = stage("covered", grams.join(shared, Seq("h"))
       .select(col("doc_id"), explode(sequence(col("i"), col("i") + (k - 1))).as("pos"))
-      .distinct()
+      .distinct())
     val cov = covered.groupBy(col("doc_id")).agg(count(lit(1)).as("n_covered"))
     val cut = toks.join(covered, Seq("doc_id", "pos"), "left_anti")
       .groupBy(col("doc_id"))
