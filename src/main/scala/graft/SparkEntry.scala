@@ -333,6 +333,10 @@ object SparkEntry {
     // lexical retrieval: BM25 top-k over the corpus inverted index,
     // exact-integer scores (floored 1e-6-quantized BM25)
     "search_bm25_topk"   -> ((s, d) => operators.Search.bm25TopK(s, d)),
+    // TF-IDF VSM cosine retriever (integer-exact weights/norms, one
+    // terminal float expression) + RRF fusion of the two rank lists
+    "search_tfidf_topk"  -> ((s, d) => operators.Search.tfidfTopK(s, d)),
+    "search_hybrid_rrf"  -> ((s, d) => operators.Search.hybridRrfTopK(s, d)),
     // exact-phrase top-k from the positional postings index
     "search_phrase_topk" -> ((s, d) => operators.Search.phraseTopK(s, d)),
     // ── embedding similarity ──
@@ -745,6 +749,47 @@ object SparkEntry {
       |       FROM c GROUP BY 1, 2),
       |hs AS (SELECT doc_id, chunk_id, chunk_text, md5(chunk_text) AS h FROM ch),
       |banned AS (SELECT h FROM hs GROUP BY 1 HAVING count(DISTINCT doc_id) >= 3)""".stripMargin
+
+  /** BM25 CTE chain ending in `scores(query_id, doc_id, score)` —
+    * shared by the bm25, tfidf (core frames), and hybrid-RRF oracles.
+    */
+  private val bm25ScoreCtes: String =
+    """toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+      |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+      |st AS (SELECT CAST(SUM(dl) AS BIGINT) AS ltot, count(*) AS n FROM dl),
+      |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |q(query_id, qtext) AS (VALUES (0, 'hash join merge'), (1, 'stream window agg'),
+      |                              (2, 'scan filter sort table')),
+      |qt AS (SELECT DISTINCT query_id, unnest(string_split(qtext, ' ')) AS term FROM q),
+      |ts AS (
+      |  SELECT qt.query_id, tf.doc_id,
+      |    CAST(floor(1000000.0 *
+      |      ((2.0 * st.n - 2 * dfq.df + 1) / (2 * dfq.df + 1)) *
+      |      ((44.0 * tf.tf * st.ltot) /
+      |       (20.0 * tf.tf * st.ltot + 6.0 * st.ltot + 18.0 * dl.dl * st.n))) AS BIGINT) AS s
+      |  FROM qt JOIN tf USING (term) JOIN dl USING (doc_id) JOIN dfq USING (term), st),
+      |scores AS (SELECT query_id, doc_id, CAST(SUM(s) AS BIGINT) AS score FROM ts GROUP BY 1, 2)""".stripMargin
+
+  /** TF-IDF CTE chain over the shared core frames, ending in
+    * `tscores(query_id, doc_id, score)`.
+    */
+  private val tfidfScoreCtes: String =
+    """stn AS (SELECT count(DISTINCT doc_id) AS n FROM tf),
+      |idfv AS (SELECT dfq.term,
+      |           CAST((2 * stn.n - 2 * dfq.df + 1) * 100 // (2 * dfq.df + 1) AS BIGINT) AS idfs
+      |         FROM dfq, stn),
+      |w AS (SELECT tf.doc_id, tf.term, CAST(tf.tf * idfv.idfs AS BIGINT) AS w
+      |      FROM tf JOIN idfv USING (term)),
+      |nd AS (SELECT doc_id, CAST(SUM(w * w) AS BIGINT) AS norm2_d FROM w GROUP BY 1),
+      |qw AS (SELECT qt.query_id, qt.term, idfv.idfs FROM qt JOIN idfv USING (term)),
+      |nq AS (SELECT query_id, CAST(SUM(idfs * idfs) AS BIGINT) AS norm2_q FROM qw GROUP BY 1),
+      |dotv AS (SELECT qw.query_id, w.doc_id, CAST(SUM(w.w * qw.idfs) AS BIGINT) AS dot
+      |         FROM qw JOIN w USING (term) GROUP BY 1, 2),
+      |tscores AS (SELECT d.query_id, d.doc_id,
+      |    CAST(floor(1000000.0 * d.dot /
+      |      (sqrt(CAST(nd.norm2_d AS DOUBLE)) * sqrt(CAST(nq.norm2_q AS DOUBLE)))) AS BIGINT) AS score
+      |  FROM dotv d JOIN nd USING (doc_id) JOIN nq USING (query_id))""".stripMargin
 
   private val cdcScrubSql: String =
     s"""WITH $cdcChunkCtes,
@@ -1439,27 +1484,44 @@ object SparkEntry {
     // IEEE-correctly-rounded in both engines, so the floored int64
     // per-term scores (and their sums) are bit-identical
     "search_bm25_topk" ->
-      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
-        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
-        |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
-        |st AS (SELECT CAST(SUM(dl) AS BIGINT) AS ltot, count(*) AS n FROM dl),
-        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-        |q(query_id, qtext) AS (VALUES (0, 'hash join merge'), (1, 'stream window agg'),
-        |                              (2, 'scan filter sort table')),
-        |qt AS (SELECT DISTINCT query_id, unnest(string_split(qtext, ' ')) AS term FROM q),
-        |ts AS (
-        |  SELECT qt.query_id, tf.doc_id,
-        |    CAST(floor(1000000.0 *
-        |      ((2.0 * st.n - 2 * dfq.df + 1) / (2 * dfq.df + 1)) *
-        |      ((44.0 * tf.tf * st.ltot) /
-        |       (20.0 * tf.tf * st.ltot + 6.0 * st.ltot + 18.0 * dl.dl * st.n))) AS BIGINT) AS s
-        |  FROM qt JOIN tf USING (term) JOIN dl USING (doc_id) JOIN dfq USING (term), st),
-        |scores AS (SELECT query_id, doc_id, CAST(SUM(s) AS BIGINT) AS score FROM ts GROUP BY 1, 2)
-        |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score, CAST(rk AS BIGINT) AS rnk
-        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rk
-        |      FROM scores)
-        |WHERE rk <= 10
-        |ORDER BY query_id, rnk""".stripMargin,
+      s"""WITH $bm25ScoreCtes
+         |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score, CAST(rk AS BIGINT) AS rnk
+         |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rk
+         |      FROM scores)
+         |WHERE rk <= 10
+         |ORDER BY query_id, rnk""".stripMargin,
+    // TF-IDF VSM cosine: 100-scaled integer idf, int64 weights/norms,
+    // one terminal float expression mirrored operation-for-operation
+    "search_tfidf_topk" ->
+      s"""WITH $bm25ScoreCtes,
+         |$tfidfScoreCtes
+         |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score, CAST(rk AS BIGINT) AS rnk
+         |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rk
+         |      FROM tscores)
+         |WHERE rk <= 10
+         |ORDER BY query_id, rnk""".stripMargin,
+    // reciprocal-rank fusion of the two top-10 lists: all-integer
+    // 1e6 DIV (60 + rank) contributions, docs in one list keep one term
+    "search_hybrid_rrf" ->
+      s"""WITH $bm25ScoreCtes,
+         |$tfidfScoreCtes,
+         |brank AS (SELECT query_id, doc_id, rk FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rk
+         |  FROM scores) WHERE rk <= 10),
+         |trank AS (SELECT query_id, doc_id, rk FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rk
+         |  FROM tscores) WHERE rk <= 10),
+         |fused AS (SELECT COALESCE(a.query_id, b.query_id) AS query_id,
+         |                 COALESCE(a.doc_id, b.doc_id) AS doc_id,
+         |                 COALESCE(1000000 // (60 + a.rk), 0)
+         |                   + COALESCE(1000000 // (60 + b.rk), 0) AS rrf_score
+         |          FROM brank a FULL JOIN trank b
+         |            ON a.query_id = b.query_id AND a.doc_id = b.doc_id)
+         |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, rrf_score, CAST(rk AS BIGINT) AS rnk
+         |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rrf_score DESC, doc_id) AS rk
+         |      FROM fused)
+         |WHERE rk <= 10
+         |ORDER BY query_id, rnk""".stripMargin,
     // phrase search: the oracle counts occurrences by m-gram equality
     // scan (overlap-counting, like the engine's positional-index walk)
     "search_phrase_topk" ->

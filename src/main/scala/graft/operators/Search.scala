@@ -81,18 +81,26 @@ object Search {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  /** The postings frame (doc_id, term, tf) — the inverted-index core
+    * every lexical retriever reads. Session-staged so BM25, the TF-IDF
+    * VSM ranker, and the hybrid fusion share ONE corpus explode (at
+    * 100 TB this is the bucketed term-keyed index table, built once).
+    */
+  private def tfStage(spark: SparkSession, dir: String): DataFrame =
+    StageMemo.memoized(spark, "search_tf", dir)(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf")))
+
   def bm25TopK(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
-    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     import spark.implicits._
-    val toks = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
     // postings (tf) feed the df count, the doc-length rollup AND the
     // scoring join — the ONLY corpus scan+explode in the query. dl is
-    // derived from the persisted tf (Σ tf per doc = token count), not
+    // derived from the staged tf (Σ tf per doc = token count), not
     // from a second pass over the corpus: at 100 TB an extra scan+explode
     // for a value the index already holds is a full corpus read wasted.
-    val tf = toks.groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf")).persist(MEMORY_AND_DISK)
+    val tf = tfStage(spark, dir)
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val st = dl.agg(sum(col("dl")).as("ltot"), count(lit(1)).as("n"))
     val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
@@ -115,6 +123,76 @@ object Search {
     val scores = termScores.groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("s")).as("score"))
     Dedup.topKPerKey(scores, Seq("query_id"), Seq(-col("score"), col("doc_id")), k)
+      .withColumnRenamed("rk", "rnk")
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** TF-IDF vector-space ranking — the classic VSM cosine retriever
+    * beside BM25. Exact-arithmetic discipline: the idf is the
+    * 100-scaled integer `(2N − 2df + 1)·100 DIV (2df + 1)` (same
+    * rational idf as BM25, floored once), term weights `tf·idf` and
+    * both squared norms are int64 sums, and the only float work is the
+    * terminal `floor(1e6 · dot / (√norm_d · √norm_q))` — int64→double
+    * conversion, sqrt, multiply, divide are all IEEE-correctly-rounded
+    * in both engines, so the floored score hash-matches the oracle.
+    * (The 100 idf scale keeps the int64 norm sums overflow-free to
+    * ~1e5-doc corpora — verified at the 50k-doc sf1 drill; a larger
+    * deployment drops the scale another decade.)
+    *
+    * Scale: rides the staged postings frame; the per-DOC norm rollup is
+    * one hash-agg over it; scoring touches only queried-term postings
+    * (query set broadcast); ranking is the k-bounded heap.
+    */
+  def tfidfTopK(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    import spark.implicits._
+    val tf = tfStage(spark, dir)
+    val n = tf.select(col("doc_id")).distinct().count()
+    val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .withColumn("idfs", expr(s"(2 * $n - 2 * df + 1) * 100 DIV (2 * df + 1)"))
+    val w = tf.join(dfT.select(col("term"), col("idfs")), Seq("term"))
+      .select(col("doc_id"), col("term"), (col("tf") * col("idfs")).as("w"))
+    val normD = w.groupBy(col("doc_id")).agg(sum(col("w") * col("w")).as("norm2_d"))
+    val qt = Queries.toDF("query_id", "qtext")
+      .select(col("query_id"), explode(split(col("qtext"), " ")).as("term"))
+      .distinct()
+    val qw = broadcast(qt).join(dfT.select(col("term"), col("idfs")), Seq("term"))
+    val normQ = qw.groupBy(col("query_id"))
+      .agg(sum(col("idfs") * col("idfs")).as("norm2_q"))
+    val dot = qw.join(w, Seq("term"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("w") * col("idfs")).as("dot"))
+    val scores = dot.join(normD, Seq("doc_id")).join(broadcast(normQ), Seq("query_id"))
+      .select(col("query_id"), col("doc_id"),
+        floor(lit(1000000.0) * col("dot") /
+          (sqrt(col("norm2_d").cast("double")) * sqrt(col("norm2_q").cast("double"))))
+          .cast("bigint").as("score"))
+    Dedup.topKPerKey(scores, Seq("query_id"), Seq(-col("score"), col("doc_id")), k)
+      .withColumnRenamed("rk", "rnk")
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** HYBRID retrieval with reciprocal-rank fusion (the Elasticsearch /
+    * Vespa / Cormack-Clarke-Buettcher RRF): the BM25 and TF-IDF top-k
+    * lists fuse per (query, doc) as Σ 1000000 DIV (60 + rank) —
+    * all-integer, so the fused order is oracle-exact. A doc retrieved
+    * by only one ranker contributes a single term (standard RRF).
+    *
+    * Scale: fusion inputs are k-bounded rank lists (k·|queries| rows),
+    * so the outer join and re-rank are driver-trivial regardless of
+    * corpus size; the cost is the two retrievers, which share the
+    * staged postings frame.
+    */
+  def hybridRrfTopK(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    def contrib(df: DataFrame, name: String) =
+      df.select(col("query_id"), col("doc_id"),
+        expr("1000000 DIV (60 + rnk)").as(name))
+    val a = contrib(bm25TopK(spark, dir, k), "c_bm25")
+    val b = contrib(tfidfTopK(spark, dir, k), "c_tfidf")
+    val fused = a.join(b, Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"),
+        (coalesce(col("c_bm25"), lit(0L)) + coalesce(col("c_tfidf"), lit(0L)))
+          .as("rrf_score"))
+    Dedup.topKPerKey(fused, Seq("query_id"), Seq(-col("rrf_score"), col("doc_id")), k)
       .withColumnRenamed("rk", "rnk")
       .orderBy(col("query_id"), col("rnk"))
   }

@@ -116,4 +116,55 @@ class SearchSpec extends SparkSpec {
         s"score mismatch for query ${r.getLong(0)} doc ${r.getLong(1)}")
     }
   }
+
+  test("tfidfTopK: scores recompute from raw text (int idf/weights/norms, one float step)") {
+    val out = Search.tfidfTopK(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq).toMap
+    val n = docs.size.toLong
+    val dfMap = docs.values.flatMap(_.distinct).groupBy(identity)
+      .map { case (t, occ) => t -> occ.size.toLong }
+    def idfs(t: String): Long = {
+      val df = dfMap(t)
+      (2 * n - 2 * df + 1) * 100 / (2 * df + 1)
+    }
+    def score(qterms: Seq[String], docId: Long): Long = {
+      val toks = docs(docId)
+      val tf = toks.groupBy(identity).map { case (t, o) => t -> o.size.toLong }
+      val norm2d = tf.map { case (t, f) => val w = f * idfs(t); w * w }.sum
+      val qs = qterms.distinct.filter(dfMap.contains)
+      val norm2q = qs.map(t => idfs(t) * idfs(t)).sum
+      val dot = qs.flatMap(t => tf.get(t).map(f => f * idfs(t) * idfs(t))).sum
+      math.floor(1000000.0 * dot /
+        (math.sqrt(norm2d.toDouble) * math.sqrt(norm2q.toDouble))).toLong
+    }
+    val queries = Search.Queries.toMap
+    out.foreach { r =>
+      val expected = score(queries(r.getLong(0)).split(" ").toSeq, r.getLong(1))
+      assert(r.getLong(2) === expected,
+        s"tfidf mismatch for query ${r.getLong(0)} doc ${r.getLong(1)}")
+    }
+  }
+
+  test("hybridRrfTopK: fusion equals integer RRF recomputed from the two rank lists") {
+    def ranks(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    val b = ranks(Search.bm25TopK(spark, sfDir))
+    val t = ranks(Search.tfidfTopK(spark, sfDir))
+    val fused = (b.keySet ++ t.keySet).map { key =>
+      key -> (b.get(key).map(rk => 1000000L / (60 + rk)).getOrElse(0L) +
+        t.get(key).map(rk => 1000000L / (60 + rk)).getOrElse(0L))
+    }.toMap
+    val expected = fused.groupBy(_._1._1).flatMap { case (qid, m) =>
+      m.toSeq.map { case ((_, did), s) => (did, s) }
+        .sortBy { case (did, s) => (-s, did) }.take(10).zipWithIndex
+        .map { case ((did, s), i) => (qid, did) -> (s, i + 1L) }
+    }
+    val got = Search.hybridRrfTopK(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(got.nonEmpty)
+    assert(got === expected)
+  }
 }
