@@ -62,6 +62,9 @@ object SparkEntry {
       "dedup_cdc_scrub"         -> ((s, d) => TextOps.ensureCdcStages(s, d)),
       "dedup_span_cut"          -> ((s, d) => TextOps.ensureSpanCutStages(s, d)),
       "pipeline_llm_corpus"     -> ((s, d) => operators.Curation.ensureLlmStages(s, d)),
+      "search_bm25_topk"        -> ((s, d) => operators.Search.ensureSearchStages(s, d)),
+      "search_tfidf_topk"       -> ((s, d) => operators.Search.ensureSearchStages(s, d)),
+      "search_hybrid_rrf"       -> ((s, d) => operators.Search.ensureSearchStages(s, d)),
       "text_bpe_encode"         -> ((s, d) => TextOps.ensureBpeMerges(s, d)),
       "text_pack_bpe"           -> ((s, d) => TextOps.ensureBpeMerges(s, d)),
       "ann_cosine_topk"         -> ((s, d) => Similarity.ensureAnnStages(s, d)),
