@@ -773,6 +773,23 @@ object TextOps {
       .select(col("doc_id"), col("lang"), col("n_tokens"), col("pack_id"))
   }
 
+  /** The encoded form of `text` under the trained merge list (the
+    * replace chain [[bpeTokenCount]] measures).
+    */
+  private[graft] def bpeEncoded(ms: Seq[BpeMerge]): Column =
+    ms.foldLeft(col("text"))((acc, m) => replace(acc, lit(m.pair), lit(m.newChar)))
+
+  /** DECODE under the trained vocabulary: the reverse replace chain in
+    * reverse training order. Every merge symbol is a fresh private-use
+    * char absent from the corpus and from all earlier symbols' pairs,
+    * so decode∘encode ≡ identity exactly — the tokenizer-lifecycle
+    * contract a training pipeline depends on (what is packed can be
+    * reconstructed byte-for-byte). Same zero-shuffle per-row expression
+    * shape as the encoder.
+    */
+  private[graft] def bpeDecoded(ms: Seq[BpeMerge], encoded: Column): Column =
+    ms.reverse.foldLeft(encoded)((acc, m) => replace(acc, lit(m.newChar), lit(m.pair)))
+
   /** BMP private-use area size bounds the merge count (one fresh
     * single-char symbol per round).
     */

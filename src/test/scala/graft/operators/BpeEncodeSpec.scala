@@ -91,4 +91,27 @@ class BpeEncodeSpec extends SparkSpec {
     val b = TextOps.bpeEncode(spark, sfDir).collect().map(_.toString).sorted
     assert(a.toSeq === b.toSeq)
   }
+
+  test("decode inverts encode byte-for-byte (tokenizer round trip)") {
+    val d = docs("ab ab ab", "abc ab x", "no pairs here at all", "")
+    val ms = TextOps.bpeMergesOf(d, 4)
+    assert(ms.nonEmpty)
+    val out = d.select(col("doc_id"), col("text"),
+        TextOps.bpeDecoded(ms, TextOps.bpeEncoded(ms)).as("rt"),
+        TextOps.bpeEncoded(ms).as("enc"))
+      .collect()
+    out.foreach { r =>
+      assert(r.getString(2) === r.getString(1), s"round trip broke doc ${r.getLong(0)}")
+    }
+    // the encode genuinely changed something (non-vacuous round trip)
+    assert(out.exists(r => r.getString(3) !== r.getString(1)))
+    // and on the real corpus: every doc the encode lane covers
+    val ms2 = TextOps.bpeMergesOf(
+      graft.Tables.documents(spark, sfDir).select(col("doc_id"), col("text")), 8)
+    val corpus = graft.Tables.documents(spark, sfDir)
+      .filter(!col("text").rlike("[\\uE000-\\uF8FF]"))
+      .select(col("text"), TextOps.bpeDecoded(ms2, TextOps.bpeEncoded(ms2)).as("rt"))
+      .filter(col("rt") =!= col("text")).count()
+    assert(corpus === 0L, "corpus round trip must be exact for every doc")
+  }
 }

@@ -66,7 +66,13 @@ class PlanSnapshotSpec extends SparkSpec {
   private val NearDup = Seq(
     "dedup_minhash_lsh",
     "dedup_incremental_bucketed",
-    "dedup_media_phash")
+    "dedup_media_phash",
+    // round-9 staged lanes: the CDC scrub (chunk stage + broadcast
+    // anti-join) and the RRF fusion (shared postings stage feeding two
+    // retrievers) — stage-recompute regressions like the ones the first
+    // r9 protocol run caught now fail here, not in a bench two rounds on
+    "dedup_cdc_scrub",
+    "search_hybrid_rrf")
 
   private val nearDupSnapshotPath =
     java.nio.file.Paths.get("src/test/resources/plan_snapshot_neardup.txt")
