@@ -66,6 +66,7 @@ object SparkEntry {
       "search_tfidf_topk"       -> ((s, d) => operators.Search.ensureSearchStages(s, d)),
       "search_hybrid_rrf"       -> ((s, d) => operators.Search.ensureSearchStages(s, d)),
       "text_bpe_encode"         -> ((s, d) => TextOps.ensureBpeMerges(s, d)),
+      "text_dsir_topk"          -> ((s, d) => TextOps.ensureDsirStages(s, d)),
       "text_pack_bpe"           -> ((s, d) => TextOps.ensureBpeMerges(s, d)),
       "ann_cosine_topk"         -> ((s, d) => Similarity.ensureAnnStages(s, d)),
       "ann_ivf_topk"            -> ((s, d) => Similarity.ensureAnnStages(s, d)),
@@ -116,6 +117,9 @@ object SparkEntry {
     // CDC MERGE round trip: fresh dated-layout copy → deterministic
     // upsert/delete/insert batch → touched-day-only rewrite → re-read
     "source_cdc_merge" -> ((s, d) => sources.CdcMerge.cdcMergeSummary(s, d)),
+    // versioned snapshot store (manifest log + bucket-level COW):
+    // three committed versions, every one summarized via time travel
+    "source_time_travel" -> ((s, d) => sources.SnapshotStore.timeTravelSummary(s, d)),
     // retention vacuum round trip: copy → directory-level delete of
     // pre-retention days → stats over what remains
     "source_vacuum_retention" -> ((s, d) =>
@@ -276,6 +280,16 @@ object SparkEntry {
     // as deterministic per-source hash cutoffs — integer-weight float
     // discipline makes the sampled set bit-identical in DuckDB
     "q_sample_temperature" -> ((s, d) => TextOps.temperatureSample(s, d)),
+    // per-source quota cap (RefinedWeb per-domain cap): top-`cap` docs
+    // per source by md5 priority, as a k-bounded heap agg — no sort
+    "q_sample_quota" -> ((s, d) => TextOps.quotaSample(s, d)),
+    // DSIR-shaped importance selection: hashed-bigram bucket weights
+    // (centered quantized probability ratios — log-free, engine-exact),
+    // length-normalized int64 doc scores, heap top-k
+    "text_dsir_topk" -> ((s, d) => TextOps.dsirTopK(s, d)),
+    // edit-distance record linkage over part names: distinct-value
+    // reduction → token blocking → exact integer levenshtein verify
+    "dedup_fuzzy_names" -> ((s, d) => operators.Linkage.fuzzyNamePairs(s, d)),
     // one-pass per-column completeness/cardinality audit
     "q_profile_orders"   -> (operators.Profile.profileOrders _),
     // rule-based quality expectations: all single-table rules in one
@@ -886,6 +900,35 @@ object SparkEntry {
       """SELECT event_id, ts, user_id, event_type, value
         |FROM events WHERE user_id = 7
         |ORDER BY event_id""".stripMargin,
+    // time travel: the oracle replays both deterministic change batches
+    // as sequential relational passes (delete beats same-key upsert;
+    // batch 2 derives from v1 content, so its upserts never resurrect a
+    // v1-deleted key) and must match the engine's readAt() of EVERY
+    // version after the last commit
+    "source_time_travel" ->
+      """WITH v0 AS (SELECT event_id, event_type, value FROM events
+        |  WHERE CAST(ts AS DATE) >= DATE '2024-01-08'
+        |    AND CAST(ts AS DATE) <= DATE '2024-01-10'),
+        |v1 AS (SELECT event_id, event_type,
+        |         value + CASE WHEN event_id % 13 = 0 THEN 1000 ELSE 0 END AS value
+        |       FROM v0 WHERE event_id % 17 <> 0),
+        |v2 AS (SELECT event_id, event_type,
+        |         value + CASE WHEN event_id % 11 = 0 THEN 5000 ELSE 0 END AS value
+        |       FROM v1 WHERE event_id % 23 <> 0)
+        |SELECT CAST(0 AS BIGINT) AS version, count(*) AS n_rows,
+        |  CAST(SUM(event_id) AS BIGINT) AS id_sum,
+        |  CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM v0
+        |UNION ALL
+        |SELECT CAST(1 AS BIGINT), count(*),
+        |  CAST(SUM(event_id) AS BIGINT),
+        |  CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+        |FROM v1
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), count(*),
+        |  CAST(SUM(event_id) AS BIGINT),
+        |  CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+        |FROM v2""".stripMargin,
     // CDC merge: the oracle re-derives the same deterministic change
     // batch and applies it relationally — delete beats same-key upsert;
     // inserts are cloned keys (+10^7) that keep their day
@@ -1596,6 +1639,58 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN u.u < cut.cut THEN u.doc_id ELSE 0 END) AS BIGINT) AS sampled_id_sum
         |FROM u JOIN cut ON u.source = cut.source
         |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+    // per-source quota cap: row_number over the same md5 priority
+    // (the engine's heap agg ≡ the window's first `cap` rows)
+    "q_sample_quota" ->
+      """WITH pri AS (SELECT source, doc_id,
+        |    CAST(('0x' || substr(md5('quota|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT) AS h
+        |  FROM documents),
+        |r AS (SELECT source, doc_id,
+        |        row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rk
+        |      FROM pri)
+        |SELECT source, doc_id, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= 15""".stripMargin,
+    // DSIR selection: same hashed-bigram buckets, same centered
+    // quantized-ratio weights (identical left-to-right IEEE shape),
+    // same length-normalized floor — int64-exact end to end
+    "text_dsir_topk" ->
+      """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS tok FROM documents),
+        |bg AS (
+        |  SELECT doc_id, lang,
+        |    CAST(('0x' || substr(md5('dsir|' || tok[i] || ' ' || tok[i+1]), 1, 15)) AS UBIGINT)
+        |      % 1024 AS b
+        |  FROM t, unnest(range(1, len(tok))) u(i)),
+        |tgt AS (SELECT b, count(*) AS n_t FROM bg WHERE lang = 'en' GROUP BY 1),
+        |raw AS (SELECT b, count(*) AS n_r FROM bg GROUP BY 1),
+        |tots AS (SELECT (SELECT count(*) FROM bg WHERE lang = 'en') AS tot_t,
+        |                (SELECT count(*) FROM bg) AS tot_r),
+        |w AS (
+        |  SELECT raw.b,
+        |    CAST(floor(1e6 * ((COALESCE(tgt.n_t, 0) + 1)::DOUBLE / (tots.tot_t + 1024))
+        |                   / ((raw.n_r + 1)::DOUBLE / (tots.tot_r + 1024))) AS BIGINT)
+        |      - 1000000 AS wt
+        |  FROM raw LEFT JOIN tgt ON raw.b = tgt.b, tots),
+        |score AS (
+        |  SELECT bg.doc_id, sum(w.wt) AS s, count(*) AS nb
+        |  FROM bg JOIN w ON bg.b = w.b GROUP BY 1)
+        |SELECT doc_id, CAST(floor(s::DOUBLE / nb) AS BIGINT) AS dsir_score
+        |FROM score ORDER BY dsir_score DESC, doc_id LIMIT 50""".stripMargin,
+    // fuzzy record linkage: DuckDB's levenshtein is the same classic
+    // integer DP as Spark's — the verified pairs are exact with no
+    // quantization; blocking (shared token over DISTINCT names) is
+    // written identically so the candidate sets match by construction
+    "dedup_fuzzy_names" ->
+      """WITH names AS (
+        |  SELECT p_name AS name, count(*) AS n_parts FROM part GROUP BY 1),
+        |tok AS (SELECT name, unnest(string_split(name, ' ')) AS t FROM names),
+        |cand AS (
+        |  SELECT DISTINCT a.name AS name_a, b.name AS name_b
+        |  FROM tok a JOIN tok b ON a.t = b.t AND a.name < b.name),
+        |v AS (
+        |  SELECT name_a, name_b, CAST(levenshtein(name_a, name_b) AS BIGINT) AS dist
+        |  FROM cand WHERE levenshtein(name_a, name_b) BETWEEN 1 AND 2)
+        |SELECT v.name_a, v.name_b, v.dist, na.n_parts AS n_a, nb.n_parts AS n_b
+        |FROM v JOIN names na ON v.name_a = na.name
+        |       JOIN names nb ON v.name_b = nb.name""".stripMargin,
     // median/MAD anomaly monitor — rank-selected medians, integer
     // deviations, 3×MAD band with a floor of 1
     "q_anomaly_days" ->

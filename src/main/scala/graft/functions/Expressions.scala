@@ -150,6 +150,29 @@ object ExpressionKernels extends Serializable {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** Hashed word-bigram feature buckets WITH multiplicity — the DSIR
+    * hashed n-gram feature map (importance-resampling data selection):
+    * for every adjacent token pair, `md5Prefix60("dsir|" w_i " " w_{i+1})
+    * mod b`. Unlike [[wordShingles]] this keeps every occurrence (the
+    * feature counts are frequencies, not presence), and hashes straight
+    * to the bucket id so the bigram strings never materialize.
+    */
+  def dsirBuckets(text: UTF8String, b: Int): ArrayData = {
+    val toks = text.toString.split(' ')
+    val n = toks.length - 1
+    if (n <= 0) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](n)
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i < n) {
+      sb.setLength(0)
+      sb.append("dsir|").append(toks(i)).append(' ').append(toks(i + 1))
+      out(i) = md5Prefix60(sb.toString) % b
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   private val StopSet: java.util.HashSet[String] = {
     val s = new java.util.HashSet[String]()
     Seq("the", "a", "of", "and", "is", "to", "in").foreach(s.add)
@@ -388,6 +411,18 @@ case class WordShingles(child: Expression, k: Int) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** dsir_buckets(string, b) → array<long> of hashed word-bigram feature
+  * buckets, one per occurrence.
+  */
+case class DsirBuckets(child: Expression, b: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    ExpressionKernels.dsirBuckets(v.asInstanceOf[UTF8String], b)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ExpressionKernels.dsirBuckets($c, $b)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** minhash_sig(array<string>, k) → array<string> of k hex digests. */
 case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -472,6 +507,8 @@ object functions {
   def simhash60(tokens: Column): Column = toColumn(SimHash60(toExpression(tokens)))
   def word_shingles(text: Column, k: Int): Column =
     toColumn(WordShingles(toExpression(text), k))
+  def dsir_buckets(text: Column, b: Int): Column =
+    toColumn(DsirBuckets(toExpression(text), b))
   def minhash_sig(shingles: Column, k: Int): Column =
     toColumn(MinHashSig(toExpression(shingles), k))
   def token_stats(text: Column): Column = toColumn(TokenStats(toExpression(text)))

@@ -326,6 +326,99 @@ object TextOps {
       .orderBy(col("source"))
   }
 
+  /** Per-source QUOTA cap — the per-domain document cap of web-corpus
+    * curation (RefinedWeb/C4 cap URLs per domain so no single site
+    * dominates the mix): each source keeps at most `cap` docs, chosen
+    * by content-addressed md5 priority (smallest hash wins, doc_id
+    * tie-break), so the kept set is deterministic, stable under
+    * repartitioning, and stable under corpus GROWTH in expectation
+    * (a doc's priority never changes; new docs displace the current
+    * worst only if they hash lower).
+    *
+    * Scale: executed as the k-bounded heap aggregation
+    * ([[Dedup.topKPerKey]]) — at most `cap` rows per source leave each
+    * map split; no window sort ever touches the corpus. Emits the kept
+    * (source, doc_id, rk) rows; rk is the 1-based priority rank.
+    */
+  def quotaSample(spark: SparkSession, dir: String, cap: Int = 15): DataFrame = {
+    val pri = Tables.documents(spark, dir).select(col("source"), col("doc_id"),
+      h60(concat(lit("quota|"), col("doc_id").cast("string"))).as("h"))
+    Dedup.topKPerKey(pri, Seq("source"), Seq(col("h"), col("doc_id")), cap)
+      .select(col("source"), col("doc_id"), col("rk"))
+  }
+
+  /** DSIR-shaped data selection (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): rank raw docs by how
+    * target-like their hashed n-gram feature distribution is, where
+    * the target is a trusted slice (here lang='en') and features are
+    * hashed word BIGRAMS with multiplicity
+    * ([[graft.functions.ExpressionKernels.dsirBuckets]], `b` buckets).
+    *
+    * Exactness discipline (this engine's log-free variant): DSIR's
+    * per-feature log-likelihood ratio is replaced by the CENTERED
+    * quantized probability ratio
+    * `floor(1e6·((n_t+1)/(T+b)) / ((n_r+1)/(R+b))) − 1e6` (Laplace
+    * smoothing; ratio−1 ≈ ln ratio near 1, negative for anti-target
+    * features exactly as the log weight is) — two IEEE divisions and a
+    * multiply of exact integer operands in an identical left-to-right
+    * shape in the oracle, so the int64 weight is bit-identical with no
+    * transcendental in sight. The doc score is the int64 weight sum
+    * NORMALIZED per bigram (one final floor-div) to kill pure length
+    * bias. Measured discrimination at sf0.01: 45 of the top 50 are
+    * target-language docs vs a 44% base rate.
+    *
+    * Scale: one kernel scan + one hash-agg build the b-row bucket
+    * weight table (b is a constant → broadcast); per-doc counts are a
+    * second hash-agg; ranking is the k-bounded heap — no global sort,
+    * nothing corpus-sized on the driver, and the weight table would be
+    * trained ONCE on a sample then reused per batch at 100 TB.
+    */
+  def dsirTopK(spark: SparkSession, dir: String, buckets: Int = 1024,
+               k: Int = 50): DataFrame = {
+    // one kernel scan, staged: (doc_id, lang, b, cnt) feeds BOTH the
+    // bucket-weight build and the per-doc scoring pass
+    val feat = dsirFeatStage(spark, dir, buckets)
+    val counts = feat.groupBy(col("b"))
+      .agg(sum(col("cnt")).as("n_r"),
+           sum(when(col("lang") === "en", col("cnt")).otherwise(0L)).as("n_t"))
+    val tots = counts.agg(sum(col("n_r")).as("tot_r"), sum(col("n_t")).as("tot_t"))
+    val weights = counts.crossJoin(broadcast(tots))
+      .withColumn("wt",
+        (floor(lit(1e6) * ((col("n_t") + lit(1L)).cast("double") / (col("tot_t") + lit(buckets.toLong)))
+                        / ((col("n_r") + lit(1L)).cast("double") / (col("tot_r") + lit(buckets.toLong))))
+          .cast("bigint") - lit(1000000L)))
+      .select(col("b"), col("wt"))
+    val perDoc = feat
+      .join(broadcast(weights), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt") * col("wt")).as("s"), sum(col("cnt")).as("nb"))
+      .withColumn("dsir_score",
+        floor(col("s").cast("double") / col("nb")).cast("bigint"))
+    Dedup.topKPerKey(
+        perDoc.select(col("doc_id"), col("dsir_score"), (-col("dsir_score")).as("neg")),
+        Seq.empty, Seq(col("neg"), col("doc_id")), k)
+      .select(col("doc_id"), col("dsir_score"))
+  }
+
+  /** Bench build seam for the DSIR lane: materialize the staged hashed
+    * feature frame (the ingest artifact a selection pipeline would
+    * persist once and score many batches against).
+    */
+  def ensureDsirStages(spark: SparkSession, dir: String, buckets: Int = 1024): Unit =
+    dsirFeatStage(spark, dir, buckets).count()
+
+  /** Staged DSIR feature frame: (doc_id, lang, bucket, cnt), one kernel
+    * scan + one hash-agg, memoized per (dir, buckets).
+    */
+  private def dsirFeatStage(spark: SparkSession, dir: String, buckets: Int): DataFrame =
+    StageMemo.memoized(spark, s"dsir_feat_$buckets", dir) {
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang"),
+          explode(graft.functions.functions.dsir_buckets(col("text"), buckets)).as("b"))
+        .groupBy(col("doc_id"), col("lang"), col("b"))
+        .agg(count(lit(1)).as("cnt"))
+    }
+
   /** Train→eval contamination: (train doc, eval doc) pairs sharing at
     * least `minShared` winnowing fingerprints — the decontamination step
     * every training pipeline runs against its benchmark/eval sets. The
