@@ -173,6 +173,32 @@ object ExpressionKernels extends Serializable {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** Length-normalized DSIR importance score against a DENSE bucket
+    * weight vector (index = feature bucket, length = bucket count):
+    * `floor(Σ wt[h(bigram) mod b] / n_bigrams)` — the int64 sum and the
+    * single floored division are exactly the staged-aggregation scoring
+    * path ([[graft.operators.TextOps.dsirTopK]]), collapsed to one
+    * stateless per-row pass for the serving/streaming shape where the
+    * weight table is a broadcast plan literal. Sub-bigram docs score 0
+    * (no features — neutral by the centering convention).
+    */
+  def dsirScore(text: UTF8String, wts: ArrayData): Long = {
+    val toks = text.toString.split(' ')
+    val n = toks.length - 1
+    if (n <= 0) return 0L
+    val b = wts.numElements()
+    var s = 0L
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i < n) {
+      sb.setLength(0)
+      sb.append("dsir|").append(toks(i)).append(' ').append(toks(i + 1))
+      s += wts.getLong((md5Prefix60(sb.toString) % b).toInt)
+      i += 1
+    }
+    Math.floor(s.toDouble / n).toLong
+  }
+
   private val StopSet: java.util.HashSet[String] = {
     val s = new java.util.HashSet[String]()
     Seq("the", "a", "of", "and", "is", "to", "in").foreach(s.add)
@@ -423,6 +449,19 @@ case class DsirBuckets(child: Expression, b: Int) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** dsir_score(string, array<long>) → length-normalized int64 importance
+  * score against a dense bucket weight vector.
+  */
+case class DsirScore(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(t: Any, w: Any): Any =
+    ExpressionKernels.dsirScore(t.asInstanceOf[UTF8String], w.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, w) => s"graft.functions.ExpressionKernels.dsirScore($t, $w)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** minhash_sig(array<string>, k) → array<string> of k hex digests. */
 case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -509,6 +548,8 @@ object functions {
     toColumn(WordShingles(toExpression(text), k))
   def dsir_buckets(text: Column, b: Int): Column =
     toColumn(DsirBuckets(toExpression(text), b))
+  def dsir_score(text: Column, weights: Column): Column =
+    toColumn(DsirScore(toExpression(text), toExpression(weights)))
   def minhash_sig(shingles: Column, k: Int): Column =
     toColumn(MinHashSig(toExpression(shingles), k))
   def token_stats(text: Column): Column = toColumn(TokenStats(toExpression(text)))

@@ -375,19 +375,8 @@ object TextOps {
     */
   def dsirTopK(spark: SparkSession, dir: String, buckets: Int = 1024,
                k: Int = 50): DataFrame = {
-    // one kernel scan, staged: (doc_id, lang, b, cnt) feeds BOTH the
-    // bucket-weight build and the per-doc scoring pass
     val feat = dsirFeatStage(spark, dir, buckets)
-    val counts = feat.groupBy(col("b"))
-      .agg(sum(col("cnt")).as("n_r"),
-           sum(when(col("lang") === "en", col("cnt")).otherwise(0L)).as("n_t"))
-    val tots = counts.agg(sum(col("n_r")).as("tot_r"), sum(col("n_t")).as("tot_t"))
-    val weights = counts.crossJoin(broadcast(tots))
-      .withColumn("wt",
-        (floor(lit(1e6) * ((col("n_t") + lit(1L)).cast("double") / (col("tot_t") + lit(buckets.toLong)))
-                        / ((col("n_r") + lit(1L)).cast("double") / (col("tot_r") + lit(buckets.toLong))))
-          .cast("bigint") - lit(1000000L)))
-      .select(col("b"), col("wt"))
+    val weights = dsirWeightFrame(spark, dir, buckets)
     val perDoc = feat
       .join(broadcast(weights), Seq("b"))
       .groupBy(col("doc_id"))
@@ -406,6 +395,47 @@ object TextOps {
     */
   def ensureDsirStages(spark: SparkSession, dir: String, buckets: Int = 1024): Unit =
     dsirFeatStage(spark, dir, buckets).count()
+
+  /** The trained bucket-weight table (b, wt): centered quantized
+    * probability ratios over the staged feature frame — one kernel scan
+    * + one hash-agg feeding a ≤`buckets`-row result.
+    */
+  private def dsirWeightFrame(spark: SparkSession, dir: String, buckets: Int): DataFrame = {
+    val feat = dsirFeatStage(spark, dir, buckets)
+    val counts = feat.groupBy(col("b"))
+      .agg(sum(col("cnt")).as("n_r"),
+           sum(when(col("lang") === "en", col("cnt")).otherwise(0L)).as("n_t"))
+    val tots = counts.agg(sum(col("n_r")).as("tot_r"), sum(col("n_t")).as("tot_t"))
+    counts.crossJoin(broadcast(tots))
+      .withColumn("wt",
+        (floor(lit(1e6) * ((col("n_t") + lit(1L)).cast("double") / (col("tot_t") + lit(buckets.toLong)))
+                        / ((col("n_r") + lit(1L)).cast("double") / (col("tot_r") + lit(buckets.toLong))))
+          .cast("bigint") - lit(1000000L)))
+      .select(col("b"), col("wt"))
+  }
+
+  /** The weight table EXPORTED as a dense int64 vector (index = bucket)
+    * — the serving artifact [[graft.functions.ExpressionKernels.dsirScore]]
+    * takes as a broadcast plan literal, so arriving docs score in one
+    * stateless codegen'd pass (zero joins, zero streaming state).
+    * Buckets absent from the training corpus get the both-sides-Laplace
+    * weight (n_t = n_r = 0), the same formula evaluated at zero. The
+    * collect is `buckets`-bounded — a training artifact, not data.
+    */
+  def dsirWeightsVector(spark: SparkSession, dir: String,
+                        buckets: Int = 1024): Array[Long] = {
+    val trained = dsirWeightFrame(spark, dir, buckets).collect()
+      .map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+    val totsRow = dsirFeatStage(spark, dir, buckets)
+      .agg(sum(col("cnt")).as("tot_r"),
+           sum(when(col("lang") === "en", col("cnt")).otherwise(0L)).as("tot_t"))
+      .collect().head
+    val (totR, totT) = (totsRow.getLong(0), totsRow.getLong(1))
+    val absent =
+      (math.floor(1e6 * (1.0 / (totT + buckets)) / (1.0 / (totR + buckets))))
+        .toLong - 1000000L
+    Array.tabulate(buckets)(b => trained.getOrElse(b, absent))
+  }
 
   /** Staged DSIR feature frame: (doc_id, lang, bucket, cnt), one kernel
     * scan + one hash-agg, memoized per (dir, buckets).

@@ -149,6 +149,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "dsir_buckets(text, b) - hashed word-bigram feature buckets (with multiplicity)") {
       case Seq(t, b) => DsirBuckets(t, intArg(b, "dsir_buckets b"))
     })
+    e.injectFunction(fn("dsir_score",
+      "dsir_score(text, weights) - length-normalized importance score vs a dense weight vector") {
+      case Seq(t, w) => DsirScore(t, w)
+    })
     e.injectFunction(fn("winnow_fingerprints",
       "winnow_fingerprints(text, k, w) - MOSS winnowing fingerprints") {
       case Seq(t, k, w) =>
