@@ -44,20 +44,19 @@ object Linkage {
     val names = Tables.part(spark, dir)
       .groupBy(col("p_name").as("name"))
       .agg(count(lit(1)).as("n_parts"))
-    val tok = names.select(col("name"), explode(split(col("name"), " ")).as("t"))
-    val a = tok.select(col("name").as("name_a"), col("t"))
-    val b = tok.select(col("name").as("name_b"), col("t"))
-    val cand = a.join(broadcast(b), Seq("t"))
+    // counts ride THROUGH the blocking join (they're functionally
+    // dependent on the name), so no post-verify count joins re-run the
+    // distinct-name aggregation — the corpus is aggregated once per
+    // join side instead of four times
+    val tok = names.select(col("name"), col("n_parts"),
+      explode(split(col("name"), " ")).as("t"))
+    val a = tok.select(col("name").as("name_a"), col("n_parts").as("n_a"), col("t"))
+    val b = tok.select(col("name").as("name_b"), col("n_parts").as("n_b"), col("t"))
+    a.join(broadcast(b), Seq("t"))
       .where(col("name_a") < col("name_b"))
-      .select(col("name_a"), col("name_b")).distinct()
-    val verified = cand
+      .select(col("name_a"), col("name_b"), col("n_a"), col("n_b")).distinct()
       .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("bigint"))
       .where(col("dist") > 0 && col("dist") <= maxDist)
-    verified
-      .join(broadcast(names).withColumnRenamed("name", "name_a")
-        .withColumnRenamed("n_parts", "n_a"), Seq("name_a"))
-      .join(broadcast(names).withColumnRenamed("name", "name_b")
-        .withColumnRenamed("n_parts", "n_b"), Seq("name_b"))
       .select(col("name_a"), col("name_b"), col("dist"), col("n_a"), col("n_b"))
   }
 }

@@ -210,6 +210,35 @@ object SnapshotStore {
   def readAt(spark: SparkSession, dir: String, v: Int): DataFrame =
     readBuckets(spark, dir, manifest(spark, dir, v)).drop("__bucket")
 
+  /** Keyed point lookup at version `v`: the key's bucket is resolved
+    * from the manifest and ONLY that bucket's directory is opened — an
+    * O(1/Buckets) read no matter how large the table, the
+    * metadata-pruned point-read path of the table formats.
+    */
+  def readKeyAt(spark: SparkSession, dir: String, v: Int,
+                keyCol: String, key: Long): DataFrame = {
+    val b = java.lang.Math.floorMod(key, Buckets.toLong).toInt
+    val m = manifest(spark, dir, v)
+    readBuckets(spark, dir, Map(b -> m(b)))
+      .filter(col(keyCol) === key).drop("__bucket")
+  }
+
+  /** Defragment: rewrite the CURRENT content as one fresh data version
+    * (every bucket rewritten, one file set), published as a normal
+    * commit — after many small streaming commits scattered content
+    * across data versions, this restores one-dir-per-bucket locality.
+    * Content is untouched (pinned in SnapshotStoreSpec); a following
+    * `vacuum(keepFrom = returned version)` reclaims every fragment.
+    */
+  def optimize(spark: SparkSession, dir: String): Int = {
+    val latest = latestVersion(spark, dir)
+    val next = latest + 1
+    val cur = readBuckets(spark, dir, manifest(spark, dir, latest))
+    cur.write.partitionBy("__bucket").parquet(dataDir(dir, next).toString)
+    writeManifest(spark, dir, next, (0 until Buckets).map(_ -> next).toMap)
+    next
+  }
+
   /** Delete every (data version, bucket) directory not referenced by a
     * manifest ≥ `keepFrom`, then the dropped manifests themselves.
     * Metadata-only: plans from the manifest set, never reads data.

@@ -110,6 +110,40 @@ class SnapshotStoreSpec extends SparkSpec {
       files.exists(_.contains(s"data/v0/__bucket=$b"))))
   }
 
+  test("point lookup opens exactly one bucket dir and returns the keyed row per version") {
+    val dir = freshStore()
+    SnapshotStore.commit(spark, dir,
+      changes(Seq((9L, "t1", 900.0, "upsert"))), "event_id", expectedVersion = 0)
+    val hit = SnapshotStore.readKeyAt(spark, dir, 1, "event_id", 9L)
+    val dirs = hit.inputFiles.map(_.split("/__bucket=")(1).split("/")(0)).distinct
+    assert(dirs.toSeq === Seq("1"), "lookup must touch only the key's bucket")
+    assert(hit.select("value").as[Double].collect().toSeq === Seq(900.0))
+    // the same key at v0 time-travels to the pre-upsert value
+    assert(SnapshotStore.readKeyAt(spark, dir, 0, "event_id", 9L)
+      .select("value").as[Double].collect().toSeq === Seq(9.0))
+  }
+
+  test("optimize rewrites current content into one data version; vacuum then drops all fragments") {
+    val dir = freshStore()
+    SnapshotStore.commit(spark, dir,
+      changes(Seq((0L, "t0", 100.0, "upsert"))), "event_id", expectedVersion = 0)
+    SnapshotStore.commit(spark, dir,
+      changes(Seq((1L, "t1", 201.0, "upsert"), (2L, "t2", 0.0, "delete"))),
+      "event_id", expectedVersion = 1)
+    val want = content(dir, 2)
+    val v = SnapshotStore.optimize(spark, dir)
+    assert(v === 3)
+    assert(content(dir, 3) === want, "optimize must not change content")
+    // everything now reads from the fresh data version
+    val files = SnapshotStore.readAt(spark, dir, 3).inputFiles
+    assert(files.nonEmpty && files.forall(_.contains("data/v3/")))
+    // all older fragments are unreachable from v3 and reclaimed
+    SnapshotStore.vacuum(spark, dir, keepFrom = 3)
+    val left = bucketDirs(dir).keySet
+    assert(left.forall(_.contains("data/v3/")), s"fragments survived: $left")
+    assert(content(dir, 3) === want)
+  }
+
   test("vacuum drops exactly the unreachable bucket dirs; kept versions stay exact") {
     val dir = freshStore()
     SnapshotStore.commit(spark, dir,
