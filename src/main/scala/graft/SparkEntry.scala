@@ -67,6 +67,8 @@ object SparkEntry {
       "search_hybrid_rrf"       -> ((s, d) => operators.Search.ensureSearchStages(s, d)),
       "text_bpe_encode"         -> ((s, d) => TextOps.ensureBpeMerges(s, d)),
       "text_dsir_topk"          -> ((s, d) => TextOps.ensureDsirStages(s, d)),
+      "source_time_travel"      -> ((s, d) => sources.SnapshotStore.ensureTimeTravelStore(s, d)),
+      "source_snapshot_changes" -> ((s, d) => sources.SnapshotStore.ensureTimeTravelStore(s, d)),
       "text_pack_bpe"           -> ((s, d) => TextOps.ensureBpeMerges(s, d)),
       "ann_cosine_topk"         -> ((s, d) => Similarity.ensureAnnStages(s, d)),
       "ann_ivf_topk"            -> ((s, d) => Similarity.ensureAnnStages(s, d)),
@@ -120,6 +122,9 @@ object SparkEntry {
     // versioned snapshot store (manifest log + bucket-level COW):
     // three committed versions, every one summarized via time travel
     "source_time_travel" -> ((s, d) => sources.SnapshotStore.timeTravelSummary(s, d)),
+    // change data feed over the same store: per version step, the
+    // insert/update/delete rows, manifest-diff-pruned to moved buckets
+    "source_snapshot_changes" -> ((s, d) => sources.SnapshotStore.snapshotChangesSummary(s, d)),
     // retention vacuum round trip: copy → directory-level delete of
     // pre-retention days → stats over what remains
     "source_vacuum_retention" -> ((s, d) =>
@@ -201,6 +206,9 @@ object SparkEntry {
     "q_embedding_label_stats" -> ((s, d) => operators.Similarity.labelStats(s, d)),
     // int8 quantization scale + code checksum per vector (index build)
     "q_embedding_quantize"  -> ((s, d) => operators.Similarity.quantizeSummary(s, d)),
+    // JL sign-projection sketch: 64→16 dims through an md5-derived ±1
+    // matrix on int64-quantized components — one kernel pass, no shuffle
+    "q_embedding_project"   -> ((s, d) => operators.Similarity.jlProjectSummary(s, d)),
     "q_events_value_stats"  -> (Relational.qEventsValueStats _),
     "q_events_funnel"       -> (Relational.qEventsFunnel _),
     // daily cohort × days-since retention matrix over events
@@ -929,6 +937,32 @@ object SparkEntry {
         |  CAST(SUM(event_id) AS BIGINT),
         |  CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
         |FROM v2""".stripMargin,
+    // change feed: the oracle re-derives each step's delete/update key
+    // sets from the batch rules (inserts structurally absent — both
+    // batches derive from store content); update requires the value to
+    // actually differ, which the +1000/+5000 bumps guarantee
+    "source_snapshot_changes" ->
+      """WITH v0 AS (SELECT event_id, value FROM events
+        |  WHERE CAST(ts AS DATE) >= DATE '2024-01-08'
+        |    AND CAST(ts AS DATE) <= DATE '2024-01-10'),
+        |v1 AS (SELECT event_id FROM v0 WHERE event_id % 17 <> 0),
+        |c01 AS (
+        |  SELECT 'delete' AS change, event_id FROM v0 WHERE event_id % 17 = 0
+        |  UNION ALL
+        |  SELECT 'update', event_id FROM v0
+        |  WHERE event_id % 13 = 0 AND event_id % 17 <> 0),
+        |c12 AS (
+        |  SELECT 'delete' AS change, event_id FROM v1 WHERE event_id % 23 = 0
+        |  UNION ALL
+        |  SELECT 'update', event_id FROM v1
+        |  WHERE event_id % 11 = 0 AND event_id % 23 <> 0)
+        |SELECT CAST(0 AS BIGINT) AS from_v, CAST(1 AS BIGINT) AS to_v, change,
+        |  count(*) AS n_rows, CAST(SUM(event_id) AS BIGINT) AS id_sum
+        |FROM c01 GROUP BY 3
+        |UNION ALL
+        |SELECT CAST(1 AS BIGINT), CAST(2 AS BIGINT), change,
+        |  count(*), CAST(SUM(event_id) AS BIGINT)
+        |FROM c12 GROUP BY 3""".stripMargin,
     // CDC merge: the oracle re-derives the same deterministic change
     // batch and applies it relationally — delete beats same-key upsert;
     // inserts are cloned keys (+10^7) that keep their day
@@ -1425,6 +1459,24 @@ object SparkEntry {
         |FROM (SELECT vec_id, embedding,
         |        list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS mx
         |      FROM embeddings)""".stripMargin,
+    // JL sign projection: the ±1 matrix is rebuilt cell-for-cell from
+    // md5 parity; components quantize floor(1e6·x) to int64 before any
+    // arithmetic, so every sum is exact integer math in both engines
+    "q_embedding_project" ->
+      """WITH e AS (
+        |  SELECT vec_id, i - 1 AS i,
+        |    CAST(floor(1e6 * embedding[i]::DOUBLE) AS BIGINT) AS q
+        |  FROM embeddings, unnest(range(1, len(embedding) + 1)) u(i)),
+        |s AS (
+        |  SELECT e.vec_id, j.j,
+        |    SUM(CASE WHEN CAST(('0x' || substr(md5('jl|' || CAST(e.i AS VARCHAR) || '|' || CAST(j.j AS VARCHAR)), 1, 15)) AS UBIGINT) % 2 = 0
+        |             THEN e.q ELSE -e.q END) AS p
+        |  FROM e, range(0, 16) j(j)
+        |  GROUP BY 1, 2)
+        |SELECT vec_id,
+        |  CAST(SUM(p * (j + 1)) AS BIGINT) AS proj_checksum,
+        |  CAST(SUM(p * p) AS BIGINT) AS proj_norm2
+        |FROM s GROUP BY 1""".stripMargin,
     "text_ngram_freq" ->
       s"""$shingleCte
          |SELECT shingle, count(*) AS n_docs FROM sh

@@ -199,6 +199,51 @@ object ExpressionKernels extends Serializable {
     Math.floor(s.toDouble / n).toLong
   }
 
+  private val jlSignCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Array[Long]]]()
+
+  /** ±1 sign matrix of the JL sign projection, derived from md5 so the
+    * oracle re-derives it cell-for-cell; CONSTANT per (dim, dPrime), so
+    * it is computed once per executor JVM and cached — never per row.
+    */
+  private def jlSigns(dim: Int, dPrime: Int): Array[Array[Long]] =
+    jlSignCache.computeIfAbsent((dim, dPrime), { k =>
+      Array.tabulate(k._2)(j => Array.tabulate(k._1)(i =>
+        if (md5Prefix60(s"jl|$i|$j") % 2 == 0) 1L else -1L))
+    })
+
+  /** Johnson–Lindenstrauss SIGN-projection sketch of a float vector:
+    * components quantized `floor(1e6·x)` to int64, projected to dPrime
+    * dims through the cached ±1 matrix (exact integer sums), reduced to
+    * `struct(proj_checksum = Σ p_j·(j+1), proj_norm2 = Σ p_j²)` — the
+    * distance-preserving dimensionality-reduction step of an ANN
+    * index-build, made oracle-exact end to end.
+    */
+  def jlSketch(emb: ArrayData, dPrime: Int): InternalRow = {
+    val d = emb.numElements()
+    val signs = jlSigns(d, dPrime)
+    val q = new Array[Long](d)
+    var i = 0
+    while (i < d) {
+      q(i) = math.floor(1e6 * emb.getFloat(i).toDouble).toLong
+      i += 1
+    }
+    var checksum = 0L
+    var norm2 = 0L
+    var j = 0
+    while (j < dPrime) {
+      val row = signs(j)
+      var p = 0L
+      var k = 0
+      while (k < d) { p += row(k) * q(k); k += 1 }
+      checksum += p * (j + 1)
+      norm2 += p * p
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](checksum, norm2))
+  }
+
   private val StopSet: java.util.HashSet[String] = {
     val s = new java.util.HashSet[String]()
     Seq("the", "a", "of", "and", "is", "to", "in").foreach(s.add)
@@ -462,6 +507,18 @@ case class DsirScore(left: Expression, right: Expression) extends BinaryExpressi
     copy(left = l, right = r)
 }
 
+/** jl_sketch(array<float>, dPrime) → struct(proj_checksum, proj_norm2). */
+case class JlSketch(child: Expression, dPrime: Int) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("proj_checksum", LongType, nullable = false),
+    StructField("proj_norm2", LongType, nullable = false)))
+  override def nullSafeEval(v: Any): Any =
+    ExpressionKernels.jlSketch(v.asInstanceOf[ArrayData], dPrime)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ExpressionKernels.jlSketch($c, $dPrime)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** minhash_sig(array<string>, k) → array<string> of k hex digests. */
 case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -550,6 +607,8 @@ object functions {
     toColumn(DsirBuckets(toExpression(text), b))
   def dsir_score(text: Column, weights: Column): Column =
     toColumn(DsirScore(toExpression(text), toExpression(weights)))
+  def jl_sketch(emb: Column, dPrime: Int): Column =
+    toColumn(JlSketch(toExpression(emb), dPrime))
   def minhash_sig(shingles: Column, k: Int): Column =
     toColumn(MinHashSig(toExpression(shingles), k))
   def token_stats(text: Column): Column = toColumn(TokenStats(toExpression(text)))

@@ -596,6 +596,25 @@ object Similarity {
     * identical IEEE arithmetic in both engines, and the code sum is
     * integer — no float crosses the oracle.
     */
+  /** Johnson–Lindenstrauss sign-projection summary
+    * (`q_embedding_project`): every vector projected 64 → `dPrime` dims
+    * through an md5-derived ±1 matrix on `floor(1e6·x)` int64
+    * components — the dimensionality-reduction step an ANN index build
+    * runs before clustering, kept oracle-exact (integer sums only; the
+    * sign matrix is rebuilt cell-for-cell in the DuckDB SQL).
+    *
+    * Scale: one codegen kernel pass, zero shuffles, zero joins; the
+    * sign matrix is a per-JVM constant
+    * ([[graft.functions.ExpressionKernels.jlSigns]]), never per-row
+    * work, and the d·dPrime multiply-adds per vector are the entire
+    * cost at any corpus size.
+    */
+  def jlProjectSummary(spark: SparkSession, dir: String, dPrime: Int = 16): DataFrame =
+    Tables.embeddings(spark, dir).select(col("vec_id"),
+      graft.functions.functions.jl_sketch(col("embedding"), dPrime).as("s"))
+      .select(col("vec_id"), col("s.proj_checksum").as("proj_checksum"),
+        col("s.proj_norm2").as("proj_norm2"))
+
   def quantizeSummary(spark: SparkSession, dir: String): DataFrame = {
     val xs = transform(col("embedding"), x => x.cast("double"))
     val mx = array_max(transform(xs, x => abs(x)))

@@ -144,6 +144,35 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(content(dir, 3) === want)
   }
 
+  test("change feed classifies insert/update/delete and skips unmoved buckets entirely") {
+    val dir = freshStore()
+    SnapshotStore.commit(spark, dir, changes(Seq(
+      (0L, "t0", 100.0, "upsert"),    // update (key exists, value differs)
+      (8L, "t0", 8.0, "upsert"),      // touched but value identical → no change row
+      (5L, "t1", 0.0, "delete"),      // delete
+      (64L, "t0", 640.0, "upsert"))), // insert (key beyond the base range)
+      "event_id", expectedVersion = 0)
+    val feed = SnapshotStore.readChangesBetween(spark, dir, 0, 1, "event_id")
+    val got = feed.select(col("change"), col("event_id")).as[(String, Long)]
+      .collect().toSet
+    assert(got === Set(("update", 0L), ("delete", 5L), ("insert", 64L)))
+    // old/new value columns carry both sides
+    val upd = feed.where(col("event_id") === 0L).collect().head
+    assert(upd.getAs[Double]("__old_value") === 0.0)
+    assert(upd.getAs[Double]("__new_value") === 100.0)
+    // only moved buckets are opened: keys 0,8,64 → bucket 0; 5 → bucket 5
+    val openedBuckets = feed.inputFiles
+      .map(_.split("/__bucket=")(1).split("/")(0)).toSet
+    assert(openedBuckets === Set("0", "5"),
+      s"change feed opened unmoved buckets: $openedBuckets")
+    // a no-op step reports no changes
+    val v2 = SnapshotStore.commit(spark, dir,
+      changes(Seq((1L, "t1", 11.0, "upsert"))), "event_id", expectedVersion = 1)
+    assert(SnapshotStore.readChangesBetween(spark, dir, 0, 1, "event_id").count() === 3)
+    assert(SnapshotStore.readChangesBetween(spark, dir, 1, v2, "event_id")
+      .select("change").as[String].collect().toSeq === Seq("update"))
+  }
+
   test("vacuum drops exactly the unreachable bucket dirs; kept versions stay exact") {
     val dir = freshStore()
     SnapshotStore.commit(spark, dir,
