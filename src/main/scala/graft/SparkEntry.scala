@@ -67,6 +67,7 @@ object SparkEntry {
       "search_hybrid_rrf"       -> ((s, d) => operators.Search.ensureSearchStages(s, d)),
       "text_bpe_encode"         -> ((s, d) => TextOps.ensureBpeMerges(s, d)),
       "text_dsir_topk"          -> ((s, d) => TextOps.ensureDsirStages(s, d)),
+      "pipeline_selection"      -> ((s, d) => TextOps.ensureDsirStages(s, d)),
       "source_time_travel"      -> ((s, d) => sources.SnapshotStore.ensureTimeTravelStore(s, d)),
       "source_snapshot_changes" -> ((s, d) => sources.SnapshotStore.ensureTimeTravelStore(s, d)),
       "text_pack_bpe"           -> ((s, d) => TextOps.ensureBpeMerges(s, d)),
@@ -298,6 +299,9 @@ object SparkEntry {
     // edit-distance record linkage over part names: distinct-value
     // reduction → token blocking → exact integer levenshtein verify
     "dedup_fuzzy_names" -> ((s, d) => operators.Linkage.fuzzyNamePairs(s, d)),
+    // selection funnel capstone: per-source quota cap ∘ DSIR top-k,
+    // per-stage loss attributable per source
+    "pipeline_selection" -> ((s, d) => operators.Curation.selectionFunnel(s, d)),
     // one-pass per-column completeness/cardinality audit
     "q_profile_orders"   -> (operators.Profile.profileOrders _),
     // rule-based quality expectations: all single-table rules in one
@@ -367,6 +371,10 @@ object SparkEntry {
     // ── embedding similarity ──
     "ann_cosine_topk"         -> ((s, d) => Similarity.cosineTopK(s, d)),
     "ann_lsh_topk"            -> ((s, d) => Similarity.lshBucketTopK(s, d)),
+    // multi-probe LSH (own bucket + all Hamming-1 neighbors): the
+    // recall/latency knob that multiplies only the query side
+    "ann_lsh_mp_topk"         -> ((s, d) => Similarity.lshMultiProbeTopK(s, d)),
+    "ann_lsh_mp_recall"       -> ((s, d) => Similarity.lshMultiProbeRecall(s, d)),
     // second operating point of the log₂(n) plane-count rule: 12 planes
     // (16+ is exercised in SimilaritySpec — at the test SFs it empties
     // the buckets, and a 0-row green oracle row would attest nothing).
@@ -1726,6 +1734,51 @@ object SparkEntry {
         |  FROM bg JOIN w ON bg.b = w.b GROUP BY 1)
         |SELECT doc_id, CAST(floor(s::DOUBLE / nb) AS BIGINT) AS dsir_score
         |FROM score ORDER BY dsir_score DESC, doc_id LIMIT 50""".stripMargin,
+    // selection funnel: quota CTE ∘ the dsir score CTEs, global top-50
+    // over the capped pool, rolled up per source with zero-backfill
+    "pipeline_selection" ->
+      """WITH pri AS (SELECT source, doc_id,
+        |    CAST(('0x' || substr(md5('quota|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT) AS h
+        |  FROM documents),
+        |r AS (SELECT source, doc_id,
+        |        row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rk
+        |      FROM pri),
+        |quota AS (SELECT source, doc_id FROM r WHERE rk <= 15),
+        |t AS (SELECT doc_id, lang, string_split(text, ' ') AS tok FROM documents),
+        |bg AS (
+        |  SELECT doc_id, lang,
+        |    CAST(('0x' || substr(md5('dsir|' || tok[i] || ' ' || tok[i+1]), 1, 15)) AS UBIGINT)
+        |      % 1024 AS b
+        |  FROM t, unnest(range(1, len(tok))) u(i)),
+        |tgt AS (SELECT b, count(*) AS n_t FROM bg WHERE lang = 'en' GROUP BY 1),
+        |raw AS (SELECT b, count(*) AS n_r FROM bg GROUP BY 1),
+        |tots AS (SELECT (SELECT count(*) FROM bg WHERE lang = 'en') AS tot_t,
+        |                (SELECT count(*) FROM bg) AS tot_r),
+        |w AS (
+        |  SELECT raw.b,
+        |    CAST(floor(1e6 * ((COALESCE(tgt.n_t, 0) + 1)::DOUBLE / (tots.tot_t + 1024))
+        |                   / ((raw.n_r + 1)::DOUBLE / (tots.tot_r + 1024))) AS BIGINT)
+        |      - 1000000 AS wt
+        |  FROM raw LEFT JOIN tgt ON raw.b = tgt.b, tots),
+        |score AS (
+        |  SELECT bg.doc_id, sum(w.wt) AS s, count(*) AS nb
+        |  FROM bg JOIN w ON bg.b = w.b GROUP BY 1),
+        |sc AS (SELECT doc_id, CAST(floor(s::DOUBLE / nb) AS BIGINT) AS dsir_score
+        |       FROM score),
+        |sel AS (SELECT source, doc_id FROM (
+        |  SELECT q.source, q.doc_id,
+        |    row_number() OVER (ORDER BY sc.dsir_score DESC, q.doc_id) AS rk2
+        |  FROM quota q JOIN sc ON q.doc_id = sc.doc_id) WHERE rk2 <= 50),
+        |nin AS (SELECT source, count(*) AS n_in FROM documents GROUP BY 1),
+        |nq AS (SELECT source, count(*) AS n_quota FROM quota GROUP BY 1),
+        |ns AS (SELECT source, count(*) AS n_selected,
+        |         CAST(SUM(doc_id) AS BIGINT) AS selected_id_sum FROM sel GROUP BY 1)
+        |SELECT nin.source, nin.n_in,
+        |  CAST(COALESCE(nq.n_quota, 0) AS BIGINT) AS n_quota,
+        |  CAST(COALESCE(ns.n_selected, 0) AS BIGINT) AS n_selected,
+        |  CAST(COALESCE(ns.selected_id_sum, 0) AS BIGINT) AS selected_id_sum
+        |FROM nin LEFT JOIN nq ON nin.source = nq.source
+        |         LEFT JOIN ns ON nin.source = ns.source""".stripMargin,
     // fuzzy record linkage: DuckDB's levenshtein is the same classic
     // integer DP as Spark's — the verified pairs are exact with no
     // quantization; blocking (shared token over DISTINCT names) is
@@ -2302,6 +2355,44 @@ object SparkEntry {
          |FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rk
          |      FROM s)
          |WHERE rk <= 5""".stripMargin,
+    // multi-probe LSH: the query fans out to its bucket plus all 8
+    // Hamming-1 neighbors (xor of each plane bit); corpus side joins on
+    // its single stored bucket — candidates are a superset of the
+    // single-probe row's
+    "ann_lsh_mp_topk" ->
+      s"""WITH ${lshBucketCte()},
+         |pr AS (
+         |  SELECT vec_id, embedding,
+         |    CASE WHEN pp.p = 0 THEN bucket
+         |         ELSE xor(bucket, CAST(1 AS BIGINT) << (pp.p - 1)) END AS bucket
+         |  FROM emb, unnest(range(0, 9)) pp(p)
+         |  WHERE vec_id % 50 = 0),
+         |s AS (
+         |  SELECT a.vec_id AS q_id, b.vec_id AS vec_id, $cosineSql AS sim
+         |  FROM pr a JOIN emb b ON a.bucket = b.bucket
+         |  WHERE b.vec_id <> a.vec_id)
+         |SELECT q_id, vec_id, sim, CAST(rk AS BIGINT) AS rnk
+         |FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rk
+         |      FROM s)
+         |WHERE rk <= 5""".stripMargin,
+    // recall of the multi-probe index under the same exact-integer gate
+    "ann_lsh_mp_recall" ->
+      s"""WITH ${lshBucketCte()},
+         |$truthCte,
+         |pr AS (
+         |  SELECT vec_id, embedding,
+         |    CASE WHEN pp.p = 0 THEN bucket
+         |         ELSE xor(bucket, CAST(1 AS BIGINT) << (pp.p - 1)) END AS bucket
+         |  FROM emb, unnest(range(0, 9)) pp(p)
+         |  WHERE vec_id % 50 = 0),
+         |apx AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT a.vec_id AS q_id, b.vec_id AS vec_id, $cosineSql AS sim,
+         |      row_number() OVER (PARTITION BY a.vec_id ORDER BY $cosineSql DESC, b.vec_id) AS rk
+         |    FROM pr a JOIN emb b ON a.bucket = b.bucket
+         |    WHERE b.vec_id <> a.vec_id)
+         |  WHERE rk <= 5),
+         |$recallTail""".stripMargin,
     // recall@k of the LSH index vs brute force, exact integers (hits, k).
     // Same truth/approx subqueries as ann_cosine_topk / ann_lsh_topk;
     // zero-candidate queries surface as hits = 0 via the left join.

@@ -155,6 +155,42 @@ object Curation {
   /** Bench build seam for the funnel: materialize the staged scrub
     * output and candidate frames (and transitively the chunk stage).
     */
+  /** SELECTION funnel (`pipeline_selection`): the data-selection half
+    * of curation, composing the round's two selection operators in the
+    * order a mixture pipeline runs them — per-domain QUOTA cap first
+    * (no single source may dominate, [[TextOps.quotaSample]]), then
+    * DSIR importance selection over the capped pool (global top-`k` by
+    * target-likeness, [[TextOps.dsirTopK]]'s scores restricted to quota
+    * survivors). Per source: docs in, docs surviving the quota, docs
+    * selected, and the selected-id checksum — every stage's loss
+    * attributable per provenance domain.
+    *
+    * Scale: the quota is the cap-bounded heap agg; the scores come off
+    * the staged feature frame; the global top-k ranks ONLY the
+    * quota-capped pool (≤ sources × cap rows — catalog-sized, however
+    * large the corpus).
+    */
+  def selectionFunnel(spark: SparkSession, dir: String, k: Int = 50): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("source"), col("doc_id"))
+    val nIn = docs.groupBy(col("source")).agg(count(lit(1)).as("n_in"))
+    val quota = TextOps.quotaSample(spark, dir).select(col("source"), col("doc_id"))
+    val nQuota = quota.groupBy(col("source")).agg(count(lit(1)).as("n_quota"))
+    val scoredQuota = quota
+      .join(TextOps.dsirScores(spark, dir), Seq("doc_id"))
+    val selected = Dedup.topKPerKey(
+        scoredQuota.withColumn("neg", -col("dsir_score")),
+        Seq.empty, Seq(col("neg"), col("doc_id")), k)
+    val nSel = selected.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_selected"), sum(col("doc_id")).as("selected_id_sum"))
+    nIn.join(nQuota, Seq("source"), "left")
+      .join(nSel, Seq("source"), "left")
+      .select(col("source"), col("n_in"),
+        coalesce(col("n_quota"), lit(0L)).as("n_quota"),
+        coalesce(col("n_selected"), lit(0L)).as("n_selected"),
+        coalesce(col("selected_id_sum"), lit(0L)).as("selected_id_sum"))
+      .orderBy(col("source"))
+  }
+
   def ensureLlmStages(spark: SparkSession, dir: String): Unit = {
     llmCorpusFunnel(spark, dir).count()
     ()

@@ -165,6 +165,41 @@ object Similarity {
     topKBySim(cand, k)
   }
 
+  /** MULTI-PROBE LSH top-k (Lv et al., VLDB 2007): each query probes
+    * its own bucket PLUS every Hamming-1 neighbor (one hyperplane flip)
+    * — the standard recall/latency knob that buys back most of a
+    * missed-neighbor's recall without touching the index: a true
+    * neighbor that landed one plane away is found by the flipped probe.
+    * Candidates are a strict SUPERSET of the single-probe set, so
+    * recall can only rise (pinned in SimilaritySpec).
+    *
+    * Scale: the (planes+1)-way fan-out multiplies only the QUERY side —
+    * the corpus is still joined once on its single stored bucket id;
+    * cost scales with probes × query count, never corpus size.
+    */
+  def lshMultiProbeTopK(spark: SparkSession, dir: String, k: Int = 5,
+                        queryStride: Int = 50, planes: Int = NumPlanes): DataFrame = {
+    val b = lshBuckets(Tables.embeddings(spark, dir), planes)
+    val probeCols = col("bucket") +:
+      (0 until planes).map(p => col("bucket").bitwiseXOR(lit(1L << p)))
+    val q = b.filter(col("vec_id") % queryStride === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        explode(array(probeCols: _*)).as("bucket"))
+    val cand = b.join(q, Seq("bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(cosine(col("q_emb"), col("embedding")), 6).as("sim"))
+    topKBySim(cand, k)
+  }
+
+  /** Recall@k of the multi-probe index — same contract as [[lshRecall]];
+    * the measured value of the extra probes.
+    */
+  def lshMultiProbeRecall(spark: SparkSession, dir: String, k: Int = 5,
+                          queryStride: Int = 50, planes: Int = NumPlanes): DataFrame =
+    recallVsTruth(cosineTopK(spark, dir, k, queryStride),
+      lshMultiProbeTopK(spark, dir, k, queryStride, planes), k)
+
   /** Recall@k of the LSH index against the brute-force ground truth, as
     * exact integers: per query, `hits` = |lsh top-k ∩ brute top-k| and
     * the constant `k` — so recall = hits/k is oracle-checkable without

@@ -374,20 +374,25 @@ object TextOps {
     * trained ONCE on a sample then reused per batch at 100 TB.
     */
   def dsirTopK(spark: SparkSession, dir: String, buckets: Int = 1024,
-               k: Int = 50): DataFrame = {
-    val feat = dsirFeatStage(spark, dir, buckets)
-    val weights = dsirWeightFrame(spark, dir, buckets)
-    val perDoc = feat
-      .join(broadcast(weights), Seq("b"))
+               k: Int = 50): DataFrame =
+    Dedup.topKPerKey(
+        dsirScores(spark, dir, buckets).withColumn("neg", -col("dsir_score")),
+        Seq.empty, Seq(col("neg"), col("doc_id")), k)
+      .select(col("doc_id"), col("dsir_score"))
+
+  /** Per-doc DSIR scores (doc_id, dsir_score): the staged feature frame
+    * joined to the broadcast weight table; docs with no bigram features
+    * carry no score (inner join), mirroring the oracle CTE.
+    */
+  private[graft] def dsirScores(spark: SparkSession, dir: String,
+                                buckets: Int = 1024): DataFrame =
+    dsirFeatStage(spark, dir, buckets)
+      .join(broadcast(dsirWeightFrame(spark, dir, buckets)), Seq("b"))
       .groupBy(col("doc_id"))
       .agg(sum(col("cnt") * col("wt")).as("s"), sum(col("cnt")).as("nb"))
       .withColumn("dsir_score",
         floor(col("s").cast("double") / col("nb")).cast("bigint"))
-    Dedup.topKPerKey(
-        perDoc.select(col("doc_id"), col("dsir_score"), (-col("dsir_score")).as("neg")),
-        Seq.empty, Seq(col("neg"), col("doc_id")), k)
       .select(col("doc_id"), col("dsir_score"))
-  }
 
   /** Bench build seam for the DSIR lane: materialize the staged hashed
     * feature frame (the ingest artifact a selection pipeline would

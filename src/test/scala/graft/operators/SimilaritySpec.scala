@@ -280,6 +280,21 @@ class SimilaritySpec extends SparkSpec {
     assert(grown === full)
   }
 
+  test("multi-probe LSH: recall dominates single-probe per query (candidate superset)") {
+    def recallMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val single = recallMap(Similarity.lshRecall(spark, sfDir))
+    val multi = recallMap(Similarity.lshMultiProbeRecall(spark, sfDir))
+    assert(single.keySet === multi.keySet)
+    single.foreach { case (q, h) =>
+      assert(multi(q) >= h, s"multi-probe lost recall at query $q")
+    }
+    // the extra probes must BUY something at this SF, or the lane is
+    // attesting a no-op
+    assert(multi.values.sum > single.values.sum,
+      s"multi-probe recall did not improve: ${multi.values.sum} vs ${single.values.sum}")
+  }
+
   test("planeWeight matches the md5 formula the oracle SQL uses") {
     // spot value computed independently: md5('0_0') prefix
     val md = java.security.MessageDigest.getInstance("MD5")
