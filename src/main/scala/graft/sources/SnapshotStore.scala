@@ -147,15 +147,18 @@ object SnapshotStore {
     val touched = withBucket.select(col("__bucket")).distinct()
       .collect().map(_.getInt(0)).sorted // ≤ Buckets values — planning metadata
     if (touched.nonEmpty) {
-      // ascending __prio: 0 = batch upsert (wins), 1 = snapshot row
+      // ascending __prio: 0 = batch upsert (wins), 1 = snapshot row.
+      // allowMissingColumns is the SCHEMA EVOLUTION seam: a change
+      // batch carrying a column the store has never seen widens the
+      // touched buckets (old rows null-backfilled); untouched buckets
+      // keep their schema and widen lazily at read time.
       val old = readBuckets(spark, dir, cur.view.filterKeys(touched.contains).toMap)
         .withColumn("__prio", lit(1))
-      val dataCols = old.columns.filterNot(Set("__prio", "__bucket").contains)
       val upserts = withBucket.filter(col("op") === "upsert").drop("op")
-        .select((dataCols :+ "__bucket").map(col): _*).withColumn("__prio", lit(0))
+        .withColumn("__prio", lit(0))
       val deletes = withBucket.filter(col("op") === "delete")
         .select(col(keyCol).as("__delkey")).distinct()
-      val merged = old.unionByName(upserts)
+      val merged = old.unionByName(upserts, allowMissingColumns = true)
         .join(deletes, col(keyCol) === col("__delkey"), "left_anti")
       val winner = graft.operators.Dedup.firstWins(
         merged, Seq(keyCol), Seq("__prio")).drop("__prio")
@@ -194,16 +197,20 @@ object SnapshotStore {
   private def readBuckets(spark: SparkSession, dir: String,
                           entries: Map[Int, Int]): DataFrame =
     {
-      val frames = entries.toSeq.groupBy(_._2).toSeq.flatMap { case (dv, bs) =>
-        val root = dataDir(dir, dv)
-        val h = fs(spark, root)
-        val dirs = bs.map { case (b, _) => new Path(root, s"__bucket=$b") }
-          .filter(h.exists(_)).map(_.toString)
-        if (dirs.isEmpty) None
-        else Some(spark.read.option("basePath", root.toString).parquet(dirs: _*))
-      }
+      // sorted by data version for a deterministic unified schema;
+      // allowMissingColumns null-backfills buckets written before a
+      // schema-evolving commit
+      val frames = entries.toSeq.groupBy(_._2).toSeq.sortBy(_._1)
+        .flatMap { case (dv, bs) =>
+          val root = dataDir(dir, dv)
+          val h = fs(spark, root)
+          val dirs = bs.map { case (b, _) => new Path(root, s"__bucket=$b") }
+            .filter(h.exists(_)).map(_.toString)
+          if (dirs.isEmpty) None
+          else Some(spark.read.option("basePath", root.toString).parquet(dirs: _*))
+        }
       require(frames.nonEmpty, s"no live data files under $dir for $entries")
-      frames.reduce(_ unionByName _)
+      frames.reduce(_.unionByName(_, allowMissingColumns = true))
     }
 
   /** Time travel: the full content of version `v`. */
@@ -248,11 +255,20 @@ object SnapshotStore {
       .drop("__bucket")
     val neu = readBuckets(spark, dir, b.view.filterKeys(moved.contains).toMap)
       .drop("__bucket")
-    val dataCols = old.columns.filterNot(_ == keyCol)
-    val o = dataCols.foldLeft(old)((d, c) => d.withColumnRenamed(c, s"__old_$c"))
-      .withColumn("__old_present", lit(1))
-    val n = dataCols.foldLeft(neu)((d, c) => d.withColumnRenamed(c, s"__new_$c"))
-      .withColumn("__new_present", lit(1))
+    // union of both sides' columns: a schema-evolving commit means the
+    // new side can carry columns the old side never had (old side reads
+    // as null for them — exactly the evolved-read semantics)
+    val dataCols = (old.columns ++ neu.columns).distinct.filterNot(_ == keyCol)
+    def sided(df: DataFrame, side: String) = {
+      val renamed = df.columns.filterNot(_ == keyCol).foldLeft(df)(
+        (d, c) => d.withColumnRenamed(c, s"__${side}_$c"))
+      dataCols.foldLeft(renamed)((d, c) =>
+        if (d.columns.contains(s"__${side}_$c")) d
+        else d.withColumn(s"__${side}_$c", lit(null)))
+        .withColumn(s"__${side}_present", lit(1))
+    }
+    val o = sided(old, "old")
+    val n = sided(neu, "new")
     val joined = o.join(n, Seq(keyCol), "full_outer")
     val differs = dataCols.map(c =>
       !(col(s"__old_$c") <=> col(s"__new_$c"))).reduce(_ || _)

@@ -173,6 +173,29 @@ class SnapshotStoreSpec extends SparkSpec {
       .select("change").as[String].collect().toSeq === Seq("update"))
   }
 
+  test("schema evolution: a commit with a new column widens reads; old versions keep their schema") {
+    val dir = freshStore()
+    val evolved = Seq((0L, "t0", 100.0, "gold", "upsert"), (64L, "t0", 640.0, "silver", "upsert"))
+      .toDF("event_id", "event_type", "value", "tier", "op")
+    SnapshotStore.commit(spark, dir, evolved, "event_id", expectedVersion = 0)
+    val v1 = SnapshotStore.readAt(spark, dir, 1)
+    assert(v1.columns.contains("tier"))
+    val tiers = v1.select(col("event_id"), col("tier")).as[(Long, Option[String])]
+      .collect().toMap
+    assert(tiers(0L) === Some("gold") && tiers(64L) === Some("silver"))
+    // untouched rows (other buckets AND same-bucket survivors) null-backfill
+    assert(tiers(8L).isEmpty && tiers(1L).isEmpty)
+    assert(tiers.size === 65) // 64 base rows + the inserted key
+    // pre-evolution version is untouched — no tier column at v0
+    assert(!SnapshotStore.readAt(spark, dir, 0).columns.contains("tier"))
+    // the change feed spans the evolution: the new column appears with
+    // null old values
+    val feed = SnapshotStore.readChangesBetween(spark, dir, 0, 1, "event_id")
+    val ins = feed.where(col("event_id") === 64L).collect().head
+    assert(ins.getAs[String]("__new_tier") === "silver")
+    assert(ins.isNullAt(ins.fieldIndex("__old_tier")))
+  }
+
   test("vacuum drops exactly the unreachable bucket dirs; kept versions stay exact") {
     val dir = freshStore()
     SnapshotStore.commit(spark, dir,
