@@ -230,6 +230,9 @@ object SparkEntry {
     "text_quality"       -> (TextOps.qualityScore _),
     // Gopher-style rule gate: each curation rule as an exact 0/1 column
     "text_quality_gopher" -> (TextOps.gopherRules _),
+    // Gopher repetition ladder: top-{2,3,4}-gram / dup-{5..10}-gram
+    // character coverage vs the doc's code-point length, one kernel pass
+    "text_repetition_gopher" -> (TextOps.repetitionRules _),
     "text_langid"        -> (TextOps.langId _),
     "text_token_count"   -> (TextOps.tokenCount _),
     "text_fingerprint"   -> (TextOps.fingerprint _),
@@ -1537,6 +1540,58 @@ object SparkEntry {
         |          + CAST(list_contains(string_split(text, ' '), 'to') AS BIGINT)
         |          + CAST(list_contains(string_split(text, ' '), 'in') AS BIGINT) AS n_stops
         |      FROM documents)""".stripMargin,
+    // Gopher repetition ladder, re-derived relationally: all n-grams for
+    // n=2..10 via a lateral double-unnest, per-(doc,n,gram) counts, then
+    // coverage maxima/sums; integer cross-multiplication for the rule
+    // bits (numerator·100 vs den·pct — no division on either engine).
+    // DuckDB length() counts code points, matching the kernel's
+    // codePointCount (Java String.length would diverge on emoji).
+    "text_repetition_gopher" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok,
+        |             CAST(length(text) AS BIGINT) AS den FROM documents),
+        |g AS (SELECT doc_id, nn.n AS n,
+        |        array_to_string(tok[u.i:u.i+nn.n-1], ' ') AS g
+        |      FROM t, unnest(range(2, 11)) nn(n),
+        |           unnest(range(1, len(tok) - nn.n + 2)) u(i)),
+        |c AS (SELECT doc_id, n, g, count(*) AS c FROM g GROUP BY 1, 2, 3),
+        |m AS (SELECT doc_id, n,
+        |        CAST(max(c * length(g)) AS BIGINT) AS topn,
+        |        CAST(COALESCE(sum(CASE WHEN c >= 2 THEN c * length(g) END), 0) AS BIGINT) AS dupn
+        |      FROM c GROUP BY 1, 2),
+        |p AS (SELECT doc_id,
+        |        CAST(COALESCE(max(CASE WHEN n = 2 THEN topn END), 0) AS BIGINT) AS top2_chars,
+        |        CAST(COALESCE(max(CASE WHEN n = 3 THEN topn END), 0) AS BIGINT) AS top3_chars,
+        |        CAST(COALESCE(max(CASE WHEN n = 4 THEN topn END), 0) AS BIGINT) AS top4_chars,
+        |        CAST(COALESCE(max(CASE WHEN n = 5 THEN dupn END), 0) AS BIGINT) AS dup5_chars,
+        |        CAST(COALESCE(max(CASE WHEN n = 6 THEN dupn END), 0) AS BIGINT) AS dup6_chars,
+        |        CAST(COALESCE(max(CASE WHEN n = 7 THEN dupn END), 0) AS BIGINT) AS dup7_chars,
+        |        CAST(COALESCE(max(CASE WHEN n = 8 THEN dupn END), 0) AS BIGINT) AS dup8_chars,
+        |        CAST(COALESCE(max(CASE WHEN n = 9 THEN dupn END), 0) AS BIGINT) AS dup9_chars,
+        |        CAST(COALESCE(max(CASE WHEN n = 10 THEN dupn END), 0) AS BIGINT) AS dup10_chars
+        |      FROM m GROUP BY 1)
+        |SELECT doc_id, den, top2_chars, top3_chars, top4_chars, dup5_chars, dup6_chars,
+        |  dup7_chars, dup8_chars, dup9_chars, dup10_chars,
+        |  CAST(n_fail AS BIGINT) AS n_fail, CAST(n_fail = 0 AS BIGINT) AS passes
+        |FROM (SELECT t.doc_id, t.den,
+        |        COALESCE(p.top2_chars, 0) AS top2_chars,
+        |        COALESCE(p.top3_chars, 0) AS top3_chars,
+        |        COALESCE(p.top4_chars, 0) AS top4_chars,
+        |        COALESCE(p.dup5_chars, 0) AS dup5_chars,
+        |        COALESCE(p.dup6_chars, 0) AS dup6_chars,
+        |        COALESCE(p.dup7_chars, 0) AS dup7_chars,
+        |        COALESCE(p.dup8_chars, 0) AS dup8_chars,
+        |        COALESCE(p.dup9_chars, 0) AS dup9_chars,
+        |        COALESCE(p.dup10_chars, 0) AS dup10_chars,
+        |        (CASE WHEN COALESCE(p.top2_chars, 0) * 100 > t.den * 20 THEN 1 ELSE 0 END
+        |         + CASE WHEN COALESCE(p.top3_chars, 0) * 100 > t.den * 18 THEN 1 ELSE 0 END
+        |         + CASE WHEN COALESCE(p.top4_chars, 0) * 100 > t.den * 16 THEN 1 ELSE 0 END
+        |         + CASE WHEN COALESCE(p.dup5_chars, 0) * 100 > t.den * 15 THEN 1 ELSE 0 END
+        |         + CASE WHEN COALESCE(p.dup6_chars, 0) * 100 > t.den * 14 THEN 1 ELSE 0 END
+        |         + CASE WHEN COALESCE(p.dup7_chars, 0) * 100 > t.den * 13 THEN 1 ELSE 0 END
+        |         + CASE WHEN COALESCE(p.dup8_chars, 0) * 100 > t.den * 12 THEN 1 ELSE 0 END
+        |         + CASE WHEN COALESCE(p.dup9_chars, 0) * 100 > t.den * 11 THEN 1 ELSE 0 END
+        |         + CASE WHEN COALESCE(p.dup10_chars, 0) * 100 > t.den * 10 THEN 1 ELSE 0 END) AS n_fail
+        |      FROM t LEFT JOIN p ON t.doc_id = p.doc_id)""".stripMargin,
     "text_langid" ->
       """SELECT doc_id, labeled_lang,
         |  CASE WHEN s_en >= greatest(s_de, s_es, s_fr, s_zh) THEN 'en'

@@ -250,6 +250,64 @@ object ExpressionKernels extends Serializable {
     s
   }
 
+  /** One-pass Gopher-style repetition statistics (Rae et al. 2021,
+    * Table A1 "repetition" filters) of a single-space-separated string.
+    * For word n-grams joined by a single space (so a gram's char length
+    * includes its n−1 joining spaces; overlapping occurrences all
+    * count):
+    *
+    *  - n = 2..4: `topN` = the character coverage of the single
+    *    most-covering n-gram, max over grams of count × charLen —
+    *    the deterministic, tie-free variant of the paper's
+    *    "fraction of characters in the most frequent n-gram"
+    *    (coverage is what the rule thresholds; argmax-by-count would
+    *    need a tie-break that the coverage max doesn't),
+    *  - n = 5..10: `dupN` = the character coverage of all DUPLICATED
+    *    n-grams, Σ count × charLen over grams with count ≥ 2.
+    *
+    * All char counts are Unicode CODE POINTS (DuckDB `length` parity —
+    * Java String.length would diverge on astral chars). Returns
+    * (den = code points of the whole text, top2..top4, dup5..dup10);
+    * a doc with fewer than n tokens contributes 0 for that n.
+    */
+  def repStats(text: UTF8String): InternalRow = {
+    val toks = text.toString.split(' ')
+    val out = new Array[Any](10)
+    out(0) = text.numChars().toLong
+    var n = 2
+    var slot = 1
+    while (n <= 10) {
+      var top = 0L
+      var dup = 0L
+      if (toks.length >= n) {
+        val counts = new java.util.HashMap[String, Integer]()
+        val last = toks.length - n
+        var i = 0
+        while (i <= last) {
+          val sb = new java.lang.StringBuilder(toks(i))
+          var j = 1
+          while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+          counts.merge(sb.toString, Integer.valueOf(1),
+            (a: Integer, b: Integer) => Integer.valueOf(a.intValue + b.intValue))
+          i += 1
+        }
+        val it = counts.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          val g = e.getKey
+          val c = e.getValue.longValue
+          val cover = c * g.codePointCount(0, g.length)
+          if (cover > top) top = cover
+          if (c >= 2L) dup += cover
+        }
+      }
+      out(slot) = if (n <= 4) top else dup
+      slot += 1
+      n += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(out)
+  }
+
   /** One-pass token statistics of a single-space-separated string:
     * (n_chars, n_tokens, n_types, n_stopwords) — same values as the
     * four-HOF chain length/size(split)/size(array_distinct)/size(filter),
@@ -543,6 +601,20 @@ case class TokenStats(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** rep_stats(string) → struct(den, top2..top4, dup5..dup10): Gopher
+  * repetition numerators, see [[ExpressionKernels.repStats]].
+  */
+case class RepStats(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(
+    (Seq("den", "top2", "top3", "top4") ++ (5 to 10).map("dup" + _))
+      .map(StructField(_, LongType, nullable = false)))
+  override def nullSafeEval(v: Any): Any =
+    ExpressionKernels.repStats(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ExpressionKernels.repStats($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** lang_scores(string) → struct(s_en, s_de, s_es, s_fr, s_zh). */
 case class LangScores(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StructType(
@@ -612,6 +684,7 @@ object functions {
   def minhash_sig(shingles: Column, k: Int): Column =
     toColumn(MinHashSig(toExpression(shingles), k))
   def token_stats(text: Column): Column = toColumn(TokenStats(toExpression(text)))
+  def rep_stats(text: Column): Column = toColumn(RepStats(toExpression(text)))
   def nfc_casefold(text: Column): Column = toColumn(NfcCasefold(toExpression(text)))
   def winnow_fingerprints(text: Column, k: Int, w: Int): Column =
     toColumn(WinnowFingerprints(toExpression(text), k, w))

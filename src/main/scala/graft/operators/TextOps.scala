@@ -133,6 +133,39 @@ object TextOps {
           col("r_alpha_words") * col("r_stopwords"))
   }
 
+  /** Gopher REPETITION rules (Rae et al. 2021, Table A1 — the half of
+    * the Gopher gate [[gopherRules]] doesn't cover): per doc, the
+    * character coverage of the most-covering word n-gram for n = 2..4
+    * and of all duplicated n-grams for n = 5..10, each thresholded as a
+    * fraction of the doc's code-point length (top2 ≤ 20% … dup10 ≤ 10%,
+    * the paper's ladder). One codegen'd [[graft.functions.RepStats]]
+    * pass per row — zero joins, zero shuffles, all integers: rule bits
+    * compare `numerator·100` against `den·pct` so no division ever
+    * happens (oracle hash-exact by construction).
+    *
+    * Scale: per-row kernel over a linear scan; per-row state is the
+    * doc's own n-gram table. A 100-TB corpus maps embarrassingly — the
+    * repetition gate composes with the quality gate as one more
+    * AND-able column, no extra pass over the data.
+    */
+  def repetitionRules(spark: SparkSession, dir: String): DataFrame =
+    repetitionRulesOf(Tables.documents(spark, dir))
+
+  private[graft] val RepetitionPct: Seq[(String, Int)] = Seq(
+    "top2" -> 20, "top3" -> 18, "top4" -> 16, "dup5" -> 15, "dup6" -> 14,
+    "dup7" -> 13, "dup8" -> 12, "dup9" -> 11, "dup10" -> 10)
+
+  private[graft] def repetitionRulesOf(d: DataFrame): DataFrame = {
+    val r = d
+      .select(col("doc_id"), graft.functions.functions.rep_stats(col("text")).as("__r"))
+      .select(col("doc_id") +: col("__r.den").as("den") +:
+        RepetitionPct.map { case (f, _) => col(s"__r.$f").as(s"${f}_chars") }: _*)
+    val fails = RepetitionPct.map { case (f, p) =>
+      (col(s"${f}_chars") * 100 > col("den") * p).cast("bigint") }
+    r.withColumn("n_fail", fails.reduce(_ + _))
+      .withColumn("passes", (col("n_fail") === 0).cast("bigint"))
+  }
+
   /** Language-ID heuristic: marker-word voting with fixed argmax order,
     * one codegen'd [[graft.functions.LangScores]] pass per row.
     * (The corpus `lang` labels are synthetic and uncorrelated with the

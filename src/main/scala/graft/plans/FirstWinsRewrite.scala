@@ -145,6 +145,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "lang_scores(text) - struct of language marker-hit counts") {
       case Seq(t) => LangScores(t)
     })
+    e.injectFunction(fn("rep_stats",
+      "rep_stats(text) - Gopher repetition numerators: struct(den, top2..top4, dup5..dup10)") {
+      case Seq(t) => RepStats(t)
+    })
     e.injectFunction(fn("dsir_buckets",
       "dsir_buckets(text, b) - hashed word-bigram feature buckets (with multiplicity)") {
       case Seq(t, b) => DsirBuckets(t, intArg(b, "dsir_buckets b"))

@@ -19,6 +19,64 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("repetitionRules: hand-computed coverage numerators, emoji code points, rule ladder") {
+    val docs = Seq(
+      (1L, "a a a a a a"),                           // pathological repeat
+      (2L, "🍕 🍕 🍕 🍕 🍕"),                        // astral chars: den is CODE POINTS
+      (3L, "one two three four"),                    // all grams unique
+      (4L, "")                                       // empty: den 0, everything passes
+    ).toDF("doc_id", "text")
+    val r = TextOps.repetitionRulesOf(docs).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+
+    // doc 1: den 11; "a a"×5 → top2 = 15; "a a a"×4 → top3 = 20;
+    // top4 = 3·7 = 21; dup5 = 2·9 = 18; dup6..10 = 0 (≤1 occurrence).
+    // fails: top2 (1500>220), top3 (2000>198), top4 (2100>176),
+    // dup5 (1800>165) → n_fail 4
+    val d1 = r(1L)
+    assert(d1.getAs[Long]("den") === 11L)
+    assert(d1.getAs[Long]("top2_chars") === 15L)
+    assert(d1.getAs[Long]("top3_chars") === 20L)
+    assert(d1.getAs[Long]("top4_chars") === 21L)
+    assert(d1.getAs[Long]("dup5_chars") === 18L)
+    assert(d1.getAs[Long]("dup6_chars") === 0L)
+    assert(d1.getAs[Long]("n_fail") === 4L && d1.getAs[Long]("passes") === 0L)
+
+    // doc 2: 5 emoji + 4 spaces = 9 code points (Java String.length
+    // would read 14); "🍕 🍕"×4 → top2 = 4·3 = 12
+    val d2 = r(2L)
+    assert(d2.getAs[Long]("den") === 9L)
+    assert(d2.getAs[Long]("top2_chars") === 12L)
+    assert(d2.getAs[Long]("top4_chars") === 2L * 7L) // "🍕 🍕 🍕 🍕" ×2
+    assert(d2.getAs[Long]("dup5_chars") === 0L)      // single 5-gram, count 1
+
+    // doc 3: unique grams → dup* all 0; top2 = the widest 2-gram
+    // ("three four" = 10 chars ×1)
+    val d3 = r(3L)
+    assert(d3.getAs[Long]("top2_chars") === 10L)
+    assert((5 to 10).forall(n => d3.getAs[Long](s"dup${n}_chars") === 0L))
+
+    // doc 4: no grams, den 0 → every rule 0·100 ≤ 0·pct passes
+    val d4 = r(4L)
+    assert(d4.getAs[Long]("den") === 0L && d4.getAs[Long]("n_fail") === 0L
+      && d4.getAs[Long]("passes") === 1L)
+  }
+
+  test("repetitionRules on the corpus: numerators monotone down the top ladder") {
+    val rows = TextOps.repetitionRules(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { x =>
+      // a (n+1)-gram's coverage can exceed an n-gram's only via chars,
+      // never count — but top2 ≥ top3's COUNT share means nothing
+      // cross-n; the invariants that DO hold: numerators are bounded by
+      // total repeated mass ≤ den · maxCount and dup ladders shrink
+      assert(x.getAs[Long]("den") >= 0L)
+      val dups = (5 to 10).map(n => x.getAs[Long](s"dup${n}_chars"))
+      assert(dups.forall(_ >= 0L))
+      assert(x.getAs[Long]("passes") === (if (x.getAs[Long]("n_fail") == 0L) 1L else 0L))
+    }
+  }
+
   test("langId covers every doc with a prediction from the marker set") {
     val preds = TextOps.langId(spark, sfDir).select("predicted_lang").as[String].collect()
     assert(preds.length > 0)
