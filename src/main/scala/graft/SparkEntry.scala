@@ -305,6 +305,9 @@ object SparkEntry {
     // selection funnel capstone: per-source quota cap ∘ DSIR top-k,
     // per-stage loss attributable per source
     "pipeline_selection" -> ((s, d) => operators.Curation.selectionFunnel(s, d)),
+    // per-source rule matrix: quality ∘ repetition ∘ PII gates counted
+    // per provenance source in one scan
+    "pipeline_rule_matrix" -> ((s, d) => operators.Curation.ruleMatrix(s, d)),
     // one-pass per-column completeness/cardinality audit
     "q_profile_orders"   -> (operators.Profile.profileOrders _),
     // rule-based quality expectations: all single-table rules in one
@@ -741,6 +744,31 @@ object SparkEntry {
     * same fixed email → phone → IPv4 order as the engine.
     */
   private def piiRe(s: String): String = s.replace("'", "''")
+
+  /** Gopher-repetition n-gram CTE chain over relation `src(doc_id,
+    * text)`, ending in `m(doc_id, n, topn, dupn)` + `t(doc_id, tok,
+    * den)` — shared by `text_repetition_gopher` and
+    * `pipeline_rule_matrix`. All n-grams for n=2..10 via a lateral
+    * double-unnest; coverage maxima/sums per (doc, n).
+    */
+  private def repNgramCtes(src: String): String =
+    s"""t AS (SELECT doc_id, string_split(text, ' ') AS tok,
+       |       CAST(length(text) AS BIGINT) AS den FROM $src),
+       |g AS (SELECT doc_id, nn.n AS n,
+       |        array_to_string(tok[u.i:u.i+nn.n-1], ' ') AS g
+       |      FROM t, unnest(range(2, 11)) nn(n),
+       |           unnest(range(1, len(tok) - nn.n + 2)) u(i)),
+       |c AS (SELECT doc_id, n, g, count(*) AS c FROM g GROUP BY 1, 2, 3),
+       |m AS (SELECT doc_id, n,
+       |        CAST(max(c * length(g)) AS BIGINT) AS topn,
+       |        CAST(COALESCE(sum(CASE WHEN c >= 2 THEN c * length(g) END), 0) AS BIGINT) AS dupn
+       |      FROM c GROUP BY 1, 2)""".stripMargin
+
+  /** The repetition ladder's per-(doc,n) threshold as SQL: pct(n). */
+  private val repPctCaseSql: String =
+    """CASE m.n WHEN 2 THEN 20 WHEN 3 THEN 18 WHEN 4 THEN 16
+      |         WHEN 5 THEN 15 WHEN 6 THEN 14 WHEN 7 THEN 13
+      |         WHEN 8 THEN 12 WHEN 9 THEN 11 ELSE 10 END""".stripMargin
   // NB: continuation lines must not begin with '||' — stripMargin eats
   // the first pipe and ships a bitwise-or to DuckDB
   private val piiSeededSql: String =
@@ -753,6 +781,19 @@ object SparkEntry {
       |    CASE WHEN doc_id % 5 = 0 THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') ||
       |         '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END AS text
       |  FROM documents)""".stripMargin
+  /** Per-doc any-PII-hit bit over a `text` column — matrix face of the
+    * scrub counts.
+    */
+  private lazy val piiAnyHitSql: String = {
+    val e = piiRe(operators.TextOps.PiiEmailRe)
+    val p = piiRe(operators.TextOps.PiiPhoneRe)
+    val i = piiRe(operators.TextOps.PiiIpv4Re)
+    s"""CASE WHEN len(regexp_extract_all(text, '$e'))
+       |          + len(regexp_extract_all(text, '$p'))
+       |          + len(regexp_extract_all(text, '$i')) > 0
+       |     THEN 1 ELSE 0 END""".stripMargin
+  }
+
   private val piiScrubColsSql: String = {
     val e = piiRe(operators.TextOps.PiiEmailRe)
     val p = piiRe(operators.TextOps.PiiPhoneRe)
@@ -1547,17 +1588,7 @@ object SparkEntry {
     // DuckDB length() counts code points, matching the kernel's
     // codePointCount (Java String.length would diverge on emoji).
     "text_repetition_gopher" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok,
-        |             CAST(length(text) AS BIGINT) AS den FROM documents),
-        |g AS (SELECT doc_id, nn.n AS n,
-        |        array_to_string(tok[u.i:u.i+nn.n-1], ' ') AS g
-        |      FROM t, unnest(range(2, 11)) nn(n),
-        |           unnest(range(1, len(tok) - nn.n + 2)) u(i)),
-        |c AS (SELECT doc_id, n, g, count(*) AS c FROM g GROUP BY 1, 2, 3),
-        |m AS (SELECT doc_id, n,
-        |        CAST(max(c * length(g)) AS BIGINT) AS topn,
-        |        CAST(COALESCE(sum(CASE WHEN c >= 2 THEN c * length(g) END), 0) AS BIGINT) AS dupn
-        |      FROM c GROUP BY 1, 2),
+      s"""WITH ${repNgramCtes("documents")},
         |p AS (SELECT doc_id,
         |        CAST(COALESCE(max(CASE WHEN n = 2 THEN topn END), 0) AS BIGINT) AS top2_chars,
         |        CAST(COALESCE(max(CASE WHEN n = 3 THEN topn END), 0) AS BIGINT) AS top3_chars,
@@ -1834,6 +1865,49 @@ object SparkEntry {
         |  CAST(COALESCE(ns.selected_id_sum, 0) AS BIGINT) AS selected_id_sum
         |FROM nin LEFT JOIN nq ON nin.source = nq.source
         |         LEFT JOIN ns ON nin.source = ns.source""".stripMargin,
+    // per-source rule matrix: the three per-row gates re-derived over
+    // the SAME seeded corpus (quality bits ∘ repetition ladder ∘ PII
+    // any-hit), rolled up per source; docs with no n-grams at all are
+    // repetition-clean via the left join's COALESCE
+    "pipeline_rule_matrix" ->
+      s"""$piiSeededSql,
+         |${repNgramCtes("seeded")},
+         |q AS (SELECT doc_id,
+         |    CAST(n_words >= 20 AND n_words <= 100000 AS BIGINT)
+         |    * CAST(ns >= n_words * 3 AND ns <= n_words * 10 AS BIGINT)
+         |    * CAST(alpha_words * 5 >= n_words * 4 AS BIGINT)
+         |    * CAST(n_stops >= 2 AS BIGINT) AS q_pass
+         |  FROM (SELECT doc_id,
+         |          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+         |          CAST(length(regexp_replace(text, ' ', '', 'g')) AS BIGINT) AS ns,
+         |          CAST(len(list_filter(string_split(text, ' '),
+         |            w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS alpha_words,
+         |          CAST(list_contains(string_split(text, ' '), 'the') AS BIGINT)
+         |            + CAST(list_contains(string_split(text, ' '), 'a') AS BIGINT)
+         |            + CAST(list_contains(string_split(text, ' '), 'of') AS BIGINT)
+         |            + CAST(list_contains(string_split(text, ' '), 'and') AS BIGINT)
+         |            + CAST(list_contains(string_split(text, ' '), 'is') AS BIGINT)
+         |            + CAST(list_contains(string_split(text, ' '), 'to') AS BIGINT)
+         |            + CAST(list_contains(string_split(text, ' '), 'in') AS BIGINT) AS n_stops
+         |        FROM seeded)),
+         |rf AS (SELECT m.doc_id,
+         |         SUM(CASE WHEN (CASE WHEN m.n <= 4 THEN m.topn ELSE m.dupn END) * 100 >
+         |                  t.den * ($repPctCaseSql)
+         |                  THEN 1 ELSE 0 END) AS n_fail
+         |       FROM m JOIN t ON m.doc_id = t.doc_id GROUP BY 1),
+         |pi AS (SELECT doc_id, $piiAnyHitSql AS pii_hit FROM seeded),
+         |d AS (SELECT s.source, q.q_pass,
+         |        CASE WHEN COALESCE(rf.n_fail, 0) = 0 THEN 1 ELSE 0 END AS rep_pass,
+         |        pi.pii_hit
+         |      FROM seeded s JOIN q ON s.doc_id = q.doc_id
+         |           JOIN pi ON s.doc_id = pi.doc_id
+         |           LEFT JOIN rf ON s.doc_id = rf.doc_id)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(1 - q_pass) AS BIGINT) AS n_fail_quality,
+         |  CAST(SUM(1 - rep_pass) AS BIGINT) AS n_fail_repetition,
+         |  CAST(SUM(pii_hit) AS BIGINT) AS n_pii_docs,
+         |  CAST(SUM(q_pass * rep_pass * (1 - pii_hit)) AS BIGINT) AS n_clean
+         |FROM d GROUP BY 1""".stripMargin,
     // fuzzy record linkage: DuckDB's levenshtein is the same classic
     // integer DP as Spark's — the verified pairs are exact with no
     // quantization; blocking (shared token over DISTINCT names) is

@@ -191,6 +191,48 @@ object Curation {
       .orderBy(col("source"))
   }
 
+  /** Per-source CURATION RULE MATRIX (`pipeline_rule_matrix`): the
+    * observability face of the three per-row gates — for every
+    * provenance source, how many docs fail the Gopher document rules
+    * ([[TextOps.gopherBitCols]]), how many fail the repetition ladder
+    * ([[TextOps.RepetitionPct]] over the RepStats kernel), how many
+    * carry PII ([[TextOps.PiiEmailRe]]-class regexes), and how many
+    * are clean on all three. Runs over the PII-seeded corpus
+    * ([[TextOps.piiSeeded]]) so the PII column attests — the synthetic
+    * docs carry no organic PII.
+    *
+    * Scale: ONE scan — all three rule families are per-row expressions
+    * (HOF bits + one RepStats kernel call + codegen'd regexp_count) in
+    * a single projection, then one hash-agg keyed by source with
+    * map-side partial combine. No joins, one exchange carrying ≤
+    * |sources| rows per split, however large the corpus.
+    */
+  def ruleMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val seeded = TextOps.piiSeeded(Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("text")))
+    val perDoc = seeded.select(
+      col("source"),
+      TextOps.gopherBitCols.map(_._2).reduce(_ * _).as("q_pass"),
+      graft.functions.functions.rep_stats(col("text")).as("__r"),
+      ((regexp_count(col("text"), lit(TextOps.PiiEmailRe)) +
+        regexp_count(col("text"), lit(TextOps.PiiPhoneRe)) +
+        regexp_count(col("text"), lit(TextOps.PiiIpv4Re))) > 0)
+        .cast("bigint").as("pii_hit"))
+    val repFails = TextOps.RepetitionPct.map { case (f, p) =>
+      (col(s"__r.$f") * 100 > col("__r.den") * p).cast("bigint") }.reduce(_ + _)
+    perDoc
+      .select(col("source"), col("q_pass"),
+        (repFails === 0).cast("bigint").as("rep_pass"), col("pii_hit"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(lit(1) - col("q_pass")).as("n_fail_quality"),
+        sum(lit(1) - col("rep_pass")).as("n_fail_repetition"),
+        sum(col("pii_hit")).as("n_pii_docs"),
+        sum(col("q_pass") * col("rep_pass") * (lit(1) - col("pii_hit"))).as("n_clean"))
+      .orderBy(col("source"))
+  }
+
   def ensureLlmStages(spark: SparkSession, dir: String): Unit = {
     llmCorpusFunnel(spark, dir).count()
     ()

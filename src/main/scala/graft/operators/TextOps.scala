@@ -114,23 +114,28 @@ object TextOps {
   def gopherRules(spark: SparkSession, dir: String): DataFrame =
     gopherRulesOf(Tables.documents(spark, dir))
 
-  private[graft] def gopherRulesOf(d: DataFrame): DataFrame = {
+  /** The four Gopher document-rule bit columns over a `text` column —
+    * shared by [[gopherRulesOf]] and the rule-matrix capstone
+    * ([[Curation.ruleMatrix]]).
+    */
+  private[graft] def gopherBitCols: Seq[(String, Column)] = {
     val words = split(col("text"), " ")
     val nWords = size(words).cast("bigint")
     val nonSpace = length(regexp_replace(col("text"), " ", "")).cast("bigint")
     val alphaWords = size(filter(words, w => w.rlike("[A-Za-z]"))).cast("bigint")
     val nStops = StopWords.map(sw => array_contains(words, sw).cast("bigint"))
       .reduce(_ + _)
-    d.select(
-        col("doc_id"),
-        (nWords >= 20 && nWords <= 100000).cast("bigint").as("r_word_count"),
-        (nonSpace >= nWords * 3 && nonSpace <= nWords * 10)
-          .cast("bigint").as("r_mean_word_len"),
-        (alphaWords * 5 >= nWords * 4).cast("bigint").as("r_alpha_words"),
-        (nStops >= 2).cast("bigint").as("r_stopwords"))
-      .withColumn("passes",
-        col("r_word_count") * col("r_mean_word_len") *
-          col("r_alpha_words") * col("r_stopwords"))
+    Seq(
+      "r_word_count" -> (nWords >= 20 && nWords <= 100000).cast("bigint"),
+      "r_mean_word_len" -> (nonSpace >= nWords * 3 && nonSpace <= nWords * 10).cast("bigint"),
+      "r_alpha_words" -> (alphaWords * 5 >= nWords * 4).cast("bigint"),
+      "r_stopwords" -> (nStops >= 2).cast("bigint"))
+  }
+
+  private[graft] def gopherRulesOf(d: DataFrame): DataFrame = {
+    val bits = gopherBitCols
+    d.select(col("doc_id") +: bits.map { case (n, c) => c.as(n) }: _*)
+      .withColumn("passes", bits.map(_._1).map(col).reduce(_ * _))
   }
 
   /** Gopher REPETITION rules (Rae et al. 2021, Table A1 — the half of

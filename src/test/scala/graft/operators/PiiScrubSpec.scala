@@ -68,4 +68,31 @@ class PiiScrubSpec extends SparkSpec {
     // the doc_id-keyed seeding guarantees every source has scrubs
     assert(rows.forall(_.getLong(2) > 0))
   }
+
+  test("ruleMatrix agrees with its three component gates recounted per source") {
+    val m = Curation.ruleMatrix(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("text"))
+    val seeded = TextOps.piiSeeded(docs)
+    val src = docs.select(col("doc_id"), col("source"))
+    def perSource(df: org.apache.spark.sql.DataFrame, fail: org.apache.spark.sql.Column) =
+      df.select(col("doc_id"), fail.as("__f")).join(src, "doc_id")
+        .groupBy("source").agg(sum(col("__f")).as("f"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val qf = perSource(TextOps.gopherRulesOf(seeded), lit(1L) - col("passes"))
+    val rf = perSource(TextOps.repetitionRulesOf(seeded), lit(1L) - col("passes"))
+    val pf = perSource(TextOps.piiScrubOf(seeded),
+      ((col("n_emails") + col("n_phones") + col("n_ipv4")) > 0).cast("bigint"))
+    assert(m.keySet === qf.keySet)
+    m.foreach { case (s, r) =>
+      assert(r.getAs[Long]("n_fail_quality") === qf(s), s"quality fails at $s")
+      assert(r.getAs[Long]("n_fail_repetition") === rf(s), s"repetition fails at $s")
+      assert(r.getAs[Long]("n_pii_docs") === pf(s), s"pii docs at $s")
+      assert(r.getAs[Long]("n_clean") <= r.getAs[Long]("n_docs") -
+        Seq(qf(s), rf(s), pf(s)).max)
+    }
+    // the seeding makes the PII column non-vacuous in every source
+    assert(m.values.forall(_.getAs[Long]("n_pii_docs") > 0))
+  }
 }
