@@ -207,9 +207,17 @@ object Curation {
     * map-side partial combine. No joins, one exchange carrying ≤
     * |sources| rows per split, however large the corpus.
     */
-  def ruleMatrix(spark: SparkSession, dir: String): DataFrame = {
-    val seeded = TextOps.piiSeeded(Tables.documents(spark, dir)
-      .select(col("doc_id"), col("source"), col("text")))
+  def ruleMatrix(spark: SparkSession, dir: String): DataFrame =
+    ruleMatrixAggOf(ruleBitsOf(TextOps.piiSeeded(Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("text")))))
+      .orderBy(col("source"))
+
+  /** Per-doc gate bits (source, q_pass, rep_pass, pii_hit) over an
+    * already-seeded frame — stateless per-row expression work, shared
+    * with the streaming twin
+    * ([[graft.streaming.StreamingCuration.matrixReport]]).
+    */
+  private[graft] def ruleBitsOf(seeded: DataFrame): DataFrame = {
     val perDoc = seeded.select(
       col("source"),
       TextOps.gopherBitCols.map(_._2).reduce(_ * _).as("q_pass"),
@@ -220,18 +228,21 @@ object Curation {
         .cast("bigint").as("pii_hit"))
     val repFails = TextOps.RepetitionPct.map { case (f, p) =>
       (col(s"__r.$f") * 100 > col("__r.den") * p).cast("bigint") }.reduce(_ + _)
-    perDoc
-      .select(col("source"), col("q_pass"),
-        (repFails === 0).cast("bigint").as("rep_pass"), col("pii_hit"))
-      .groupBy(col("source"))
+    perDoc.select(col("source"), col("q_pass"),
+      (repFails === 0).cast("bigint").as("rep_pass"), col("pii_hit"))
+  }
+
+  /** The matrix rollup over a gate-bit frame, unordered (streaming
+    * aggregations cannot sort mid-stream; the batch face orders).
+    */
+  private[graft] def ruleMatrixAggOf(bits: DataFrame): DataFrame =
+    bits.groupBy(col("source"))
       .agg(
         count(lit(1)).as("n_docs"),
         sum(lit(1) - col("q_pass")).as("n_fail_quality"),
         sum(lit(1) - col("rep_pass")).as("n_fail_repetition"),
         sum(col("pii_hit")).as("n_pii_docs"),
         sum(col("q_pass") * col("rep_pass") * (lit(1) - col("pii_hit"))).as("n_clean"))
-      .orderBy(col("source"))
-  }
 
   def ensureLlmStages(spark: SparkSession, dir: String): Unit = {
     llmCorpusFunnel(spark, dir).count()

@@ -34,6 +34,22 @@ object StreamingCuration {
   def report(stream: DataFrame): DataFrame =
     TextOps.piiReportAggOf(scrubbed(stream))
 
+  /** Per-doc rule-matrix gate bits of a (doc_id, source, text) stream —
+    * stateless like the scrub: the same one-projection gates (Gopher
+    * bits + RepStats kernel + PII regexp_count) as the batch capstone,
+    * so stream ≡ batch holds row-for-row by construction.
+    */
+  def gateBits(stream: DataFrame): DataFrame =
+    graft.operators.Curation.ruleBitsOf(TextOps.piiSeeded(stream))
+
+  /** Per-source running rule matrix (`pipeline_rule_matrix`'s always-on
+    * face) — a streaming aggregation for complete/update output; state
+    * rows = |sources|, integer counters merged associatively across
+    * micro-batches.
+    */
+  def matrixReport(stream: DataFrame): DataFrame =
+    graft.operators.Curation.ruleMatrixAggOf(gateBits(stream))
+
   /** Streaming ingest into the persisted CDC chunk store — the
     * sub-document twin of [[StreamingIvf.appendSink]]: each document
     * micro-batch is segmented by the content-defined boundary rule

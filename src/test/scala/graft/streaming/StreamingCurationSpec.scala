@@ -43,6 +43,31 @@ class StreamingCurationSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("streamed rule matrix merges across micro-batches to the batch capstone") {
+    val tmp = java.nio.file.Files.createTempDirectory("stream-matrix").toString
+    val d = docsFrame
+    d.filter(col("doc_id") % 2 === 0).write.parquet(s"$tmp/in")
+    val incoming = spark.readStream.schema(d.schema).parquet(s"$tmp/in")
+    val q = StreamingCuration.matrixReport(incoming)
+      .writeStream.format("memory").queryName("cur_matrix")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      d.filter(col("doc_id") % 2 =!= 0).write.mode("append").parquet(s"$tmp/in")
+      q.processAllAvailable()
+      val st = q.lastProgress.stateOperators
+      assert(st.nonEmpty)
+      assert(st.map(_.numRowsTotal).max <= d.select("source").distinct().count())
+    } finally q.stop()
+    def keyed(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val streamed = keyed(spark.table("cur_matrix").collect())
+    val batch = keyed(graft.operators.Curation.ruleMatrix(spark, sfDir).collect())
+    assert(batch.nonEmpty && batch.values.map(_._4).sum > 0, "matrix must be non-vacuous")
+    assert(streamed === batch)
+  }
+
   test("stateless scrub: per-micro-batch rows equal the batch kernel row-for-row") {
     val tmp = java.nio.file.Files.createTempDirectory("stream-cur2").toString
     val d = docsFrame
