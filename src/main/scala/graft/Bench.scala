@@ -56,7 +56,17 @@ object Bench {
     // Builders are idempotent — a shared store/stage is paid by the
     // first family member in bench order; later members read ~0.
     val builders = SparkEntry.stageBuilders
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the run to named queries —
+    // fast local iteration on one lane; the driver's run never sets it
+    // (and the protocol record must not: the expected-table tripwire in
+    // BenchProtocolSpec covers the full suite).
+    val only: Set[String] = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty)
+    val selected =
+      if (only.isEmpty) SparkEntry.queries.toSeq
+      else SparkEntry.queries.filter(kv => only(kv._1)).toSeq
+    val results = selected.sortBy(_._1).map { case (name, fn) =>
       val startedAt = nowUtc()
       val buildS = builders.get(name).map { b =>
         val t0 = System.nanoTime()

@@ -79,7 +79,8 @@ object SparkEntry {
       "ann_ivfadc_topk"         -> ((s, d) => Similarity.ensureAnnStages(s, d)),
       "ann_ivfadc_recall"       -> ((s, d) => Similarity.ensureAnnStages(s, d)),
       "ann_lsh_recall"          -> ((s, d) => Similarity.ensureAnnStages(s, d)),
-      "dedup_semdedup"          -> ((s, d) => Similarity.ensureAnnStages(s, d)))
+      "dedup_semdedup"          -> ((s, d) => Similarity.ensureAnnStages(s, d)),
+      "q_sample_cluster"        -> ((s, d) => Similarity.ensureAnnStages(s, d)))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -233,6 +234,9 @@ object SparkEntry {
     // Gopher repetition ladder: top-{2,3,4}-gram / dup-{5..10}-gram
     // character coverage vs the doc's code-point length, one kernel pass
     "text_repetition_gopher" -> (TextOps.repetitionRules _),
+    // C4 line/document heuristics over the deterministically line-seeded
+    // corpus: line gates + page-killer bits + kept-line reassembly
+    "text_c4_rules"      -> (TextOps.c4Rules _),
     "text_langid"        -> (TextOps.langId _),
     "text_token_count"   -> (TextOps.tokenCount _),
     "text_fingerprint"   -> (TextOps.fingerprint _),
@@ -295,6 +299,9 @@ object SparkEntry {
     // per-source quota cap (RefinedWeb per-domain cap): top-`cap` docs
     // per source by md5 priority, as a k-bounded heap agg — no sort
     "q_sample_quota" -> ((s, d) => TextOps.quotaSample(s, d)),
+    // cluster-balanced selection: per-IVF-list cap by content-addressed
+    // priority — the diversity-preserving sibling of dedup_semdedup
+    "q_sample_cluster" -> ((s, d) => Similarity.clusterBalancedSample(s, d)),
     // DSIR-shaped importance selection: hashed-bigram bucket weights
     // (centered quantized probability ratios — log-free, engine-exact),
     // length-normalized int64 doc scores, heap top-k
@@ -1623,6 +1630,41 @@ object SparkEntry {
         |         + CASE WHEN COALESCE(p.dup9_chars, 0) * 100 > t.den * 11 THEN 1 ELSE 0 END
         |         + CASE WHEN COALESCE(p.dup10_chars, 0) * 100 > t.den * 10 THEN 1 ELSE 0 END) AS n_fail
         |      FROM t LEFT JOIN p ON t.doc_id = p.doc_id)""".stripMargin,
+    // C4 rules over the SAME doc_id-keyed seeded line structure
+    // (TextOps.c4Seeded): line filter as a list_filter lambda, page
+    // bits as substring tests — no regex, no case folds, no division
+    "text_c4_rules" ->
+      """WITH seeded AS (SELECT doc_id,
+        |    text
+        |    || CASE WHEN doc_id % 3 = 0 THEN '.' WHEN doc_id % 3 = 1 THEN '!' ELSE '' END
+        |    || CASE WHEN doc_id % 2 = 0 THEN chr(10) || 'report item ' || CAST(doc_id AS VARCHAR) || ' confirms the metric today.' ELSE '' END
+        |    || CASE WHEN doc_id % 4 = 0 THEN chr(10) || 'short line.' ELSE '' END
+        |    || CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'enable javascript to view item ' || CAST(doc_id AS VARCHAR) || ' now.' ELSE '' END
+        |    || CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'lorem ipsum dolor sit amet text.' ELSE '' END
+        |    || CASE WHEN doc_id % 11 = 0 THEN chr(10) || 'config block { width = 10 } end.' ELSE '' END
+        |    || CASE WHEN doc_id % 13 = 0 THEN chr(10) || 'badword1 appears in this line here.' ELSE '' END
+        |    AS text
+        |  FROM documents),
+        |f AS (SELECT doc_id, text,
+        |        string_split(text, chr(10)) AS ls,
+        |        list_filter(string_split(text, chr(10)), l ->
+        |          (ends_with(l, '.') OR ends_with(l, '!') OR ends_with(l, '?'))
+        |          AND len(string_split(l, ' ')) >= 5
+        |          AND NOT contains(l, 'javascript')) AS kept
+        |      FROM seeded)
+        |SELECT doc_id,
+        |  CAST(len(ls) AS BIGINT) AS n_lines,
+        |  CAST(len(kept) AS BIGINT) AS n_kept,
+        |  CAST(len(kept) >= 3 AS BIGINT) AS r_min_lines,
+        |  CAST(NOT contains(text, 'lorem ipsum') AS BIGINT) AS r_no_lorem,
+        |  CAST(NOT contains(text, '{') AS BIGINT) AS r_no_brace,
+        |  CAST(NOT (contains(text, 'badword1') OR contains(text, 'badword2')) AS BIGINT) AS r_no_blocklist,
+        |  CAST(len(kept) >= 3 AS BIGINT)
+        |    * CAST(NOT contains(text, 'lorem ipsum') AS BIGINT)
+        |    * CAST(NOT contains(text, '{') AS BIGINT)
+        |    * CAST(NOT (contains(text, 'badword1') OR contains(text, 'badword2')) AS BIGINT) AS passes,
+        |  COALESCE(array_to_string(kept, chr(10)), '') AS cleaned
+        |FROM f""".stripMargin,
     "text_langid" ->
       """SELECT doc_id, labeled_lang,
         |  CASE WHEN s_en >= greatest(s_de, s_es, s_fr, s_zh) THEN 'en'
@@ -1787,6 +1829,19 @@ object SparkEntry {
         |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
     // per-source quota cap: row_number over the same md5 priority
     // (the engine's heap agg ≡ the window's first `cap` rows)
+    // cluster-balanced selection: the IVF assignment CTEs ∘ the quota
+    // rank shape, keyed on list_id — membership a pure function of
+    // (codebook, vec_id)
+    "q_sample_cluster" ->
+      s"""WITH $centCte,
+         |$ivfCtes,
+         |pri AS (SELECT list_id, vec_id,
+         |    CAST(('0x' || substr(md5('cquota|' || CAST(vec_id AS VARCHAR)), 1, 15)) AS UBIGINT) AS h
+         |  FROM assigned),
+         |r AS (SELECT list_id, vec_id,
+         |        row_number() OVER (PARTITION BY list_id ORDER BY h, vec_id) AS rk
+         |      FROM pri)
+         |SELECT list_id, vec_id, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= 10""".stripMargin,
     "q_sample_quota" ->
       """WITH pri AS (SELECT source, doc_id,
         |    CAST(('0x' || substr(md5('quota|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT) AS h

@@ -581,6 +581,30 @@ object Similarity {
     pqTables(spark, dir, 50, CodebookK, 8, 8)._1.count()
   }
 
+  /** CLUSTER-BALANCED selection — the diversity-PRESERVING sibling of
+    * [[semDedup]] (which prunes within clusters; this caps them): at
+    * most `cap` vectors per IVF list by content-addressed md5 priority,
+    * so no semantic neighborhood can dominate the training mix however
+    * skewed the corpus (the cluster-quota step in SSL-prototype /
+    * density-based pruning pipelines). Membership is a pure function of
+    * (codebook, vec_id) — deterministic, repartition-stable, and stable
+    * under corpus growth within a list's existing members.
+    *
+    * Scale: reuses the session-staged inverted lists (no extra
+    * assignment pass); the cap is a k-bounded heap inside one hash-agg
+    * ([[graft.functions.TopKByOrder]]) — at most `cap` rows per list
+    * per map split ship, no window sort ever. Output is `lists × cap`
+    * rows — catalog-sized at any corpus size.
+    */
+  def clusterBalancedSample(spark: SparkSession, dir: String,
+                            cap: Int = 10): DataFrame = {
+    val pri = ivfAssigned(spark, dir)
+      .select(col("list_id"), col("vec_id"),
+        TextOps.h60(concat(lit("cquota|"), col("vec_id").cast("string"))).as("h"))
+    Dedup.topKPerKey(pri, Seq("list_id"), Seq(col("h"), col("vec_id")), cap)
+      .select(col("list_id"), col("vec_id"), col("rk"))
+  }
+
   /** IVFADC — the production pairing of the two index halves: the IVF
     * coarse quantizer confines each query to its nProbe inverted lists,
     * and ranking inside the probed lists runs on PQ codes via integer

@@ -759,6 +759,85 @@ object TextOps {
         sum(col("n_phones")).as("n_phones"),
         sum(col("n_ipv4")).as("n_ipv4"))
 
+  /** C4 heuristic rules (Raffel et al. 2020 §2.2 — the third public
+    * rule-set beside the Gopher document rules [[gopherRules]] and the
+    * Gopher repetition ladder [[repetitionRules]]). C4 is LINE-based:
+    * per page, keep only lines that end in terminal punctuation, have
+    * at least five words, and don't mention javascript; then drop the
+    * whole page when fewer than three lines survive, or when the page
+    * contains "lorem ipsum", a curly brace, or a blocklisted word.
+    * Output per doc: line accounting, one 0/1 bit per document rule,
+    * the conjunction, and the kept-line REASSEMBLY (the text C4
+    * actually trains on).
+    *
+    * Engine-neutral by construction: newline split, space split,
+    * suffix/substring tests — no regex, no case folding, no division.
+    * The HOF line filter is per-row with per-line state only (the
+    * doc's own line list) — zero joins, zero shuffles, linear in
+    * corpus bytes, embarrassingly parallel at 100 TB.
+    */
+  def c4Rules(spark: SparkSession, dir: String): DataFrame =
+    c4RulesOf(c4Seeded(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text"))))
+
+  /** Stand-in blocklist: the real C4 uses the public "List of Dirty,
+    * Naughty…" word list; the gate corpus seeds neutral placeholder
+    * tokens so the rule's mechanics (any-hit page drop) are attested
+    * without shipping the list.
+    */
+  val C4Blocklist: Seq[String] = Seq("badword1", "badword2")
+
+  /** Deterministic line seeding for the gate corpus: the synthetic
+    * documents are single-line token streams with no terminal
+    * punctuation, so every C4 rule would be vacuous on them — both
+    * engines append the SAME doc_id-keyed line structure (terminal
+    * punctuation on a rotating schedule, a kept line, a too-short
+    * line, a javascript line, and the three page-killers) before
+    * gating, making every bit column and the reassembled-text hash
+    * non-vacuous.
+    */
+  private[graft] def c4Seeded(docs: DataFrame): DataFrame = {
+    val id = col("doc_id").cast("string")
+    docs.withColumn("text", concat(col("text"),
+      when(col("doc_id") % 3 === 0, lit("."))
+        .when(col("doc_id") % 3 === 1, lit("!")).otherwise(lit("")),
+      when(col("doc_id") % 2 === 0,
+        concat(lit("\nreport item "), id, lit(" confirms the metric today.")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 4 === 0, lit("\nshort line.")).otherwise(lit("")),
+      when(col("doc_id") % 5 === 0,
+        concat(lit("\nenable javascript to view item "), id, lit(" now.")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 7 === 0, lit("\nlorem ipsum dolor sit amet text."))
+        .otherwise(lit("")),
+      when(col("doc_id") % 11 === 0, lit("\nconfig block { width = 10 } end."))
+        .otherwise(lit("")),
+      when(col("doc_id") % 13 === 0, lit("\nbadword1 appears in this line here."))
+        .otherwise(lit(""))))
+  }
+
+  private[graft] def c4RulesOf(d: DataFrame): DataFrame = {
+    val lines = split(col("text"), "\n")
+    val kept = filter(lines, l =>
+      (l.endsWith(".") || l.endsWith("!") || l.endsWith("?")) &&
+        size(split(l, " ")) >= 5 && !l.contains("javascript"))
+    val bits = Seq(
+      "r_min_lines" -> (size(kept) >= 3).cast("bigint"),
+      "r_no_lorem" -> (!col("text").contains("lorem ipsum")).cast("bigint"),
+      "r_no_brace" -> (!col("text").contains("{")).cast("bigint"),
+      "r_no_blocklist" ->
+        (!C4Blocklist.map(col("text").contains(_)).reduce(_ || _)).cast("bigint"))
+    d.select(
+      col("doc_id") +:
+        (Seq(
+          size(lines).cast("bigint").as("n_lines"),
+          size(kept).cast("bigint").as("n_kept")) ++
+          bits.map { case (n, c) => c.as(n) } ++
+          Seq(
+            bits.map(_._2).reduce(_ * _).as("passes"),
+            array_join(kept, "\n").as("cleaned"))): _*)
+  }
+
   /** Iterative BPE merge-loop TRAINING — the step [[bpePairs]] stops
     * short of: run `merges` rounds, each picking the highest-count
     * adjacent symbol pair (tie-break: count desc, then pair bytes asc —

@@ -303,4 +303,34 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.planeWeight(0, 0) === expected)
     assert(Similarity.planeWeight(0, 0) >= -1000 && Similarity.planeWeight(0, 0) <= 1000)
   }
+
+  test("clusterBalancedSample: per-list cap, dense ranks, membership = md5 priorities") {
+    val cap = 5
+    val sample = Similarity.clusterBalancedSample(spark, sfDir, cap).collect()
+    assert(sample.nonEmpty)
+    val byList = sample.groupBy(_.getAs[Long]("list_id"))
+    byList.foreach { case (lid, rows) =>
+      assert(rows.length <= cap, s"list $lid over cap")
+      assert(rows.map(_.getAs[Long]("rk")).sorted.toSeq ===
+        (1 to rows.length).map(_.toLong), s"list $lid ranks not dense")
+    }
+    // recompute membership from scratch: per list, the cap lowest
+    // (md5('cquota|'||vec_id) 60-bit prefix, vec_id) pairs win
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(v: Long): Long = {
+      val hex = md.digest(s"cquota|$v".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    val assigned = Similarity.ivfAssigned(spark, sfDir)
+      .select("list_id", "vec_id").collect()
+      .map(r => (r.getAs[Long]("list_id"), r.getAs[Long]("vec_id")))
+    val expected = assigned.groupBy(_._1).toSeq.flatMap { case (lid, vs) =>
+      vs.map(_._2).sortBy(v => (h(v), v)).take(cap).map(v => (lid, v))
+    }.toSet
+    val got = sample.map(r =>
+      (r.getAs[Long]("list_id"), r.getAs[Long]("vec_id"))).toSet
+    assert(got === expected)
+    // balance is the point: more than one list contributes
+    assert(byList.size > 1)
+  }
 }

@@ -543,4 +543,70 @@ class TextSpec extends SparkSpec {
       assert(out.filter(col("passes") === 1).count() * 2 > n)
     } finally out.unpersist()
   }
+
+  test("c4Rules: hand-computed line gates, page killers, kept-line reassembly") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon.\nshort one.\nno terminal punct here\n" +
+        "enable javascript to view now.\nsecond good line with six words!"),
+      (2L, "lorem ipsum dolor sit amet today.\ngood line with five words."),
+      (3L, "config { brace } here now.\nbadword1 inside this line too."),
+      (4L, ""),
+      (5L, "first fine line with five words.\nsecond fine line has six words?\n" +
+        "third fine line with periods.")
+    ).toDF("doc_id", "text")
+    val r = TextOps.c4RulesOf(docs).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+
+    // doc 1: 5 lines; kept = line 1 (5 words, '.') + line 5 (6 words,
+    // '!'); short / unterminated / javascript lines drop
+    assert(r(1L).getAs[Long]("n_lines") === 5L)
+    assert(r(1L).getAs[Long]("n_kept") === 2L)
+    assert(r(1L).getAs[Long]("r_min_lines") === 0L)
+    assert(r(1L).getAs[Long]("passes") === 0L)
+    assert(r(1L).getAs[String]("cleaned") ===
+      "alpha beta gamma delta epsilon.\nsecond good line with six words!")
+    // doc 2: lines both survive the LINE gates but the page dies on
+    // lorem ipsum
+    assert(r(2L).getAs[Long]("n_kept") === 2L)
+    assert(r(2L).getAs[Long]("r_no_lorem") === 0L)
+    assert(r(2L).getAs[Long]("passes") === 0L)
+    // doc 3: brace AND blocklist page killers, independently attributed
+    assert(r(3L).getAs[Long]("r_no_brace") === 0L)
+    assert(r(3L).getAs[Long]("r_no_blocklist") === 0L)
+    assert(r(3L).getAs[Long]("r_no_lorem") === 1L)
+    // doc 4: empty text = one empty line, nothing kept, page rules pass
+    assert(r(4L).getAs[Long]("n_lines") === 1L)
+    assert(r(4L).getAs[Long]("n_kept") === 0L)
+    assert(r(4L).getAs[String]("cleaned") === "")
+    // doc 5: three kept lines, no killers — the page C4 keeps
+    assert(r(5L).getAs[Long]("n_kept") === 3L)
+    assert(r(5L).getAs[Long]("passes") === 1L)
+  }
+
+  test("c4Rules over the seeded corpus: bits are 0/1 conjunctions, seeding attested") {
+    val out = TextOps.c4Rules(spark, sfDir).cache()
+    try {
+      val n = out.count()
+      assert(n > 0)
+      val bad = out.filter(
+        !col("r_min_lines").isin(0L, 1L) || !col("r_no_lorem").isin(0L, 1L) ||
+        !col("r_no_brace").isin(0L, 1L) || !col("r_no_blocklist").isin(0L, 1L) ||
+        col("passes") =!= col("r_min_lines") * col("r_no_lorem") *
+          col("r_no_brace") * col("r_no_blocklist") ||
+        col("n_kept") > col("n_lines")).count()
+      assert(bad === 0)
+      // the doc_id-keyed seeding makes every rule non-vacuous: each bit
+      // fires 0 somewhere and 1 somewhere
+      Seq("r_min_lines", "r_no_lorem", "r_no_brace", "r_no_blocklist")
+        .foreach { b =>
+          assert(out.filter(col(b) === 0).count() > 0, s"$b never fails")
+          assert(out.filter(col(b) === 1).count() > 0, s"$b never passes")
+        }
+      // lorem pages are exactly the doc_id % 7 == 0 rows
+      val loremIds = out.filter(col("r_no_lorem") === 0)
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+      assert(loremIds.nonEmpty && loremIds.forall(_ % 7 == 0))
+    } finally out.unpersist()
+  }
 }
