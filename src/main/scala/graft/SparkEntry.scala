@@ -237,6 +237,8 @@ object SparkEntry {
     // C4 line/document heuristics over the deterministically line-seeded
     // corpus: line gates + page-killer bits + kept-line reassembly
     "text_c4_rules"      -> (TextOps.c4Rules _),
+    // per-source C4 volume/drop report (the curation-report face)
+    "pipeline_c4_report" -> (TextOps.c4Report _),
     "text_langid"        -> (TextOps.langId _),
     "text_token_count"   -> (TextOps.tokenCount _),
     "text_fingerprint"   -> (TextOps.fingerprint _),
@@ -1643,6 +1645,7 @@ object SparkEntry {
         |    || CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'lorem ipsum dolor sit amet text.' ELSE '' END
         |    || CASE WHEN doc_id % 11 = 0 THEN chr(10) || 'config block { width = 10 } end.' ELSE '' END
         |    || CASE WHEN doc_id % 13 = 0 THEN chr(10) || 'badword1 appears in this line here.' ELSE '' END
+        |    || chr(10) || 'every page carries this closing line.'
         |    AS text
         |  FROM documents),
         |f AS (SELECT doc_id, text,
@@ -1665,6 +1668,46 @@ object SparkEntry {
         |    * CAST(NOT (contains(text, 'badword1') OR contains(text, 'badword2')) AS BIGINT) AS passes,
         |  COALESCE(array_to_string(kept, chr(10)), '') AS cleaned
         |FROM f""".stripMargin,
+    // per-source C4 report: same seeded/gated CTEs with source carried,
+    // rolled up to volume + one drop counter per page killer
+    "pipeline_c4_report" ->
+      """WITH seeded AS (SELECT doc_id, source,
+        |    text
+        |    || CASE WHEN doc_id % 3 = 0 THEN '.' WHEN doc_id % 3 = 1 THEN '!' ELSE '' END
+        |    || CASE WHEN doc_id % 2 = 0 THEN chr(10) || 'report item ' || CAST(doc_id AS VARCHAR) || ' confirms the metric today.' ELSE '' END
+        |    || CASE WHEN doc_id % 4 = 0 THEN chr(10) || 'short line.' ELSE '' END
+        |    || CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'enable javascript to view item ' || CAST(doc_id AS VARCHAR) || ' now.' ELSE '' END
+        |    || CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'lorem ipsum dolor sit amet text.' ELSE '' END
+        |    || CASE WHEN doc_id % 11 = 0 THEN chr(10) || 'config block { width = 10 } end.' ELSE '' END
+        |    || CASE WHEN doc_id % 13 = 0 THEN chr(10) || 'badword1 appears in this line here.' ELSE '' END
+        |    || chr(10) || 'every page carries this closing line.'
+        |    AS text
+        |  FROM documents),
+        |f AS (SELECT doc_id, source, text,
+        |        string_split(text, chr(10)) AS ls,
+        |        list_filter(string_split(text, chr(10)), l ->
+        |          (ends_with(l, '.') OR ends_with(l, '!') OR ends_with(l, '?'))
+        |          AND len(string_split(l, ' ')) >= 5
+        |          AND NOT contains(l, 'javascript')) AS kept
+        |      FROM seeded),
+        |g AS (SELECT source,
+        |        CAST(len(ls) AS BIGINT) AS n_lines,
+        |        CAST(len(kept) AS BIGINT) AS n_kept,
+        |        CAST(len(kept) >= 3 AS BIGINT) AS r_min_lines,
+        |        CAST(NOT contains(text, 'lorem ipsum') AS BIGINT) AS r_no_lorem,
+        |        CAST(NOT contains(text, '{') AS BIGINT) AS r_no_brace,
+        |        CAST(NOT (contains(text, 'badword1') OR contains(text, 'badword2')) AS BIGINT) AS r_no_blocklist
+        |      FROM f)
+        |SELECT source,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(r_min_lines * r_no_lorem * r_no_brace * r_no_blocklist) AS BIGINT) AS n_pages_kept,
+        |  CAST(SUM(n_lines) AS BIGINT) AS n_lines,
+        |  CAST(SUM(n_kept) AS BIGINT) AS n_lines_kept,
+        |  CAST(SUM(1 - r_min_lines) AS BIGINT) AS n_drop_min_lines,
+        |  CAST(SUM(1 - r_no_lorem) AS BIGINT) AS n_drop_lorem,
+        |  CAST(SUM(1 - r_no_brace) AS BIGINT) AS n_drop_brace,
+        |  CAST(SUM(1 - r_no_blocklist) AS BIGINT) AS n_drop_blocklist
+        |FROM g GROUP BY source ORDER BY source""".stripMargin,
     "text_langid" ->
       """SELECT doc_id, labeled_lang,
         |  CASE WHEN s_en >= greatest(s_de, s_es, s_fr, s_zh) THEN 'en'

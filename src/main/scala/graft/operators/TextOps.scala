@@ -813,7 +813,11 @@ object TextOps {
       when(col("doc_id") % 11 === 0, lit("\nconfig block { width = 10 } end."))
         .otherwise(lit("")),
       when(col("doc_id") % 13 === 0, lit("\nbadword1 appears in this line here."))
-        .otherwise(lit(""))))
+        .otherwise(lit("")),
+      // unconditional clean closer: with it, a page with a kept line 1
+      // and the %2 report line reaches the 3-kept-line floor without
+      // needing any page-killer line — so `passes` = 1 genuinely occurs
+      lit("\nevery page carries this closing line.")))
   }
 
   private[graft] def c4RulesOf(d: DataFrame): DataFrame = {
@@ -828,8 +832,8 @@ object TextOps {
       "r_no_blocklist" ->
         (!C4Blocklist.map(col("text").contains(_)).reduce(_ || _)).cast("bigint"))
     d.select(
-      col("doc_id") +:
-        (Seq(
+      (d.columns.filter(_ != "text").map(col).toSeq ++
+        Seq(
           size(lines).cast("bigint").as("n_lines"),
           size(kept).cast("bigint").as("n_kept")) ++
           bits.map { case (n, c) => c.as(n) } ++
@@ -837,6 +841,33 @@ object TextOps {
             bits.map(_._2).reduce(_ * _).as("passes"),
             array_join(kept, "\n").as("cleaned"))): _*)
   }
+
+  /** The curation-report face of the C4 lane (the `pipeline_pii_report`
+    * shape): per-source page/line volume and one drop counter per page
+    * killer — every C4 drop attributable to its rule at the source
+    * granularity a curation run publishes.
+    */
+  def c4Report(spark: SparkSession, dir: String): DataFrame =
+    c4ReportAggOf(c4RulesOf(c4Seeded(
+      Tables.documents(spark, dir).select(col("doc_id"), col("source"), col("text")))))
+      .orderBy(col("source"))
+
+  /** The report aggregation over a gated frame, unordered — shared with
+    * the streaming twin ([[graft.streaming.StreamingCuration]]): all
+    * counters are associatively-merging integer sums, so streaming
+    * state stays one row per source.
+    */
+  private[graft] def c4ReportAggOf(gated: DataFrame): DataFrame =
+    gated.groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("passes")).as("n_pages_kept"),
+        sum(col("n_lines")).as("n_lines"),
+        sum(col("n_kept")).as("n_lines_kept"),
+        sum(lit(1L) - col("r_min_lines")).as("n_drop_min_lines"),
+        sum(lit(1L) - col("r_no_lorem")).as("n_drop_lorem"),
+        sum(lit(1L) - col("r_no_brace")).as("n_drop_brace"),
+        sum(lit(1L) - col("r_no_blocklist")).as("n_drop_blocklist"))
 
   /** Iterative BPE merge-loop TRAINING — the step [[bpePairs]] stops
     * short of: run `merges` rounds, each picking the highest-count

@@ -50,6 +50,22 @@ object StreamingCuration {
   def matrixReport(stream: DataFrame): DataFrame =
     graft.operators.Curation.ruleMatrixAggOf(gateBits(stream))
 
+  /** Stateless C4 gate of a (doc_id, source, text) stream: the same
+    * line gates / page killers / kept-line reassembly as the batch
+    * lane over the same deterministic line seeding — per-row HOF work
+    * only, so stream ≡ batch holds row-for-row by construction.
+    */
+  def c4Gated(stream: DataFrame): DataFrame =
+    TextOps.c4RulesOf(TextOps.c4Seeded(stream))
+
+  /** Per-source running C4 report (`pipeline_c4_report`'s always-on
+    * face) — a streaming aggregation for complete/update output; state
+    * rows = |sources|, integer counters merged associatively across
+    * micro-batches.
+    */
+  def c4Report(stream: DataFrame): DataFrame =
+    TextOps.c4ReportAggOf(c4Gated(stream))
+
   /** Streaming ingest into the persisted CDC chunk store — the
     * sub-document twin of [[StreamingIvf.appendSink]]: each document
     * micro-batch is segmented by the content-defined boundary rule

@@ -607,6 +607,32 @@ class TextSpec extends SparkSpec {
       val loremIds = out.filter(col("r_no_lorem") === 0)
         .select(col("doc_id")).collect().map(_.getLong(0)).toSet
       assert(loremIds.nonEmpty && loremIds.forall(_ % 7 == 0))
+      // and a genuine subset of pages passes ALL rules (the closing-line
+      // seed guarantees the 3-kept floor is reachable without a killer)
+      assert(out.filter(col("passes") === 1).count() > 0, "no page ever passes")
     } finally out.unpersist()
+  }
+
+  test("c4Report: per-source counters re-derivable from the per-doc gate frame") {
+    val gated = TextOps.c4RulesOf(TextOps.c4Seeded(
+      graft.Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("source"), col("text")))).cache()
+    try {
+      val rep = TextOps.c4Report(spark, sfDir).collect()
+        .map(r => r.getAs[String]("source") -> r).toMap
+      assert(rep.nonEmpty)
+      val bySource = gated.collect().groupBy(_.getAs[String]("source"))
+      assert(rep.keySet === bySource.keySet)
+      bySource.foreach { case (src, rows) =>
+        val r = rep(src)
+        assert(r.getAs[Long]("n_docs") === rows.length.toLong)
+        assert(r.getAs[Long]("n_pages_kept") ===
+          rows.map(_.getAs[Long]("passes")).sum)
+        assert(r.getAs[Long]("n_lines_kept") ===
+          rows.map(_.getAs[Long]("n_kept")).sum)
+        assert(r.getAs[Long]("n_drop_lorem") ===
+          rows.map(x => 1L - x.getAs[Long]("r_no_lorem")).sum)
+      }
+    } finally gated.unpersist()
   }
 }

@@ -68,6 +68,31 @@ class StreamingCurationSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("streamed C4 report merges across micro-batches to the batch report") {
+    val tmp = java.nio.file.Files.createTempDirectory("stream-c4").toString
+    val d = docsFrame
+    d.filter(col("doc_id") % 2 === 0).write.parquet(s"$tmp/in")
+    val incoming = spark.readStream.schema(d.schema).parquet(s"$tmp/in")
+    val q = StreamingCuration.c4Report(incoming)
+      .writeStream.format("memory").queryName("cur_c4")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      d.filter(col("doc_id") % 2 =!= 0).write.mode("append").parquet(s"$tmp/in")
+      q.processAllAvailable()
+      val st = q.lastProgress.stateOperators
+      assert(st.nonEmpty)
+      // state is one row per source — catalog cardinality, not corpus
+      assert(st.map(_.numRowsTotal).max <= d.select("source").distinct().count())
+    } finally q.stop()
+    def keyed(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    val streamed = keyed(spark.table("cur_c4").collect())
+    val batch = keyed(graft.operators.TextOps.c4Report(spark, sfDir).collect())
+    assert(batch.nonEmpty, "report must be non-vacuous")
+    assert(streamed === batch)
+  }
+
   test("stateless scrub: per-micro-batch rows equal the batch kernel row-for-row") {
     val tmp = java.nio.file.Files.createTempDirectory("stream-cur2").toString
     val d = docsFrame
