@@ -168,6 +168,9 @@ object SparkEntry {
     "q11_nation_balance_share" -> (Relational.q11NationBalanceShare _),
     "q22_wealthy_inactive"  -> (Relational.q22WealthyInactive _),
     "q20_excess_shippers"   -> (Relational.q20ExcessShippers _),
+    // Q21 as a set-oriented rewrite: the correlated EXISTS/NOT EXISTS
+    // pair becomes one per-order supplier/late-supplier aggregate
+    "q21_waiting_suppliers" -> (Relational.q21WaitingSuppliers _),
     "q_order_reconciliation" -> (Relational.qOrderReconciliation _),
     "q21_supplier_wait"     -> (operators.SqlQueries.qSupplierWait _),
     // approximate aggregates: sketch VALUES are implementation-defined,
@@ -1270,6 +1273,26 @@ object SparkEntry {
          |JOIN region ON n_regionkey = r_regionkey
          |WHERE r_name = 'ASIA'
          |ORDER BY s_name""".stripMargin,
+    // Q21 oracle DELIBERATELY keeps TPC-H's original correlated
+    // EXISTS / NOT EXISTS formulation — value parity with the engine's
+    // set-oriented per-order-aggregate rewrite is the proof the rewrite
+    // is semantics-preserving, not just faster
+    "q21_waiting_suppliers" ->
+      """WITH late AS (
+        |  SELECT DISTINCT l.l_orderkey, l.l_suppkey
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  WHERE o.o_orderstatus = 'F'
+        |    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY),
+        |w AS (
+        |  SELECT t.l_orderkey, t.l_suppkey FROM late t
+        |  WHERE EXISTS (SELECT 1 FROM lineitem l2
+        |                WHERE l2.l_orderkey = t.l_orderkey AND l2.l_suppkey <> t.l_suppkey)
+        |    AND NOT EXISTS (SELECT 1 FROM late l3
+        |                    WHERE l3.l_orderkey = t.l_orderkey AND l3.l_suppkey <> t.l_suppkey))
+        |SELECT s_name, n_name, CAST(count(*) AS BIGINT) AS numwait
+        |FROM w JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY 1, 2 ORDER BY numwait DESC, s_name""".stripMargin,
     "q22_wealthy_inactive" ->
       s"""WITH bal AS (SELECT c_custkey, c_mktsegment,
          |               ${centsSql("c_acctbal")} AS bal_c FROM customer),

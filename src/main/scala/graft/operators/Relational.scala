@@ -650,6 +650,62 @@ object Relational {
       .orderBy(col("s_name"))
   }
 
+  /** TPC-H Q21-style: suppliers who kept orders waiting — for finalized
+    * orders, the suppliers whose line was late while EVERY other
+    * supplier on the same (multi-supplier) order shipped on time.
+    * "Late" adapts to this schema as shipped > 60 days after the order
+    * date (the [[q12LateShipments]] lateness rule; TPC-H's
+    * receipt/commit columns don't exist in the testdata), and the
+    * result keeps all nations (grouped by supplier and nation) instead
+    * of TPC-H's single-nation filter.
+    *
+    * Scale shape: the reference formulation is a correlated EXISTS +
+    * NOT EXISTS, i.e. two more probes of lineitem per lineitem row.
+    * Rewritten set-oriented: ONE per-order aggregate (distinct
+    * suppliers, distinct LATE suppliers) joined back to the late rows —
+    * a supplier waits exactly when the order has ≥ 2 suppliers and its
+    * only late supplier is this one. Two shuffles on l_orderkey total
+    * (the second join is on the same key, so the exchange is reused),
+    * never a self-join probe per row.
+    *
+    * Decorrelation twin of [[SqlQueries.qSupplierWait]]
+    * (`q21_supplier_wait`), which submits the CORRELATED form through
+    * the SQL surface and trusts Catalyst's subquery decorrelation:
+    * this lane is the hand-decorrelated DataFrame shape (plus the
+    * O-status filter and per-(order, supplier) dedup of multi-late-line
+    * pairs), and its oracle deliberately stays correlated — value
+    * parity proves the rewrite. Together the pair pins BOTH
+    * decorrelation paths a production engine leans on.
+    */
+  def q21WaitingSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val l = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .withColumn("late",
+        (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS")).cast("int"))
+    // two-level aggregate instead of countDistinct×2: the distinct
+    // pair frame (order, supplier, ever-late) is computed ONCE, then
+    // rolled up per order — no expand operator, and the same frame
+    // feeds both the counts and the late-row probe
+    val perSupp = l.groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(col("late")).as("late"))
+    val perOrder = perSupp.groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_supp"), sum(col("late")).as("n_late_supp"))
+    val waiting = perSupp.filter(col("late") === 1)
+      .join(perOrder, Seq("l_orderkey"))
+      .filter(col("n_supp") >= 2 && col("n_late_supp") === 1)
+    waiting
+      .join(Tables.supplier(spark, dir), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("s_name"), col("n_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+  }
+
   /** TPC-H Q22-style: wealthy inactive customers — above-average balance
     * (integer-exact: bal·n > Σbal over positive balances) with no orders
     * on/after the cutoff; grouped by market segment.
