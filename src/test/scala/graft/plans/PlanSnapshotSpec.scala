@@ -38,7 +38,11 @@ class PlanSnapshotSpec extends SparkSpec {
     "q_approx_heavy_hitters",
     "dedup_first_wins",
     "q5_local_supplier_salted",
-    "dedup_exact_text")
+    "dedup_exact_text",
+    // r9 session 4: the hand-decorrelated Q21 (its SQL twin
+    // q21_supplier_wait is already pinned above — the pair keeps BOTH
+    // decorrelation paths' join/exchange shapes under guard)
+    "q21_waiting_suppliers")
 
   private def signatureOf(df: DataFrame): String = {
     // static plan (AQE would leave an unfinalized adaptive wrapper whose
