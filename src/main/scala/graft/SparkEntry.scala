@@ -2873,36 +2873,39 @@ object SparkEntry {
       |WHERE bit_count(xor(pa.phash, pb.phash)) <= 12
       |ORDER BY c.doc_a, c.doc_b""".stripMargin
 
-  /** vHash temporal-dedup oracle: re-derives every sampled pixel from
-    * doc text — data byte j of the rendered GRV0 clip is
-    * content[j mod len] with j = (frame·h + row)·w + x
-    * (Multimodal.renderedVideo / MediaCodec.encodeRawVideo); cell
-    * (t, r) samples frame t·F/9, row r·h/8 and sums that row's w
-    * bytes — equal cell sizes, so the bit compare is a plain sum
-    * compare. Bit packing, bands and the Hamming verify mirror
-    * [[mediaPhashSql]].
+  /** vHash temporal-dedup oracle: re-derives every volume byte from
+    * doc text — data byte i of the rendered GRV0 clip is
+    * content[i mod len] (Multimodal.renderedVideo /
+    * MediaCodec.encodeRawVideo), the clip volume is n = w·h·f bytes
+    * split into 65 equal chunks (chunk of byte i = i·65 // n), and bit
+    * k compares the count-normalized chunk sums k+1 vs k — the
+    * [[mediaAhashSql]] shape over pixel bytes (no |·−128|: gray8 is
+    * unsigned energy). Bit packing, bands and the Hamming verify
+    * mirror [[mediaPhashSql]].
     */
   private val mediaVhashSql: String =
     """WITH vids AS (
       |  SELECT doc_id, text,
-      |         (n_chars % 32 + 4) AS w, (n_chars % 24 + 4) AS h,
-      |         (n_chars % 30 + 1) AS f, strlen(text) AS len
+      |         (n_chars % 32 + 4) * (n_chars % 24 + 4) * (n_chars % 30 + 1) AS n,
+      |         strlen(text) AS len
       |  FROM documents
       |  WHERE strlen(text) > 0 AND strlen(text) = length(text)),
-      |cells AS (
-      |  SELECT v.doc_id, g1.t, g2.r,
-      |         SUM(ord(substr(v.text,
-      |           CAST(((((g1.t * v.f) // 9) * v.h + (g2.r * v.h) // 8) * v.w + x.x)
-      |                % v.len + 1 AS BIGINT), 1))) AS e
-      |  FROM vids v, range(0, 9) g1(t), range(0, 8) g2(r), range(0, 36) x(x)
-      |  WHERE x.x < v.w
-      |  GROUP BY 1, 2, 3),
+      |fr AS (
+      |  SELECT v.doc_id, (s.i * 65) // v.n AS k,
+      |         SUM(ord(substr(v.text, CAST(s.i % v.len + 1 AS BIGINT), 1))) AS s,
+      |         COUNT(*) AS c
+      |  FROM vids v JOIN range(0, 28350) s(i) ON s.i < v.n
+      |  GROUP BY 1, 2),
+      |fx AS (
+      |  SELECT v.doc_id, f.k,
+      |         COALESCE(fr.s, 0) AS s, GREATEST(COALESCE(fr.c, 0), 1) AS c
+      |  FROM vids v CROSS JOIN range(0, 65) f(k)
+      |  LEFT JOIN fr ON fr.doc_id = v.doc_id AND fr.k = f.k),
       |bits AS (
-      |  SELECT a.doc_id, (a.t * 8 + a.r) AS b,
-      |         CASE WHEN n.e > a.e THEN 1 ELSE 0 END AS bit
-      |  FROM cells a JOIN cells n
-      |    ON a.doc_id = n.doc_id AND a.r = n.r AND n.t = a.t + 1
-      |  WHERE a.t < 8),
+      |  SELECT a.doc_id, a.k AS b,
+      |         CASE WHEN n.s * a.c > a.s * n.c THEN 1 ELSE 0 END AS bit
+      |  FROM fx a JOIN fx n ON a.doc_id = n.doc_id AND n.k = a.k + 1
+      |  WHERE a.k < 64),
       |ph AS (
       |  SELECT doc_id, CAST(SUM(CASE WHEN bit = 0 THEN 0
       |    WHEN b = 63 THEN -9223372036854775808

@@ -255,26 +255,39 @@ object MediaCodec {
     * so the compare is a plain integer sum compare — bit-reproducible
     * in any engine.
     */
+  /** Spatio-temporal energy-gradient fingerprint: the clip's full pixel
+    * volume (all frames concatenated, w·h·f gray8 bytes) is split into
+    * 65 equal chunks and bit k compares the count-normalized sums of
+    * chunks k+1 and k — the aHash shape applied to the video volume.
+    * Count normalization makes the hash invariant under uniform
+    * brightness shifts (s + c·Δ scales both sides identically).
+    *
+    * Deliberately NOT a (sampled-frame × row) grid: a 9×8 frame/row
+    * grid compares equal cells for every clip with f < 9 frames
+    * (t·f/9 resamples the same frame), collapsing ALL short clips
+    * toward hash 0 — at the sf10 drill that one degenerate class made
+    * the near-dup pair set 2.08 B rows. Chunking the whole volume
+    * keeps every bit content-driven regardless of frame count.
+    */
   def vHash(bytes: Array[Byte]): Long = {
     val (w, h, f) = decodeRawVideoHeader(bytes)
-    def cell(t: Int, r: Int): Long = {
-      val ft = t * f / 9
-      val yr = r * h / 8
-      val base = 16 + (ft * h + yr) * w
-      var s = 0L
-      var x = 0
-      while (x < w) { s += bytes(base + x) & 0xff; x += 1 }
-      s
+    val n = w * h * f
+    val sums = new Array[Long](65)
+    val cnts = new Array[Long](65)
+    var i = 0
+    while (i < n) {
+      val k = (i.toLong * 65 / n).toInt
+      sums(k) += bytes(16 + i) & 0xff
+      cnts(k) += 1
+      i += 1
     }
     var hash = 0L
-    var t = 0
-    while (t < 8) {
-      var r = 0
-      while (r < 8) {
-        if (cell(t + 1, r) > cell(t, r)) hash |= 1L << (t * 8 + r)
-        r += 1
-      }
-      t += 1
+    var k = 0
+    while (k < 64) {
+      val ca = math.max(cnts(k), 1L)
+      val cb = math.max(cnts(k + 1), 1L)
+      if (sums(k + 1) * ca > sums(k) * cb) hash |= 1L << k
+      k += 1
     }
     hash
   }

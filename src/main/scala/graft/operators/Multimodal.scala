@@ -189,20 +189,34 @@ object Multimodal {
         shiftrightunsigned(col("phash"), b * 16)
           .bitwiseAND(lit(65535L)).as("band_key"))
     }
-    val bands = reps.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band_id").as("band_id"),
+    // The fingerprints RIDE WITH the band rows (8 extra bytes on a
+    // rep-cardinality frame), so the exact-Hamming verify is an inline
+    // codegen filter in the band self-join stage itself. The previous
+    // shape — candidate pairs → distinct → two hash-lookup joins →
+    // verify — shuffled the FULL candidate product: low-entropy
+    // fingerprints (the measured sf10 audio corpus has alternating-bit
+    // aHashes whose 0x5555/0xAAAA band keys collect 4 200-rep buckets)
+    // made that 342 M candidate rows through a distinct, 1 361 s of the
+    // media stage build. Verifying inside the join leaves only the
+    // SURVIVING pairs for the distinct (candidates stream through
+    // whole-stage codegen and die at the filter), which took the same
+    // build to ~80 s. A band-key df cap is the production knob if even
+    // the in-join product grows hostile — not applied here because the
+    // pair set is oracle-compared exactly.
+    val bands = reps
+      .select(col("doc_id"), col("phash"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("phash"), col("bk.band_id").as("band_id"),
         col("bk.band_key").as("band_key"))
-    val cand = bands.select(col("band_id"), col("band_key"), col("doc_id").as("doc_a"))
-      .join(bands.select(col("band_id"), col("band_key"), col("doc_id").as("doc_b")),
+    val repPairs = bands.select(col("band_id"), col("band_key"),
+        col("doc_id").as("doc_a"), col("phash").as("ph_a"))
+      .join(bands.select(col("band_id"), col("band_key"),
+          col("doc_id").as("doc_b"), col("phash").as("ph_b")),
         Seq("band_id", "band_key"))
       .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
-    val pa = reps.select(col("doc_id").as("doc_a"), col("phash").as("ph_a"))
-    val pb = reps.select(col("doc_id").as("doc_b"), col("phash").as("ph_b"))
-    val repPairs = cand.join(pa, Seq("doc_a")).join(pb, Seq("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        bit_count(col("ph_a").bitwiseXOR(col("ph_b"))).cast("bigint").as("hamming"))
+      .withColumn("hamming",
+        bit_count(col("ph_a").bitwiseXOR(col("ph_b"))).cast("bigint"))
       .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming").distinct()
     val cross = repPairs
       .select(col("doc_a").as("__ra"), col("doc_b").as("__rb"), col("hamming"))
       .join(members.select(col("rep").as("__ra"), col("doc_id").as("__ma")), Seq("__ra"))
@@ -214,8 +228,10 @@ object Multimodal {
       .filter(col("__ma") < col("__mb"))
       .select(col("__ma").as("doc_a"), col("__mb").as("doc_b"),
         lit(0L).as("hamming"))
+    // no presentation sort here: the gate compares sorted rows itself
+    // and every consumer joins or aggregates — a global order-by on the
+    // pair-cardinality frame was pure build cost at scale
     val out = cross.unionByName(intra)
-      .orderBy(col("doc_a"), col("doc_b"))
       .persist(MEMORY_AND_DISK)
     // materialize the (pair-cardinality) result so the per-doc member
     // frame can be released instead of staying pinned for the session;

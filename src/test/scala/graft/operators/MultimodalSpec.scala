@@ -123,21 +123,25 @@ class MultimodalSpec extends SparkSpec {
   }
 
   test("vHash: bit semantics, brightness invariance") {
-    // gray rises with the frame index: every temporal gradient fires
-    val rising = MediaCodec.encodeRawVideo(6, 8, 18,
-      i => ((i / (6 * 8)) * 10).toByte)
+    // strictly rising volume energy: every chunk gradient fires
+    val rising = MediaCodec.encodeRawVideo(4, 4, 13, i => i.toByte)
     assert(MediaCodec.vHash(rising) === -1L)
     // constant clip: nothing fires
     val flat = MediaCodec.encodeRawVideo(6, 8, 18, _ => 80.toByte)
     assert(MediaCodec.vHash(flat) === 0L)
-    // uniform brightness shift preserves every temporal gradient sign
+    // uniform brightness shift cancels in the count-normalized compare
     val base = MediaCodec.encodeRawVideo(8, 10, 20, i => ((i * 13) % 170).toByte)
     val brighter = MediaCodec.encodeRawVideo(8, 10, 20,
       i => (((i * 13) % 170) + 60).toByte)
     assert(MediaCodec.vHash(base) === MediaCodec.vHash(brighter))
-    // single-frame clip: all slices sample frame 0 -> defined, zero hash
-    val still = MediaCodec.encodeRawVideo(5, 4, 1, i => (i * 3).toByte)
-    assert(MediaCodec.vHash(still) === 0L)
+    // single-frame clips keep content-driven bits — the old frame/row
+    // grid hashed EVERY short clip toward 0 (t·f/9 resamples the same
+    // frame below f=9), which at sf10 welded all still clips into one
+    // near-dup class of 2.08 B pair rows
+    val stillA = MediaCodec.encodeRawVideo(16, 16, 1, i => (i % 97).toByte)
+    val stillB = MediaCodec.encodeRawVideo(16, 16, 1, i => ((i * 31) % 97).toByte)
+    assert(MediaCodec.vHash(stillA) !== 0L)
+    assert(MediaCodec.vHash(stillA) !== MediaCodec.vHash(stillB))
   }
 
   test("mediaVhashPairs: pairs verify against a local recomputation, non-vacuous") {
