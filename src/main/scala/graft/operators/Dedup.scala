@@ -218,8 +218,20 @@ object Dedup {
   def ttlFilter(df: DataFrame, eventTimeCol: String, ttlSeconds: Long,
                 now: java.sql.Timestamp): DataFrame =
     if (ttlSeconds == 0L) df
-    else df.filter(
-      col(eventTimeCol) + expr(s"INTERVAL $ttlSeconds SECONDS") > lit(now))
+    else {
+      // Algebraically `ts + ttl > now`, but written as `ts > now - ttl`
+      // with the cutoff folded on the LITERAL side and cast to the
+      // column's own type: the `+ INTERVAL` form (a) is a non-atomic
+      // predicate parquet cannot push (every row group decodes), and
+      // (b) on a TIMESTAMP_NTZ scan coerces the COLUMN per row to the
+      // session zone. Both costs land exactly on the 100-TB path — the
+      // scale corpora read `ts` as a raw parquet column where min/max
+      // row-group skipping applies; integer-micros arithmetic makes the
+      // two forms row-for-row identical.
+      val cutoff = java.sql.Timestamp.from(now.toInstant.minusSeconds(ttlSeconds))
+      df.filter(col(eventTimeCol) >
+        lit(cutoff).cast(df.schema(eventTimeCol).dataType))
+    }
 
   /** Per-key attempt histogram — the observable the reference's
     * integration tests assert on (row count + state values per key,
