@@ -1410,8 +1410,15 @@ object SparkEntry {
         |SELECT user_id, session_id, count(*) AS n_events,
         |       min(ts) AS session_start, max(ts) AS session_end
         |FROM s GROUP BY 1, 2""".stripMargin,
-    // the engine executes this as a BINNED equi-join (RangeJoin); the
-    // oracle states the raw range predicate — same pairs by construction
+    // the engine executes this as a boundary SWEEP (delta rows +1/-1 at
+    // session edges, prefix-summed per hour bin; RangeJoin
+    // .qSessionConcurrency); the oracle states the raw range predicate.
+    // The oracle's inner join emits NO row for a probe inside zero
+    // sessions while the sweep would emit n_active_sessions=0 — they
+    // agree because every purchase event is itself an event of some
+    // session, so its own session's [start,end] always covers it
+    // (count ≥ 1). RangeJoinSpec pins that invariant and the
+    // sweep ≡ binned-equi-join row equivalence on the test corpus.
     "q_range_concurrency" ->
       """WITH l AS (SELECT user_id, event_id, ts,
         |             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts

@@ -112,8 +112,9 @@ object RangeJoin {
   }
 
   /** The pre-sweep formulation (binned interval join + count per
-    * probe) — kept as the equivalence foil for the spec; the sweep
-    * above is the registered lane.
+    * probe) — the semantic foil: RangeJoinSpec asserts sweep ≡ binned
+    * row-for-row on the test corpus and checks THIS plan for the
+    * no-nested-loop contract. The sweep above is the registered lane.
     */
   private[graft] def qSessionConcurrencyBinned(spark: SparkSession, dir: String): DataFrame = {
     val micros = (c: org.apache.spark.sql.Column) => unix_micros(c.cast("timestamp"))

@@ -511,8 +511,18 @@ object Relational {
     * a wrong answer.
     */
   def qExactMedian(spark: SparkSession, dir: String): DataFrame = {
+    // Median is defined over NON-NULL values (SQL aggregate-null
+    // semantics), made explicit here: without the filter a null value
+    // gets a null bin, the null bin can be selected as the target, and
+    // the equi-join on (event_type, bin) silently drops it — the group
+    // would vanish from the output instead of reporting a median. The
+    // oracle's window formulation ranks nulls too (DuckDB sorts them
+    // last), so the two agree only on null-free input; the generator
+    // emits none, and this filter makes the engine's stance deliberate
+    // rather than incidental.
     val ev = Tables.events(spark, dir)
       .select(col("event_type"), col("value"), col("event_id"))
+      .filter(col("value").isNotNull)
     val stats = ev.groupBy(col("event_type")).agg(
       min(col("value")).as("mn"), max(col("value")).as("mx"),
       count(lit(1)).as("n"))
