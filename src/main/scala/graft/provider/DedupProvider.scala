@@ -172,44 +172,86 @@ object DedupProviderBuilder {
     */
   val RequestTimeoutConfKey = "spark.graft.dedup.requestTimeoutMs"
 
-  def requestTimeoutMillis: Long =
-    org.apache.spark.sql.SparkSession.getActiveSession
-      .flatMap(s => scala.util.Try(s.conf.get(RequestTimeoutConfKey)).toOption)
-      .orElse(sys.props.get(RequestTimeoutConfKey))
-      .map(_.toLong)
+  /** Per-profile timeout key — the literal twin of the reference's
+    * named driver execution profiles (`withSessionProfile`, reference
+    * builder ..Builder.kt:34,48-50 → Utils.kt:9-10 reads
+    * `basic.request.timeout` from the NAMED profile section). A profile
+    * is a config namespace: `spark.graft.dedup.profile.<name>
+    * .requestTimeoutMs`, falling back to the unprofiled key, then the
+    * built-in default — the same resolution the driver's profile
+    * inheritance gives (a profile only overrides what it sets).
+    */
+  def profileTimeoutConfKey(profileName: String): String =
+    s"spark.graft.dedup.profile.$profileName.requestTimeoutMs"
+
+  def requestTimeoutMillis: Long = requestTimeoutMillis(CqlDedupLog.DefaultProfile)
+
+  def requestTimeoutMillis(profileName: String): Long = {
+    def lookup(key: String): Option[Long] =
+      org.apache.spark.sql.SparkSession.getActiveSession
+        .flatMap(s => scala.util.Try(s.conf.get(key)).toOption)
+        .orElse(sys.props.get(key))
+        .map(_.toLong)
+    lookup(profileTimeoutConfKey(profileName))
+      .orElse(lookup(RequestTimeoutConfKey))
       .getOrElse(DefaultRequestTimeoutMillis)
+  }
 
   class SyncBuilder private[DedupProviderBuilder] () {
-    private var log: DedupLog = new InMemoryDedupLog
+    private var log: Option[DedupLog] = None
+    private var session: Option[CqlSessionLike] = None
+    private var profileName: String = CqlDedupLog.DefaultProfile
     private var strategy: Option[RetryStrategy] = None
     private var absorber: DuplicateBurstAbsorber = new NoDuplicateBurstAbsorber
 
-    def withLog(l: DedupLog): SyncBuilder = { log = l; this }
+    def withLog(l: DedupLog): SyncBuilder = { log = Some(l); this }
+    /** CQL-session wiring, mirroring the reference's `withSession`
+      * (builder ..Builder.kt:37-40): build() wraps the session in
+      * [[CqlDedupLog]] under the builder's profile. `withLog` wins if
+      * both are set (the log is the more specific binding).
+      */
+    def withSession(s: CqlSessionLike): SyncBuilder = { session = Some(s); this }
+    /** Literal twin of the reference's `withSessionProfile`
+      * (builder ..Builder.kt:47-50): names the profile whose
+      * requestTimeout sizes the default retry delay and which every
+      * statement of a session-built log runs under.
+      */
+    def withSessionProfile(name: String): SyncBuilder = { profileName = name; this }
     def withRetryStrategy(s: RetryStrategy): SyncBuilder = { strategy = Some(s); this }
     def withDuplicateAbsorber(size: Int, absorbMillis: Long): SyncBuilder = {
       absorber = new CachedDuplicateBurstAbsorber(size, absorbMillis); this
     }
-    def build(): DedupProvider = new DedupProvider(log,
-      strategy.getOrElse(
-        new ExponentialDelayRetryStrategy(DefaultRetries, 2 * requestTimeoutMillis)),
+    def build(): DedupProvider = new DedupProvider(
+      log.orElse(session.map(new CqlDedupLog(_, profileName)))
+        .getOrElse(new InMemoryDedupLog),
+      strategy.getOrElse(new ExponentialDelayRetryStrategy(
+        DefaultRetries, 2 * requestTimeoutMillis(profileName))),
       absorber)
   }
 
   class AsyncBuilder private[DedupProviderBuilder] () {
-    private var log: DedupLog = new InMemoryDedupLog
+    private var log: Option[DedupLog] = None
+    private var session: Option[CqlSessionLike] = None
+    private var profileName: String = CqlDedupLog.DefaultProfile
     private var executor: ExecutorService = Executors.newWorkStealingPool()
     private var strategy: Option[RetryStrategyAsync] = None
     private var absorber: DuplicateBurstAbsorber = new NoDuplicateBurstAbsorber
 
-    def withLog(l: DedupLog): AsyncBuilder = { log = l; this }
+    def withLog(l: DedupLog): AsyncBuilder = { log = Some(l); this }
+    /** See [[SyncBuilder.withSession]]. */
+    def withSession(s: CqlSessionLike): AsyncBuilder = { session = Some(s); this }
+    /** See [[SyncBuilder.withSessionProfile]]. */
+    def withSessionProfile(name: String): AsyncBuilder = { profileName = name; this }
     def withExecutor(e: ExecutorService): AsyncBuilder = { executor = e; this }
     def withRetryStrategy(s: RetryStrategyAsync): AsyncBuilder = { strategy = Some(s); this }
     def withDuplicateAbsorber(size: Int, absorbMillis: Long): AsyncBuilder = {
       absorber = new CachedDuplicateBurstAbsorber(size, absorbMillis); this
     }
-    def build(): DedupProviderAsync = new DedupProviderAsync(log,
+    def build(): DedupProviderAsync = new DedupProviderAsync(
+      log.orElse(session.map(new CqlDedupLog(_, profileName)))
+        .getOrElse(new InMemoryDedupLog),
       strategy.getOrElse(new ExponentialDelayRetryStrategyAsync(
-        DefaultRetries, 2 * requestTimeoutMillis, executor)),
+        DefaultRetries, 2 * requestTimeoutMillis(profileName), executor)),
       absorber)
   }
 

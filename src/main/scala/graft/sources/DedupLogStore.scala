@@ -40,6 +40,46 @@ class DedupLogStore(spark: SparkSession, root: String,
       .partitionBy("key_bucket")
       .format(format).save(path(keyspace, table))
 
+  /** Concurrency-safe append for the per-call protocol: [[append]]'s
+    * committer stages every concurrent job in the SAME `_temporary/0`
+    * under the destination, so two in-flight appends are mutually
+    * destructive — the first commit sweeps `_temporary` and kills the
+    * other's task files (caught by DedupLogContractSpec's concurrent-
+    * appends invariant). This path stages each batch in its own hidden
+    * `.stage_<uuid>` dir, then MOVES the finished part files into their
+    * bucket directories under fresh unique names — one rename per file,
+    * atomic on posix/HDFS, safe across threads AND processes (the
+    * cross-JVM race CrossJvmDedupSpec drives). Object stores without
+    * atomic rename need a real concurrent committer instead.
+    */
+  def appendAtomic(keyspace: String, table: String, attempts: DataFrame): Unit = {
+    import org.apache.hadoop.fs.Path
+    val dest = path(keyspace, table)
+    val stage = s"$dest/.stage_${java.util.UUID.randomUUID()}"
+    attempts
+      .select(col("key"), col("event_time"), col("record_uuid"),
+        col("state").cast("smallint"), col("expires_at"))
+      .withColumn("key_bucket", pmod(hash(col("key")), lit(nBuckets)))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("key_bucket")
+      .format(format).save(stage)
+    val fs = new Path(stage).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      fs.listStatus(new Path(stage)).filter(_.isDirectory).foreach { b =>
+        val bucketDir = new Path(dest, b.getPath.getName)
+        fs.mkdirs(bucketDir) // idempotent; concurrent creators both succeed
+        fs.listStatus(b.getPath)
+          .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+          .foreach { f =>
+            val tgt = new Path(bucketDir,
+              s"${java.util.UUID.randomUUID()}-${f.getPath.getName}")
+            if (!fs.rename(f.getPath, tgt))
+              throw new java.io.IOException(s"append rename failed: ${f.getPath} -> $tgt")
+          }
+      }
+    } finally fs.delete(new Path(stage), true)
+  }
+
   /** O2+O10: all live attempts, optionally for one key (key lookups prune
     * to one bucket directory before touching data).
     */

@@ -43,7 +43,11 @@ class FileDedupLog(spark: SparkSession, store: DedupLogStore) extends DedupLog {
     import scala.jdk.CollectionConverters._
     val row = Row(key, microsToTs(timeMicros), uuid, state,
       expiresMicros.map(microsToTs).orNull)
-    store.append(ks, table, spark.createDataFrame(Seq(row).asJava, store.schema))
+    // appendAtomic, not append: per-call attempts land concurrently
+    // (threads in one JVM, or two JVMs racing on one key), and the
+    // default committer's shared _temporary makes concurrent appends
+    // destroy each other's in-flight files.
+    store.appendAtomic(ks, table, spark.createDataFrame(Seq(row).asJava, store.schema))
   }
 
   override def append(ks: String, table: String, rec: AttemptRecord): Unit =
