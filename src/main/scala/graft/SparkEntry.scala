@@ -79,6 +79,9 @@ object SparkEntry {
       "ann_ivfadc_topk"         -> ((s, d) => Similarity.ensureAnnStages(s, d)),
       "ann_ivfadc_recall"       -> ((s, d) => Similarity.ensureAnnStages(s, d)),
       "ann_lsh_recall"          -> ((s, d) => Similarity.ensureAnnStages(s, d)),
+      "ann_hnsw_topk"           -> ((s, d) => operators.Hnsw.ensureHnswStages(s, d)),
+      "ann_hnsw_recall"         -> ((s, d) => operators.Hnsw.ensureHnswStages(s, d)),
+      "ann_hnsw_levels"         -> ((s, d) => operators.Hnsw.ensureHnswStages(s, d)),
       "dedup_semdedup"          -> ((s, d) => Similarity.ensureAnnStages(s, d)),
       "q_sample_cluster"        -> ((s, d) => Similarity.ensureAnnStages(s, d)))
   }
@@ -406,6 +409,17 @@ object SparkEntry {
     // the LSH index vs the brute-force truth, as exact integers hits/k
     "ann_lsh_recall"          -> ((s, d) => Similarity.lshRecall(s, d)),
     "ann_ivf_topk"            -> ((s, d) => Similarity.ivfTopK(s, d)),
+    // graph ANN: sharded HNSW candidates re-ranked through the shared
+    // exact cosine — the oracle is the brute-force SQL, so this gate
+    // pins recall@5 = 1.0 at the (M=8, efC=64, efS=64) operating point
+    "ann_hnsw_topk"           -> ((s, d) => operators.Hnsw.hnswTopK(s, d)),
+    // the approximate serving regime (efS=16) under the exact-integer
+    // hits/k contract; structure-dependent, so spec-gated (HnswSpec
+    // floor), rows-only at the driver
+    "ann_hnsw_recall"         -> ((s, d) => operators.Hnsw.hnswRecall(s, d)),
+    // the graph's deterministic skeleton (md5-pure node levels) under
+    // the hash gate — catches lost shards and level-codec drift
+    "ann_hnsw_levels"         -> ((s, d) => operators.Hnsw.levelHistogram(s, d)),
     "ann_ivf_recall"          -> ((s, d) => Similarity.ivfRecall(s, d)),
     // same IVF search against the ON-DISK partitioned index, reading
     // only the probed list directories — same oracle SQL verbatim
@@ -2589,6 +2603,27 @@ object SparkEntry {
          |FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rk
          |      FROM s)
          |WHERE rk <= 5""".stripMargin,
+    // ann_hnsw_topk certifies against the brute-force truth: the graph
+    // search must surface the exact top-k (recall 1.0) or the hash gate
+    // fails — the strongest SQL-expressible statement about a
+    // construction-order-dependent index
+    "ann_hnsw_topk" ->
+      s"""WITH s AS (
+         |  SELECT a.vec_id AS q_id, b.vec_id AS vec_id, $cosineSql AS sim
+         |  FROM embeddings a, embeddings b
+         |  WHERE a.vec_id % 50 = 0 AND b.vec_id <> a.vec_id)
+         |SELECT q_id, vec_id, sim, CAST(rk AS BIGINT) AS rnk
+         |FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rk
+         |      FROM s)
+         |WHERE rk <= 5""".stripMargin,
+    "ann_hnsw_levels" ->
+      """WITH v AS (SELECT vec_id,
+        |  CAST(('0x' || substr(md5('hnsw_' || CAST(vec_id AS VARCHAR)), 1, 15)) AS UBIGINT) AS h
+        |  FROM embeddings)
+        |SELECT level, CAST(count(*) AS BIGINT) AS n_nodes FROM (
+        |  SELECT CAST((CASE WHEN h = 0 THEN 60 ELSE 60 - length(bin(h)) END) // 4 AS INTEGER) AS level
+        |  FROM v)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "ann_lsh_topk" ->
       s"""WITH ${lshBucketCte()},
          |s AS (

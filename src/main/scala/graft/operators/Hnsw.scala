@@ -1,0 +1,382 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** HNSW (Malkov & Yashunin 2016, arXiv:1603.09320) as a SHARDED Spark
+  * index — the graph-based ANN family beside the LSH / IVF / PQ lanes,
+  * and the one with the best recall-per-distance-computation at serving
+  * time.
+  *
+  * An HNSW graph is pointer-chasing state, so it cannot be a Catalyst
+  * expression; the Spark-native shape is the industry serving design
+  * (FAISS/Vespa/Milvus style): shard the corpus, build one independent
+  * graph per shard inside `mapPartitions` (the same justified-imperative
+  * seam as the media codecs), fan each query out to every shard, merge
+  * per-shard candidates with the k-bounded heap. Build is embarrassingly
+  * parallel and one pass; the graph is SERIALIZED to a DataFrame (one
+  * row per node: level + per-level adjacency + vector) and
+  * session-staged, so probes search a prebuilt structure — the bench's
+  * build/probe split measures what production measures.
+  *
+  * Determinism (gate-critical): node levels are a pure md5 function of
+  * vec_id (the paper's geometric distribution, seeded by content, not
+  * RNG state); insertion order is ascending vec_id within a shard;
+  * shard assignment is `vec_id % shards`; every heap/selection order
+  * breaks distance ties by vec_id. Two builds of the same corpus are
+  * byte-identical.
+  *
+  * Exactness at the gate: the registered `ann_hnsw_topk` lane re-ranks
+  * the graph's candidates through the SAME codegen'd cosine + heap
+  * top-k as the brute-force truth lane, so its oracle is the
+  * brute-force SQL itself — the gate pins recall@k = 1.0 at the
+  * operating point (M=8, efC=64, efS=64) on the test corpora. The
+  * `ann_hnsw_recall` lane runs the APPROXIMATE regime (efS=16) under
+  * the same exact-integer hits/k contract as the other recall rows,
+  * floor-pinned in HnswSpec.
+  *
+  * Scale: shards = ceil(n / targetShardRows) — per-shard memory is
+  * constant (vectors + M·levels longs per node), build cost per shard
+  * is n_shard·efC·log(n_shard) distance evaluations, and the whole
+  * build is one shuffle + one mapPartitions however large the corpus.
+  * Probe cost per query is shards · efS · log(n_shard): the classic
+  * sharded-HNSW trade — aggregate throughput scales with executors,
+  * per-query fan-out grows with shard count (IVF prunes shards instead;
+  * that's why both families exist). The broadcast query set mirrors the
+  * other ANN lanes' eval harness; production queries arrive as their
+  * own bounded batches.
+  */
+object Hnsw {
+
+  /** The registered operating point. M=16 (degree 32 at layer 0) with
+    * efC/efS = 128: the test corpus embeddings are near-isotropic
+    * (weak neighbor structure — the hard case for graph ANN), and the
+    * gate lane pins recall 1.0, so the point is chosen with margin —
+    * at 4096-row shards the beam still visits ≲5% of a shard.
+    */
+  final case class Params(m: Int = 16, efConstruction: Int = 128, efSearch: Int = 128)
+
+  /** Node level: geometric with p = 1/M via LEADING ZEROS of the
+    * md5-uniform of vec_id — level = lz60 / log2(M) over the first 60
+    * md5 bits, so P(level ≥ k) = 2^(−k·log2 M) = M^−k, the paper's
+    * distribution (§4.1) as a PURE-INTEGER construction. The textbook
+    * floor(−ln(u)·mL) would tie the level histogram to libm rounding;
+    * this one is engine-neutral, so `ann_hnsw_levels` can be
+    * oracle-gated in SQL (the same 15-hex-digit md5 parse as the LSH
+    * plane weights). M must be a power of two. Pure function of
+    * (vec_id, M): levels survive rebuilds and shard moves.
+    */
+  private[operators] def levelOf(vecId: Long, m: Int): Int = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"hnsw_$vecId".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.substring(0, 15)
+    val v = java.lang.Long.parseLong(hex, 16) // 60 bits, non-negative
+    val lz60 = java.lang.Long.numberOfLeadingZeros(v) - 4
+    val bitsPerLevel = 31 - Integer.numberOfLeadingZeros(m)
+    math.min(30, lz60 / bitsPerLevel)
+  }
+
+  /** One shard's graph, built in insertion order over normalized
+    * vectors. Distance = 1 − cosine on unit vectors (monotone in dot
+    * product); all orderings tie-break by node index (= vec_id order).
+    */
+  private[operators] final class Graph(m: Int, efC: Int) {
+    import scala.collection.mutable
+    private val vecs = mutable.ArrayBuffer.empty[Array[Double]]
+    private[operators] val ids = mutable.ArrayBuffer.empty[Long]
+    private[operators] val levels = mutable.ArrayBuffer.empty[Int]
+    // nbrs(node)(level) = neighbor node indices
+    private[operators] val nbrs = mutable.ArrayBuffer.empty[Array[mutable.ArrayBuffer[Int]]]
+    private var entry = -1
+    private var maxLevel = -1
+
+    private def maxConn(level: Int): Int = if (level == 0) 2 * m else m
+
+    private def dist(v: Array[Double], node: Int): Double = {
+      val w = vecs(node)
+      var s = 0.0
+      var i = 0
+      while (i < v.length) { s += v(i) * w(i); i += 1 }
+      1.0 - s
+    }
+
+    /** Beam search at one level: returns up to `ef` nearest (dist, node)
+      * ascending. Entry points must be alive nodes.
+      */
+    private def searchLayer(v: Array[Double], eps: Seq[Int], ef: Int,
+                            level: Int): mutable.ArrayBuffer[(Double, Int)] = {
+      val visited = new java.util.BitSet(vecs.size)
+      // min-heap of frontier, max-heap of best — both ordered (dist, id)
+      val frontier = mutable.PriorityQueue.empty[(Double, Int)](
+        Ordering.Tuple2[Double, Int].reverse)
+      val best = mutable.PriorityQueue.empty[(Double, Int)] // max first
+      eps.foreach { e =>
+        if (!visited.get(e)) {
+          visited.set(e)
+          val d = dist(v, e)
+          frontier.enqueue((d, e)); best.enqueue((d, e))
+        }
+      }
+      while (best.size > ef) best.dequeue()
+      while (frontier.nonEmpty) {
+        val (d, c) = frontier.dequeue()
+        if (d > best.head._1 && best.size >= ef) frontier.clear()
+        else {
+          val ns = nbrs(c)(level)
+          var i = 0
+          while (i < ns.length) {
+            val e = ns(i)
+            if (!visited.get(e)) {
+              visited.set(e)
+              val de = dist(v, e)
+              val better = best.size < ef ||
+                de < best.head._1 || (de == best.head._1 && e < best.head._2)
+              if (better) {
+                frontier.enqueue((de, e)); best.enqueue((de, e))
+                if (best.size > ef) best.dequeue()
+              }
+            }
+            i += 1
+          }
+        }
+      }
+      val out = mutable.ArrayBuffer.empty[(Double, Int)]
+      while (best.nonEmpty) out += best.dequeue()
+      out.sortInPlace()
+    }
+
+    private def distNodes(a: Int, b: Int): Double = dist(vecs(a), b)
+
+    /** The paper's diversifying selection (Algorithm 4 with
+      * keepPrunedConnections): walk candidates nearest-first, keep one
+      * only if it is closer to the base than to every already-kept
+      * neighbor — spreading edges across directions instead of
+      * clustering them — then fill the remainder from the pruned pool.
+      * Deterministic: candidates arrive (dist, id)-sorted.
+      */
+    private def selectHeuristic(base: Int, cands: Seq[(Double, Int)],
+                                cap: Int): Seq[Int] = {
+      val kept = mutable.ArrayBuffer.empty[(Double, Int)]
+      val pruned = mutable.ArrayBuffer.empty[(Double, Int)]
+      cands.foreach { case (d, c) =>
+        if (kept.size < cap) {
+          if (kept.forall { case (_, r) => d < distNodes(c, r) }) kept += ((d, c))
+          else pruned += ((d, c))
+        }
+      }
+      (kept ++ pruned.take(cap - kept.size)).sortInPlace().map(_._2).toSeq
+    }
+
+    private def connect(a: Int, b: Int, level: Int): Unit = {
+      val list = nbrs(a)(level)
+      if (!list.contains(b)) {
+        list += b
+        val cap = maxConn(level)
+        if (list.length > cap) {
+          val va = vecs(a)
+          val cands = list.map(n => (dist(va, n), n)).sortInPlace().toSeq
+          val kept = selectHeuristic(a, cands, cap)
+          list.clear(); list ++= kept
+        }
+      }
+    }
+
+    def insert(id: Long, vec: Array[Double]): Unit = {
+      val node = vecs.size
+      val level = levelOf(id, m)
+      vecs += vec; ids += id; levels += level
+      nbrs += Array.fill(level + 1)(mutable.ArrayBuffer.empty[Int])
+      if (entry < 0) { entry = node; maxLevel = level; return }
+      var eps = Seq(entry)
+      var lev = maxLevel
+      while (lev > level) { // greedy descent above the node's top level
+        eps = Seq(searchLayer(vec, eps, 1, lev).head._2)
+        lev -= 1
+      }
+      while (lev >= 0) {
+        val w = searchLayer(vec, eps, efC, lev)
+        selectHeuristic(node, w.toSeq, m)
+          .foreach { n => connect(node, n, lev); connect(n, node, lev) }
+        eps = w.map(_._2).toSeq
+        lev -= 1
+      }
+      if (level > maxLevel) { maxLevel = level; entry = node }
+    }
+
+    /** Top-`ef` candidate vec_ids for a query vector, nearest first. */
+    def search(vec: Array[Double], ef: Int): Seq[Long] = {
+      if (entry < 0) return Seq.empty
+      var eps = Seq(entry)
+      var lev = maxLevel
+      while (lev > 0) {
+        eps = Seq(searchLayer(vec, eps, 1, lev).head._2)
+        lev -= 1
+      }
+      searchLayer(vec, eps, ef, 0).map(t => ids(t._2)).toSeq
+    }
+
+    /** Reconstruction: register a node WITHOUT wiring (same entry rule
+      * as insert — the first node, in load order, to raise maxLevel —
+      * so loading in vec_id order reproduces the built graph's entry).
+      * Returns the node index; wire adjacency with [[wire]].
+      */
+    def load(id: Long, vec: Array[Double], level: Int): Int = {
+      val node = vecs.size
+      vecs += vec; ids += id; levels += level
+      nbrs += Array.fill(level + 1)(mutable.ArrayBuffer.empty[Int])
+      if (level > maxLevel) { maxLevel = level; entry = node }
+      node
+    }
+
+    def wire(node: Int, level: Int, neighbors: Seq[Int]): Unit =
+      nbrs(node)(level) ++= neighbors
+  }
+
+  private[operators] def normalize(v: Seq[Float]): Array[Double] = {
+    val a = new Array[Double](v.length)
+    var s = 0.0
+    var i = 0
+    while (i < v.length) { a(i) = v(i).toDouble; s += a(i) * a(i); i += 1 }
+    val n = math.sqrt(s)
+    if (n > 0) { i = 0; while (i < a.length) { a(i) /= n; i += 1 } }
+    a
+  }
+
+  /** Serialized node: shard, id, level, per-level adjacency (as vec_ids
+    * — shard-internal, so reconstruction is a local map), vector.
+    */
+  final case class Node(shard: Int, vec_id: Long, level: Int,
+                        nbrs: Seq[Seq[Long]], embedding: Seq[Float])
+
+  private def shardCount(n: Long, targetShardRows: Int): Int =
+    math.max(1, math.min(64, math.ceil(n.toDouble / targetShardRows).toInt))
+
+  /** Build the sharded graph as a DataFrame — one mapPartitions after
+    * one shuffle on `vec_id % shards`; rebuilt identically from the
+    * same corpus. Session-staged under the (m, efC) operating point.
+    */
+  def ensureGraph(spark: SparkSession, dir: String, params: Params = Params(),
+                  targetShardRows: Int = 4096): DataFrame =
+    StageMemo.memoized(spark,
+      s"hnsw_graph_${params.m}_${params.efConstruction}_$targetShardRows", dir) {
+      import spark.implicits._
+      val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+      val shards = shardCount(emb.count(), targetShardRows)
+      emb.withColumn("shard", (col("vec_id") % shards).cast("int"))
+        .repartition(shards, col("shard"))
+        .as[(Long, Seq[Float], Int)]
+        .mapPartitions { it =>
+          // one graph PER SHARD VALUE: hash partitioning may co-locate
+          // several shards in a partition, and each shard's adjacency
+          // must be self-contained for partition-local reconstruction
+          it.toArray.groupBy(_._3).toSeq.sortBy(_._1).iterator.flatMap {
+            case (shard, rowsUnsorted) =>
+              val rows = rowsUnsorted.sortBy(_._1) // insertion order = vec_id
+              val g = new Graph(params.m, params.efConstruction)
+              rows.foreach { case (id, v, _) => g.insert(id, normalize(v)) }
+              rows.indices.iterator.map { i =>
+                Node(shard, g.ids(i), g.levels(i),
+                  g.nbrs(i).toSeq.map(_.toSeq.map(g.ids(_)).sorted),
+                  rows(i)._2)
+              }
+          }
+        }
+        .toDF()
+    }
+
+  /** Search every shard's graph for every query: (q_id, vec_id)
+    * candidate pairs, up to efSearch per (query, shard). The staged
+    * graph's partitioning (one shard per build partition) is preserved
+    * by the cache, so reconstruction is partition-local.
+    */
+  def candidates(spark: SparkSession, dir: String, queryStride: Int = 50,
+                 params: Params = Params(),
+                 targetShardRows: Int = 4096): DataFrame = {
+    import spark.implicits._
+    val graph = ensureGraph(spark, dir, params, targetShardRows).as[Node]
+    val queries = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") % queryStride === 0)
+      .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
+      .collect().map { case (id, v) => (id, normalize(v)) }
+    val bq = spark.sparkContext.broadcast(queries)
+    val ef = params.efSearch
+    val (m, efC) = (params.m, params.efConstruction)
+    graph.mapPartitions { it =>
+      val nodes = it.toArray
+      if (nodes.isEmpty) Iterator.empty
+      else {
+        // rebuild per shard present in this partition (hash partitioning
+        // may co-locate shards; each shard's graph is self-contained)
+        nodes.groupBy(_.shard).toSeq.sortBy(_._1).iterator.flatMap {
+          case (_, shardNodes) =>
+            val sorted = shardNodes.sortBy(_.vec_id)
+            val g = new Graph(m, efC)
+            val index = sorted.iterator.zipWithIndex
+              .map { case (n, i) => n.vec_id -> i }.toMap
+            sorted.foreach(n => g.load(n.vec_id, normalize(n.embedding), n.level))
+            sorted.iterator.zipWithIndex.foreach { case (n, i) =>
+              n.nbrs.iterator.zipWithIndex.foreach { case (ns, lev) =>
+                g.wire(i, lev, ns.map(index))
+              }
+            }
+            bq.value.iterator.flatMap { case (qid, qv) =>
+              g.search(qv, ef).iterator.filter(_ != qid).map(v => (qid, v))
+            }
+        }
+      }
+    }.toDF("q_id", "vec_id")
+  }
+
+  /** The registered exact-gate lane: graph candidates re-ranked through
+    * the shared codegen'd cosine + k-bounded heap — byte-identical to
+    * the brute-force truth whenever the candidate sets cover the true
+    * top-k, which the oracle (the brute-force SQL) then certifies as a
+    * recall@k = 1.0 contract at this operating point.
+    */
+  def hnswTopK(spark: SparkSession, dir: String, k: Int = 5,
+               queryStride: Int = 50, params: Params = Params(),
+               targetShardRows: Int = 4096): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val cand = candidates(spark, dir, queryStride, params, targetShardRows)
+    val q = emb.filter(col("vec_id") % queryStride === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val scored = emb.join(broadcast(cand), Seq("vec_id"))
+      .join(broadcast(q), Seq("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(Similarity.cosine(col("q_emb"), col("embedding")), 6).as("sim"))
+    Similarity.topKBySim(scored, k)
+  }
+
+  /** The approximate regime under the exact-integer hits/k contract of
+    * the other recall rows (efS = 16 — a realistic serving beam, not
+    * the exhaustive one the gate lane uses). Floor pinned in HnswSpec.
+    */
+  /** Bench stage builder: materialize the staged graph and the shared
+    * brute-force truth so probes measure search + re-rank, not build.
+    */
+  def ensureHnswStages(spark: SparkSession, dir: String): Unit = {
+    ensureGraph(spark, dir).count()
+    Similarity.cosineTopK(spark, dir).count()
+  }
+
+  def hnswRecall(spark: SparkSession, dir: String, k: Int = 5,
+                 queryStride: Int = 50,
+                 params: Params = Params(efSearch = 16)): DataFrame =
+    Similarity.recallVsTruth(
+      Similarity.cosineTopK(spark, dir, k, queryStride),
+      hnswTopK(spark, dir, k, queryStride, params), k)
+
+  /** Per-level node counts of the STAGED graph — the deterministic
+    * skeleton of the index under the hash gate: the oracle re-derives
+    * every node's level from md5(vec_id) alone (see [[levelOf]]), so a
+    * drift in sharding coverage (lost nodes) or in the level codec
+    * turns the row red even though the full adjacency is
+    * construction-order state SQL cannot reach.
+    */
+  def levelHistogram(spark: SparkSession, dir: String,
+                     params: Params = Params()): DataFrame =
+    ensureGraph(spark, dir, params)
+      .groupBy(col("level")).agg(count(lit(1)).as("n_nodes"))
+      .orderBy(col("level"))
+}

@@ -81,7 +81,7 @@ object Similarity {
     * query's full candidate list; the heap ships k rows per query per
     * map split. Output: (q_id, vec_id, sim, rnk).
     */
-  private def topKBySim(scored: DataFrame, k: Int): DataFrame =
+  private[operators] def topKBySim(scored: DataFrame, k: Int): DataFrame =
     Dedup.topKPerKey(scored, Seq("q_id"), Seq(-col("sim"), col("vec_id")), k)
       .withColumnRenamed("rk", "rnk")
       .orderBy(col("q_id"), col("rnk"))
@@ -243,8 +243,8 @@ object Similarity {
     * so empty approx result sets read as hits = 0, never as missing
     * rows.
     */
-  private def recallVsTruth(truth: DataFrame, approx: DataFrame,
-                            k: Int): DataFrame = {
+  private[operators] def recallVsTruth(truth: DataFrame, approx: DataFrame,
+                                       k: Int): DataFrame = {
     val t = truth.select(col("q_id"), col("vec_id"))
     val a = approx.select(col("q_id"), col("vec_id"))
     val hits = t.join(a, Seq("q_id", "vec_id"))

@@ -1,0 +1,78 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** HNSW: graph invariants on synthetic vectors, determinism of the
+  * content-seeded levels and of the sharded build, the exact-gate
+  * contract (top-k ≡ brute force at the registered operating point),
+  * and the approximate regime's recall floor.
+  */
+class HnswSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("levels are a pure function of vec_id, bounded, geometric-ish") {
+    val ls = (0L until 4000L).map(Hnsw.levelOf(_, m = 8))
+    assert(ls === (0L until 4000L).map(Hnsw.levelOf(_, m = 8)))
+    assert(ls.forall(l => l >= 0 && l <= 30))
+    val share0 = ls.count(_ == 0).toDouble / ls.size
+    // P(level 0) = 1 - 1/m ≈ 0.875 at m=8
+    assert(share0 > 0.8 && share0 < 0.95, s"share0=$share0")
+    assert(ls.max >= 2, "no hierarchy formed over 4000 nodes")
+  }
+
+  test("graph invariants on a synthetic grid: caps respected, exact NN found") {
+    val rnd = new scala.util.Random(3)
+    val vecs = (0 until 400).map { i =>
+      (i.toLong, Array.fill(16)(rnd.nextGaussian()))
+    }
+    val g = new Hnsw.Graph(m = 8, efC = 64)
+    vecs.foreach { case (id, v) => g.insert(id, Hnsw.normalize(v.map(_.toFloat))) }
+    // neighbor caps: ≤ 2m at level 0, ≤ m above
+    g.nbrs.indices.foreach { n =>
+      g.nbrs(n).zipWithIndex.foreach { case (list, lev) =>
+        val cap = if (lev == 0) 16 else 8
+        assert(list.size <= cap, s"node $n level $lev has ${list.size} neighbors")
+      }
+    }
+    // exhaustive-beam search (ef = corpus) returns the true nearest
+    val probe = Hnsw.normalize(vecs(7)._2.map(_.toFloat))
+    assert(g.search(probe, 400).head === 7L)
+    // moderate beam still finds it
+    assert(g.search(probe, 16).take(3).contains(7L))
+  }
+
+  test("exact gate: hnswTopK ≡ brute-force cosineTopK at the operating point") {
+    val truth = Similarity.cosineTopK(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val got = Hnsw.hnswTopK(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(truth.nonEmpty && got === truth)
+  }
+
+  test("sharded build is deterministic: two candidate passes agree") {
+    val a = Hnsw.candidates(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = Hnsw.candidates(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a.nonEmpty && a === b)
+  }
+
+  test("multi-shard build still covers the true top-k (forced tiny shards)") {
+    // targetShardRows small enough to force several shards even at
+    // sf0.001 — every shard searches independently; the union must
+    // still contain the exact top-k
+    val truth = Similarity.cosineTopK(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Hnsw.hnswTopK(spark, sfDir, targetShardRows = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === truth)
+  }
+
+  test("approximate regime (efS=16): mean recall above the floor") {
+    val rec = Hnsw.hnswRecall(spark, sfDir).agg(
+      sum(col("hits")).as("h"), sum(col("k")).as("n")).collect()(0)
+    val recall = rec.getLong(0).toDouble / rec.getLong(1)
+    assert(recall >= 0.85, s"recall=$recall")
+  }
+}
