@@ -82,6 +82,7 @@ object SparkEntry {
       "ann_hnsw_topk"           -> ((s, d) => operators.Hnsw.ensureHnswStages(s, d)),
       "ann_hnsw_recall"         -> ((s, d) => operators.Hnsw.ensureHnswStages(s, d)),
       "ann_hnsw_levels"         -> ((s, d) => operators.Hnsw.ensureHnswStages(s, d)),
+      "ann_hnsw_append"         -> ((s, d) => { operators.Hnsw.ensureGrownGraph(s, d).count(); () }),
       "dedup_semdedup"          -> ((s, d) => Similarity.ensureAnnStages(s, d)),
       "q_sample_cluster"        -> ((s, d) => Similarity.ensureAnnStages(s, d)))
   }
@@ -420,6 +421,9 @@ object SparkEntry {
     // the graph's deterministic skeleton (md5-pure node levels) under
     // the hash gate — catches lost shards and level-codec drift
     "ann_hnsw_levels"         -> ((s, d) => operators.Hnsw.levelHistogram(s, d)),
+    // grown graph (base build + native inserts of the batch): ingest
+    // must not cost recall, so the oracle is again the brute-force SQL
+    "ann_hnsw_append"         -> ((s, d) => operators.Hnsw.hnswAppendTopK(s, d)),
     "ann_ivf_recall"          -> ((s, d) => Similarity.ivfRecall(s, d)),
     // same IVF search against the ON-DISK partitioned index, reading
     // only the probed list directories — same oracle SQL verbatim
@@ -2624,6 +2628,17 @@ object SparkEntry {
         |  SELECT CAST((CASE WHEN h = 0 THEN 60 ELSE 60 - length(bin(h)) END) // 4 AS INTEGER) AS level
         |  FROM v)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // grown graph ≡ exact top-k: structure drifts under ingest
+    // (insertion order shapes adjacency), results must not
+    "ann_hnsw_append" ->
+      s"""WITH s AS (
+         |  SELECT a.vec_id AS q_id, b.vec_id AS vec_id, $cosineSql AS sim
+         |  FROM embeddings a, embeddings b
+         |  WHERE a.vec_id % 50 = 0 AND b.vec_id <> a.vec_id)
+         |SELECT q_id, vec_id, sim, CAST(rk AS BIGINT) AS rnk
+         |FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rk
+         |      FROM s)
+         |WHERE rk <= 5""".stripMargin,
     "ann_lsh_topk" ->
       s"""WITH ${lshBucketCte()},
          |s AS (

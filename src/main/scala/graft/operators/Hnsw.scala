@@ -292,10 +292,17 @@ object Hnsw {
     */
   def candidates(spark: SparkSession, dir: String, queryStride: Int = 50,
                  params: Params = Params(),
-                 targetShardRows: Int = 4096): DataFrame = {
+                 targetShardRows: Int = 4096): DataFrame =
+    searchGraph(spark, ensureGraph(spark, dir, params, targetShardRows),
+      Tables.embeddings(spark, dir), queryStride, params)
+
+  /** The probe half over an already-staged graph DataFrame. */
+  private[operators] def searchGraph(spark: SparkSession, graphDf: DataFrame,
+                                     emb: DataFrame, queryStride: Int,
+                                     params: Params): DataFrame = {
     import spark.implicits._
-    val graph = ensureGraph(spark, dir, params, targetShardRows).as[Node]
-    val queries = Tables.embeddings(spark, dir)
+    val graph = graphDf.as[Node]
+    val queries = emb
       .filter(col("vec_id") % queryStride === 0)
       .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
       .collect().map { case (id, v) => (id, normalize(v)) }
@@ -336,9 +343,18 @@ object Hnsw {
     */
   def hnswTopK(spark: SparkSession, dir: String, k: Int = 5,
                queryStride: Int = 50, params: Params = Params(),
-               targetShardRows: Int = 4096): DataFrame = {
+               targetShardRows: Int = 4096): DataFrame =
+    rerank(spark, dir,
+      candidates(spark, dir, queryStride, params, targetShardRows),
+      k, queryStride)
+
+  /** Exact re-rank of candidate pairs through the SAME codegen'd
+    * cosine + heap top-k the brute-force truth uses — sim values are
+    * byte-identical to the truth's, so candidate coverage ⇔ gate green.
+    */
+  private def rerank(spark: SparkSession, dir: String, cand: DataFrame,
+                     k: Int, queryStride: Int): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    val cand = candidates(spark, dir, queryStride, params, targetShardRows)
     val q = emb.filter(col("vec_id") % queryStride === 0)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     val scored = emb.join(broadcast(cand), Seq("vec_id"))
@@ -366,6 +382,58 @@ object Hnsw {
     Similarity.recallVsTruth(
       Similarity.cosineTopK(spark, dir, k, queryStride),
       hnswTopK(spark, dir, k, queryStride, params), k)
+
+  /** The GROWN graph: base built from vec_id % batchMod ≠ 0, then the
+    * batch INSERTED through the same algorithm — HNSW's native ingest
+    * (no rebuild; each insert touches efC·log n nodes of its shard).
+    * Unlike the IVF grown index, the grown graph is NOT byte-equal to
+    * a full rebuild (insertion order shapes adjacency); the contract
+    * that matters — and that `ann_hnsw_append` oracle-gates — is that
+    * probing it still surfaces the EXACT top-k. Structure may drift
+    * under ingest; results must not.
+    */
+  def ensureGrownGraph(spark: SparkSession, dir: String,
+                       params: Params = Params(),
+                       targetShardRows: Int = 4096,
+                       batchMod: Int = 7): DataFrame =
+    StageMemo.memoized(spark,
+      s"hnsw_grown_${params.m}_${params.efConstruction}_${targetShardRows}_$batchMod",
+      dir) {
+      import spark.implicits._
+      val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+      val shards = shardCount(emb.count(), targetShardRows)
+      emb.withColumn("shard", (col("vec_id") % shards).cast("int"))
+        .withColumn("is_batch", col("vec_id") % batchMod === 0)
+        .repartition(shards, col("shard"))
+        .as[(Long, Seq[Float], Int, Boolean)]
+        .mapPartitions { it =>
+          it.toArray.groupBy(_._3).toSeq.sortBy(_._1).iterator.flatMap {
+            case (shard, rows) =>
+              val (batch, base) = rows.partition(_._4)
+              val ordered = base.sortBy(_._1) ++ batch.sortBy(_._1)
+              val g = new Graph(params.m, params.efConstruction)
+              ordered.foreach { case (id, v, _, _) => g.insert(id, normalize(v)) }
+              ordered.indices.iterator.map { i =>
+                Node(shard, g.ids(i), g.levels(i),
+                  g.nbrs(i).toSeq.map(_.toSeq.map(g.ids(_)).sorted),
+                  ordered(i)._2)
+              }
+          }
+        }
+        .toDF()
+    }
+
+  /** The ann_hnsw_append registry row: exact top-k over the grown
+    * graph — same oracle SQL as the gate lane, because ingest must not
+    * cost recall.
+    */
+  def hnswAppendTopK(spark: SparkSession, dir: String, k: Int = 5,
+                     queryStride: Int = 50, params: Params = Params(),
+                     targetShardRows: Int = 4096): DataFrame =
+    rerank(spark, dir,
+      searchGraph(spark, ensureGrownGraph(spark, dir, params, targetShardRows),
+        Tables.embeddings(spark, dir), queryStride, params),
+      k, queryStride)
 
   /** Per-level node counts of the STAGED graph — the deterministic
     * skeleton of the index under the hash gate: the oracle re-derives

@@ -69,6 +69,19 @@ class HnswSpec extends SparkSpec {
     assert(got === truth)
   }
 
+  test("grown graph (base + inserted batch): still surfaces the exact top-k") {
+    val truth = Similarity.cosineTopK(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Hnsw.hnswAppendTopK(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === truth)
+    // the grown graph holds every corpus vector exactly once
+    val n = Hnsw.ensureGrownGraph(spark, sfDir).count()
+    val nodes = Hnsw.ensureGrownGraph(spark, sfDir)
+      .select("vec_id").distinct().count()
+    assert(n === nodes && n === graft.Tables.embeddings(spark, sfDir).count())
+  }
+
   test("approximate regime (efS=16): mean recall above the floor") {
     val rec = Hnsw.hnswRecall(spark, sfDir).agg(
       sum(col("hits")).as("h"), sum(col("k")).as("n")).collect()(0)
