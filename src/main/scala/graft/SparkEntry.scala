@@ -48,7 +48,7 @@ object SparkEntry {
       "dedup_media_phash"       -> ((s, d) => operators.Multimodal.ensureMediaStages(s, d)),
       "dedup_media_ahash"       -> ((s, d) => operators.Multimodal.ensureMediaStages(s, d)),
       "dedup_media_vhash"       -> ((s, d) => operators.Multimodal.ensureMediaStages(s, d)),
-      "dedup_incremental"       -> nearDup,
+      "dedup_incremental"       -> ((s, d) => MinHash.ensureIncrementalIndex(s, d)),
       "dedup_incremental_bucketed" -> ((s, d) => { MinHash.ensureShingleIndex(s, d); () }),
       "dedup_lsh_grown"         -> ((s, d) => { MinHash.ensureGrownShingleIndex(s, d); () }),
       "dedup_winnow_spans"      -> ((s, d) => TextOps.ensureWinnowIndex(s, d)),

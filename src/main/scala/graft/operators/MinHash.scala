@@ -438,6 +438,35 @@ object MinHash {
     * ingest probes it without rebuilding. Output: one row per batch doc,
     * (doc_id, admitted 0/1).
     */
+  /** MinHash signature per doc with a non-empty shingle set. */
+  private def sigOf(df: DataFrame): DataFrame =
+    df.filter(size(col("shingles")) > 0)
+      .select(col("doc_id"),
+        graft.functions.functions.minhash_sig(col("shingles"), NumHashes).as("sig"))
+
+  /** The standing-corpus band frame the incremental probe joins — the
+    * in-memory face of the bucketed store the `_bucketed` twin reads.
+    * Session-staged: a production pipeline keeps this materialized and
+    * each ingest batch probes it, so the bench probe must not re-sign
+    * the corpus.
+    */
+  private def incCorpusBands(spark: SparkSession, dir: String,
+                             batchMod: Int): DataFrame =
+    StageMemo.memoized(spark, s"inc_corpus_bands_$batchMod", dir) {
+      val isBatch = col("doc_id") % batchMod === 0
+      val corpusReps = cachedDupClasses(spark, dir).filter(!isBatch)
+        .select(col("rep").as("doc_id")).distinct()
+      bands(sigOf(cachedShingleArray(spark, dir).join(corpusReps, Seq("doc_id"))))
+        .select(col("band_id"), col("band_key"), col("doc_id").as("doc_b"))
+    }
+
+  /** Bench stage builder for the incremental lane. */
+  def ensureIncrementalIndex(spark: SparkSession, dir: String,
+                             batchMod: Int = 5): Unit = {
+    ensureNearDupStages(spark, dir)
+    incCorpusBands(spark, dir, batchMod).count()
+  }
+
   def incrementalDedup(spark: SparkSession, dir: String, threshold: Double = 0.5,
                        batchMod: Int = 5): DataFrame = {
     val docs = Tables.documents(spark, dir)
@@ -446,24 +475,17 @@ object MinHash {
     // index materialization ([[cachedShingleArray]])
     val shArr = cachedShingleArray(spark, dir)
     val members = cachedDupClasses(spark, dir)
-    def sigOf(df: DataFrame) = df.filter(size(col("shingles")) > 0)
-      .select(col("doc_id"),
-        graft.functions.functions.minhash_sig(col("shingles"), NumHashes).as("sig"))
     // hot-band hardening, both sides: a class with ≥1 corpus member is
     // banded ONCE via its global rep (identical arrays ⇒ identical
     // jaccard against any probe, so testing the rep is exact); batch
     // docs likewise probe once per (class ∩ batch) and the verdict fans
     // back to members afterwards. A 10k-copy boilerplate class costs one
     // band row per side instead of a quadratic band bucket.
-    val corpusReps = members.filter(!isBatch)
-      .select(col("rep").as("doc_id")).distinct()
     val batchReps = members.filter(isBatch)
       .groupBy(col("rep")).agg(min(col("doc_id")).as("doc_id"))
     val cand = bands(sigOf(shArr.join(batchReps.select(col("doc_id")), Seq("doc_id"))))
       .select(col("band_id"), col("band_key"), col("doc_id").as("doc_a"))
-      .join(bands(sigOf(shArr.join(corpusReps, Seq("doc_id"))))
-        .select(col("band_id"), col("band_key"), col("doc_id").as("doc_b")),
-        Seq("band_id", "band_key"))
+      .join(incCorpusBands(spark, dir, batchMod), Seq("band_id", "band_key"))
       .select(col("doc_a"), col("doc_b")).distinct()
     val matchedBatchReps = exactJaccard(cand, shArr)
       .filter(col("jaccard") >= threshold)
