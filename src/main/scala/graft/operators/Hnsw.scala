@@ -317,22 +317,122 @@ object Hnsw {
         // may co-locate shards; each shard's graph is self-contained)
         nodes.groupBy(_.shard).toSeq.sortBy(_._1).iterator.flatMap {
           case (_, shardNodes) =>
-            val sorted = shardNodes.sortBy(_.vec_id)
-            val g = new Graph(m, efC)
-            val index = sorted.iterator.zipWithIndex
-              .map { case (n, i) => n.vec_id -> i }.toMap
-            sorted.foreach(n => g.load(n.vec_id, normalize(n.embedding), n.level))
-            sorted.iterator.zipWithIndex.foreach { case (n, i) =>
-              n.nbrs.iterator.zipWithIndex.foreach { case (ns, lev) =>
-                g.wire(i, lev, ns.map(index))
-              }
-            }
+            val g = reconstruct(shardNodes, Params(m, efC, ef))
             bq.value.iterator.flatMap { case (qid, qv) =>
               g.search(qv, ef).iterator.filter(_ != qid).map(v => (qid, v))
             }
         }
       }
     }.toDF("q_id", "vec_id")
+  }
+
+  /** Rebuild one shard's in-memory graph from serialized nodes, in
+    * vec_id order (the same entry rule as [[Graph.load]] — shared by
+    * every probe and by the store's insert path, so a graph means the
+    * same thing however it reaches memory).
+    */
+  private def reconstruct(shardNodes: Array[Node], params: Params): Graph = {
+    val sorted = shardNodes.sortBy(_.vec_id)
+    val g = new Graph(params.m, params.efConstruction)
+    val index = sorted.iterator.zipWithIndex
+      .map { case (n, i) => n.vec_id -> i }.toMap
+    sorted.foreach(n => g.load(n.vec_id, normalize(n.embedding), n.level))
+    sorted.iterator.zipWithIndex.foreach { case (n, i) =>
+      n.nbrs.iterator.zipWithIndex.foreach { case (ns, lev) =>
+        g.wire(i, lev, ns.map(index))
+      }
+    }
+    g
+  }
+
+  /** Emit one shard's built graph as serialized nodes (embeddings
+    * re-read from `rows`, which the graph inserted in this order).
+    */
+  private def emitNodes(shard: Int, g: Graph,
+                        embs: IndexedSeq[Seq[Float]]): Iterator[Node] =
+    embs.indices.iterator.map { i =>
+      Node(shard, g.ids(i), g.levels(i),
+        g.nbrs(i).toSeq.map(_.toSeq.map(g.ids(_)).sorted), embs(i))
+    }
+
+  // ── On-disk graph store (the serving artifact): Node rows
+  // partitioned by shard; built once, grown by micro-batch inserts ──
+
+  /** Build the store from a base vector set (vec_id, embedding). */
+  def buildGraphStore(spark: SparkSession, base: DataFrame, storeDir: String,
+                      shards: Int, params: Params = Params()): Unit = {
+    import spark.implicits._
+    base.select(col("vec_id"), col("embedding"))
+      .withColumn("shard", (col("vec_id") % shards).cast("int"))
+      .repartition(shards, col("shard"))
+      .as[(Long, Seq[Float], Int)]
+      .mapPartitions { it =>
+        it.toArray.groupBy(_._3).toSeq.sortBy(_._1).iterator.flatMap {
+          case (shard, rowsUnsorted) =>
+            val rows = rowsUnsorted.sortBy(_._1)
+            val g = new Graph(params.m, params.efConstruction)
+            rows.foreach { case (id, v, _) => g.insert(id, normalize(v)) }
+            emitNodes(shard, g, rows.map(_._2).toIndexedSeq)
+        }
+      }
+      .toDF()
+      .write.mode("overwrite").partitionBy("shard").parquet(storeDir)
+  }
+
+  /** Insert a vector batch into the store — HNSW's native ingest at
+    * rest: the batch is narrowed to NEVER-SEEN vec_ids (anti-join
+    * against the store, so a replayed micro-batch performs ZERO writes
+    * — the idempotence that turns at-least-once replay into
+    * exactly-once store content), only the shards the remaining rows
+    * land in are loaded, each shard's graph is reconstructed, the new
+    * rows inserted in vec_id order, and ONLY those shard directories
+    * rewritten (dynamic partition overwrite; untouched shards keep
+    * their files byte-identical — pinned in StreamingHnswSpec).
+    *
+    * Scale: per-batch cost = Σ touched-shard sizes + batch insert work
+    * (efC·log n distance evaluations per row) — independent of corpus
+    * size, the standard sharded-ANN ingest bound.
+    */
+  def insertIntoGraphStore(spark: SparkSession, storeDir: String,
+                           batch: DataFrame, shards: Int,
+                           params: Params = Params()): Unit = {
+    import spark.implicits._
+    val store = spark.read.parquet(storeDir)
+    val fresh = batch.select(col("vec_id"), col("embedding"))
+      .join(store.select(col("vec_id")), Seq("vec_id"), "left_anti")
+      .withColumn("shard", (col("vec_id") % shards).cast("int"))
+      .as[(Long, Seq[Float], Int)]
+    val touched = fresh.select(col("shard")).distinct()
+      .collect().map(_.getInt(0)) // ≤ shards — bounded planning metadata
+    if (touched.isEmpty) return
+    val existing = store
+      .filter(col("shard").isin(touched.map(Integer.valueOf): _*))
+      .select(col("shard"), col("vec_id"), col("level"), col("nbrs"), col("embedding"))
+      .as[Node]
+    val rebuilt = existing.groupByKey(_.shard)
+      .cogroup(fresh.groupByKey(_._3)) { (shard, nodesIt, batchIt) =>
+        val nodes = nodesIt.toArray
+        val adds = batchIt.toArray.sortBy(_._1)
+        val g = reconstruct(nodes, params)
+        adds.foreach { case (id, v, _) => g.insert(id, normalize(v)) }
+        val embs = nodes.sortBy(_.vec_id).map(_.embedding) ++ adds.map(_._2)
+        emitNodes(shard, g, embs.toIndexedSeq)
+      }
+    rebuilt.toDF()
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("shard").parquet(storeDir)
+  }
+
+  /** Exact top-k probe of the store (same contract as the gate lane). */
+  def probeGraphStore(spark: SparkSession, storeDir: String, dir: String,
+                      k: Int = 5, queryStride: Int = 50,
+                      params: Params = Params()): DataFrame = {
+    val store = spark.read.parquet(storeDir)
+      .select(col("shard"), col("vec_id"), col("level"), col("nbrs"), col("embedding"))
+    rerank(spark, dir,
+      searchGraph(spark, store, Tables.embeddings(spark, dir), queryStride, params),
+      k, queryStride)
   }
 
   /** The registered exact-gate lane: graph candidates re-ranked through
