@@ -61,6 +61,7 @@ object SparkEntry {
       "dedup_cdc_grown"         -> ((s, d) => { TextOps.ensureGrownChunkIndex(s, d); () }),
       "dedup_cdc_scrub"         -> ((s, d) => TextOps.ensureCdcStages(s, d)),
       "dedup_span_cut"          -> ((s, d) => TextOps.ensureSpanCutStages(s, d)),
+      "dedup_span_runs"         -> ((s, d) => TextOps.ensureSpanCutStages(s, d)),
       "pipeline_llm_corpus"     -> ((s, d) => operators.Curation.ensureLlmStages(s, d)),
       "search_bm25_topk"        -> ((s, d) => operators.Search.ensureSearchStages(s, d)),
       "search_tfidf_topk"       -> ((s, d) => operators.Search.ensureSearchStages(s, d)),
@@ -289,6 +290,9 @@ object SparkEntry {
     // ExactSubstr span cut (Lee et al. 2022): positions covered by any
     // cross-doc-repeated token 5-gram are cut from the text itself
     "dedup_span_cut" -> ((s, d) => TextOps.spanCut(s, d)),
+    // the paper-literal variant: only maximal repeated runs of >= 50
+    // covered tokens are cut (gaps-and-islands over the same gram frame)
+    "dedup_span_runs" -> ((s, d) => TextOps.spanRuns(s, d)),
     // CCNet-style per-language perplexity terciles over the trigram
     // likelihood proxy: head/middle/tail volume stats
     "text_ccnet_buckets" -> ((s, d) => TextOps.ccnetBuckets(s, d)),
@@ -2191,6 +2195,39 @@ object SparkEntry {
         |       COALESCE(c.n_covered, 0) AS n_covered,
         |       COALESCE(ct.cut_text, '') AS cut_text
         |FROM tot t LEFT JOIN cov c USING (doc_id) LEFT JOIN cut ct USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin,
+    // paper-literal ExactSubstr: adjacent shared 5-gram starts chain
+    // into maximal runs; only runs covering >= 50 tokens are cut
+    "dedup_span_runs" ->
+      """WITH base AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |toks AS (SELECT doc_id, i, t[i] AS tok
+        |         FROM base, unnest(range(1, len(t) + 1)) u(i)),
+        |grams AS (SELECT doc_id, i, md5(array_to_string(t[i:i+4], ' ')) AS h
+        |          FROM base, unnest(range(1, len(t) - 3)) u(i)),
+        |shared AS (SELECT h FROM grams GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),
+        |isl AS (SELECT g.doc_id, g.i,
+        |          g.i - row_number() OVER (PARTITION BY g.doc_id ORDER BY g.i) AS grp
+        |        FROM grams g JOIN shared USING (h)),
+        |runs AS (SELECT doc_id, min(i) AS s, max(i) AS e,
+        |           max(i) - min(i) + 5 AS covlen
+        |         FROM isl GROUP BY doc_id, grp
+        |         HAVING max(i) - min(i) + 5 >= 50),
+        |cutpos AS (SELECT DISTINCT r.doc_id, p AS pos
+        |           FROM runs r, unnest(range(r.s, r.e + 5)) v(p)),
+        |cov AS (SELECT doc_id, count(*) AS n_cut FROM cutpos GROUP BY 1),
+        |rstats AS (SELECT doc_id, count(*) AS n_runs,
+        |             CAST(max(covlen) AS BIGINT) AS max_run FROM runs GROUP BY 1),
+        |cut AS (SELECT tk.doc_id, string_agg(tk.tok, ' ' ORDER BY tk.i) AS cut_text
+        |        FROM toks tk LEFT JOIN cutpos cv ON tk.doc_id = cv.doc_id AND tk.i = cv.pos
+        |        WHERE cv.doc_id IS NULL GROUP BY 1),
+        |tot AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM base)
+        |SELECT t.doc_id, t.n_tokens,
+        |       COALESCE(r.n_runs, 0) AS n_runs,
+        |       COALESCE(r.max_run, 0) AS max_run,
+        |       COALESCE(c.n_cut, 0) AS n_cut,
+        |       COALESCE(ct.cut_text, '') AS cut_text
+        |FROM tot t LEFT JOIN rstats r USING (doc_id) LEFT JOIN cov c USING (doc_id)
+        |LEFT JOIN cut ct USING (doc_id)
         |ORDER BY t.doc_id""".stripMargin,
     // CCNet terciles: per-language ntile(3) over (avg_freq DESC, doc_id)
     "text_ccnet_buckets" ->

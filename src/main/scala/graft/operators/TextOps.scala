@@ -1371,9 +1371,9 @@ object TextOps {
         explode(sequence(lit(1), col("n") - (k - 1))).as("i"))
       .select(col("doc_id"), col("i"),
         md5(array_join(slice(col("t"), col("i"), lit(k)), " ")).as("h")))
-    val shared = grams.groupBy(col("h"))
+    val shared = stage("shared", grams.groupBy(col("h"))
       .agg(countDistinct(col("doc_id")).as("nd"))
-      .filter(col("nd") >= 2).select(col("h"))
+      .filter(col("nd") >= 2).select(col("h")))
     val covered = stage("covered", grams.join(shared, Seq("h"))
       .select(col("doc_id"), explode(sequence(col("i"), col("i") + (k - 1))).as("pos"))
       .distinct())
@@ -1386,6 +1386,87 @@ object TextOps {
     tot.join(cov, Seq("doc_id"), "left").join(cut, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tokens"),
         coalesce(col("n_covered"), lit(0L)).as("n_covered"),
+        coalesce(col("cut_text"), lit("")).as("cut_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Length-THRESHOLDED ExactSubstr (Lee et al. 2022 §ExactSubstr: the
+    * paper's stated contract is removing any substring of **50 or more
+    * tokens** repeated verbatim in the corpus) — where [[spanCut]] cuts
+    * every repeated `k`-gram, this lane chains adjacent repeated-gram
+    * start positions into MAXIMAL RUNS (gaps-and-islands over the same
+    * staged occurrence frame) and cuts only runs whose covered length
+    * `e − s + k` reaches `minLen`. A 49-token repeat survives; a
+    * 50-token one is removed (SpanRunsSpec pins exactly that boundary).
+    *
+    * The run chain is a sound proxy for the paper's suffix-array scan:
+    * a verbatim L-token repeat yields L−k+1 consecutive shared starts
+    * (covered length exactly L), while isolated shared grams below the
+    * threshold — the boilerplate the paper deliberately keeps — are
+    * left alone.
+    *
+    * Scale: rides [[spanCut]]'s staged gram frame (one explode, shared
+    * via StageMemo); the islands pass is one doc-partitioned window
+    * (row_number over the doc's own shared starts — never a global
+    * sort); qualifying runs explode to Σ run-length positions (linear
+    * in cut volume); reassembly is the same per-doc hash-agg as
+    * spanCut.
+    */
+  def spanRuns(spark: SparkSession, dir: String, k: Int = 5, minLen: Int = 50): DataFrame =
+    spanRunsImpl(Tables.documents(spark, dir), k, minLen,
+      (name, df) => StageMemo.memoized(spark, s"span_${name}_$k", dir)(df))
+
+  private[graft] def spanRunsOf(docs: DataFrame, k: Int = 5, minLen: Int = 50): DataFrame =
+    spanRunsImpl(docs, k, minLen, (_, df) => df)
+
+  private def spanRunsImpl(docs: DataFrame, k: Int, minLen: Int,
+                           stage: (String, DataFrame) => DataFrame): DataFrame = {
+    val base = docs
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .withColumn("n", size(col("t")))
+    val toks = base
+      .select(col("doc_id"), posexplode(col("t")).as(Seq("i0", "tok")))
+      .select(col("doc_id"), (col("i0") + 1).as("pos"), col("tok"))
+    // same stage key as spanCutImpl: the two ExactSubstr lanes share
+    // one materialized gram frame per (session, dir)
+    val grams = stage("grams", base.filter(col("n") >= k)
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(1), col("n") - (k - 1))).as("i"))
+      .select(col("doc_id"), col("i"),
+        md5(array_join(slice(col("t"), col("i"), lit(k)), " ")).as("h")))
+    // same stage key as spanCutImpl: one shared-gram-hash frame serves
+    // both ExactSubstr lanes
+    val shared = stage("shared", grams.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select(col("h")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("i"))
+    val runs = grams.join(shared, Seq("h"))
+      .select(col("doc_id"), col("i"))
+      .withColumn("isl", col("i") - row_number().over(w))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg(min(col("i")).as("s"), max(col("i")).as("e"))
+      .withColumn("covlen", col("e") - col("s") + lit(k))
+      .filter(col("covlen") >= minLen)
+    // maximal islands are start-disjoint but their k−1 tails can
+    // overlap the next island's head — distinct before counting
+    val cutPos = runs
+      .select(col("doc_id"), explode(sequence(col("s"), col("e") + (k - 1))).as("pos"))
+      .distinct()
+    val cov = cutPos.groupBy(col("doc_id")).agg(count(lit(1)).as("n_cut"))
+    val runStats = runs.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_runs"), max(col("covlen")).cast("long").as("max_run"))
+    val cut = toks.join(cutPos, Seq("doc_id", "pos"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(array_join(transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+        x => x.getField("tok")), " ").as("cut_text"))
+    val tot = base.select(col("doc_id"), col("n").cast("long").as("n_tokens"))
+    tot.join(runStats, Seq("doc_id"), "left").join(cov, Seq("doc_id"), "left")
+      .join(cut, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_runs"), lit(0L)).as("n_runs"),
+        coalesce(col("max_run"), lit(0L)).as("max_run"),
+        coalesce(col("n_cut"), lit(0L)).as("n_cut"),
         coalesce(col("cut_text"), lit("")).as("cut_text"))
       .orderBy(col("doc_id"))
   }
