@@ -11,11 +11,10 @@ object Verify {
     val only: Set[String] =
       if (args.length > 2) args(2).split(',').map(_.trim).toSet else Set.empty
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
+    // same DeployProfile.local map as the bench: the correctness gate
+    // verifies under the exact config the timings were recorded under
+    val spark = DeployProfile.configure(
+        SparkSession.builder(), DeployProfile.local(cpus.toInt))
       .withExtensions(new graft.plans.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
