@@ -62,6 +62,8 @@ object SparkEntry {
       "dedup_cdc_scrub"         -> ((s, d) => TextOps.ensureCdcStages(s, d)),
       "dedup_span_cut"          -> ((s, d) => TextOps.ensureSpanCutStages(s, d)),
       "dedup_span_runs"         -> ((s, d) => TextOps.ensureSpanCutStages(s, d)),
+      "stream_rule_matrix"      -> ((s, d) => {
+        streaming.StreamingCuration.ensureStreamMatrixInput(s, d); () }),
       "pipeline_llm_corpus"     -> ((s, d) => operators.Curation.ensureLlmStages(s, d)),
       "search_bm25_topk"        -> ((s, d) => operators.Search.ensureSearchStages(s, d)),
       "search_tfidf_topk"       -> ((s, d) => operators.Search.ensureSearchStages(s, d)),
@@ -328,6 +330,11 @@ object SparkEntry {
     // per-source rule matrix: quality ∘ repetition ∘ PII gates counted
     // per provenance source in one scan
     "pipeline_rule_matrix" -> ((s, d) => operators.Curation.ruleMatrix(s, d)),
+    // the SAME report produced by the Structured Streaming twin run to
+    // completion (4 micro-batches through complete-mode state) — the
+    // stream ≡ batch claim as an oracle row, not just a spec
+    "stream_rule_matrix" -> ((s, d) =>
+      streaming.StreamingCuration.matrixReportEndToEnd(s, d)),
     // one-pass per-column completeness/cardinality audit
     "q_profile_orders"   -> (operators.Profile.profileOrders _),
     // rule-based quality expectations: all single-table rules in one
@@ -937,6 +944,46 @@ object SparkEntry {
        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
        |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin
+
+  private lazy val ruleMatrixSql: String =
+    s"""$piiSeededSql,
+         |${repNgramCtes("seeded")},
+         |q AS (SELECT doc_id,
+         |    CAST(n_words >= 20 AND n_words <= 100000 AS BIGINT)
+         |    * CAST(ns >= n_words * 3 AND ns <= n_words * 10 AS BIGINT)
+         |    * CAST(alpha_words * 5 >= n_words * 4 AS BIGINT)
+         |    * CAST(n_stops >= 2 AS BIGINT) AS q_pass
+         |  FROM (SELECT doc_id,
+         |          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+         |          CAST(length(regexp_replace(text, ' ', '', 'g')) AS BIGINT) AS ns,
+         |          CAST(len(list_filter(string_split(text, ' '),
+         |            w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS alpha_words,
+         |          CAST(list_contains(string_split(text, ' '), 'the') AS BIGINT)
+         |            + CAST(list_contains(string_split(text, ' '), 'a') AS BIGINT)
+         |            + CAST(list_contains(string_split(text, ' '), 'of') AS BIGINT)
+         |            + CAST(list_contains(string_split(text, ' '), 'and') AS BIGINT)
+         |            + CAST(list_contains(string_split(text, ' '), 'is') AS BIGINT)
+         |            + CAST(list_contains(string_split(text, ' '), 'to') AS BIGINT)
+         |            + CAST(list_contains(string_split(text, ' '), 'in') AS BIGINT) AS n_stops
+         |        FROM seeded)),
+         |rf AS (SELECT m.doc_id,
+         |         SUM(CASE WHEN (CASE WHEN m.n <= 4 THEN m.topn ELSE m.dupn END) * 100 >
+         |                  t.den * ($repPctCaseSql)
+         |                  THEN 1 ELSE 0 END) AS n_fail
+         |       FROM m JOIN t ON m.doc_id = t.doc_id GROUP BY 1),
+         |pi AS (SELECT doc_id, $piiAnyHitSql AS pii_hit FROM seeded),
+         |d AS (SELECT s.source, q.q_pass,
+         |        CASE WHEN COALESCE(rf.n_fail, 0) = 0 THEN 1 ELSE 0 END AS rep_pass,
+         |        pi.pii_hit
+         |      FROM seeded s JOIN q ON s.doc_id = q.doc_id
+         |           JOIN pi ON s.doc_id = pi.doc_id
+         |           LEFT JOIN rf ON s.doc_id = rf.doc_id)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(1 - q_pass) AS BIGINT) AS n_fail_quality,
+         |  CAST(SUM(1 - rep_pass) AS BIGINT) AS n_fail_repetition,
+         |  CAST(SUM(pii_hit) AS BIGINT) AS n_pii_docs,
+         |  CAST(SUM(q_pass * rep_pass * (1 - pii_hit)) AS BIGINT) AS n_clean
+         |FROM d GROUP BY 1""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "dedup_first_wins" ->
@@ -2019,45 +2066,10 @@ object SparkEntry {
     // the SAME seeded corpus (quality bits ∘ repetition ladder ∘ PII
     // any-hit), rolled up per source; docs with no n-grams at all are
     // repetition-clean via the left join's COALESCE
-    "pipeline_rule_matrix" ->
-      s"""$piiSeededSql,
-         |${repNgramCtes("seeded")},
-         |q AS (SELECT doc_id,
-         |    CAST(n_words >= 20 AND n_words <= 100000 AS BIGINT)
-         |    * CAST(ns >= n_words * 3 AND ns <= n_words * 10 AS BIGINT)
-         |    * CAST(alpha_words * 5 >= n_words * 4 AS BIGINT)
-         |    * CAST(n_stops >= 2 AS BIGINT) AS q_pass
-         |  FROM (SELECT doc_id,
-         |          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
-         |          CAST(length(regexp_replace(text, ' ', '', 'g')) AS BIGINT) AS ns,
-         |          CAST(len(list_filter(string_split(text, ' '),
-         |            w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS alpha_words,
-         |          CAST(list_contains(string_split(text, ' '), 'the') AS BIGINT)
-         |            + CAST(list_contains(string_split(text, ' '), 'a') AS BIGINT)
-         |            + CAST(list_contains(string_split(text, ' '), 'of') AS BIGINT)
-         |            + CAST(list_contains(string_split(text, ' '), 'and') AS BIGINT)
-         |            + CAST(list_contains(string_split(text, ' '), 'is') AS BIGINT)
-         |            + CAST(list_contains(string_split(text, ' '), 'to') AS BIGINT)
-         |            + CAST(list_contains(string_split(text, ' '), 'in') AS BIGINT) AS n_stops
-         |        FROM seeded)),
-         |rf AS (SELECT m.doc_id,
-         |         SUM(CASE WHEN (CASE WHEN m.n <= 4 THEN m.topn ELSE m.dupn END) * 100 >
-         |                  t.den * ($repPctCaseSql)
-         |                  THEN 1 ELSE 0 END) AS n_fail
-         |       FROM m JOIN t ON m.doc_id = t.doc_id GROUP BY 1),
-         |pi AS (SELECT doc_id, $piiAnyHitSql AS pii_hit FROM seeded),
-         |d AS (SELECT s.source, q.q_pass,
-         |        CASE WHEN COALESCE(rf.n_fail, 0) = 0 THEN 1 ELSE 0 END AS rep_pass,
-         |        pi.pii_hit
-         |      FROM seeded s JOIN q ON s.doc_id = q.doc_id
-         |           JOIN pi ON s.doc_id = pi.doc_id
-         |           LEFT JOIN rf ON s.doc_id = rf.doc_id)
-         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-         |  CAST(SUM(1 - q_pass) AS BIGINT) AS n_fail_quality,
-         |  CAST(SUM(1 - rep_pass) AS BIGINT) AS n_fail_repetition,
-         |  CAST(SUM(pii_hit) AS BIGINT) AS n_pii_docs,
-         |  CAST(SUM(q_pass * rep_pass * (1 - pii_hit)) AS BIGINT) AS n_clean
-         |FROM d GROUP BY 1""".stripMargin,
+    "pipeline_rule_matrix" -> ruleMatrixSql,
+    // the streaming end-to-end run must hash to the identical report —
+    // same SQL verbatim
+    "stream_rule_matrix" -> ruleMatrixSql,
     // fuzzy record linkage: DuckDB's levenshtein is the same classic
     // integer DP as Spark's — the verified pairs are exact with no
     // quantization; blocking (shared token over DISTINCT names) is

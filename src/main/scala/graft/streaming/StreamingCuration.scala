@@ -66,6 +66,58 @@ object StreamingCuration {
   def c4Report(stream: DataFrame): DataFrame =
     TextOps.c4ReportAggOf(c4Gated(stream))
 
+  /** ORACLE-GATED end-to-end run of [[matrixReport]] (`stream_rule_
+    * matrix`): the corpus is staged as four splittable files, streamed
+    * back one file per trigger (four genuine micro-batches through the
+    * complete-mode aggregation state), and the FINAL sink table is
+    * returned for the driver's DuckDB hash-compare against the same
+    * SQL as the batch capstone. This turns the stream ≡ batch claim —
+    * previously only spec-pinned — into a CORRECTNESS row under the
+    * driver's own hasher.
+    *
+    * Scale posture: identical to [[matrixReport]] (stateless per-row
+    * gates, |sources| state rows); the collect at the end is the
+    * report itself — catalog cardinality, never corpus rows.
+    */
+  private val matrixInputs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Stage the corpus as four splittable files for the streaming run —
+    * the ingest-side artifact (a production stream's input layout),
+    * registered as the lane's bench builder.
+    */
+  def ensureStreamMatrixInput(spark: org.apache.spark.sql.SparkSession,
+                              dir: String): String =
+    matrixInputs.computeIfAbsent(dir, { _ =>
+      import org.apache.spark.sql.functions.col
+      val in = java.nio.file.Files.createTempDirectory("graft-stream-matrix").toString
+      graft.Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source"), col("text"))
+        .repartitionByRange(4, col("doc_id")).write.mode("overwrite").parquet(in)
+      in
+    })
+
+  def matrixReportEndToEnd(spark: org.apache.spark.sql.SparkSession,
+                           dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("text"))
+    val in = ensureStreamMatrixInput(spark, dir)
+    val incoming = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+    val qn = "stream_rule_matrix_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = matrixReport(incoming).writeStream.format("memory")
+      .queryName(qn).outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    // detach the result from the memory sink's temp view before
+    // dropping it (the report is |sources| rows — safe to localize)
+    val sunk = spark.table(qn).orderBy(col("source"))
+    val out = spark.createDataFrame(sunk.collectAsList(), sunk.schema)
+    spark.catalog.dropTempView(qn)
+    out
+  }
+
   /** Streaming ingest into the persisted CDC chunk store — the
     * sub-document twin of [[StreamingIvf.appendSink]]: each document
     * micro-batch is segmented by the content-defined boundary rule
