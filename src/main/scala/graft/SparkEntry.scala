@@ -68,6 +68,7 @@ object SparkEntry {
       "search_bm25_topk"        -> ((s, d) => operators.Search.ensureSearchStages(s, d)),
       "search_tfidf_topk"       -> ((s, d) => operators.Search.ensureSearchStages(s, d)),
       "search_hybrid_rrf"       -> ((s, d) => operators.Search.ensureSearchStages(s, d)),
+      "search_eval_mrr"         -> ((s, d) => operators.Search.ensureSearchStages(s, d)),
       "text_bpe_encode"         -> ((s, d) => TextOps.ensureBpeMerges(s, d)),
       "text_dsir_topk"          -> ((s, d) => TextOps.ensureDsirStages(s, d)),
       "pipeline_selection"      -> ((s, d) => TextOps.ensureDsirStages(s, d)),
@@ -399,6 +400,7 @@ object SparkEntry {
     // terminal float expression) + RRF fusion of the two rank lists
     "search_tfidf_topk"  -> ((s, d) => operators.Search.tfidfTopK(s, d)),
     "search_hybrid_rrf"  -> ((s, d) => operators.Search.hybridRrfTopK(s, d)),
+    "search_eval_mrr"    -> ((s, d) => operators.Search.evalRankers(s, d)),
     // exact-phrase top-k from the positional postings index
     "search_phrase_topk" -> ((s, d) => operators.Search.phraseTopK(s, d)),
     // ── embedding similarity ──
@@ -1898,6 +1900,53 @@ object SparkEntry {
          |      FROM fused)
          |WHERE rk <= 10
          |ORDER BY query_id, rnk""".stripMargin,
+    // retrieval eval: qrels = docs covering EVERY query term (Boolean
+    // AND over the shared postings frame); hit_rank / rr_micro /
+    // precision@k numerator all integer, per (ranker, query)
+    "search_eval_mrr" ->
+      s"""WITH $bm25ScoreCtes,
+         |$tfidfScoreCtes,
+         |brank AS (SELECT query_id, doc_id, rk FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rk
+         |  FROM scores) WHERE rk <= 10),
+         |trank AS (SELECT query_id, doc_id, rk FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rk
+         |  FROM tscores) WHERE rk <= 10),
+         |fused AS (SELECT COALESCE(a.query_id, b.query_id) AS query_id,
+         |                 COALESCE(a.doc_id, b.doc_id) AS doc_id,
+         |                 COALESCE(1000000 // (60 + a.rk), 0)
+         |                   + COALESCE(1000000 // (60 + b.rk), 0) AS rrf_score
+         |          FROM brank a FULL JOIN trank b
+         |            ON a.query_id = b.query_id AND a.doc_id = b.doc_id),
+         |rrank AS (SELECT query_id, doc_id, rk FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rrf_score DESC, doc_id) AS rk
+         |  FROM fused) WHERE rk <= 10),
+         |ranked AS (SELECT 'bm25' AS ranker, * FROM brank
+         |           UNION ALL SELECT 'rrf', * FROM rrank
+         |           UNION ALL SELECT 'tfidf', * FROM trank),
+         |qn AS (SELECT query_id, count(*) AS n_terms FROM qt GROUP BY 1),
+         |qrels AS (SELECT qt.query_id, tf.doc_id
+         |          FROM qt JOIN tf USING (term) JOIN qn USING (query_id)
+         |          WHERE tf.tf >= 3
+         |          GROUP BY qt.query_id, tf.doc_id, qn.n_terms
+         |          HAVING count(*) = qn.n_terms),
+         |nrel AS (SELECT query_id, count(*) AS n_rel FROM qrels GROUP BY 1),
+         |inlist AS (SELECT r.ranker, r.query_id,
+         |             min(CASE WHEN qr.doc_id IS NOT NULL THEN r.rk END) AS first_rel,
+         |             count(qr.doc_id) AS pk_hits
+         |           FROM ranked r LEFT JOIN qrels qr
+         |             ON r.query_id = qr.query_id AND r.doc_id = qr.doc_id
+         |           GROUP BY 1, 2)
+         |SELECT g.ranker AS ranker, CAST(g.query_id AS BIGINT) AS query_id,
+         |       CAST(COALESCE(n.n_rel, 0) AS BIGINT) AS n_rel,
+         |       CAST(COALESCE(i.first_rel, 0) AS BIGINT) AS hit_rank,
+         |       CAST(COALESCE(1000000 // i.first_rel, 0) AS BIGINT) AS rr_micro,
+         |       CAST(COALESCE(i.pk_hits, 0) AS BIGINT) AS p10_hits
+         |FROM (SELECT r.ranker, q.query_id
+         |      FROM (VALUES ('bm25'), ('rrf'), ('tfidf')) r(ranker), q) g
+         |LEFT JOIN nrel n ON n.query_id = g.query_id
+         |LEFT JOIN inlist i ON i.ranker = g.ranker AND i.query_id = g.query_id
+         |ORDER BY 1, 2""".stripMargin,
     // phrase search: the oracle counts occurrences by m-gram equality
     // scan (overlap-counting, like the engine's positional-index walk)
     "search_phrase_topk" ->

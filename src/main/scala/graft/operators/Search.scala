@@ -230,18 +230,96 @@ object Search {
     * corpus size; the cost is the two retrievers, which share the
     * staged postings frame.
     */
-  def hybridRrfTopK(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+  def hybridRrfTopK(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
+    rrfFuse(bm25TopK(spark, dir, k), tfidfTopK(spark, dir, k), k)
+
+  /** RRF over two already-ranked lists — split out so [[evalRankers]]
+    * can fuse the SAME (persisted) lists it evaluates instead of
+    * re-running both retrievers inside the fusion.
+    */
+  private def rrfFuse(bm: DataFrame, tv: DataFrame, k: Int): DataFrame = {
     def contrib(df: DataFrame, name: String) =
       df.select(col("query_id"), col("doc_id"),
         expr("1000000 DIV (60 + rnk)").as(name))
-    val a = contrib(bm25TopK(spark, dir, k), "c_bm25")
-    val b = contrib(tfidfTopK(spark, dir, k), "c_tfidf")
-    val fused = a.join(b, Seq("query_id", "doc_id"), "full_outer")
+    val fused = contrib(bm, "c_bm25")
+      .join(contrib(tv, "c_tfidf"), Seq("query_id", "doc_id"), "full_outer")
       .select(col("query_id"), col("doc_id"),
         (coalesce(col("c_bm25"), lit(0L)) + coalesce(col("c_tfidf"), lit(0L)))
           .as("rrf_score"))
     Dedup.topKPerKey(fused, Seq("query_id"), Seq(-col("rrf_score"), col("doc_id")), k)
       .withColumnRenamed("rk", "rnk")
       .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** Retrieval EVALUATION over all three rankers — the harness a search
+    * stack ships beside its retrievers (trec_eval's job): per (ranker,
+    * query), the first-relevant rank, reciprocal rank, precision@k
+    * numerator, and the relevant-set size, against self-derived qrels:
+    * a doc is relevant iff it contains EVERY query term at least
+    * [[RelevanceTf]] times (the Boolean-AND judgment with a tf floor —
+    * at floor 1 the synthetic corpus saturates: >50% of docs qualify
+    * and every ranker scores a perfect MRR; at 3 the relevant sets are
+    * 1-7% of the corpus and the rankers actually differ). Derivable
+    * from the same postings frame in both engines, so the whole eval
+    * is oracle-exact; graded human qrels would arrive as a table and
+    * swap in for the qrels frame.
+    *
+    * All-integer contract (house recall-row style): hit_rank is the
+    * rank itself (0 = no relevant doc retrieved), rr_micro =
+    * `1000000 DIV hit_rank` — MRR in micro-units is then a plain AVG
+    * downstream, with no float division anywhere.
+    *
+    * Scale: qrels ride the staged postings frame filtered to query
+    * terms (broadcast query side, never a corpus pass beyond the
+    * postings it already holds); everything after the retrievers joins
+    * k·|queries|-bounded rank lists.
+    */
+  /** The qrel tf floor (see [[evalRankers]]). */
+  val RelevanceTf = 3
+
+  def evalRankers(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    import spark.implicits._
+    val tf = tfStage(spark, dir).filter(col("tf") >= RelevanceTf)
+    val qt = Queries.toDF("query_id", "qtext")
+      .select(col("query_id"), explode(split(col("qtext"), " ")).as("term"))
+      .distinct()
+    val nTerms = qt.groupBy(col("query_id")).agg(count(lit(1)).as("n_terms"))
+    // tf is distinct on (doc_id, term), so count(*) counts covered terms
+    val qrels = broadcast(qt).join(tf, Seq("term"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("nt"))
+      .join(broadcast(nTerms), Seq("query_id"))
+      .filter(col("nt") === col("n_terms"))
+      .select(col("query_id"), col("doc_id"), lit(1L).as("rel"))
+    // each retriever runs ONCE: the k·|queries|-row lists persist and
+    // feed both the fusion and the union (without this, the RRF branch
+    // re-executes both corpus-scoring joins — measured 3.6 s → 1.5 s
+    // at sf0.1)
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val bm = bm25TopK(spark, dir, k).persist(MEMORY_AND_DISK)
+    val tv = tfidfTopK(spark, dir, k).persist(MEMORY_AND_DISK)
+    val ranked = Seq(
+      "bm25" -> bm,
+      "rrf" -> rrfFuse(bm, tv, k),
+      "tfidf" -> tv)
+      .map { case (tag, df) =>
+        df.select(lit(tag).as("ranker"), col("query_id"), col("doc_id"), col("rnk"))
+      }.reduce(_.unionAll(_))
+    val inList = ranked.join(qrels, Seq("query_id", "doc_id"), "left")
+      .groupBy(col("ranker"), col("query_id"))
+      .agg(min(when(col("rel") === 1, col("rnk"))).as("first_rel"),
+        sum(coalesce(col("rel"), lit(0L))).as("pk_hits"))
+    val nRel = qrels.groupBy(col("query_id")).agg(count(lit(1)).as("n_rel"))
+    val grid = Seq("bm25", "rrf", "tfidf").toDF("ranker")
+      .crossJoin(Queries.toDF("query_id", "qtext").select(col("query_id")))
+    grid
+      .join(broadcast(nRel), Seq("query_id"), "left")
+      .join(broadcast(inList), Seq("ranker", "query_id"), "left")
+      .select(col("ranker"), col("query_id"),
+        coalesce(col("n_rel"), lit(0L)).as("n_rel"),
+        coalesce(col("first_rel"), lit(0L)).cast("bigint").as("hit_rank"),
+        coalesce(expr("1000000 DIV first_rel"), lit(0L)).cast("bigint").as("rr_micro"),
+        coalesce(col("pk_hits"), lit(0L)).as("p10_hits"))
+      .orderBy(col("ranker"), col("query_id"))
   }
 }

@@ -167,4 +167,43 @@ class SearchSpec extends SparkSpec {
     assert(got.nonEmpty)
     assert(got === expected)
   }
+
+  test("evalRankers: every metric recomputes from raw docs + the rank lists") {
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def qrels(qtext: String): Set[Long] = {
+      val terms = qtext.split(" ").distinct.toSeq
+      docs.filter { case (_, text) =>
+        val tf = text.split(" ").groupBy(identity).map { case (t, v) => t -> v.length }
+        terms.forall(t => tf.getOrElse(t, 0) >= Search.RelevanceTf)
+      }.keySet
+    }
+    def ranks(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Long]] =
+      df.collect().groupBy(_.getLong(0)).map { case (q, rows) =>
+        q -> rows.sortBy(_.getLong(3)).map(_.getLong(1)).toSeq
+      }
+    val lists = Map(
+      "bm25" -> ranks(Search.bm25TopK(spark, sfDir)),
+      "tfidf" -> ranks(Search.tfidfTopK(spark, sfDir)),
+      "rrf" -> ranks(Search.hybridRrfTopK(spark, sfDir)))
+    val queries = Search.Queries.toMap
+    val out = Search.evalRankers(spark, sfDir).collect()
+    assert(out.length === 3 * Search.Queries.size)
+    out.foreach { r =>
+      val (ranker, qid) = (r.getString(0), r.getLong(1))
+      val rel = qrels(queries(qid))
+      val list = lists(ranker)(qid)
+      val firstIdx = list.indexWhere(rel.contains)
+      val hitRank = if (firstIdx < 0) 0L else firstIdx + 1L
+      assert(r.getLong(2) === rel.size, s"$ranker q$qid n_rel")
+      assert(r.getLong(3) === hitRank, s"$ranker q$qid hit_rank")
+      assert(r.getLong(4) === (if (hitRank == 0) 0L else 1000000L / hitRank),
+        s"$ranker q$qid rr_micro")
+      assert(r.getLong(5) === list.count(rel.contains).toLong, s"$ranker q$qid p10_hits")
+    }
+    // the qrel floor keeps the eval non-vacuous AND non-saturated here:
+    // every query has relevant docs, and not every ranker is perfect
+    assert(out.forall(_.getLong(2) > 0))
+  }
 }
