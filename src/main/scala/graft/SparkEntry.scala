@@ -69,6 +69,8 @@ object SparkEntry {
       "search_tfidf_topk"       -> ((s, d) => operators.Search.ensureSearchStages(s, d)),
       "search_hybrid_rrf"       -> ((s, d) => operators.Search.ensureSearchStages(s, d)),
       "search_eval_mrr"         -> ((s, d) => operators.Search.ensureSearchStages(s, d)),
+      "search_related_hybrid"   -> ((s, d) => {
+        Similarity.cosineTopK(s, d).count(); MinHash.corpusSized(s, d).count(); () }),
       "text_bpe_encode"         -> ((s, d) => TextOps.ensureBpeMerges(s, d)),
       "text_dsir_topk"          -> ((s, d) => TextOps.ensureDsirStages(s, d)),
       "pipeline_selection"      -> ((s, d) => TextOps.ensureDsirStages(s, d)),
@@ -401,6 +403,11 @@ object SparkEntry {
     "search_tfidf_topk"  -> ((s, d) => operators.Search.tfidfTopK(s, d)),
     "search_hybrid_rrf"  -> ((s, d) => operators.Search.hybridRrfTopK(s, d)),
     "search_eval_mrr"    -> ((s, d) => operators.Search.evalRankers(s, d)),
+    // query-by-document hybrid retrieval: exact-cosine semantic
+    // neighbors RRF-fused with df-capped n-gram-Jaccard lexical
+    // neighbors over asymmetric candidate universes (all-integer
+    // ranks/scores; both sides ride staged frames)
+    "search_related_hybrid" -> ((s, d) => operators.Search.relatedHybridTopK(s, d)),
     // exact-phrase top-k from the positional postings index
     "search_phrase_topk" -> ((s, d) => operators.Search.phraseTopK(s, d)),
     // ── embedding similarity ──
@@ -1947,6 +1954,47 @@ object SparkEntry {
          |LEFT JOIN nrel n ON n.query_id = g.query_id
          |LEFT JOIN inlist i ON i.ranker = g.ranker AND i.query_id = g.query_id
          |ORDER BY 1, 2""".stripMargin,
+    // query-by-document hybrid: exact-cosine semantic ranks fused with
+    // integer-Jaccard lexical ranks over asymmetric universes; all sort
+    // keys exact integers (jacc_micro = 1000000*inter DIV union)
+    "search_related_hybrid" ->
+      s"""$shingleCte,
+         |shc AS (SELECT sh.doc_id, sh.shingle FROM sh
+         |        JOIN (SELECT shingle FROM sh GROUP BY 1 HAVING count(*) <= 128) ok
+         |        USING (shingle)),
+         |inter AS (SELECT s1.doc_id AS doc_a, s2.doc_id AS doc_b, count(*) AS inter
+         |          FROM shc s1 JOIN shc s2 ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id
+         |          GROUP BY 1, 2),
+         |sized AS (SELECT i.doc_a, i.doc_b, i.inter, sa.n AS n_a, sb.n AS n_b
+         |          FROM inter i
+         |          JOIN (SELECT doc_id, count(*) AS n FROM shc GROUP BY 1) sa ON i.doc_a = sa.doc_id
+         |          JOIN (SELECT doc_id, count(*) AS n FROM shc GROUP BY 1) sb ON i.doc_b = sb.doc_id),
+         |probes AS (SELECT vec_id AS q_id FROM embeddings WHERE vec_id % 50 = 0),
+         |oriented AS (
+         |  SELECT doc_a AS q_id, doc_b AS doc_id, inter, n_a + n_b - inter AS un FROM sized
+         |  UNION ALL
+         |  SELECT doc_b AS q_id, doc_a AS doc_id, inter, n_a + n_b - inter AS un FROM sized),
+         |lex AS (SELECT q_id, doc_id, rk AS rnk_lex FROM (
+         |  SELECT o.q_id, o.doc_id,
+         |         row_number() OVER (PARTITION BY o.q_id
+         |           ORDER BY (1000000 * o.inter) // o.un DESC, o.doc_id) AS rk
+         |  FROM oriented o JOIN probes p USING (q_id)) WHERE rk <= 5),
+         |sem AS (SELECT q_id, vec_id AS doc_id, rk AS rnk_sem FROM (
+         |  SELECT a.vec_id AS q_id, b.vec_id,
+         |         row_number() OVER (PARTITION BY a.vec_id ORDER BY $cosineSql DESC, b.vec_id) AS rk
+         |  FROM embeddings a, embeddings b
+         |  WHERE a.vec_id % 50 = 0 AND b.vec_id <> a.vec_id) WHERE rk <= 5),
+         |fused AS (SELECT COALESCE(s.q_id, l.q_id) AS q_id,
+         |                 COALESCE(s.doc_id, l.doc_id) AS doc_id,
+         |                 COALESCE(1000000 // (60 + s.rnk_sem), 0) +
+         |                 COALESCE(1000000 // (60 + l.rnk_lex), 0) AS rrf_score
+         |          FROM sem s FULL JOIN lex l
+         |            ON s.q_id = l.q_id AND s.doc_id = l.doc_id)
+         |SELECT q_id, doc_id, CAST(rrf_score AS BIGINT) AS rrf_score, CAST(rk AS BIGINT) AS rnk
+         |FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY rrf_score DESC, doc_id) AS rk
+         |      FROM fused)
+         |WHERE rk <= 5
+         |ORDER BY q_id, rnk""".stripMargin,
     // phrase search: the oracle counts occurrences by m-gram equality
     // scan (overlap-counting, like the engine's positional-index walk)
     "search_phrase_topk" ->

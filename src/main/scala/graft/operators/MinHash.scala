@@ -711,7 +711,7 @@ object MinHash {
     * pair — memoized per (session, dir, cap) so the jaccard and
     * containment rows stage ONE inverted-index self-join between them.
     */
-  private def corpusSized(spark: SparkSession, dir: String, dfCap: Int): DataFrame =
+  private[graft] def corpusSized(spark: SparkSession, dir: String, dfCap: Int = DfCap): DataFrame =
     memoized(spark, s"ngram_sized_$dfCap", dir)(
       sizedOf(Tables.documents(spark, dir), dfCap))
 

@@ -322,4 +322,61 @@ object Search {
         coalesce(col("pk_hits"), lit(0L)).as("p10_hits"))
       .orderBy(col("ranker"), col("query_id"))
   }
+
+  /** QUERY-BY-DOCUMENT hybrid retrieval — "find documents related to
+    * this one" (near-dup review queues, recommendation, RAG context
+    * widening): the SEMANTIC neighbor list (exact cosine over the
+    * embedded subset — the ANN family's truth frame, [[Similarity
+    * .cosineTopK]]) RRF-fused with the LEXICAL neighbor list (df-capped
+    * n-gram Jaccard ranks from the dedup family's shared intersection
+    * frame, [[graft.operators.MinHash.corpusSized]]). Probes are the
+    * embedded docs on the ANN query stride — `vec_id` IS the doc_id of
+    * the embedded subset, the usual "embeddings cover part of the
+    * corpus" layout. The two retrievers deliberately see DIFFERENT
+    * candidate universes (cosine ranks only embedded docs; Jaccard any
+    * doc sharing a surviving shingle) and the full-outer fusion handles
+    * the asymmetry: a doc absent from one list contributes zero from
+    * that side, so lexical-only hits still surface and semantically
+    * close paraphrases still surface — the production hybrid shape.
+    *
+    * All-integer contract: lexical ranks order by
+    * `jacc_micro = 1000000·inter DIV union` (exact integer division of
+    * exact integer counts — never a float Jaccard in an oracle-compared
+    * sort key); fusion uses the house `1000000 DIV (60 + rnk)`; output
+    * is (q_id, doc_id, rrf_score, rnk), all int64.
+    *
+    * Scale: the semantic side is the staged cosine frame (query side
+    * stride-bounded and broadcast); the lexical side reuses the
+    * memoized df-capped intersection frame (collision-bounded, never
+    * doc×doc) oriented to the broadcast probe set; the fusion joins two
+    * k·|probes| rank lists. No new corpus pass anywhere.
+    */
+  def relatedHybridTopK(spark: SparkSession, dir: String, k: Int = 5,
+                        queryStride: Int = 50): DataFrame = {
+    val sem = Similarity.cosineTopK(spark, dir, k, queryStride)
+      .select(col("q_id"), col("vec_id").as("doc_id"), col("rnk").as("rnk_sem"))
+    val probes = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") % queryStride === 0)
+      .select(col("vec_id").as("q_id"))
+    // the unordered (doc_a < doc_b) pair frame, oriented to the probe:
+    // a probe can sit on either side of a stored pair
+    val sized = MinHash.corpusSized(spark, dir)
+    val un = (col("n_a") + col("n_b") - col("inter")).as("un")
+    val oriented = sized
+      .select(col("doc_a").as("q_id"), col("doc_b").as("doc_id"), col("inter"), un)
+      .unionAll(sized
+        .select(col("doc_b").as("q_id"), col("doc_a").as("doc_id"), col("inter"), un))
+    val lex = Dedup.topKPerKey(
+        oriented.join(broadcast(probes), Seq("q_id"))
+          .withColumn("jacc_micro", expr("(1000000 * inter) DIV un")),
+        Seq("q_id"), Seq(-col("jacc_micro"), col("doc_id")), k)
+      .select(col("q_id"), col("doc_id"), col("rk").as("rnk_lex"))
+    val fused = sem.join(lex, Seq("q_id", "doc_id"), "full_outer")
+      .select(col("q_id"), col("doc_id"),
+        (coalesce(expr("1000000 DIV (60 + rnk_sem)"), lit(0L)) +
+          coalesce(expr("1000000 DIV (60 + rnk_lex)"), lit(0L))).as("rrf_score"))
+    Dedup.topKPerKey(fused, Seq("q_id"), Seq(-col("rrf_score"), col("doc_id")), k)
+      .withColumnRenamed("rk", "rnk")
+      .orderBy(col("q_id"), col("rnk"))
+  }
 }

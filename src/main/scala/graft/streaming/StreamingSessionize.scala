@@ -40,6 +40,30 @@ object StreamingSessionize {
   case class Session(user_id: Long, session_id: Long, n_events: Long,
                      session_start: Timestamp, session_end: Timestamp)
 
+  /** Epoch-micros floor for the magnitude guard: ≥1e14 is micros for
+    * any date from 1973 on, while epoch-MILLIS stays below ~1e13 until
+    * the year 2286 — the two encodings are separated by a full decade
+    * of magnitude for every date this engine can meet.
+    */
+  private[streaming] val MinEpochMicros = 100000000000000L
+
+  /** The checkpoint-compat guard, factored out so the failure mode is
+    * unit-testable (no way to synthesize a genuine pre-change
+    * checkpoint binary from current code): an OPEN session (n > 0)
+    * whose start is below the epoch-micros range can only be
+    * pre-change millis state — fail the query loudly instead of
+    * emitting sessions ~1000× too early. The closed-session residual
+    * (n == 0, start == 0) is exempt: it carries only the counter.
+    */
+  private[streaming] def guardStateEpoch(user: Long,
+                                         s: (Long, Long, Long, Long)): Unit =
+    if (s._4 > 0 && s._2 < MinEpochMicros)
+      throw new IllegalStateException(
+        s"StreamingSessionize state for user $user has session start ${s._2} " +
+          "below the epoch-micros range: this checkpoint predates the " +
+          "millis->micros state change (commit b8c05f6) and cannot be " +
+          "resumed. Restart the query with a fresh checkpoint location.")
+
   def sessionize(events: Dataset[Ev], gapSeconds: Long = 1800,
                  watermarkDelay: String = "0 seconds")
                 (implicit spark: SparkSession): Dataset[Session] = {
@@ -66,18 +90,7 @@ object StreamingSessionize {
          state: GroupState[(Long, Long, Long, Long)]) =>
           def closed(s: (Long, Long, Long, Long)): Session =
             Session(user, s._1, s._4, fromMicros(s._2), fromMicros(s._3))
-          // Magnitude guard: epoch-micros for any modern date is ≥1e14
-          // (year 1973+); epoch-millis never exceeds ~1e13 before year
-          // 2286. State below the threshold is a pre-micros checkpoint —
-          // fail loudly instead of emitting corrupted sessions.
-          state.getOption.foreach { s =>
-            if (s._4 > 0 && s._2 < 100000000000000L)
-              throw new IllegalStateException(
-                s"StreamingSessionize state for user $user has session start ${s._2} " +
-                  "below the epoch-micros range: this checkpoint predates the " +
-                  "millis->micros state change (commit b8c05f6) and cannot be " +
-                  "resumed. Restart the query with a fresh checkpoint location.")
-          }
+          state.getOption.foreach(guardStateEpoch(user, _))
           if (state.hasTimedOut) {
             val s = state.get
             // keep the counter so the next session continues the numbering

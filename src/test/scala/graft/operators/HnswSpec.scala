@@ -88,4 +88,23 @@ class HnswSpec extends SparkSpec {
     val recall = rec.getLong(0).toDouble / rec.getLong(1)
     assert(recall >= 0.85, s"recall=$recall")
   }
+
+  test("recall survives a 10x corpus (sf1): approximate regime holds its floor") {
+    // The graph family's known at-scale failure mode is recall decay as
+    // N grows at fixed efSearch (more shards -> each shard's walk sees a
+    // thinner slice; deeper graphs -> more wrong-turn opportunities).
+    // This pins the decay curve's first decade: the same efS=16
+    // operating point over the 10x generated corpus must not collapse.
+    // Brute-force truth here is ~400 queries x 20k vectors — minutes of
+    // headroom, not hours; runs only when the drill corpus exists.
+    val sf1Dir = sys.props.getOrElse(
+      "graft.sf1.dir", "/root/repo/target/gendata/sf1")
+    assume(new java.io.File(s"$sf1Dir/embeddings.parquet").exists(),
+      s"sf1 drill corpus absent at $sf1Dir")
+    val rec = Hnsw.hnswRecall(spark, sf1Dir).agg(
+      sum(col("hits")).as("h"), sum(col("k")).as("n")).collect()(0)
+    val recall = rec.getLong(0).toDouble / rec.getLong(1)
+    info(f"sf1 efS=16 mean recall = $recall%.4f over ${rec.getLong(1)} truth slots")
+    assert(recall >= 0.80, s"sf1 recall collapsed: $recall")
+  }
 }

@@ -206,4 +206,45 @@ class SearchSpec extends SparkSpec {
     // every query has relevant docs, and not every ranker is perfect
     assert(out.forall(_.getLong(2) > 0))
   }
+
+  test("relatedHybridTopK: fusion recomputes from the cosine and jaccard rank lists") {
+    val k = 5
+    val sem = Similarity.cosineTopK(spark, sfDir, k, 50).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id")) -> r.getAs[Long]("rnk"))
+      .toMap
+    val probes = graft.Tables.embeddings(spark, sfDir).select("vec_id").collect()
+      .map(_.getLong(0)).filter(_ % 50 == 0).toSet
+    // lexical ranks recomputed in plain Scala from the shared pair frame:
+    // both orientations, integer jacc_micro, (-score, doc) order
+    val oriented = MinHash.corpusSized(spark, sfDir).collect().flatMap { r =>
+      val (a, b) = (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))
+      val inter = r.getAs[Long]("inter")
+      val un = r.getAs[Long]("n_a") + r.getAs[Long]("n_b") - inter
+      Seq((a, b, 1000000L * inter / un), (b, a, 1000000L * inter / un))
+    }.filter(t => probes.contains(t._1))
+    val lex: Map[(Long, Long), Long] = oriented.groupBy(_._1).flatMap { case (q, rows) =>
+      rows.toSeq.map { case (_, d, j) => (d, j) }
+        .sortBy { case (d, j) => (-j, d) }.take(k).zipWithIndex
+        .map { case ((d, _), i) => (q, d) -> (i + 1L) }
+    }
+    val fusedExp = (sem.keySet ++ lex.keySet).map { key =>
+      key -> (sem.get(key).map(rk => 1000000L / (60 + rk)).getOrElse(0L) +
+        lex.get(key).map(rk => 1000000L / (60 + rk)).getOrElse(0L))
+    }.toMap
+    val expected = fusedExp.groupBy(_._1._1).flatMap { case (q, m) =>
+      m.toSeq.map { case ((_, d), s) => (d, s) }
+        .sortBy { case (d, s) => (-s, d) }.take(k).zipWithIndex
+        .map { case ((d, s), i) => (q, d) -> (s, i + 1L) }
+    }
+    val got = Search.relatedHybridTopK(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("doc_id")) ->
+        (r.getAs[Long]("rrf_score"), r.getAs[Long]("rnk"))).toMap
+    assert(got.nonEmpty)
+    assert(got === expected)
+    // the semantic side alone guarantees full depth: exactly k rows per probe
+    assert(got.size === probes.size * k)
+    // the asymmetric-universe contract is real here, not vacuous: at
+    // least one surfaced doc came from only one retriever's list
+    assert(got.keySet.exists(key => sem.contains(key) ^ lex.contains(key)))
+  }
 }

@@ -85,4 +85,28 @@ class StreamingRestartSpec extends SparkSpec {
     assert(streamed.toSet.exists(r => r._1 == 1L && r._3 == 2L &&
       r._4 == t("2024-01-01 09:00:00") && r._5 == t("2024-01-01 09:20:00")))
   }
+
+  test("millis-era checkpoint state fails LOUDLY, never as corrupted sessions") {
+    // A genuine pre-change checkpoint binary can't be synthesized from
+    // current code, so the guard is pinned at the state-tuple level —
+    // the exact values a restored pre-micros checkpoint would hand the
+    // handler. 2024-01-01 in MILLIS (what old state holds) must throw;
+    // the same instant in MICROS must pass; the closed-session counter
+    // residual (n == 0) must stay exempt or every long-idle user would
+    // poison a legitimate restart.
+    val millis2024 = 1704067200000L
+    val micros2024 = millis2024 * 1000L
+    val ex = intercept[IllegalStateException] {
+      StreamingSessionize.guardStateEpoch(7L, (3L, millis2024, millis2024, 2L))
+    }
+    assert(ex.getMessage.contains("predates the"))
+    assert(ex.getMessage.contains("user 7"))
+    StreamingSessionize.guardStateEpoch(7L, (3L, micros2024, micros2024, 2L))
+    StreamingSessionize.guardStateEpoch(7L, (4L, 0L, 0L, 0L))
+    // boundary: the floor itself is micros-era (1973), one below is not
+    StreamingSessionize.guardStateEpoch(7L, (1L, StreamingSessionize.MinEpochMicros, StreamingSessionize.MinEpochMicros, 1L))
+    intercept[IllegalStateException] {
+      StreamingSessionize.guardStateEpoch(7L, (1L, StreamingSessionize.MinEpochMicros - 1, StreamingSessionize.MinEpochMicros, 1L))
+    }
+  }
 }
