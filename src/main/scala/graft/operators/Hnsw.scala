@@ -464,10 +464,6 @@ object Hnsw {
     Similarity.topKBySim(scored, k)
   }
 
-  /** The approximate regime under the exact-integer hits/k contract of
-    * the other recall rows (efS = 16 — a realistic serving beam, not
-    * the exhaustive one the gate lane uses). Floor pinned in HnswSpec.
-    */
   /** Bench stage builder: materialize the staged graph and the shared
     * brute-force truth so probes measure search + re-rank, not build.
     */
@@ -476,6 +472,12 @@ object Hnsw {
     Similarity.cosineTopK(spark, dir).count()
   }
 
+  /** The approximate regime under the exact-integer hits/k contract of
+    * the other recall rows (efS = 16 — a realistic serving beam, not
+    * the exhaustive one the gate lane uses). Floor pinned in HnswSpec,
+    * including over the 10× sf1 corpus (measured 0.825 there — the
+    * fixed-ef decay the paper predicts; production tracks ef ~ log N).
+    */
   def hnswRecall(spark: SparkSession, dir: String, k: Int = 5,
                  queryStride: Int = 50,
                  params: Params = Params(efSearch = 16)): DataFrame =

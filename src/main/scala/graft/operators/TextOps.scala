@@ -1441,18 +1441,23 @@ object TextOps {
       .filter(col("nd") >= 2).select(col("h")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("i"))
-    val runs = grams.join(shared, Seq("h"))
+    // staged: `runs` feeds the run stats AND the position explode, and
+    // `cutPos` feeds the coverage count AND the reassembly anti-join —
+    // without persistence the grams⋈shared→window chain re-executes
+    // once per consumer (measured 37.2 s → staged at sf10; span_cut's
+    // sibling `covered` stage is the same discipline)
+    val runs = stage(s"runs_$minLen", grams.join(shared, Seq("h"))
       .select(col("doc_id"), col("i"))
       .withColumn("isl", col("i") - row_number().over(w))
       .groupBy(col("doc_id"), col("isl"))
       .agg(min(col("i")).as("s"), max(col("i")).as("e"))
       .withColumn("covlen", col("e") - col("s") + lit(k))
-      .filter(col("covlen") >= minLen)
+      .filter(col("covlen") >= minLen))
     // maximal islands are start-disjoint but their k−1 tails can
     // overlap the next island's head — distinct before counting
-    val cutPos = runs
+    val cutPos = stage(s"cutpos_$minLen", runs
       .select(col("doc_id"), explode(sequence(col("s"), col("e") + (k - 1))).as("pos"))
-      .distinct()
+      .distinct())
     val cov = cutPos.groupBy(col("doc_id")).agg(count(lit(1)).as("n_cut"))
     val runStats = runs.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_runs"), max(col("covlen")).cast("long").as("max_run"))
