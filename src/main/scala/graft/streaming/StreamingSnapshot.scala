@@ -25,8 +25,12 @@ object StreamingSnapshot {
     val writer = changes.writeStream
       .outputMode("append")
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        SnapshotStore.commitIfNew(batch.sparkSession, storeDir, batch.toDF(),
-          keyCol, s"stream-$batchId")
+        // an empty micro-batch (restart handshakes, idle triggers) must
+        // not mint an empty store version — the version trail is the
+        // audit of APPLIED change batches
+        if (!batch.isEmpty)
+          SnapshotStore.commitIfNew(batch.sparkSession, storeDir, batch.toDF(),
+            keyCol, s"stream-$batchId")
         ()
       }
     checkpoint.fold(writer)(c => writer.option("checkpointLocation", c)).start()

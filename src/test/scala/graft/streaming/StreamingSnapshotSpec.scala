@@ -36,7 +36,13 @@ class StreamingSnapshotSpec extends SparkSpec {
     val tmp = java.nio.file.Files.createTempDirectory("snapstream-in").toString
     val b1 = changeRows(Seq(0L, 8L), "upsert", 100.0) ++ changeRows(Seq(5L), "delete", 0.0)
     val b2 = changeRows(Seq(1L, 9L), "upsert", 200.0)
-    b1.toDF("event_id", "event_type", "value", "op").write.parquet(s"$tmp/in")
+    // ONE part file per intended micro-batch: the file source is free to
+    // split a multi-file drop across listing passes (observed under
+    // load), and a split batch correctly mints its own version — the
+    // per-batch version assertion below is only meaningful when the
+    // batch boundary is pinned to the file boundary
+    b1.toDF("event_id", "event_type", "value", "op")
+      .coalesce(1).write.parquet(s"$tmp/in")
 
     val incoming = spark.readStream
       .schema(b1.toDF("event_id", "event_type", "value", "op").schema)
@@ -45,7 +51,7 @@ class StreamingSnapshotSpec extends SparkSpec {
     try {
       q.processAllAvailable()
       b2.toDF("event_id", "event_type", "value", "op")
-        .write.mode("append").parquet(s"$tmp/in")
+        .coalesce(1).write.mode("append").parquet(s"$tmp/in")
       q.processAllAvailable()
     } finally q.stop()
 
