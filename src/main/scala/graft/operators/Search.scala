@@ -144,22 +144,6 @@ object Search {
       .orderBy(col("query_id"), col("rnk"))
   }
 
-  /** TF-IDF vector-space ranking — the classic VSM cosine retriever
-    * beside BM25. Exact-arithmetic discipline: the idf is the
-    * 100-scaled integer `(2N − 2df + 1)·100 DIV (2df + 1)` (same
-    * rational idf as BM25, floored once), term weights `tf·idf` and
-    * both squared norms are int64 sums, and the only float work is the
-    * terminal `floor(1e6 · dot / (√norm_d · √norm_q))` — int64→double
-    * conversion, sqrt, multiply, divide are all IEEE-correctly-rounded
-    * in both engines, so the floored score hash-matches the oracle.
-    * (The 100 idf scale keeps the int64 norm sums overflow-free to
-    * ~1e5-doc corpora — verified at the 50k-doc sf1 drill; a larger
-    * deployment drops the scale another decade.)
-    *
-    * Scale: rides the staged postings frame; the per-DOC norm rollup is
-    * one hash-agg over it; scoring touches only queried-term postings
-    * (query set broadcast); ranking is the k-bounded heap.
-    */
   /** The idf table and per-doc norm rollup — ingest-time artifacts of
     * the VSM index (at 100 TB: columns of the postings table, built
     * once), session-staged so probes pay only the query-term scoring
@@ -197,6 +181,22 @@ object Search {
     ()
   }
 
+  /** TF-IDF vector-space ranking — the classic VSM cosine retriever
+    * beside BM25. Exact-arithmetic discipline: the idf is the
+    * 100-scaled integer `(2N − 2df + 1)·100 DIV (2df + 1)` (same
+    * rational idf as BM25, floored once), term weights `tf·idf` and
+    * both squared norms are int64 sums, and the only float work is the
+    * terminal `floor(1e6 · dot / (√norm_d · √norm_q))` — int64→double
+    * conversion, sqrt, multiply, divide are all IEEE-correctly-rounded
+    * in both engines, so the floored score hash-matches the oracle.
+    * (The 100 idf scale keeps the int64 norm sums overflow-free to
+    * ~1e5-doc corpora — verified at the 50k-doc sf1 drill; a larger
+    * deployment drops the scale another decade.)
+    *
+    * Scale: rides the staged postings frame; the per-DOC norm rollup is
+    * one hash-agg over it; scoring touches only queried-term postings
+    * (query set broadcast); ranking is the k-bounded heap.
+    */
   def tfidfTopK(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
     import spark.implicits._
     val (dfT, w, normD) = tfidfStages(spark, dir)
