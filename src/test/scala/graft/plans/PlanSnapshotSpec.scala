@@ -76,7 +76,12 @@ class PlanSnapshotSpec extends SparkSpec {
     // retrievers) — stage-recompute regressions like the ones the first
     // r9 protocol run caught now fail here, not in a bench two rounds on
     "dedup_cdc_scrub",
-    "search_hybrid_rrf")
+    "search_hybrid_rrf",
+    // round-10: the query-by-document hybrid (staged cosine frame +
+    // staged pair frame + broadcast probes + rank-list full-outer
+    // fusion) — a probe-set broadcast decaying to a shuffle, or the
+    // fusion join going corpus-sized, fails here
+    "search_related_hybrid")
 
   private val nearDupSnapshotPath =
     java.nio.file.Paths.get("src/test/resources/plan_snapshot_neardup.txt")
