@@ -31,10 +31,11 @@ import graft.Tables
   * the graph's candidates through the SAME codegen'd cosine + heap
   * top-k as the brute-force truth lane, so its oracle is the
   * brute-force SQL itself — the gate pins recall@k = 1.0 at the
-  * operating point (M=8, efC=64, efS=64) on the test corpora. The
-  * `ann_hnsw_recall` lane runs the APPROXIMATE regime (efS=16) under
-  * the same exact-integer hits/k contract as the other recall rows,
-  * floor-pinned in HnswSpec.
+  * operating point ([[Params]]: M=16, efC=128, efS=128) on the gate
+  * corpora. The `ann_hnsw_recall` lane runs the APPROXIMATE regime
+  * (efS=16) under the same exact-integer hits/k contract as the other
+  * recall rows, floor-pinned in HnswSpec. See [[Params]] for the
+  * measured limit of the exact contract beyond the gate SFs.
   *
   * Scale: shards = ceil(n / targetShardRows) — per-shard memory is
   * constant (vectors + M·levels longs per node), build cost per shard
@@ -52,8 +53,19 @@ object Hnsw {
   /** The registered operating point. M=16 (degree 32 at layer 0) with
     * efC/efS = 128: the test corpus embeddings are near-isotropic
     * (weak neighbor structure — the hard case for graph ANN), and the
-    * gate lane pins recall 1.0, so the point is chosen with margin —
-    * at 4096-row shards the beam still visits ≲5% of a shard.
+    * gate lane pins recall 1.0 at the gate corpora (sf0.01, sf0.1,
+    * seed-1337 fuzz), where the beam still visits ≲10% of a shard.
+    *
+    * Measured limit of the exact contract (sf1 drill, 20k vectors,
+    * 800 truth slots): ONE slot misses at efS 128 AND 256, at
+    * efC 256, and at halved shards (a different slot each time);
+    * only a shard-exhaustive beam (efS ≥ shard rows) closes it. That
+    * is the textbook HNSW residual on structureless vectors —
+    * distances concentrate, navigability carries ~0.1% irreducible
+    * miss — and the reason production retrieval pairs a graph index
+    * with exact re-rank or accepts recall < 1. Beyond the gate SFs
+    * the contract is therefore the RECALL FLOOR (HnswSpec pins
+    * 799/800 at sf1 exactly), not byte equality.
     */
   final case class Params(m: Int = 16, efConstruction: Int = 128, efSearch: Int = 128)
 

@@ -106,5 +106,16 @@ class HnswSpec extends SparkSpec {
     val recall = rec.getLong(0).toDouble / rec.getLong(1)
     info(f"sf1 efS=16 mean recall = $recall%.4f over ${rec.getLong(1)} truth slots")
     assert(recall >= 0.80, s"sf1 recall collapsed: $recall")
+    // the exact-gate operating point's measured sf1 residual (see the
+    // Params scaladoc): ONE slot in 800 misses at efS=128 — and the
+    // knob ladder (efS 256, efC 256, halved shards) moves WHICH slot
+    // misses, never the count; only a shard-exhaustive beam closes it.
+    // Pin the residual so a real regression (graph build drift losing
+    // whole neighborhoods) reads as a count jump, not a known miss.
+    val gate = Hnsw.hnswRecall(spark, sf1Dir, params = Hnsw.Params()).agg(
+      sum(col("hits")).as("h"), sum(col("k")).as("n")).collect()(0)
+    info(s"sf1 exact-point recall = ${gate.getLong(0)}/${gate.getLong(1)}")
+    assert(gate.getLong(1) - gate.getLong(0) <= 2,
+      s"exact-point misses grew: ${gate.getLong(1) - gate.getLong(0)} slots")
   }
 }
