@@ -80,6 +80,8 @@ object SparkEntry {
       "ann_cosine_topk"         -> ((s, d) => Similarity.ensureAnnStages(s, d)),
       "ann_ivf_topk"            -> ((s, d) => Similarity.ensureAnnStages(s, d)),
       "ann_ivf_recall"          -> ((s, d) => Similarity.ensureAnnStages(s, d)),
+      "ann_ivf_filtered"        -> ((s, d) => {
+        Similarity.labeledLists(s, d).count(); () }),
       "ann_pq_topk"             -> ((s, d) => Similarity.ensureAnnStages(s, d)),
       "ann_pq_recall"           -> ((s, d) => Similarity.ensureAnnStages(s, d)),
       "ann_ivfadc_topk"         -> ((s, d) => Similarity.ensureAnnStages(s, d)),
@@ -445,6 +447,10 @@ object SparkEntry {
     // must not cost recall, so the oracle is again the brute-force SQL
     "ann_hnsw_append"         -> ((s, d) => operators.Hnsw.hnswAppendTopK(s, d)),
     "ann_ivf_recall"          -> ((s, d) => Similarity.ivfRecall(s, d)),
+    // filtered vector search: metadata predicate pruning candidates
+    // INSIDE the probed lists before distance evaluation (pre-filter —
+    // exact over the matching subset; post-filter loses recall)
+    "ann_ivf_filtered"        -> ((s, d) => Similarity.ivfFilteredTopK(s, d)),
     // same IVF search against the ON-DISK partitioned index, reading
     // only the probed list directories — same oracle SQL verbatim
     "ann_ivf_pruned"          -> ((s, d) =>
@@ -2866,6 +2872,17 @@ object SparkEntry {
          |SELECT q_id, vec_id, sim, CAST(rk AS BIGINT) AS rnk
          |FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rk
          |      FROM s)
+         |WHERE rk <= 5""".stripMargin,
+    // filtered search: same codebook/assignment/probes; the label
+    // predicate narrows candidates inside the probed lists (pre-filter)
+    "ann_ivf_filtered" ->
+      s"""WITH $centCte,
+         |$ivfCtes
+         |SELECT q_id, vec_id, sim, CAST(rk AS BIGINT) AS rnk
+         |FROM (SELECT s.q_id, s.vec_id, s.sim,
+         |        row_number() OVER (PARTITION BY s.q_id ORDER BY s.sim DESC, s.vec_id) AS rk
+         |      FROM s JOIN embeddings l ON l.vec_id = s.vec_id
+         |      WHERE l.label % 3 = 0)
          |WHERE rk <= 5""".stripMargin,
     // grown index (base + appended batch) ≡ full rebuild: append
     // assigns per-row against the same immutable codebook ⇒ identical

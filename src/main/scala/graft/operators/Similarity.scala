@@ -486,6 +486,46 @@ object Similarity {
       k, queryStride, codebookK, nProbe)
 
   /** The search half of [[ivfTopKPruned]]: probe an ALREADY-BUILT index. */
+  /** FILTERED vector search — the metadata-predicate ∧ ANN combination
+    * every production vector store advertises: the query probes its
+    * nProbe lists as usual, and the predicate (`label % labelMod = 0`
+    * here; any Column predicate in general) prunes candidates INSIDE
+    * the probed lists BEFORE distance evaluation. These are PRE-FILTER
+    * semantics — the exact top-k of the matching subset of the probed
+    * lists, so the filter itself costs no recall. The naive
+    * alternative, post-filtering the unfiltered top-k, silently loses
+    * results whenever fewer than k of the global top-k match
+    * (SimilaritySpec pins the dominance on exactly such a query).
+    *
+    * Scale: the filterable column rides the index — the staged frame
+    * joins `label` onto the inverted lists ONCE (at rest it is simply
+    * a column of the list-partitioned index table, so the predicate
+    * reaches the parquet scan of the probed list dirs); probe cost is
+    * the usual nProbe-list scan, shrunk by the filter's selectivity.
+    */
+  def ivfFilteredTopK(spark: SparkSession, dir: String, k: Int = 5,
+                      queryStride: Int = 50, codebookK: Int = CodebookK,
+                      nProbe: Int = 4, labelMod: Int = 3): DataFrame = {
+    val probes = ivfProbes(spark, dir, queryStride, codebookK, nProbe)
+    topKBySim(
+      probes.join(labeledLists(spark, dir, codebookK)
+          .filter(col("label") % labelMod === 0), Seq("list_id"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          round(cosine(col("q_emb"), col("embedding")), 6).as("sim")), k)
+  }
+
+  /** The inverted lists WITH their filterable metadata column — what a
+    * filtered-search deployment materializes (one join at ingest, a
+    * plain column at rest).
+    */
+  private[graft] def labeledLists(spark: SparkSession, dir: String,
+                                      codebookK: Int = CodebookK): DataFrame =
+    StageMemo.memoized(spark, s"ivf_assigned_labeled_$codebookK", dir)(
+      ivfAssigned(spark, dir, codebookK)
+        .join(Tables.embeddings(spark, dir).select(col("vec_id"), col("label")),
+          Seq("vec_id")))
+
   def ivfTopKPrunedAt(spark: SparkSession, dir: String, indexDir: String,
                       k: Int = 5, queryStride: Int = 50,
                       codebookK: Int = CodebookK, nProbe: Int = 4): DataFrame = {

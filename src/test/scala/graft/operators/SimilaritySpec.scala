@@ -333,4 +333,45 @@ class SimilaritySpec extends SparkSpec {
     // balance is the point: more than one list contributes
     assert(byList.size > 1)
   }
+
+  test("filtered search: pre-filter dominates post-filter against the filtered truth") {
+    val k = 5
+    val labelMod = 3
+    // filtered ground truth, recomputed from raw vectors in plain Scala
+    val vecs = graft.Tables.embeddings(spark, sfDir)
+      .select("vec_id", "embedding", "label").collect()
+      .map(r => (r.getAs[Long]("vec_id"),
+        r.getAs[Seq[Float]]("embedding").toArray, r.getAs[Int]("label")))
+    def unit(v: Array[Float]): Array[Double] = {
+      val a = v.map(_.toDouble); val n = math.sqrt(a.map(x => x * x).sum)
+      if (n > 0) a.map(_ / n) else a
+    }
+    val us = vecs.map { case (id, v, l) => (id, unit(v), l) }
+    def simOf(a: Array[Double], b: Array[Double]): Double =
+      BigDecimal(a.zip(b).map { case (x, y) => x * y }.sum)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val truth: Map[Long, Set[Long]] = us.filter(_._1 % 50 == 0).map { case (q, qv, _) =>
+      q -> us.filter { case (v, _, l) => v != q && l % labelMod == 0 }
+        .map { case (v, vv, _) => (v, simOf(qv, vv)) }
+        .sortBy { case (v, s) => (-s, v) }.take(k).map(_._1).toSet
+    }.toMap
+    def hitsOf(lists: Map[Long, Seq[Long]]): Map[Long, Int] =
+      truth.map { case (q, t) => q -> lists.getOrElse(q, Seq.empty).count(t) }
+    val pre = hitsOf(Similarity.ivfFilteredTopK(spark, sfDir).collect()
+      .groupBy(_.getAs[Long]("q_id"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("vec_id")).toSeq })
+    // post-filter: the UNFILTERED top-k, with non-matching rows dropped
+    // after ranking — the naive composition this lane exists to beat
+    val labels = vecs.map { case (id, _, l) => id -> l }.toMap
+    val post = hitsOf(Similarity.ivfTopK(spark, sfDir).collect()
+      .groupBy(_.getAs[Long]("q_id"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("vec_id")).toSeq
+        .filter(v => labels(v) % labelMod == 0) })
+    truth.keys.foreach { q =>
+      assert(pre(q) >= post(q), s"q$q: pre ${pre(q)} < post ${post(q)}")
+    }
+    // non-vacuous: post-filtering actually lost results somewhere
+    assert(pre.values.sum > post.values.sum,
+      s"dominance vacuous: pre=${pre.values.sum} post=${post.values.sum}")
+  }
 }
