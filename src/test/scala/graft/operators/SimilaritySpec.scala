@@ -342,14 +342,18 @@ class SimilaritySpec extends SparkSpec {
       .select("vec_id", "embedding", "label").collect()
       .map(r => (r.getAs[Long]("vec_id"),
         r.getAs[Seq[Float]]("embedding").toArray, r.getAs[Int]("label")))
-    def unit(v: Array[Float]): Array[Double] = {
-      val a = v.map(_.toDouble); val n = math.sqrt(a.map(x => x * x).sum)
-      if (n > 0) a.map(_ / n) else a
+    // EXACTLY the engine's operation tree (left-to-right double dot,
+    // norms over raw values, one division, round-6) — a pre-normalized
+    // recomputation can differ in the last ulp at a rounding boundary
+    def dotLR(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
     }
-    val us = vecs.map { case (id, v, l) => (id, unit(v), l) }
-    def simOf(a: Array[Double], b: Array[Double]): Double =
-      BigDecimal(a.zip(b).map { case (x, y) => x * y }.sum)
+    def simOf(a: Array[Float], b: Array[Float]): Double =
+      BigDecimal(dotLR(a, b) / (math.sqrt(dotLR(a, a)) * math.sqrt(dotLR(b, b))))
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val us = vecs
     val truth: Map[Long, Set[Long]] = us.filter(_._1 % 50 == 0).map { case (q, qv, _) =>
       q -> us.filter { case (v, _, l) => v != q && l % labelMod == 0 }
         .map { case (v, vv, _) => (v, simOf(qv, vv)) }
