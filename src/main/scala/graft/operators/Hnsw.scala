@@ -64,8 +64,10 @@ object Hnsw {
     * distances concentrate, navigability carries ~0.1% irreducible
     * miss — and the reason production retrieval pairs a graph index
     * with exact re-rank or accepts recall < 1. Beyond the gate SFs
-    * the contract is therefore the RECALL FLOOR (HnswSpec pins
-    * 799/800 at sf1 exactly), not byte equality.
+    * the contract is therefore the RECALL FLOOR, not byte equality:
+    * HnswSpec pins the sf1 exact-point residual at ≤ 2 missed slots
+    * (measured: 1 of 800), so a count jump reads as a real build
+    * regression.
     */
   final case class Params(m: Int = 16, efConstruction: Int = 128, efSearch: Int = 128)
 
