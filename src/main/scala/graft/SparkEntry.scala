@@ -63,7 +63,7 @@ object SparkEntry {
       "dedup_span_cut"          -> ((s, d) => TextOps.ensureSpanCutStages(s, d)),
       "dedup_span_runs"         -> ((s, d) => TextOps.ensureSpanCutStages(s, d)),
       "stream_rule_matrix"      -> ((s, d) => {
-        streaming.StreamingCuration.ensureStreamMatrixInput(s, d); () }),
+        streaming.StreamingCuration.ensureStreamMatrixSink(s, d); () }),
       "pipeline_llm_corpus"     -> ((s, d) => operators.Curation.ensureLlmStages(s, d)),
       "search_bm25_topk"        -> ((s, d) => operators.Search.ensureSearchStages(s, d)),
       "search_tfidf_topk"       -> ((s, d) => operators.Search.ensureSearchStages(s, d)),
@@ -337,9 +337,11 @@ object SparkEntry {
     "pipeline_rule_matrix" -> ((s, d) => operators.Curation.ruleMatrix(s, d)),
     // the SAME report produced by the Structured Streaming twin run to
     // completion (4 micro-batches through complete-mode state) — the
-    // stream ≡ batch claim as an oracle row, not just a spec
+    // stream ≡ batch claim as an oracle row, not just a spec. The
+    // stream runs once behind the build seam (ensureStreamMatrixSink);
+    // the probe reads its staged sink, like every other ingest lane.
     "stream_rule_matrix" -> ((s, d) =>
-      streaming.StreamingCuration.matrixReportEndToEnd(s, d)),
+      streaming.StreamingCuration.matrixReportFromSink(s, d)),
     // one-pass per-column completeness/cardinality audit
     "q_profile_orders"   -> (operators.Profile.profileOrders _),
     // rule-based quality expectations: all single-table rules in one
@@ -701,6 +703,25 @@ object SparkEntry {
        |SELECT node, r AS rank_micro, CAST(rnk AS BIGINT) AS rnk
        |FROM (SELECT *, row_number() OVER (ORDER BY r DESC, node) AS rnk FROM it5)
        |WHERE rnk <= 20 ORDER BY rnk""".stripMargin
+  }
+
+  /** The HNSW level-histogram oracle, GENERATED from the same M the
+    * engine runs ([[graft.operators.Hnsw.Params]]): level =
+    * min(30, lz60(md5_60("hnsw_" ∘ vec_id)) / log2 M) — the divisor
+    * comes from [[graft.operators.Hnsw.bitsPerLevel]], the exact
+    * integer [[graft.operators.Hnsw.levelOf]] divides by, so a future
+    * M change cannot silently diverge the oracle (HnswSpec additionally
+    * pins the coupling at a non-default M).
+    */
+  private[graft] def hnswLevelsSql(m: Int): String = {
+    val bits = operators.Hnsw.bitsPerLevel(m)
+    s"""WITH v AS (SELECT vec_id,
+       |  CAST(('0x' || substr(md5('hnsw_' || CAST(vec_id AS VARCHAR)), 1, 15)) AS UBIGINT) AS h
+       |  FROM embeddings)
+       |SELECT level, CAST(count(*) AS BIGINT) AS n_nodes FROM (
+       |  SELECT CAST(LEAST(30, (CASE WHEN h = 0 THEN 60 ELSE 60 - length(bin(h)) END) // $bits) AS INTEGER) AS level
+       |  FROM v)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
   /** The BPE training loop ([[graft.operators.TextOps.bpeTrain]])
@@ -2772,14 +2793,7 @@ object SparkEntry {
          |FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rk
          |      FROM s)
          |WHERE rk <= 5""".stripMargin,
-    "ann_hnsw_levels" ->
-      """WITH v AS (SELECT vec_id,
-        |  CAST(('0x' || substr(md5('hnsw_' || CAST(vec_id AS VARCHAR)), 1, 15)) AS UBIGINT) AS h
-        |  FROM embeddings)
-        |SELECT level, CAST(count(*) AS BIGINT) AS n_nodes FROM (
-        |  SELECT CAST((CASE WHEN h = 0 THEN 60 ELSE 60 - length(bin(h)) END) // 4 AS INTEGER) AS level
-        |  FROM v)
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "ann_hnsw_levels" -> hnswLevelsSql(operators.Hnsw.Params().m),
     // grown graph ≡ exact top-k: structure drifts under ingest
     // (insertion order shapes adjacency), results must not
     "ann_hnsw_append" ->

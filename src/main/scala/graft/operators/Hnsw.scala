@@ -81,14 +81,22 @@ object Hnsw {
     * plane weights). M must be a power of two. Pure function of
     * (vec_id, M): levels survive rebuilds and shard moves.
     */
-  private[operators] def levelOf(vecId: Long, m: Int): Int = {
+  private[graft] def levelOf(vecId: Long, m: Int): Int = {
     val hex = java.security.MessageDigest.getInstance("MD5")
       .digest(s"hnsw_$vecId".getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.substring(0, 15)
     val v = java.lang.Long.parseLong(hex, 16) // 60 bits, non-negative
     val lz60 = java.lang.Long.numberOfLeadingZeros(v) - 4
-    val bitsPerLevel = 31 - Integer.numberOfLeadingZeros(m)
-    math.min(30, lz60 / bitsPerLevel)
+    math.min(30, lz60 / bitsPerLevel(m))
+  }
+
+  /** log2(M): the level codec's bits-per-level — the ONE divisor shared
+    * by [[levelOf]] and the generated `ann_hnsw_levels` oracle SQL
+    * ([[graft.SparkEntry]]), so engine and oracle cannot disagree on M.
+    */
+  private[graft] def bitsPerLevel(m: Int): Int = {
+    require(m >= 2 && Integer.bitCount(m) == 1, s"M must be a power of two, got $m")
+    31 - Integer.numberOfLeadingZeros(m)
   }
 
   /** One shard's graph, built in insertion order over normalized

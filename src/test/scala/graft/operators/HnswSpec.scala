@@ -21,6 +21,27 @@ class HnswSpec extends SparkSpec {
     assert(ls.max >= 2, "no hierarchy formed over 4000 nodes")
   }
 
+  test("level-codec oracle is generated from the engine's M (pinned at non-default M)") {
+    // string-level coupling: the generated SQL's divisor IS bitsPerLevel(m)
+    assert(graft.SparkEntry.hnswLevelsSql(4).contains("// 2"))
+    assert(graft.SparkEntry.hnswLevelsSql(16).contains("// 4"))
+    assert(graft.SparkEntry.hnswLevelsSql(64).contains("// 6"))
+    // semantic coupling at a NON-DEFAULT M: the oracle formula (rendered
+    // in Spark's dialect — conv for the hex parse, div for //) must
+    // reproduce levelOf(_, m) exactly over a range of ids
+    for (m <- Seq(4, 64)) {
+      val bits = Hnsw.bitsPerLevel(m)
+      val got = spark.range(0, 4000).toDF("vec_id")
+        .selectExpr(
+          "CAST(conv(substr(md5(concat('hnsw_', CAST(vec_id AS STRING))), 1, 15), 16, 10) AS BIGINT) AS h")
+        .selectExpr(
+          s"least(30, CAST((CASE WHEN h = 0 THEN 60 ELSE 60 - length(bin(h)) END) div $bits AS INT)) AS level")
+        .collect().map(_.getInt(0))
+      val want = (0L until 4000L).map(Hnsw.levelOf(_, m))
+      assert(got.toSeq === want)
+    }
+  }
+
   test("graph invariants on a synthetic grid: caps respected, exact NN found") {
     val rnd = new scala.util.Random(3)
     val vecs = (0 until 400).map { i =>
