@@ -318,7 +318,25 @@ object Hnsw {
     searchGraph(spark, ensureGraph(spark, dir, params, targetShardRows),
       Tables.embeddings(spark, dir), queryStride, params)
 
-  /** The probe half over an already-staged graph DataFrame. */
+  /** The probe half over an already-staged graph DataFrame — fully
+    * DISTRIBUTED on both sides: the query set stays a DataFrame end to
+    * end (fanned out to every shard by a crossJoin whose BROADCAST side
+    * is the ≤|shards|-row shard-id list — bounded planning metadata,
+    * the only thing that ever passes through the driver), and each
+    * shard's graph is reconstructed inside a cogroup that pairs the
+    * shard's serialized nodes with its replicated query slice. An
+    * offline dedup-by-query batch of millions of probes therefore
+    * scales with executors, never the driver — the previous shape
+    * collect()ed the query vectors driver-side, the one remaining
+    * driver-bound term in the ANN family (fine for bounded serving
+    * traffic, a bottleneck for offline batches).
+    *
+    * Shuffle accounting: the cogroup repartitions graph nodes +
+    * queries×shards fanout rows by shard — one corpus-sized exchange
+    * per probe BATCH (not per query), the standard shared-nothing
+    * scatter-gather; a deployment serving many batches against a
+    * static graph pins the grouped layout once with a bucketed store.
+    */
   private[operators] def searchGraph(spark: SparkSession, graphDf: DataFrame,
                                      emb: DataFrame, queryStride: Int,
                                      params: Params): DataFrame = {
@@ -326,25 +344,23 @@ object Hnsw {
     val graph = graphDf.as[Node]
     val queries = emb
       .filter(col("vec_id") % queryStride === 0)
-      .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
-      .collect().map { case (id, v) => (id, normalize(v)) }
-    val bq = spark.sparkContext.broadcast(queries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val shardIds = graphDf.select(col("shard")).distinct()
+    val fanout = queries.crossJoin(broadcast(shardIds))
+      .select(col("shard"), col("q_id"), col("q_emb"))
+      .as[(Int, Long, Seq[Float])]
     val ef = params.efSearch
     val (m, efC) = (params.m, params.efConstruction)
-    graph.mapPartitions { it =>
-      val nodes = it.toArray
-      if (nodes.isEmpty) Iterator.empty
-      else {
-        // rebuild per shard present in this partition (hash partitioning
-        // may co-locate shards; each shard's graph is self-contained)
-        nodes.groupBy(_.shard).toSeq.sortBy(_._1).iterator.flatMap {
-          case (_, shardNodes) =>
-            val g = reconstruct(shardNodes, Params(m, efC, ef))
-            bq.value.iterator.flatMap { case (qid, qv) =>
-              g.search(qv, ef).iterator.filter(_ != qid).map(v => (qid, v))
-            }
+    graph.groupByKey(_.shard).cogroup(fanout.groupByKey(_._1)) {
+      (_, nodesIt, qIt) =>
+        val nodes = nodesIt.toArray
+        if (nodes.isEmpty) Iterator.empty
+        else {
+          val g = reconstruct(nodes, Params(m, efC, ef))
+          qIt.flatMap { case (_, qid, qv) =>
+            g.search(normalize(qv), ef).iterator.filter(_ != qid).map(v => (qid, v))
+          }
         }
-      }
     }.toDF("q_id", "vec_id")
   }
 

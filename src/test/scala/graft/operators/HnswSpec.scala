@@ -71,6 +71,35 @@ class HnswSpec extends SparkSpec {
     assert(truth.nonEmpty && got === truth)
   }
 
+  test("probe path is driver-free: building the candidate plan launches no job") {
+    // stage the graph first (build side pays its jobs here)
+    Hnsw.ensureHnswStages(spark, sfDir)
+    val jobs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        // parquet footer/schema listing at read-frame construction is
+        // metadata, not data through the driver — everything else
+        // (collect, count, broadcast materialization) is a violation
+        val site = j.stageInfos.headOption.map(_.name).getOrElse("?")
+        if (!site.startsWith("parquet at")) jobs.add(site)
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val cand =
+      try {
+        // the old shape collect()ed the query vectors to the driver HERE,
+        // at plan-construction time — which surfaced as a Spark job
+        // before any action ran; the distributed shape must stay lazy
+        val df = Hnsw.candidates(spark, sfDir)
+        org.apache.spark.GraftTestBridge.waitUntilListenerBusEmpty(spark.sparkContext)
+        assert(jobs.isEmpty,
+          s"probe plan construction launched driver-side job(s): $jobs")
+        df
+      } finally spark.sparkContext.removeSparkListener(listener)
+    // and the lazy plan still executes to a non-empty candidate set
+    assert(cand.limit(1).count() === 1L)
+  }
+
   test("sharded build is deterministic: two candidate passes agree") {
     val a = Hnsw.candidates(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
