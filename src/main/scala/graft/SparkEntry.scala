@@ -66,6 +66,7 @@ object SparkEntry {
         streaming.StreamingCuration.ensureStreamMatrixSink(s, d); () }),
       "pipeline_llm_corpus"     -> ((s, d) => operators.Curation.ensureLlmStages(s, d)),
       "search_bm25_topk"        -> ((s, d) => operators.Search.ensureSearchStages(s, d)),
+      "search_grown"            -> ((s, d) => { operators.Search.ensureGrownSearchIndex(s, d); () }),
       "search_tfidf_topk"       -> ((s, d) => operators.Search.ensureSearchStages(s, d)),
       "search_hybrid_rrf"       -> ((s, d) => operators.Search.ensureSearchStages(s, d)),
       "search_eval_mrr"         -> ((s, d) => operators.Search.ensureSearchStages(s, d)),
@@ -402,6 +403,10 @@ object SparkEntry {
     // lexical retrieval: BM25 top-k over the corpus inverted index,
     // exact-integer scores (floored 1e-6-quantized BM25)
     "search_bm25_topk"   -> ((s, d) => operators.Search.bm25TopK(s, d)),
+    // the same BM25 against the PERSISTED inverted-index store grown by
+    // incremental append (base + appended segment) — oracle is the
+    // identical full-rebuild SQL, probe reads only catalog tables
+    "search_grown"       -> ((s, d) => operators.Search.bm25TopKGrown(s, d)),
     // TF-IDF VSM cosine retriever (integer-exact weights/norms, one
     // terminal float expression) + RRF fusion of the two rank lists
     "search_tfidf_topk"  -> ((s, d) => operators.Search.tfidfTopK(s, d)),
@@ -1896,6 +1901,15 @@ object SparkEntry {
     // IEEE-correctly-rounded in both engines, so the floored int64
     // per-term scores (and their sums) are bit-identical
     "search_bm25_topk" ->
+      s"""WITH $bm25ScoreCtes
+         |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score, CAST(rk AS BIGINT) AS rnk
+         |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rk
+         |      FROM scores)
+         |WHERE rk <= 10
+         |ORDER BY query_id, rnk""".stripMargin,
+    // the grown persisted store must be indistinguishable from a full
+    // rebuild: the oracle IS search_bm25_topk's SQL, verbatim
+    "search_grown" ->
       s"""WITH $bm25ScoreCtes
          |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score, CAST(rk AS BIGINT) AS rnk
          |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rk

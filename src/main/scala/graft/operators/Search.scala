@@ -114,13 +114,24 @@ object Search {
   }
 
   def bm25TopK(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
-    import spark.implicits._
     // postings (tf) feed the scoring join — the ONLY corpus scan+explode
     // in the query; dl/stats/df come pre-aggregated from the staged
     // index artifacts (at 100 TB a re-rollup per probe is a full
     // postings pass wasted on values the index already holds).
     val tf = tfStage(spark, dir)
     val (dl, st, dfT) = bm25Stages(spark, dir)
+    bm25Scores(tf, dl, st, dfT, k)
+  }
+
+  /** The BM25 scoring join over index-artifact frames — ONE code path
+    * shared by the session-staged index ([[bm25TopK]]) and the
+    * persisted store ([[bm25TopKStored]]), so probe ≡ full-rebuild
+    * holds by construction, not by parallel maintenance.
+    */
+  private def bm25Scores(tf: DataFrame, dl: DataFrame, st: DataFrame,
+                         dfT: DataFrame, k: Int): DataFrame = {
+    val spark = tf.sparkSession
+    import spark.implicits._
     val qt = Queries.toDF("query_id", "qtext")
       .select(col("query_id"), explode(split(col("qtext"), " ")).as("term"))
       .distinct()
@@ -392,4 +403,136 @@ object Search {
       .withColumnRenamed("rk", "rnk")
       .orderBy(col("q_id"), col("rnk"))
   }
+
+  // ── Persisted inverted index with incremental document append — the
+  // lexical twin of the shingle ([[MinHash.appendShingleIndex]]), IVF
+  // ([[Similarity.appendIvfIndex]]), chunk, and HNSW graph stores.
+  // Without it, a corpus pipeline re-pays the postings explode per
+  // SESSION; with it, the explode happens once per document at ingest.
+  //
+  // Layout (what a Lucene segment persists, as four catalog tables):
+  //   <name>_postings (doc_id, term, tf)  bucketed by term — scoring
+  //     joins the broadcast query-term set bucket-locally, no exchange
+  //     on the store side, ever;
+  //   <name>_dl       (doc_id, dl)        bucketed by doc_id;
+  //   <name>_df       (term, df)          bucketed by term — PER-SEGMENT
+  //     partial document frequencies (each doc lives in exactly one
+  //     appended segment, so df is additive: the probe SUMs by term);
+  //   <name>_stats    (ltot, n)           one row per segment, summed
+  //     at probe (the additive corpus scalars).
+  // Appends only ADD files to existing buckets (appendBucketed) — no
+  // pre-existing file is rewritten (mtime identity pinned in
+  // SearchStoreSpec), and probe ≡ full-rebuild because every artifact
+  // is a sum of per-segment values a one-shot build would produce.
+
+  /** One segment's postings — the SAME derivation as [[tfStage]]
+    * (explode on the space split, count per (doc, term)), applied to a
+    * batch instead of the whole corpus.
+    */
+  private def indexSegment(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** Write one segment's four artifacts. `overwrite` for the base
+    * build, append for growth; the artifact derivations are shared so
+    * base and appended segments are indistinguishable to the probe.
+    */
+  private def writeSegment(spark: SparkSession, docs: DataFrame,
+                           name: String, overwrite: Boolean,
+                           nBuckets: Int): Unit = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    import graft.sources.BucketedTables
+    val tf = indexSegment(docs).persist(MEMORY_AND_DISK)
+    try {
+      val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+      val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val st = dl.agg(sum(col("dl")).as("ltot"), count(lit(1)).as("n"))
+      if (overwrite) {
+        BucketedTables.writeBucketed(tf, s"${name}_postings", "term", nBuckets)
+        BucketedTables.writeBucketed(dl, s"${name}_dl", "doc_id", nBuckets)
+        BucketedTables.writeBucketed(dfT, s"${name}_df", "term", nBuckets)
+        st.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .format("parquet").saveAsTable(s"${name}_stats")
+      } else {
+        BucketedTables.appendBucketed(tf, s"${name}_postings", "term", nBuckets)
+        BucketedTables.appendBucketed(dl, s"${name}_dl", "doc_id", nBuckets)
+        BucketedTables.appendBucketed(dfT, s"${name}_df", "term", nBuckets)
+        st.write.mode(org.apache.spark.sql.SaveMode.Append)
+          .format("parquet").saveAsTable(s"${name}_stats")
+      }
+    } finally { tf.unpersist(); () }
+  }
+
+  /** Build the store from a base corpus. */
+  def buildSearchIndex(spark: SparkSession, docs: DataFrame, name: String,
+                       nBuckets: Int = 32): Unit =
+    writeSegment(spark, docs, name, overwrite = true, nBuckets)
+
+  /** Append a document batch as a new segment: additional files in the
+    * term/doc_id buckets + one more stats row — no existing file
+    * rewritten. The batch frame alone determines what is appended.
+    */
+  def appendSearchIndex(spark: SparkSession, name: String, batch: DataFrame,
+                        nBuckets: Int = 32): Unit =
+    writeSegment(spark, batch, name, overwrite = false, nBuckets)
+
+  /** BM25 over the persisted store — the exact scoring path of
+    * [[bm25TopK]] ([[bm25Scores]] is shared), fed by the store's
+    * tables: df/stats are per-segment sums (one tiny agg each; df's
+    * group-by rides the term bucketing with no exchange), postings join
+    * the broadcast query-term set bucket-locally.
+    */
+  def bm25TopKStored(spark: SparkSession, name: String, k: Int = 10): DataFrame = {
+    val tf = spark.table(s"${name}_postings")
+    val dl = spark.table(s"${name}_dl")
+    val dfT = spark.table(s"${name}_df")
+      .groupBy(col("term")).agg(sum(col("df")).as("df"))
+    val st = spark.table(s"${name}_stats")
+      .agg(sum(col("ltot")).as("ltot"), sum(col("n")).as("n"))
+    bm25Scores(tf, dl, st, dfT, k)
+  }
+
+  /** One grown-store build per (JVM, dir): base segment from
+    * doc_id % batchMod != 0, then [[appendSearchIndex]] of the rest —
+    * probing it must produce the same ranking as the session-staged
+    * full pipeline (the search_grown oracle row's gate, same SQL as
+    * search_bm25_topk). Completion marker after the append, so a
+    * half-grown store from a failed run rebuilds (the
+    * ensureGrownShingleIndex discipline).
+    */
+  private val grownIndexes =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), String]()
+
+  private[graft] def ensureGrownSearchIndex(spark: SparkSession, dir: String,
+                                            batchMod: Int = 5): String = {
+    val name = grownIndexes.computeIfAbsent((dir, batchMod),
+      _ => s"graft_search_grown_${batchMod}_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
+    grownIndexes.synchronized {
+      if (!spark.catalog.tableExists(s"${name}_postings") ||
+          !graft.sources.FsPaths.exists(spark, grownMarker(spark, name))) {
+        Seq("_postings", "_dl", "_df", "_stats").foreach { suf =>
+          if (spark.catalog.tableExists(name + suf)) spark.sql(s"DROP TABLE $name$suf")
+          graft.sources.FsPaths.deleteRecursively(
+            spark, graft.sources.FsPaths.warehouseTablePath(spark, name + suf))
+        }
+        val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+        buildSearchIndex(spark, docs.filter(col("doc_id") % batchMod =!= 0), name)
+        appendSearchIndex(spark, name, docs.filter(col("doc_id") % batchMod === 0))
+        graft.sources.FsPaths.touch(spark, grownMarker(spark, name))
+      }
+    }
+    name
+  }
+
+  private def grownMarker(spark: SparkSession, name: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(
+      graft.sources.FsPaths.warehouseTablePath(spark, s"${name}_postings"),
+      "_GRAFT_GROWN")
+
+  /** The registered `search_grown` lane: [[bm25TopKStored]] against the
+    * grown (base + appended batch) store.
+    */
+  def bm25TopKGrown(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
+    bm25TopKStored(spark, ensureGrownSearchIndex(spark, dir), k)
 }
