@@ -73,6 +73,7 @@ object SparkEntry {
       "search_related_hybrid"   -> ((s, d) => {
         Similarity.cosineTopK(s, d).count(); MinHash.corpusSized(s, d).count(); () }),
       "text_bpe_encode"         -> ((s, d) => TextOps.ensureBpeMerges(s, d)),
+      "text_bpe_bytes_encode"   -> ((s, d) => TextOps.ensureBpeByteMerges(s, d)),
       "text_dsir_topk"          -> ((s, d) => TextOps.ensureDsirStages(s, d)),
       "pipeline_selection"      -> ((s, d) => TextOps.ensureDsirStages(s, d)),
       "source_time_travel"      -> ((s, d) => sources.SnapshotStore.ensureTimeTravelStore(s, d)),
@@ -278,6 +279,11 @@ object SparkEntry {
     // token budgets side by side; pack variant budgets on the real count
     "text_bpe_encode"    -> ((s, d) => TextOps.bpeEncode(s, d)),
     "text_pack_bpe"      -> ((s, d) => TextOps.packAssignBpe(s, d)),
+    // BYTE-LEVEL BPE (GPT-2/tiktoken lineage): same trainer/encoder
+    // over the 256-byte alphabet (byte b ↦ U+0100+b) — merges cross
+    // codepoint boundaries on non-ASCII text, no PUA pre-filter needed
+    "text_bpe_bytes"        -> ((s, d) => TextOps.bpeByteTrain(s, d)),
+    "text_bpe_bytes_encode" -> ((s, d) => TextOps.bpeByteEncode(s, d)),
     "text_length_histogram" -> (TextOps.lengthHistogram _),
     "text_pack_assign"   -> ((s, d) => TextOps.packAssign(s, d)),
     "dedup_contamination" -> ((s, d) => TextOps.trainTestContamination(s, d)),
@@ -768,7 +774,13 @@ object SparkEntry {
        |$rounds""".stripMargin
   }
 
-  private def bpeTrainSql(merges: Int): String = {
+  /** The final vocabulary SELECT shared by the char- and byte-level
+    * train oracles: expand each round's pair back to base-symbol
+    * strings by reverse-substituting later-round chars with their
+    * pairs (j = k−1 down to 1 resolves every private-use char, since
+    * round j's pair only contains symbols from rounds < j).
+    */
+  private def bpeTrainSqlOver(roundsCte: String, merges: Int): String = {
     // expansion of scalar expression `e` as seen after round k's pick
     def expand(k: Int, e: String): String =
       (k - 1 to 1 by -1).foldLeft(e)((acc, j) =>
@@ -780,8 +792,75 @@ object SparkEntry {
       s"""SELECT CAST($k AS BIGINT) AS merge_rank, $l AS "left", $r AS "right",
          |       $t AS new_token, (SELECT n FROM b$k) AS n""".stripMargin
     }.mkString("\nUNION ALL\n")
-    s"""WITH ${bpeRoundsCte(merges)}
+    s"""WITH $roundsCte
        |$rows""".stripMargin
+  }
+
+  private def bpeTrainSql(merges: Int): String =
+    bpeTrainSqlOver(bpeRoundsCte(merges), merges)
+
+  /** Byte-repr of the hex string `h` (DuckDB): each hex PAIR becomes
+    * `chr(256 + byte)` — the oracle half of
+    * [[graft.functions.ExpressionKernels.byteRepr]]'s uniform offset
+    * map (hex-digit arithmetic via strpos keeps it engine-literal).
+    */
+  private def bpeByteReprSql(h: String): String =
+    // COALESCE: list_aggr of an EMPTY list is NULL in DuckDB (the
+    // array_to_string([]) gotcha) — an empty document must repr to ''
+    s"""COALESCE(list_aggr(list_transform(range(1, length($h) // 2 + 1),
+       |    i -> chr(CAST(256 + (strpos('0123456789ABCDEF', substring($h, 2 * i - 1, 1)) - 1) * 16
+       |                      + strpos('0123456789ABCDEF', substring($h, 2 * i, 1)) - 1 AS INTEGER))),
+       |  'string_agg', ''), '')""".stripMargin
+
+  /** Rounds CTE for the BYTE-LEVEL trainer: r0 maps each distinct
+    * word's UTF-8 bytes to the U+0100+b alphabet; the per-round
+    * pair-count/argmax/fuse steps are IDENTICAL to the char-level CTE
+    * (the loop never cares which alphabet the symbols came from). No
+    * PUA word filter: hostile private-use chars decompose into
+    * ordinary byte symbols.
+    */
+  private def bpeByteRoundsCte(merges: Int): String = {
+    val rounds = (1 to merges).map { k =>
+      s"""p$k AS (
+         |  SELECT pair, CAST(sum(freq) AS BIGINT) AS n FROM (
+         |    SELECT unnest(list_transform(range(1, length(repr)),
+         |                  i -> substring(repr, i, 2))) AS pair, freq
+         |    FROM r${k - 1} WHERE length(repr) >= 2)
+         |  GROUP BY pair),
+         |b$k AS (SELECT pair, n FROM p$k ORDER BY n DESC, pair LIMIT 1),
+         |r$k AS (SELECT replace(repr, (SELECT pair FROM b$k), ${bpeChar(k)}) AS repr, freq
+         |        FROM r${k - 1})""".stripMargin
+    }.mkString(",\n")
+    s"""r0 AS (
+       |  SELECT ${bpeByteReprSql("h")} AS repr, freq FROM (
+       |    SELECT hex(encode(word)) AS h, freq FROM (
+       |      SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+       |        SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+       |      WHERE length(word) > 0
+       |      GROUP BY word))),
+       |$rounds""".stripMargin
+  }
+
+  private def bpeByteTrainSql(merges: Int): String =
+    bpeTrainSqlOver(bpeByteRoundsCte(merges), merges)
+
+  /** Byte-level encode oracle: full-document byte repr → the replace
+    * chain → symbols = length(encoded) − n_space_bytes (a space is one
+    * byte, so its count equals the char count in the raw text).
+    */
+  private def bpeByteEncodeSql(merges: Int): String = {
+    val chain = (1 to merges).foldLeft("repr")((acc, k) =>
+      s"replace($acc, (SELECT pair FROM b$k), ${bpeChar(k)})")
+    s"""WITH ${bpeByteRoundsCte(merges)},
+       |enc0 AS (
+       |  SELECT doc_id, hex(encode(text)) AS h,
+       |         CAST(strlen(text) AS BIGINT) AS n_bytes,
+       |         length(text) - length(replace(text, ' ', '')) AS nsp
+       |  FROM documents),
+       |enc1 AS (SELECT doc_id, n_bytes, nsp, ${bpeByteReprSql("h")} AS repr FROM enc0)
+       |SELECT doc_id, n_bytes,
+       |  CAST(length($chain) - nsp AS BIGINT) AS n_bpe_byte_tokens
+       |FROM enc1""".stripMargin
   }
 
   /** The encoder's replace chain over full document text (merge pairs
@@ -2062,6 +2141,8 @@ object SparkEntry {
         |ORDER BY n DESC, pair LIMIT 50""".stripMargin,
     "text_bpe_train" -> bpeTrainSql(8),
     "text_bpe_encode" -> bpeEncodeSql(8),
+    "text_bpe_bytes" -> bpeByteTrainSql(8),
+    "text_bpe_bytes_encode" -> bpeByteEncodeSql(8),
     "text_pack_bpe" -> bpePackSql(8, 2048),
     "text_pii_scrub" -> s"$piiSeededSql SELECT doc_id, $piiScrubColsSql FROM seeded",
     "pipeline_pii_report" ->

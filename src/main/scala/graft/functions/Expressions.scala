@@ -120,6 +120,27 @@ object ExpressionKernels extends Serializable {
     UTF8String.fromString(sb.toString)
   }
 
+  /** Byte-level BPE symbol alphabet: every UTF-8 byte b of the input
+    * becomes codepoint U+0100+b. Codepoints 0x100–0x1FF encode as
+    * exactly two UTF-8 bytes (0b110_000xx 0b10_xxxxxx), so the output
+    * is built directly as bytes — no String round trip, no decoding of
+    * the input (arbitrary byte sequences inside the UTF8String are
+    * mapped byte-for-byte, exactly like DuckDB's
+    * `chr(256 + byte-of(encode(s)))` on its side of the oracle).
+    */
+  def byteRepr(text: UTF8String): UTF8String = {
+    val in = text.getBytes
+    val out = new Array[Byte](in.length * 2)
+    var i = 0
+    while (i < in.length) {
+      val cp = 0x100 + (in(i) & 0xff)
+      out(2 * i) = (0xc0 | (cp >> 6)).toByte
+      out(2 * i + 1) = (0x80 | (cp & 0x3f)).toByte
+      i += 1
+    }
+    UTF8String.fromBytes(out)
+  }
+
   /** Distinct word k-gram shingles of a single-space-separated string —
     * one pass, first-occurrence order (same contents as
     * array_distinct(transform(sequence…, concat_ws(element_at…)))), which
@@ -665,6 +686,25 @@ case class LshBucket(child: Expression, planes: Int = 8) extends UnaryExpression
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** byte_repr(string) → string: each UTF-8 byte b of the input becomes
+  * the single character U+0100+b — the byte-level BPE symbol alphabet
+  * ([[graft.operators.TextOps]] byte lanes). A uniform offset map
+  * (instead of GPT-2's mixed printable/shifted table) keeps the oracle
+  * a one-line `chr(256 + byte)` in DuckDB while preserving the defining
+  * byte-level property: the base vocabulary is exactly 256 symbols and
+  * multi-byte characters decompose into them. Injective, and the image
+  * (U+0100–U+01FF) is disjoint from the private-use merge symbols
+  * (U+E000+), so hostile corpora need no pre-filter.
+  */
+case class ByteRepr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(v: Any): Any =
+    ExpressionKernels.byteRepr(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ExpressionKernels.byteRepr($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Column-level entry points (Spark 4: Column↔Expression bridging goes
   * through classic.ExpressionUtils).
   */
@@ -693,4 +733,5 @@ object functions {
   def lang_scores(text: Column): Column = toColumn(LangScores(toExpression(text)))
   def lsh_bucket(emb: Column, planes: Int = 8): Column =
     toColumn(LshBucket(toExpression(emb), planes))
+  def byte_repr(text: Column): Column = toColumn(ByteRepr(toExpression(text)))
 }

@@ -928,14 +928,48 @@ object TextOps {
     * collect per round (see [[bpeTrain]] for the full discipline).
     */
   private[graft] def bpeMergesOf(docs: DataFrame, merges: Int): Seq[BpeMerge] = {
-    require(merges >= 1 && merges <= BpeMaxMerges,
-      s"merges must be in [1, $BpeMaxMerges]")
     val words = docs
       .select(explode(tokens(col("text"))).as("word"))
       .filter(length(col("word")) > 0)
       .filter(!col("word").rlike("[\\uE000-\\uF8FF]"))
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
       .select(col("word").as("repr"), col("freq"))
+    bpeLoop(words, merges)
+  }
+
+  /** BYTE-LEVEL trainer (the GPT-2/tiktoken lineage): identical merge
+    * loop, but the base symbol alphabet is the 256 UTF-8 BYTES — each
+    * word's representation maps byte b to the single char U+0100+b
+    * ([[graft.functions.ExpressionKernels.byteRepr]]), so a multi-byte
+    * character decomposes into byte symbols and merges can cross (or
+    * split) codepoint boundaries, exactly where byte-level differs
+    * from char-level on non-ASCII text. No private-use pre-filter is
+    * needed: hostile PUA characters in the corpus map to ordinary
+    * byte-repr chars (U+0100–U+01FF), disjoint from the merge symbols
+    * (U+E000+k). Reported left/right/new_token strings are in the
+    * mapped-byte alphabet (merge boundaries need not align with valid
+    * UTF-8, so raw decoding is not generally possible — the same
+    * reason GPT-2 vocabularies publish byte-mapped strings).
+    */
+  private[graft] def bpeByteMergesOf(docs: DataFrame, merges: Int): Seq[BpeMerge] = {
+    val words = docs
+      .select(explode(tokens(col("text"))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      // byte_repr is injective, so mapping AFTER the word rollup keeps
+      // one row per distinct word with no re-aggregation
+      .select(graft.functions.functions.byte_repr(col("word")).as("repr"),
+        col("freq"))
+    bpeLoop(words, merges)
+  }
+
+  /** The shared merge loop over a (repr, freq) vocabulary frame —
+    * symbol space (chars vs mapped bytes) is the caller's choice; the
+    * loop only requires that every symbol is exactly one char.
+    */
+  private def bpeLoop(words: DataFrame, merges: Int): Seq[BpeMerge] = {
+    require(merges >= 1 && merges <= BpeMaxMerges,
+      s"merges must be in [1, $BpeMaxMerges]")
     var cur = words.localCheckpoint(false)
     val expand = scala.collection.mutable.Map.empty[String, String]
     val out = scala.collection.mutable.ArrayBuffer.empty[BpeMerge]
@@ -988,6 +1022,63 @@ object TextOps {
     */
   def ensureBpeMerges(spark: SparkSession, dir: String, merges: Int = 8): Unit = {
     mergesFor(spark, dir, merges); ()
+  }
+
+  /** Byte-level vocabulary rows (`text_bpe_bytes`): one row per merge,
+    * left/right/new_token in the mapped-byte alphabet — see
+    * [[bpeByteMergesOf]]. The oracle unrolls the identical loop with
+    * byte reprs built by `chr(256 + byte)` over `hex(encode(word))`.
+    */
+  def bpeByteTrain(spark: SparkSession, dir: String, merges: Int = 8): DataFrame = {
+    import spark.implicits._
+    bpeByteMergesOf(Tables.documents(spark, dir), merges)
+      .map(m => (m.rank.toLong, m.left, m.right, m.token, m.n))
+      .toDF("merge_rank", "left", "right", "new_token", "n")
+  }
+
+  private val bpeByteMergeCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), Seq[BpeMerge]]()
+
+  private def byteMergesFor(spark: SparkSession, dir: String,
+                            merges: Int): Seq[BpeMerge] =
+    bpeByteMergeCache.computeIfAbsent((dir, merges),
+      _ => bpeByteMergesOf(Tables.documents(spark, dir), merges))
+
+  /** Warm the byte-merge memo — bench stage builder for
+    * `text_bpe_bytes_encode`.
+    */
+  def ensureBpeByteMerges(spark: SparkSession, dir: String, merges: Int = 8): Unit = {
+    byteMergesFor(spark, dir, merges); ()
+  }
+
+  /** Byte-symbol count under the trained byte merges: the replace
+    * chain runs over the FULL document's byte repr (merge pairs never
+    * contain the space byte's repr char, so the chain equals per-word
+    * encoding — [[bpeTokenCount]]'s argument, one alphabet down), and
+    * symbols = length(encoded) − n_space_bytes, where n_space_bytes =
+    * the count of 0x20 bytes = the count of ' ' chars in the raw text.
+    */
+  private[graft] def bpeByteTokenCount(ms: Seq[BpeMerge]): Column = {
+    val encoded = ms.foldLeft(
+      graft.functions.functions.byte_repr(col("text")))((acc, m) =>
+      replace(acc, lit(m.pair), lit(m.newChar)))
+    val nSpaces = length(col("text")) - length(replace(col("text"), lit(" "), lit("")))
+    (length(encoded) - nSpaces).cast("bigint")
+  }
+
+  /** TOKENIZER APPLY, byte alphabet (`text_bpe_bytes_encode`): per-doc
+    * UTF-8 byte budget next to the trained byte-BPE symbol count —
+    * the pair a packing stage at byte granularity needs. Covers EVERY
+    * document (no PUA exclusion — the byte alphabet absorbs hostile
+    * chars), which is exactly where the byte lane's contract is
+    * stronger than the char lane's.
+    */
+  def bpeByteEncode(spark: SparkSession, dir: String, merges: Int = 8): DataFrame = {
+    val ms = byteMergesFor(spark, dir, merges)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        octet_length(col("text")).cast("bigint").as("n_bytes"),
+        bpeByteTokenCount(ms).as("n_bpe_byte_tokens"))
   }
 
   /** BPE symbol count of `text` under the trained merge list: apply the
