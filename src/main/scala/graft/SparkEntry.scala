@@ -93,6 +93,7 @@ object SparkEntry {
       "ann_hnsw_recall"         -> ((s, d) => operators.Hnsw.ensureHnswStages(s, d)),
       "ann_hnsw_levels"         -> ((s, d) => operators.Hnsw.ensureHnswStages(s, d)),
       "ann_hnsw_append"         -> ((s, d) => { operators.Hnsw.ensureGrownGraph(s, d).count(); () }),
+      "ann_hnsw_served"         -> ((s, d) => operators.Hnsw.ensureServedStages(s, d)),
       "dedup_semdedup"          -> ((s, d) => Similarity.ensureAnnStages(s, d)),
       "q_sample_cluster"        -> ((s, d) => Similarity.ensureAnnStages(s, d)))
   }
@@ -459,6 +460,11 @@ object SparkEntry {
     // grown graph (base build + native inserts of the batch): ingest
     // must not cost recall, so the oracle is again the brute-force SQL
     "ann_hnsw_append"         -> ((s, d) => operators.Hnsw.hnswAppendTopK(s, d)),
+    // bucketed on-disk graph store probed in the standing-serving
+    // regime (second-and-later batch; zero store-side Exchange —
+    // HnswStoreSpec): the layout must not cost recall, so the oracle
+    // is once more the brute-force SQL
+    "ann_hnsw_served"         -> ((s, d) => operators.Hnsw.hnswServedTopK(s, d)),
     "ann_ivf_recall"          -> ((s, d) => Similarity.ivfRecall(s, d)),
     // filtered vector search: metadata predicate pruning candidates
     // INSIDE the probed lists before distance evaluation (pre-filter —
@@ -2892,6 +2898,17 @@ object SparkEntry {
     // grown graph ≡ exact top-k: structure drifts under ingest
     // (insertion order shapes adjacency), results must not
     "ann_hnsw_append" ->
+      s"""WITH s AS (
+         |  SELECT a.vec_id AS q_id, b.vec_id AS vec_id, $cosineSql AS sim
+         |  FROM embeddings a, embeddings b
+         |  WHERE a.vec_id % 50 = 0 AND b.vec_id <> a.vec_id)
+         |SELECT q_id, vec_id, sim, CAST(rk AS BIGINT) AS rnk
+         |FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rk
+         |      FROM s)
+         |WHERE rk <= 5""".stripMargin,
+    // bucketed serving store ≡ exact top-k: the persisted layout (and
+    // the exchange-free second-batch probe shape) must not cost recall
+    "ann_hnsw_served" ->
       s"""WITH s AS (
          |  SELECT a.vec_id AS q_id, b.vec_id AS vec_id, $cosineSql AS sim
          |  FROM embeddings a, embeddings b

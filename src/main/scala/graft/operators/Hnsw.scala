@@ -271,6 +271,14 @@ object Hnsw {
   final case class Node(shard: Int, vec_id: Long, level: Int,
                         nbrs: Seq[Seq[Long]], embedding: Seq[Float])
 
+  /** One shard's probe work unit off the bucketed store: the shard's
+    * serialized nodes (shard-local collect_list) + its query slice.
+    */
+  final case class StoredNode(vec_id: Long, level: Int,
+                              nbrs: Seq[Seq[Long]], embedding: Seq[Float])
+  final case class QVec(q_id: Long, q_emb: Seq[Float])
+  final case class ShardProbe(shard: Int, nodes: Seq[StoredNode], qs: Seq[QVec])
+
   private def shardCount(n: Long, targetShardRows: Int): Int =
     math.max(1, math.min(64, math.ceil(n.toDouble / targetShardRows).toInt))
 
@@ -353,12 +361,17 @@ object Hnsw {
     val (m, efC) = (params.m, params.efConstruction)
     graph.groupByKey(_.shard).cogroup(fanout.groupByKey(_._1)) {
       (_, nodesIt, qIt) =>
-        val nodes = nodesIt.toArray
-        if (nodes.isEmpty) Iterator.empty
+        // query-empty first: a shard with no probes must not pay
+        // nodesIt.toArray + reconstruct for an empty flatMap
+        if (!qIt.hasNext) Iterator.empty
         else {
-          val g = reconstruct(nodes, Params(m, efC, ef))
-          qIt.flatMap { case (_, qid, qv) =>
-            g.search(normalize(qv), ef).iterator.filter(_ != qid).map(v => (qid, v))
+          val nodes = nodesIt.toArray
+          if (nodes.isEmpty) Iterator.empty
+          else {
+            val g = reconstruct(nodes, Params(m, efC, ef))
+            qIt.flatMap { case (_, qid, qv) =>
+              g.search(normalize(qv), ef).iterator.filter(_ != qid).map(v => (qid, v))
+            }
           }
         }
     }.toDF("q_id", "vec_id")
@@ -471,6 +484,110 @@ object Hnsw {
     rerank(spark, dir,
       searchGraph(spark, store, Tables.embeddings(spark, dir), queryStride, params),
       k, queryStride)
+  }
+
+  // ── Bucketed graph store (the repeat-batch SERVING layout):
+  // [[searchGraph]]'s cogroup re-shuffles the corpus-sized graph on
+  // every probe batch — the right price for ONE huge offline batch,
+  // pure waste for a standing deployment probing a static graph many
+  // times. Here the Node rows persist as a catalog table BUCKETED by
+  // shard (BucketedTables — the dedup_incremental_bucketed
+  // discipline), so every batch after the first reads its shard
+  // groups in place: the per-shard collect_list rides the bucketing
+  // with NO store-side Exchange (HnswStoreSpec pins it on the second
+  // batch), and only the query batch moves — one |Q|×shards fanout
+  // exchange, proportional to the batch, never to the corpus. ──
+
+  /** Probe half over the bucketed store: shard graphs reassembled by a
+    * bucket-local collect_list, query batch fanned out to every shard
+    * (scatter-gather, no driver funnel), co-partitioned merge join
+    * (the hint pins SMJ so stats noise can never "optimize" this into
+    * broadcasting the corpus-sized store side), per-shard reconstruct
+    * + beam search in one flatMap.
+    */
+  private[operators] def probeBucketedStore(spark: SparkSession, table: String,
+                                            emb: DataFrame, queryStride: Int,
+                                            params: Params): DataFrame = {
+    import spark.implicits._
+    val store = spark.table(table)
+    val shardBlobs = store.groupBy(col("shard"))
+      .agg(collect_list(struct(
+        col("vec_id"), col("level"), col("nbrs"), col("embedding"))).as("nodes"))
+    val shardIds = store.select(col("shard")).distinct() // ≤ shards rows
+    val qGrouped = emb.filter(col("vec_id") % queryStride === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      .crossJoin(broadcast(shardIds))
+      .groupBy(col("shard"))
+      .agg(collect_list(struct(col("q_id"), col("q_emb"))).as("qs"))
+    val p = params
+    shardBlobs.join(qGrouped.hint("merge"), Seq("shard"))
+      .select(col("shard"), col("nodes"), col("qs"))
+      .as[ShardProbe]
+      .flatMap { sp =>
+        val g = reconstruct(sp.nodes.map(n =>
+          Node(sp.shard, n.vec_id, n.level, n.nbrs, n.embedding)).toArray, p)
+        sp.qs.iterator.flatMap(q =>
+          g.search(normalize(q.q_emb), p.efSearch).iterator
+            .filter(_ != q.q_id).map(v => (q.q_id, v)))
+      }
+      .toDF("q_id", "vec_id")
+  }
+
+  private val graphStoreNames =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int, Int), String]()
+
+  /** One bucketed store per (dir, operating point): built from the
+    * session-staged graph, completion-marker-gated so a half-written
+    * store from a failed run rebuilds (the ensureGrownSearchIndex
+    * discipline); the name carries [[Search.dirHash]] so distinct dirs
+    * can never collide onto one table.
+    */
+  def ensureBucketedGraphStore(spark: SparkSession, dir: String,
+                               params: Params = Params(),
+                               targetShardRows: Int = 4096): String = {
+    import graft.sources.FsPaths
+    val name = graphStoreNames.computeIfAbsent(
+      (dir, params.m, params.efConstruction, targetShardRows),
+      _ => s"graft_hnsw_store_${params.m}_${params.efConstruction}_" +
+        s"${targetShardRows}_" + Search.dirHash(dir))
+    graphStoreNames.synchronized {
+      if (!spark.catalog.tableExists(name) ||
+          !FsPaths.exists(spark, storeMarker(spark, name))) {
+        if (spark.catalog.tableExists(name)) spark.sql(s"DROP TABLE $name")
+        FsPaths.deleteRecursively(spark, FsPaths.warehouseTablePath(spark, name))
+        graft.sources.BucketedTables.writeBucketed(
+          ensureGraph(spark, dir, params, targetShardRows), name, "shard")
+        FsPaths.touch(spark, storeMarker(spark, name))
+      }
+    }
+    name
+  }
+
+  private def storeMarker(spark: SparkSession, name: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(
+      graft.sources.FsPaths.warehouseTablePath(spark, name), "_GRAFT_GROWN")
+
+  /** The registered `ann_hnsw_served` lane: exact top-k probe of the
+    * bucketed store — same oracle SQL as the gate lane (the layout
+    * must not cost recall), measured on the SECOND-and-later batch
+    * regime (the stage builder pays the build and a first batch).
+    */
+  def hnswServedTopK(spark: SparkSession, dir: String, k: Int = 5,
+                     queryStride: Int = 50, params: Params = Params(),
+                     targetShardRows: Int = 4096): DataFrame =
+    rerank(spark, dir,
+      probeBucketedStore(spark,
+        ensureBucketedGraphStore(spark, dir, params, targetShardRows),
+        Tables.embeddings(spark, dir), queryStride, params),
+      k, queryStride)
+
+  /** Bench stage builder for the serving lane: store on disk + one
+    * warm batch, so the probe measures the standing-deployment regime.
+    */
+  def ensureServedStages(spark: SparkSession, dir: String): Unit = {
+    ensureBucketedGraphStore(spark, dir)
+    hnswServedTopK(spark, dir).count()
+    ()
   }
 
   /** The registered exact-gate lane: graph candidates re-ranked through

@@ -506,8 +506,14 @@ object Search {
 
   private[graft] def ensureGrownSearchIndex(spark: SparkSession, dir: String,
                                             batchMod: Int = 5): String = {
+    // dir → table name must be INJECTIVE: sanitation alone collides
+    // (/a/b and /a_b both map to _a_b, and the second dir would find
+    // the first's tables + marker and silently probe the wrong
+    // corpus's index), so a content hash of the raw dir string rides
+    // along with the readable slug
     val name = grownIndexes.computeIfAbsent((dir, batchMod),
-      _ => s"graft_search_grown_${batchMod}_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
+      _ => s"graft_search_grown_${batchMod}_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_") + "_" + dirHash(dir))
     grownIndexes.synchronized {
       if (!spark.catalog.tableExists(s"${name}_postings") ||
           !graft.sources.FsPaths.exists(spark, grownMarker(spark, name))) {
@@ -524,6 +530,15 @@ object Search {
     }
     name
   }
+
+  /** 8-hex-char MD5 prefix of the raw dir string — the injectivity
+    * term in generated catalog table names (collisions across distinct
+    * dirs would cross-wire persisted indexes).
+    */
+  private[graft] def dirHash(dir: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8"))
+      .take(4).map(b => f"${b & 0xff}%02x").mkString
 
   private def grownMarker(spark: SparkSession, name: String): org.apache.hadoop.fs.Path =
     new org.apache.hadoop.fs.Path(

@@ -28,11 +28,19 @@ package graft.provider
   * final class DataStaxCqlSession(session: CqlSession) extends CqlSessionLike {
   *   override def execute(stmt: CqlStatement,
   *                        params: Map[String, Any]): CqlResult = {
-  *     val built = SimpleStatement.builder(stmt.cql)
-  *       .setExecutionProfileName(stmt.profileName)
-  *       .setConsistencyLevel(DefaultConsistencyLevel.valueOf(stmt.consistency))
-  *       .setNamedValuesWithIds(
-  *         params.map { case (k, v) => k -> v.asInstanceOf[AnyRef] }.asJava)
+  *     // Named binds go through the BUILDER's addNamedValue(String,
+  *     // Object) — the bulk setter setNamedValuesWithIds lives on the
+  *     // built SimpleStatement and is keyed by CqlIdentifier, not
+  *     // String, so folding the per-entry builder method is both the
+  *     // 4.x-idiomatic shape and the one that compiles as written.
+  *     val built = params
+  *       .foldLeft(
+  *         SimpleStatement.builder(stmt.cql)
+  *           .setExecutionProfileName(stmt.profileName)
+  *           .setConsistencyLevel(
+  *             DefaultConsistencyLevel.valueOf(stmt.consistency))) {
+  *         case (b, (k, v)) => b.addNamedValue(k, v.asInstanceOf[AnyRef])
+  *       }
   *       .build()
   *     val rs = session.execute(built)
   *     val cols = rs.getColumnDefinitions.asScala
@@ -79,7 +87,7 @@ object DataStaxCqlSession {
   /** Bind-value types the driver's default codecs accept for the
     * binding's columns: text (String), timeuuid (UUID), smallint
     * (Short), int TTL (Int). Anything else would throw in
-    * `setNamedValuesWithIds` codec lookup — compiled here so the
+    * `addNamedValue`'s codec lookup at execute — compiled here so the
     * binding can't grow a bind the documented adapter couldn't map.
     */
   def bindable(v: Any): Boolean = v match {
