@@ -131,18 +131,31 @@ object StreamingCuration {
     * sf10 probe total), which is build-side cost by this engine's own
     * build/probe accounting (BenchProtocol).
     */
-  private val matrixSinks =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val matrixSinkLock = new Object
 
   def ensureStreamMatrixSink(spark: org.apache.spark.sql.SparkSession,
-                             dir: String): String =
-    matrixSinks.computeIfAbsent(dir, { _ =>
-      val out = java.nio.file.Files
-        .createTempDirectory("graft-stream-matrix-sink").toString
-      matrixReportEndToEnd(spark, dir)
-        .write.mode("overwrite").parquet(out)
-      out
-    })
+                             dir: String): String = {
+    // staged under the warehouse like every other persisted store —
+    // a java.nio temp dir is a DRIVER-local path string that Spark
+    // resolves against fs.defaultFS at write time, so on any
+    // non-local-FS deployment the created dir and the written path
+    // diverge (and nothing ever cleaned the sink up). Marker-gated:
+    // a half-written sink from a failed run rebuilds; dirHash keeps
+    // distinct corpora on distinct sinks.
+    import graft.sources.FsPaths
+    val path = FsPaths.warehouseTablePath(spark,
+      "graft_stream_matrix_sink_" + graft.operators.Search.dirHash(dir))
+    val marker = new org.apache.hadoop.fs.Path(path, "_GRAFT_COMPLETE")
+    matrixSinkLock.synchronized {
+      if (!FsPaths.exists(spark, marker)) {
+        FsPaths.deleteRecursively(spark, path)
+        matrixReportEndToEnd(spark, dir)
+          .write.mode("overwrite").parquet(path.toString)
+        FsPaths.touch(spark, marker)
+      }
+    }
+    path.toString
+  }
 
   /** The registered `stream_rule_matrix` lane: read the staged sink
     * (running the stream first iff no builder has — Verify calls the
