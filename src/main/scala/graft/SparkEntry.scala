@@ -74,6 +74,7 @@ object SparkEntry {
         Similarity.cosineTopK(s, d).count(); MinHash.corpusSized(s, d).count(); () }),
       "text_bpe_encode"         -> ((s, d) => TextOps.ensureBpeMerges(s, d)),
       "text_bpe_bytes_encode"   -> ((s, d) => TextOps.ensureBpeByteMerges(s, d)),
+      "text_pack_bpe_bytes"     -> ((s, d) => TextOps.ensureBpeByteMerges(s, d)),
       "text_dsir_topk"          -> ((s, d) => TextOps.ensureDsirStages(s, d)),
       "pipeline_selection"      -> ((s, d) => TextOps.ensureDsirStages(s, d)),
       "source_time_travel"      -> ((s, d) => sources.SnapshotStore.ensureTimeTravelStore(s, d)),
@@ -285,6 +286,9 @@ object SparkEntry {
     // codepoint boundaries on non-ASCII text, no PUA pre-filter needed
     "text_bpe_bytes"        -> ((s, d) => TextOps.bpeByteTrain(s, d)),
     "text_bpe_bytes_encode" -> ((s, d) => TextOps.bpeByteEncode(s, d)),
+    // sequence packing budgeted on the BYTE-level trained symbol count
+    // (every doc covered — the byte alphabet absorbs hostile chars)
+    "text_pack_bpe_bytes"   -> ((s, d) => TextOps.packAssignBpeBytes(s, d)),
     "text_length_histogram" -> (TextOps.lengthHistogram _),
     "text_pack_assign"   -> ((s, d) => TextOps.packAssign(s, d)),
     "dedup_contamination" -> ((s, d) => TextOps.trainTestContamination(s, d)),
@@ -867,6 +871,29 @@ object SparkEntry {
        |SELECT doc_id, n_bytes,
        |  CAST(length($chain) - nsp AS BIGINT) AS n_bpe_byte_tokens
        |FROM enc1""".stripMargin
+  }
+
+  /** Byte-level packing oracle: the byte encode chain's symbol count
+    * feeding the same per-language cumulative window as [[bpePackSql]]
+    * — no PUA exclusion (the byte alphabet covers every document).
+    */
+  private def bpeBytePackSql(merges: Int, budget: Int): String = {
+    val chain = (1 to merges).foldLeft("repr")((acc, k) =>
+      s"replace($acc, (SELECT pair FROM b$k), ${bpeChar(k)})")
+    s"""WITH ${bpeByteRoundsCte(merges)},
+       |enc0 AS (
+       |  SELECT doc_id, lang, hex(encode(text)) AS h,
+       |         length(text) - length(replace(text, ' ', '')) AS nsp
+       |  FROM documents),
+       |enc AS (
+       |  SELECT doc_id, lang, CAST(length($chain) - nsp AS BIGINT) AS n_tokens
+       |  FROM (SELECT doc_id, lang, nsp, ${bpeByteReprSql("h")} AS repr FROM enc0)),
+       |w AS (
+       |  SELECT doc_id, lang, n_tokens,
+       |    COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+       |  FROM enc)
+       |SELECT doc_id, lang, n_tokens, CAST(prior // $budget AS BIGINT) AS pack_id FROM w""".stripMargin
   }
 
   /** The encoder's replace chain over full document text (merge pairs
@@ -2150,6 +2177,7 @@ object SparkEntry {
     "text_bpe_bytes" -> bpeByteTrainSql(8),
     "text_bpe_bytes_encode" -> bpeByteEncodeSql(8),
     "text_pack_bpe" -> bpePackSql(8, 2048),
+    "text_pack_bpe_bytes" -> bpeBytePackSql(8, 2048),
     "text_pii_scrub" -> s"$piiSeededSql SELECT doc_id, $piiScrubColsSql FROM seeded",
     "pipeline_pii_report" ->
       s"""$piiSeededSql,

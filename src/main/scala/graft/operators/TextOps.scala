@@ -1140,6 +1140,27 @@ object TextOps {
       .select(col("doc_id"), col("lang"), col("n_tokens"), col("pack_id"))
   }
 
+  /** [[packAssignBpe]] at BYTE granularity (`text_pack_bpe_bytes`):
+    * packs budgeted on the trained byte-BPE symbol count
+    * ([[bpeByteTokenCount]]) — the boundaries a byte-level-tokenizer
+    * training run sees. Covers EVERY document (the byte alphabet
+    * absorbs hostile chars, so no PUA exclusion — the byte lane's
+    * standing contract), same per-language cumulative-window shape and
+    * 100-TB sharding note as the other packers.
+    */
+  def packAssignBpeBytes(spark: SparkSession, dir: String, budget: Int = 2048,
+                         merges: Int = 8): DataFrame = {
+    val ms = byteMergesFor(spark, dir, merges)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), bpeByteTokenCount(ms).as("n_tokens"))
+      .withColumn("prior_tokens", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("pack_id", expr(s"prior_tokens DIV $budget"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("pack_id"))
+  }
+
   /** The encoded form of `text` under the trained merge list (the
     * replace chain [[bpeTokenCount]] measures).
     */
