@@ -57,6 +57,7 @@ object SparkEntry {
       "ann_ivf_append"          -> ((s, d) => { Similarity.ensureGrownIvfIndex(s, d); () }),
       "source_rollup_incremental" -> ((s, d) => { sources.TimePartitionedStore.ensureDailyRollup(s, d); () }),
       "source_time_partitioned" -> ((s, d) => { sources.TimePartitionedStore.ensureDatedLayout(s, d); () }),
+      "source_cdc_merge"        -> ((s, d) => { sources.CdcMerge.ensureMergeScratch(s, d); () }),
       "dedup_log_compaction"    -> ((s, d) => { sources.DedupLogStore.ensureCompactedLog(s, d); () }),
       "dedup_cdc_grown"         -> ((s, d) => { TextOps.ensureGrownChunkIndex(s, d); () }),
       "dedup_cdc_scrub"         -> ((s, d) => TextOps.ensureCdcStages(s, d)),

@@ -77,8 +77,16 @@ object CdcMerge {
 
   /** Apply the merge: rewrite exactly the touched day directories. */
   def mergeChanges(spark: SparkSession, storeDir: String,
-                   changes: DataFrame): Seq[java.sql.Date] = {
-    val days = touchedDays(changes)
+                   changes: DataFrame): Seq[java.sql.Date] =
+    mergeChanges(spark, storeDir, changes, touchedDays(changes))
+
+  /** [[mergeChanges]] with the touched-day set already known — callers
+    * that derive the batch themselves (e.g. [[cdcMergeSummary]]) fold
+    * the day collection into planning work they already do, one fewer
+    * driver job per merge.
+    */
+  def mergeChanges(spark: SparkSession, storeDir: String,
+                   changes: DataFrame, days: Seq[java.sql.Date]): Seq[java.sql.Date] = {
     val merged = mergedView(spark, storeDir, changes, days)
       // the view reads the directories this write replaces — materialize
       // the new content before the overwrite starts deleting them
@@ -115,40 +123,97 @@ object CdcMerge {
     * under key + 10^7. A green row proves the pruned-read merge path end
     * to end: layout copy → touched-day rewrite → re-read.
     */
-  def cdcMergeSummary(spark: SparkSession, dir: String,
-                      from: String = "2024-01-08",
-                      until: String = "2024-01-10"): DataFrame = {
-    val store = {
-      // fresh copy per call — the merge MUTATES the store, so the shared
-      // memoized layout must never be the target
+  private val mergeScratch =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Per-(JVM, dir) MUTABLE copy of the dated layout — the merge's
+    * target. Built once (the bench stage builder pays the full copy);
+    * repeat probes then [[resetWindow]] only the merge window's day
+    * directories back to pristine, O(touched days) — the same cost
+    * model as the merge itself. The previous shape re-copied the
+    * WHOLE layout on every probe, charging a full-table write to a
+    * lane whose entire point is that a CDC merge costs O(changed
+    * days), not O(table).
+    */
+  def ensureMergeScratch(spark: SparkSession, dir: String): String =
+    mergeScratch.computeIfAbsent(dir, { _ =>
       val src = TimePartitionedStore.ensureDatedLayout(spark, dir)
       val p = Scratch.tempDir("graft_cdc_merge_")
       spark.read.parquet(src).write.mode("overwrite")
         .partitionBy("event_date").parquet(p)
       p
+    })
+
+  /** Restore `[from, until]`'s day directories in the scratch store
+    * from the pristine layout (ISO dates compare lexicographically, so
+    * the partition-dir names bound the window directly). Every change
+    * row of [[cdcMergeSummary]]'s batch carries a window day — cloned
+    * inserts keep their source ts — so only these directories can
+    * differ from pristine after a merge.
+    */
+  private[graft] def resetWindow(spark: SparkSession, dir: String, store: String,
+                          from: String, until: String): Unit = {
+    import java.nio.file.{Files, Path, Paths}
+    import scala.jdk.CollectionConverters._
+    val src = TimePartitionedStore.ensureDatedLayout(spark, dir)
+    val (lo, hi) = (s"event_date=$from", s"event_date=$until")
+    def windowDays(root: String): Seq[Path] =
+      Files.list(Paths.get(root)).iterator().asScala
+        .filter { p =>
+          val n = p.getFileName.toString
+          n.startsWith("event_date=") && n >= lo && n <= hi
+        }.toSeq
+    windowDays(store).foreach { d =>
+      Files.walk(d).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
     }
+    windowDays(src).foreach { d =>
+      val tgt = Paths.get(store, d.getFileName.toString)
+      Files.walk(d).iterator().asScala.foreach { p =>
+        val rel = tgt.resolve(d.relativize(p).toString)
+        if (Files.isDirectory(p)) Files.createDirectories(rel)
+        else { Files.createDirectories(rel.getParent); Files.copy(p, rel) }
+      }
+    }
+  }
+
+  def cdcMergeSummary(spark: SparkSession, dir: String,
+                      from: String = "2024-01-08",
+                      until: String = "2024-01-10"): DataFrame = {
+    val store = ensureMergeScratch(spark, dir)
+    resetWindow(spark, dir, store, from, until)
     val windowed = spark.read.parquet(store)
       .filter(col("event_date") >= lit(from) && col("event_date") <= lit(until))
     val upserts = windowed.filter(col("event_id") % 13 === 0)
       .withColumn("value", col("value") + 1000.0).withColumn("op", lit("upsert"))
     val deletes = windowed.filter(col("event_id") % 17 === 0)
       .withColumn("op", lit("delete"))
-    // the cloned-insert offset must clear the real key range or a clone
-    // collides with a live event_id and the merge silently drops one;
-    // fail loudly at the SF where ids outgrow the offset (the oracle SQL
-    // hard-codes the same +10^7, so it must stay a literal). max() over
-    // an empty window is NULL — nothing to clone then, so nothing to
-    // guard.
-    val maxIdRow = windowed.agg(max(col("event_id"))).head
-    if (!maxIdRow.isNullAt(0))
-      require(maxIdRow.getLong(0) < 10000000L,
-        s"cdcMergeSummary insert-key offset 10^7 collides: max event_id=${maxIdRow.getLong(0)}")
+    // ONE planning pass over the window computes both driver-side
+    // inputs: the key-range guard and the touched-day set (every
+    // change row keeps its source day, so the touched days are the
+    // days of rows matching any change predicate) — previously two
+    // separate jobs against the same scan.
+    //
+    // The cloned-insert offset must clear the real key range or a
+    // clone collides with a live event_id and the merge silently drops
+    // one; fail loudly at the SF where ids outgrow the offset (the
+    // oracle SQL hard-codes the same +10^7, so it must stay a
+    // literal). max() over an empty window is NULL — nothing to clone
+    // then, so nothing to guard.
+    val isChange = col("event_id") % 13 === 0 ||
+      col("event_id") % 17 === 0 || col("event_id") % 19 === 0
+    val metaRow = windowed.agg(
+      max(col("event_id")).as("max_id"),
+      sort_array(collect_set(when(isChange, to_date(col("ts"))))).as("days")).head
+    if (!metaRow.isNullAt(0))
+      require(metaRow.getLong(0) < 10000000L,
+        s"cdcMergeSummary insert-key offset 10^7 collides: max event_id=${metaRow.getLong(0)}")
+    val days = metaRow.getSeq[java.sql.Date](1)
     val inserts = windowed.filter(col("event_id") % 19 === 0)
       .withColumn("event_id", col("event_id") + 10000000L)
       .withColumn("op", lit("upsert"))
     val changes = upserts.unionByName(deletes).unionByName(inserts)
       .select((Seq("op") ++ dataCols).map(col): _*)
-    mergeChanges(spark, store, changes)
+    mergeChanges(spark, store, changes, days)
     spark.read.parquet(store)
       .groupBy(col("event_date"))
       .agg(count(lit(1)).as("n_events"),
