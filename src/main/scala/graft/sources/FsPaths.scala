@@ -36,4 +36,49 @@ object FsPaths {
     val h = fs(spark, p)
     if (h.exists(p)) h.delete(p, true)
   }
+
+  /** Write a small UTF-8 string (marker-with-content). */
+  def writeString(spark: SparkSession, p: Path, s: String): Unit = {
+    val out = fs(spark, p).create(p, true)
+    try out.write(s.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Read a small UTF-8 string; None when absent. */
+  def readString(spark: SparkSession, p: Path): Option[String] = {
+    val h = fs(spark, p)
+    if (!h.exists(p)) None
+    else {
+      val in = h.open(p)
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val arr = new Array[Byte](8192)
+        var n = in.read(arr)
+        while (n >= 0) { buf.write(arr, 0, n); n = in.read(arr) }
+        Some(buf.toString("UTF-8"))
+      } finally in.close()
+    }
+  }
+
+  /** Content fingerprint of an input dataset DIRECTORY: md5 over the
+    * sorted (relative name, size, mtime) listing — cheap (metadata
+    * only), and any regeneration of the inputs moves it. Cross-JVM
+    * persisted stores gate their markers on this so a regenerated
+    * corpus can never be served from a stale store.
+    */
+  def dirFingerprint(spark: SparkSession, dir: String): String = {
+    val p = new Path(dir)
+    val h = fs(spark, p)
+    val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+    if (h.exists(p)) {
+      val it = h.listFiles(p, true)
+      while (it.hasNext) {
+        val f = it.next()
+        if (!f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
+          entries += s"${f.getPath.toString.stripPrefix(p.toString)}|${f.getLen}|${f.getModificationTime}"
+      }
+    }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    entries.sorted.foreach(e => md.update(e.getBytes("UTF-8")))
+    md.digest().map(b => f"${b & 0xff}%02x").mkString
+  }
 }

@@ -147,11 +147,17 @@ object StreamingCuration {
       "graft_stream_matrix_sink_" + graft.operators.Search.dirHash(dir))
     val marker = new org.apache.hadoop.fs.Path(path, "_GRAFT_COMPLETE")
     matrixSinkLock.synchronized {
-      if (!FsPaths.exists(spark, marker)) {
+      // unlike the catalog-table stores (whose in-memory catalog forgets
+      // them per JVM, forcing a rebuild), a bare parquet sink SURVIVES
+      // across JVMs — so the completion marker carries the input
+      // corpus's fingerprint, and a regenerated corpus rebuilds instead
+      // of being served stale rows
+      val fp = FsPaths.dirFingerprint(spark, s"$dir/documents.parquet")
+      if (!FsPaths.readString(spark, marker).contains(fp)) {
         FsPaths.deleteRecursively(spark, path)
         matrixReportEndToEnd(spark, dir)
           .write.mode("overwrite").parquet(path.toString)
-        FsPaths.touch(spark, marker)
+        FsPaths.writeString(spark, marker, fp)
       }
     }
     path.toString
