@@ -90,6 +90,8 @@ object SparkEntry {
       "ann_pq_recall"           -> ((s, d) => Similarity.ensureAnnStages(s, d)),
       "ann_ivfadc_topk"         -> ((s, d) => Similarity.ensureAnnStages(s, d)),
       "ann_ivfadc_recall"       -> ((s, d) => Similarity.ensureAnnStages(s, d)),
+      "ann_ivfadc_rerank"       -> ((s, d) => Similarity.ensureAnnStages(s, d)),
+      "dedup_decontaminate"     -> ((s, d) => { TextOps.deconGrams(s, d).count(); () }),
       "ann_lsh_recall"          -> ((s, d) => Similarity.ensureAnnStages(s, d)),
       "ann_hnsw_topk"           -> ((s, d) => operators.Hnsw.ensureHnswStages(s, d)),
       "ann_hnsw_recall"         -> ((s, d) => operators.Hnsw.ensureHnswStages(s, d)),
@@ -293,6 +295,9 @@ object SparkEntry {
     "text_length_histogram" -> (TextOps.lengthHistogram _),
     "text_pack_assign"   -> ((s, d) => TextOps.packAssign(s, d)),
     "dedup_contamination" -> ((s, d) => TextOps.trainTestContamination(s, d)),
+    // GPT-3-style exact 13-gram decontamination: train docs sharing any
+    // word 13-gram with the held-out splits, with dirty/total counts
+    "dedup_decontaminate" -> ((s, d) => TextOps.decontaminate(s, d)),
     // corpus-internal local near-dup: doc pairs sharing >= 3 winnow
     // fingerprints — the plagiarism/shared-span detector (guaranteed to
     // fire on any shared run of >= w+k-1 tokens)
@@ -490,6 +495,9 @@ object SparkEntry {
     // billion-vector production composition of the two index halves
     "ann_ivfadc_topk"         -> ((s, d) => Similarity.ivfadcTopK(s, d)),
     "ann_ivfadc_recall"       -> ((s, d) => Similarity.ivfadcRecall(s, d)),
+    // two-stage serving: ADC nominates a 5k pool, raw vectors re-rank —
+    // exact-cosine final scores over |queries|×cand rows, never corpus
+    "ann_ivfadc_rerank"       -> ((s, d) => Similarity.ivfadcRerankTopK(s, d)),
     "dedup_embedding_cosine"  -> ((s, d) => Similarity.cosineNearDupPairs(s, d)),
     // SemDeDup-style: IVF-list-confined cosine dedup, keep-lowest-id
     "dedup_semdedup"          -> ((s, d) => Similarity.semDedup(s, d)),
@@ -2566,6 +2574,22 @@ object SparkEntry {
         |JOIN fpl ev ON tr.fp = ev.fp
         |JOIN splits se ON ev.doc_id = se.doc_id AND se.split <> 'train'
         |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
+    // GPT-3 13-gram decontamination: the eval side reduces to its
+    // DISTINCT gram set before the join (doc-level membership, never a
+    // train×eval pair explosion); both engines join on md5(gram)
+    "dedup_decontaminate" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sp AS (SELECT doc_id,
+        |         CASE WHEN CAST(('0x' || substr(md5(text), 1, 15)) AS UBIGINT) % 100 < 90
+        |              THEN 'train' ELSE 'eval' END AS split FROM documents),
+        |g AS (SELECT DISTINCT doc_id, md5(array_to_string(t[i:i+12], ' ')) AS gh
+        |      FROM toks, unnest(range(1, len(t) - 11)) u(i)),
+        |ev AS (SELECT DISTINCT gh FROM g JOIN sp USING (doc_id) WHERE sp.split = 'eval'),
+        |tr AS (SELECT g.doc_id, g.gh FROM g JOIN sp USING (doc_id) WHERE sp.split = 'train'),
+        |d AS (SELECT doc_id, count(*) AS n_dirty FROM tr JOIN ev USING (gh) GROUP BY 1),
+        |tot AS (SELECT doc_id, count(*) AS n_grams FROM tr GROUP BY 1)
+        |SELECT d.doc_id, tot.n_grams, d.n_dirty
+        |FROM d JOIN tot USING (doc_id) ORDER BY doc_id""".stripMargin,
     // same winnow fingerprint chain, corpus-internal self-join
     "dedup_winnow_spans" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
@@ -3133,6 +3157,35 @@ object SparkEntry {
         |  WHERE rk <= 5),
         |$truthCte,
         |$recallTail""".stripMargin,
+    // two-stage refine: the IVFADC CTEs nominate a 25-candidate pool,
+    // the final ranking re-scores ONLY the pool on exact cosine — the
+    // shared $cosSql operation tree, so scores hash-match bit-exactly
+    "ann_ivfadc_rerank" ->
+      s"""WITH $centCte,
+        |$ivfCtes,
+        |$pqCtes,
+        |adcq AS (
+        |  SELECT p.q_id, a.vec_id
+        |  FROM probes p JOIN assigned a ON p.list_id = a.list_id
+        |  WHERE a.vec_id <> p.q_id),
+        |ivfadc AS (
+        |  SELECT x.q_id, x.vec_id, CAST(SUM(q.dq) AS BIGINT) AS adc_dist
+        |  FROM adcq x JOIN codes c ON c.vec_id = x.vec_id
+        |  JOIN qd q ON q.q_id = x.q_id AND q.s = c.s AND q.cent_id = c.code
+        |  GROUP BY 1, 2),
+        |pool AS (
+        |  SELECT q_id, vec_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY q_id
+        |      ORDER BY adc_dist, vec_id) AS rk FROM ivfadc)
+        |  WHERE rk <= 25),
+        |ref AS (
+        |  SELECT pool.q_id, pool.vec_id, ${cosSql("a.embedding", "b.embedding")} AS sim
+        |  FROM pool JOIN embeddings a ON a.vec_id = pool.q_id
+        |  JOIN embeddings b ON b.vec_id = pool.vec_id)
+        |SELECT q_id, vec_id, sim, CAST(rk AS BIGINT) AS rnk
+        |FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+        |        ORDER BY sim DESC, vec_id) AS rk FROM ref)
+        |WHERE rk <= 5""".stripMargin,
     "dedup_embedding_cosine" ->
       s"""WITH ${lshBucketCte()},
          |p AS (

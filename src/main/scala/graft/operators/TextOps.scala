@@ -254,12 +254,17 @@ object TextOps {
     * by construction (exact-dup leakage across splits is impossible;
     * near-dup leakage is what `trainTestContamination` hunts).
     */
-  def splitAssign(docs: DataFrame): DataFrame = {
+  def splitAssign(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("lang"), splitCol.as("split"))
+
+  /** The content-addressed split rule as a column — the single source of
+    * truth [[splitAssign]] and [[decontaminate]] share (md5 bucket:
+    * <90 train, <95 valid, else test).
+    */
+  private[graft] def splitCol: Column = {
     val bucket = pmod(
       conv(substring(md5(col("text")), 1, 15), 16, 10).cast("bigint"), lit(100))
-    docs.select(col("doc_id"), col("lang"),
-      when(bucket < 90, "train").when(bucket < 95, "valid")
-        .otherwise("test").as("split"))
+    when(bucket < 90, "train").when(bucket < 95, "valid").otherwise("test")
   }
 
   /** Split sizes per language — the sanity dashboard for `splitAssign`. */
@@ -562,6 +567,62 @@ object TextOps {
       .filter(col("n_shared") >= minShared)
       .orderBy(col("train_doc"), col("eval_doc"))
   }
+
+  /** GPT-3-style exact 13-gram DECONTAMINATION (Brown et al. 2020
+    * Appendix C — the published recipe PaLM / Llama reuse): a training
+    * document is contaminated when any of its word 13-grams appears in
+    * the held-out (valid ∪ test) split. Where [[trainTestContamination]]
+    * surfaces fuzzy train↔eval PAIRS through winnow fingerprints, this
+    * is the exact-membership doc-level drop filter: per contaminated
+    * train doc, its total distinct 13-gram count and how many of them
+    * are dirty — the evidence a curation run logs before dropping.
+    *
+    * Scale shape: ONE corpus gram explode (distinct per doc via the
+    * [[graft.functions.Expressions.WordShingles]] kernel), staged
+    * because three branches consume it; the eval side reduces to its
+    * DISTINCT gram set before the join, so the join is linear in train
+    * gram occurrences (each meets ≤1 eval-set row) — never
+    * train-docs × eval-docs. Grams ship as md5 keys (32 bytes however
+    * long the gram), the same discipline as the sentence-dedup lane;
+    * the oracle joins on the identical md5, so both engines agree by
+    * construction. Docs shorter than 13 tokens have no grams and
+    * cannot be flagged — exactly the published semantics.
+    */
+  def decontaminate(spark: SparkSession, dir: String, n: Int = 13): DataFrame =
+    deconFrom(deconGrams(spark, dir, n))
+
+  /** [[decontaminate]] over an explicit (doc_id, split, text) frame —
+    * the spec seam (splits injectable; the content-addressed rule
+    * itself is pinned by the `q_dataset_split` oracle row).
+    */
+  private[graft] def decontaminateOf(docs: DataFrame, n: Int = 13): DataFrame =
+    deconFrom(docs.select(col("doc_id"), col("split"),
+      explode(graft.functions.functions.word_shingles(col("text"), n)).as("g"))
+      .select(col("doc_id"), col("split"), md5(col("g")).as("gh")))
+
+  private def deconFrom(g: DataFrame): DataFrame = {
+    val evalGrams = g.filter(col("split") =!= "train").select(col("gh")).distinct()
+    val train = g.filter(col("split") === "train").select(col("doc_id"), col("gh"))
+    val dirty = train.join(evalGrams, Seq("gh"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dirty"))
+    val tot = train.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+    dirty.join(tot, Seq("doc_id"))
+      .select(col("doc_id"), col("n_grams"), col("n_dirty"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The staged (doc_id, split, md5-gram) frame [[decontaminate]]'s
+    * three branches consume — the one corpus-sized pass, memoized per
+    * (session, dir, n) and warmed by the bench build seam.
+    */
+  private[graft] def deconGrams(spark: SparkSession, dir: String,
+                                n: Int = 13): DataFrame =
+    StageMemo.memoized(spark, s"decon_grams_$n", dir) {
+      Tables.documents(spark, dir).select(
+        col("doc_id"), splitCol.as("split"),
+        explode(graft.functions.functions.word_shingles(col("text"), n)).as("g"))
+        .select(col("doc_id"), col("split"), md5(col("g")).as("gh"))
+    }
 
   /** Document fingerprinting: md5 content hash plus a 60-bit numeric
     * fingerprint (md5-prefix) usable as a join/partition key at scale.

@@ -378,4 +378,32 @@ class SimilaritySpec extends SparkSpec {
     assert(pre.values.sum > post.values.sum,
       s"dominance vacuous: pre=${pre.values.sum} post=${post.values.sum}")
   }
+
+  test("ivfadc rerank: stays in the ADC pool, exact-cosine order, recall dominates raw ADC") {
+    def setsOf(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select("q_id", "vec_id").as[(Long, Long)].collect()
+        .groupBy(_._1).map { case (q, a) => q -> a.map(_._2).toSet }
+    val truth = setsOf(Similarity.cosineTopK(spark, sfDir))
+    val pool = setsOf(Similarity.ivfadcTopK(spark, sfDir, k = 25))
+    val raw = setsOf(Similarity.ivfadcTopK(spark, sfDir))
+    val rr = Similarity.ivfadcRerankTopK(spark, sfDir).collect()
+      .groupBy(_.getAs[Long]("q_id"))
+    rr.foreach { case (q, rows) =>
+      assert(rows.map(_.getAs[Long]("vec_id")).toSet.subsetOf(pool(q)),
+        s"q$q: rerank surfaced a vector the ADC pool never nominated")
+      val sims = rows.sortBy(_.getAs[Long]("rnk").toInt).map(_.getAs[Double]("sim"))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b },
+        s"q$q: final ranking not ordered by exact cosine")
+    }
+    // per query: refined recall >= raw ADC recall — guaranteed, because
+    // every truth member inside the pool outranks (by the shared exact
+    // cosine + tie-break) every non-truth pool member, so the refine
+    // pass repairs ALL quantization mis-rankings within the pool
+    truth.keys.foreach { q =>
+      val rrHits = rr.get(q)
+        .map(_.map(_.getAs[Long]("vec_id")).toSet.intersect(truth(q)).size).getOrElse(0)
+      val rawHits = raw.get(q).map(_.intersect(truth(q)).size).getOrElse(0)
+      assert(rrHits >= rawHits, s"q$q: refined $rrHits < raw ADC $rawHits")
+    }
+  }
 }
