@@ -600,9 +600,15 @@ object TextOps {
       explode(graft.functions.functions.word_shingles(col("text"), n)).as("g"))
       .select(col("doc_id"), col("split"), md5(col("g")).as("gh")))
 
-  private def deconFrom(g: DataFrame): DataFrame = {
-    val evalGrams = g.filter(col("split") =!= "train").select(col("gh")).distinct()
-    val train = g.filter(col("split") === "train").select(col("doc_id"), col("gh"))
+  private def deconFrom(g: DataFrame): DataFrame =
+    deconFlags(
+      g.filter(col("split") === "train").select(col("doc_id"), col("gh")),
+      g.filter(col("split") =!= "train").select(col("gh")).distinct())
+
+  /** The flag tail shared with the streaming twin: train-side
+    * (doc_id, gh) occurrences against the reduced eval gram SET.
+    */
+  private[graft] def deconFlags(train: DataFrame, evalGrams: DataFrame): DataFrame = {
     val dirty = train.join(evalGrams, Seq("gh"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dirty"))
     val tot = train.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
@@ -610,6 +616,14 @@ object TextOps {
       .select(col("doc_id"), col("n_grams"), col("n_dirty"))
       .orderBy(col("doc_id"))
   }
+
+  /** Distinct (doc_id, md5-gram) rows of a (doc_id, text) frame — the
+    * per-row half both decontamination faces share.
+    */
+  private[graft] def gramsetOf(docs: DataFrame, n: Int = 13): DataFrame =
+    docs.select(col("doc_id"),
+      explode(graft.functions.functions.word_shingles(col("text"), n)).as("g"))
+      .select(col("doc_id"), md5(col("g")).as("gh"))
 
   /** The staged (doc_id, split, md5-gram) frame [[decontaminate]]'s
     * three branches consume — the one corpus-sized pass, memoized per
