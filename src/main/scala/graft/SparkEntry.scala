@@ -92,6 +92,8 @@ object SparkEntry {
       "ann_ivfadc_recall"       -> ((s, d) => Similarity.ensureAnnStages(s, d)),
       "ann_ivfadc_rerank"       -> ((s, d) => Similarity.ensureAnnStages(s, d)),
       "dedup_decontaminate"     -> ((s, d) => { TextOps.deconGrams(s, d).count(); () }),
+      "dedup_decontaminate_cut" -> ((s, d) => {
+        TextOps.deconGrams(s, d).count(); TextOps.deconCutCovered(s, d).count(); () }),
       "ann_lsh_recall"          -> ((s, d) => Similarity.ensureAnnStages(s, d)),
       "ann_hnsw_topk"           -> ((s, d) => operators.Hnsw.ensureHnswStages(s, d)),
       "ann_hnsw_recall"         -> ((s, d) => operators.Hnsw.ensureHnswStages(s, d)),
@@ -298,6 +300,9 @@ object SparkEntry {
     // GPT-3-style exact 13-gram decontamination: train docs sharing any
     // word 13-gram with the held-out splits, with dirty/total counts
     "dedup_decontaminate" -> ((s, d) => TextOps.decontaminate(s, d)),
+    // the surgical variant (GPT-3 removes windows, not documents):
+    // eval-covered positions cut from the text, clean remainder ships
+    "dedup_decontaminate_cut" -> ((s, d) => TextOps.decontaminateCut(s, d)),
     // corpus-internal local near-dup: doc pairs sharing >= 3 winnow
     // fingerprints — the plagiarism/shared-span detector (guaranteed to
     // fire on any shared run of >= w+k-1 tokens)
@@ -2590,6 +2595,35 @@ object SparkEntry {
         |tot AS (SELECT doc_id, count(*) AS n_grams FROM tr GROUP BY 1)
         |SELECT d.doc_id, tot.n_grams, d.n_dirty
         |FROM d JOIN tot USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // the surgical variant: positions covered by any eval-set 13-gram
+    // cut from the train text (the span_cut tail pointed at eval
+    // membership); md5 gram keys identical on both faces
+    "dedup_decontaminate_cut" ->
+      """WITH base AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sp AS (SELECT doc_id,
+        |         CASE WHEN CAST(('0x' || substr(md5(text), 1, 15)) AS UBIGINT) % 100 < 90
+        |              THEN 'train' ELSE 'eval' END AS split FROM documents),
+        |tb AS (SELECT base.doc_id, t FROM base JOIN sp USING (doc_id)
+        |       WHERE split = 'train'),
+        |toks AS (SELECT doc_id, i, t[i] AS tok
+        |         FROM tb, unnest(range(1, len(t) + 1)) u(i)),
+        |tgrams AS (SELECT doc_id, i, md5(array_to_string(t[i:i+12], ' ')) AS gh
+        |           FROM tb, unnest(range(1, len(t) - 11)) u(i)),
+        |eg AS (SELECT DISTINCT md5(array_to_string(t[i:i+12], ' ')) AS gh
+        |       FROM base JOIN sp USING (doc_id), unnest(range(1, len(t) - 11)) u(i)
+        |       WHERE split <> 'train'),
+        |covered AS (SELECT DISTINCT g.doc_id, p AS pos
+        |            FROM tgrams g JOIN eg USING (gh), unnest(range(g.i, g.i + 13)) v(p)),
+        |cov AS (SELECT doc_id, count(*) AS n_dirty FROM covered GROUP BY 1),
+        |cut AS (SELECT tk.doc_id, string_agg(tk.tok, ' ' ORDER BY tk.i) AS clean_text
+        |        FROM toks tk LEFT JOIN covered cv ON tk.doc_id = cv.doc_id AND tk.i = cv.pos
+        |        WHERE cv.doc_id IS NULL GROUP BY 1),
+        |tot AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM tb)
+        |SELECT t.doc_id, t.n_tokens,
+        |       COALESCE(c.n_dirty, 0) AS n_dirty,
+        |       COALESCE(ct.clean_text, '') AS clean_text
+        |FROM tot t LEFT JOIN cov c USING (doc_id) LEFT JOIN cut ct USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin,
     // same winnow fingerprint chain, corpus-internal self-join
     "dedup_winnow_spans" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),

@@ -67,6 +67,34 @@ class DecontaminateSpec extends SparkSpec {
       (1L, "test", span(12, "z"))).isEmpty)
   }
 
+  test("cut variant: eval-covered positions removed, clean text survives") {
+    val r13 = span(13, "a")
+    val got = TextOps.decontaminateCutOf(Seq(
+      (0L, "train", s"t1 $r13 t2"),
+      (1L, "train", "clean x1 x2"),
+      (2L, "test", s"e1 $r13 e2")).toDF("doc_id", "split", "text"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // doc0: exactly the 13 run positions are dirty; padding survives
+    assert(got(0L) === ((15L, 13L, "t1 t2")))
+    // doc1: clean and short — identity passthrough, zero dirty
+    assert(got(1L) === ((3L, 0L, "clean x1 x2")))
+    // the eval doc itself is never reported
+    assert(!got.contains(2L))
+  }
+
+  test("cut variant: overlapping dirty windows cover the union of positions") {
+    val r14 = span(14, "b")
+    val got = TextOps.decontaminateCutOf(Seq(
+      (0L, "train", s"t1 $r14 t2"),
+      (1L, "valid", s"e1 $r14 e2")).toDF("doc_id", "split", "text"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // a 14-token shared run = two overlapping 13-grams; their coverage
+    // union is 14 positions, counted once each
+    assert(got(0L) === ((16L, 14L, "t1 t2")))
+  }
+
   test("non-vacuous on the gate corpus: near-dups straddle the content-addressed split") {
     val got = TextOps.decontaminate(spark, sfDir).collect()
     info(s"contaminated train docs at sf0.001: ${got.length}")
