@@ -74,6 +74,7 @@ object SparkEntry {
       "search_related_hybrid"   -> ((s, d) => {
         Similarity.cosineTopK(s, d).count(); MinHash.corpusSized(s, d).count(); () }),
       "text_bpe_encode"         -> ((s, d) => TextOps.ensureBpeMerges(s, d)),
+      "text_maxmatch_tokens"    -> ((s, d) => TextOps.ensureBpeMerges(s, d)),
       "text_bpe_bytes_encode"   -> ((s, d) => TextOps.ensureBpeByteMerges(s, d)),
       "text_pack_bpe_bytes"     -> ((s, d) => TextOps.ensureBpeByteMerges(s, d)),
       "text_dsir_topk"          -> ((s, d) => TextOps.ensureDsirStages(s, d)),
@@ -285,6 +286,9 @@ object SparkEntry {
     // (merge memo warmed by the stage builder) — whitespace vs real BPE
     // token budgets side by side; pack variant budgets on the real count
     "text_bpe_encode"    -> ((s, d) => TextOps.bpeEncode(s, d)),
+    // WordPiece-inference greedy maximal munch over the trained vocab —
+    // a third segmentation semantics beside the two BPE replace chains
+    "text_maxmatch_tokens" -> ((s, d) => TextOps.maxMatchEncode(s, d)),
     "text_pack_bpe"      -> ((s, d) => TextOps.packAssignBpe(s, d)),
     // BYTE-LEVEL BPE (GPT-2/tiktoken lineage): same trainer/encoder
     // over the 256-byte alphabet (byte b ↦ U+0100+b) — merges cross
@@ -822,6 +826,45 @@ object SparkEntry {
 
   private def bpeTrainSql(merges: Int): String =
     bpeTrainSqlOver(bpeRoundsCte(merges), merges)
+
+  /** Greedy maximal-munch oracle: the trained vocab tokens (each round's
+    * pair expanded back to base symbols), a per-(word, position) greedy
+    * ADVANCE table (longest matching token, else 1 — a plain aggregation,
+    * computable without iteration), and the walk itself as a recursive
+    * CTE following pos → pos + adv(pos); steps = MAX(n) per word, summed
+    * per doc weighted by occurrences.
+    */
+  private def maxMatchSql(merges: Int): String = {
+    def expand(k: Int, e: String): String =
+      (k - 1 to 1 by -1).foldLeft(e)((acc, j) =>
+        s"replace($acc, ${bpeChar(j)}, (SELECT pair FROM b$j))")
+    val tokRows = (1 to merges)
+      .map(k => s"SELECT ${expand(k, s"(SELECT pair FROM b$k)")} AS tok")
+      .mkString("\nUNION ALL\n")
+    s"""WITH RECURSIVE ${bpeRoundsCte(merges)},
+       |toks AS ($tokRows),
+       |dw AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS n_occ FROM (
+       |         SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+       |       WHERE length(word) > 0 GROUP BY 1, 2),
+       |w AS (SELECT DISTINCT word FROM dw),
+       |pos AS (SELECT word, i FROM w, unnest(range(1, length(word) + 1)) u(i)),
+       |adv AS (SELECT p.word, p.i,
+       |          COALESCE(MAX(CASE WHEN substring(p.word, p.i, length(t.tok)) = t.tok
+       |                            THEN length(t.tok) END), 1) AS adv
+       |        FROM pos p LEFT JOIN toks t ON substring(p.word, p.i, length(t.tok)) = t.tok
+       |        GROUP BY p.word, p.i),
+       |walk(word, pos, n) AS (
+       |  SELECT word, 1, CAST(0 AS BIGINT) FROM w
+       |  UNION ALL
+       |  SELECT wk.word, wk.pos + a.adv, wk.n + 1
+       |  FROM walk wk JOIN adv a ON a.word = wk.word AND a.i = wk.pos),
+       |steps AS (SELECT word, MAX(n) AS n_tok FROM walk GROUP BY 1)
+       |SELECT d.doc_id,
+       |  COALESCE(CAST(SUM(dw.n_occ) AS BIGINT), 0) AS n_ws_tokens,
+       |  COALESCE(CAST(SUM(dw.n_occ * s.n_tok) AS BIGINT), 0) AS n_maxmatch_tokens
+       |FROM documents d LEFT JOIN dw USING (doc_id) LEFT JOIN steps s USING (word)
+       |GROUP BY 1 ORDER BY doc_id""".stripMargin
+  }
 
   /** Byte-repr of the hex string `h` (DuckDB): each hex PAIR becomes
     * `chr(256 + byte)` — the oracle half of
@@ -2188,6 +2231,7 @@ object SparkEntry {
         |ORDER BY n DESC, pair LIMIT 50""".stripMargin,
     "text_bpe_train" -> bpeTrainSql(8),
     "text_bpe_encode" -> bpeEncodeSql(8),
+    "text_maxmatch_tokens" -> maxMatchSql(8),
     "text_bpe_bytes" -> bpeByteTrainSql(8),
     "text_bpe_bytes_encode" -> bpeByteEncodeSql(8),
     "text_pack_bpe" -> bpePackSql(8, 2048),

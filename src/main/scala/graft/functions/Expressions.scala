@@ -203,6 +203,42 @@ object ExpressionKernels extends Serializable {
     * weight table is a broadcast plan literal. Sub-bigram docs score 0
     * (no features — neutral by the centering convention).
     */
+  /** Greedy maximal-munch (MaxMatch / WordPiece-inference) token count:
+    * per whitespace word, repeatedly advance by the LONGEST vocab token
+    * prefixing the remainder (one code point when none matches — the
+    * alphabet is implicitly char-complete, so no UNK path), counting
+    * one output token per step. Tokens matching at one position are
+    * prefixes of each other, so longest-in-UTF-16 ≡ longest-in-code-
+    * points (the oracle's `length()` unit) — no surrogate hazard.
+    */
+  def maxMatchCount(text: UTF8String, vocab: ArrayData): Long = {
+    val words = text.toString.split(' ')
+    val nv = vocab.numElements()
+    val toks = new Array[String](nv)
+    var j = 0
+    while (j < nv) { toks(j) = vocab.getUTF8String(j).toString; j += 1 }
+    var total = 0L
+    var wi = 0
+    while (wi < words.length) {
+      val w = words(wi)
+      var i = 0
+      while (i < w.length) {
+        var best = 0
+        var k = 0
+        while (k < nv) {
+          val t = toks(k)
+          if (t.length > best && w.startsWith(t, i)) best = t.length
+          k += 1
+        }
+        if (best == 0) best = Character.charCount(w.codePointAt(i))
+        i += best
+        total += 1L
+      }
+      wi += 1
+    }
+    total
+  }
+
   def dsirScore(text: UTF8String, wts: ArrayData): Long = {
     val toks = text.toString.split(' ')
     val n = toks.length - 1
@@ -586,6 +622,17 @@ case class DsirScore(left: Expression, right: Expression) extends BinaryExpressi
     copy(left = l, right = r)
 }
 
+/** max_match_count(text, vocab) → greedy maximal-munch token count. */
+case class MaxMatchCount(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(t: Any, v: Any): Any =
+    ExpressionKernels.maxMatchCount(t.asInstanceOf[UTF8String], v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, v) => s"graft.functions.ExpressionKernels.maxMatchCount($t, $v)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** jl_sketch(array<float>, dPrime) → struct(proj_checksum, proj_norm2). */
 case class JlSketch(child: Expression, dPrime: Int) extends UnaryExpression {
   override def dataType: DataType = StructType(Seq(
@@ -719,6 +766,8 @@ object functions {
     toColumn(DsirBuckets(toExpression(text), b))
   def dsir_score(text: Column, weights: Column): Column =
     toColumn(DsirScore(toExpression(text), toExpression(weights)))
+  def max_match_count(text: Column, vocab: Column): Column =
+    toColumn(MaxMatchCount(toExpression(text), toExpression(vocab)))
   def jl_sketch(emb: Column, dPrime: Int): Column =
     toColumn(JlSketch(toExpression(emb), dPrime))
   def minhash_sig(shingles: Column, k: Int): Column =

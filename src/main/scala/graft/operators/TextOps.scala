@@ -1183,6 +1183,37 @@ object TextOps {
     mergesFor(spark, dir, merges); ()
   }
 
+  /** Greedy MAXIMAL-MUNCH tokenization count (`text_maxmatch_tokens`) —
+    * WordPiece's inference algorithm (the MaxMatch / longest-match-first
+    * segmentation BERT's tokenizer runs; Song et al. 2021 "Fast
+    * WordPiece Tokenization" studies exactly this loop) over the
+    * BPE-trained vocabulary: per word, repeatedly take the LONGEST
+    * vocab token prefixing the remainder, falling back one code point
+    * when nothing matches (the single-char alphabet is implicitly
+    * complete, so no UNK). Deliberately a THIRD segmentation semantics
+    * beside the two BPE replace chains: BPE applies merges in training-
+    * rank order (`ab` before `abc` if ranked earlier), maximal munch
+    * always takes the longest — the two differ on nested vocab entries
+    * (MaxMatchSpec constructs the divergence), so this lane is a
+    * genuine algorithm, not a re-labelled encode.
+    *
+    * Scale: one codegen kernel pass per row, zero joins/shuffles — the
+    * 8-token vocabulary enters as ONE array literal (the
+    * [[graft.streaming.StreamingDsir]] serving-kernel discipline), so
+    * the plan is a bare projection at any corpus size.
+    */
+  def maxMatchEncode(spark: SparkSession, dir: String,
+                     merges: Int = 8): DataFrame = {
+    val vocab = typedLit(mergesFor(spark, dir, merges).map(_.token))
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      size(filter(tokens(col("text")), w => length(w) > lit(0)))
+        .cast("bigint").as("n_ws_tokens"),
+      graft.functions.functions.max_match_count(col("text"), vocab)
+        .as("n_maxmatch_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Byte-level vocabulary rows (`text_bpe_bytes`): one row per merge,
     * left/right/new_token in the mapped-byte alphabet — see
     * [[bpeByteMergesOf]]. The oracle unrolls the identical loop with
