@@ -208,6 +208,9 @@ object SparkEntry {
     // KMV theta-sketch set intersection (the operation HLL can't do),
     // estimate next to exact — every hash md5, bit-exact in the oracle
     "q_approx_kmv_intersection" -> ((s, d) => operators.Approx.kmvIntersection(s, d)),
+    // theta-sketch set DIFFERENCE (DataSketches AnotB) — completes the
+    // sketch set-operation triad (HLL union / KMV intersect / this)
+    "q_approx_kmv_anotb" -> ((s, d) => operators.Approx.kmvAnotB(s, d)),
     // market-basket co-occurrence: top part pairs ordered together
     "q_copurchase_pairs"      -> ((s, d) => operators.Relational.qCopurchasePairs(s, d)),
     // integer PageRank over the customer-supplier trade graph, 5
@@ -1663,6 +1666,39 @@ object SparkEntry {
         |         (CAST(CAST(('0x' || substr(st.hk, 1, 15)) AS UBIGINT) AS DOUBLE)
         |          / 1152921504606846976.0)) END AS kmv_estimate,
         |  ex.exact_inter
+        |FROM st, rho, ex""".stripMargin,
+    // theta AnotB: θ = min(θ_A, θ_B) with an unsaturated sketch's θ = 2^60;
+    // retained = A entries strictly below θ absent from B's sketch;
+    // estimate ρ_d/θ mirrored in the engine's exact operation tree
+    "q_approx_kmv_anotb" ->
+      """WITH h AS (SELECT DISTINCT event_type, md5(CAST(user_id AS VARCHAR)) AS h
+        |           FROM events WHERE event_type IN ('view', 'purchase')),
+        |sk AS (SELECT event_type, h FROM (
+        |  SELECT event_type, h,
+        |         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk FROM h)
+        |  WHERE rk <= 64),
+        |sa AS (SELECT CAST(count(*) AS BIGINT) AS n_a, max(h) AS hk_a FROM sk WHERE event_type = 'view'),
+        |sb AS (SELECT CAST(count(*) AS BIGINT) AS n_b, max(h) AS hk_b FROM sk WHERE event_type = 'purchase'),
+        |st AS (SELECT n_a, n_b,
+        |         LEAST(
+        |           CASE WHEN n_a < 64 THEN 1152921504606846976
+        |                ELSE CAST(CAST(('0x' || substr(hk_a, 1, 15)) AS UBIGINT) AS BIGINT) END,
+        |           CASE WHEN n_b < 64 THEN 1152921504606846976
+        |                ELSE CAST(CAST(('0x' || substr(hk_b, 1, 15)) AS UBIGINT) AS BIGINT) END) AS theta
+        |       FROM sa, sb),
+        |rho AS (SELECT CAST(count(*) AS BIGINT) AS rho_d
+        |        FROM sk a, st
+        |        WHERE a.event_type = 'view'
+        |          AND a.h NOT IN (SELECT h FROM sk WHERE event_type = 'purchase')
+        |          AND CAST(CAST(('0x' || substr(a.h, 1, 15)) AS UBIGINT) AS BIGINT) < st.theta),
+        |ex AS (SELECT CAST(count(*) AS BIGINT) AS exact_diff FROM (
+        |  SELECT DISTINCT user_id FROM events WHERE event_type = 'view'
+        |  EXCEPT SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'))
+        |SELECT CAST(64 AS BIGINT) AS k, st.n_a, st.n_b, rho.rho_d,
+        |  CASE WHEN st.n_a < 64 AND st.n_b < 64 THEN CAST(rho.rho_d AS DOUBLE)
+        |       ELSE CAST(rho.rho_d AS DOUBLE) *
+        |            (1152921504606846976.0 / CAST(st.theta AS DOUBLE)) END AS anotb_estimate,
+        |  ex.exact_diff
         |FROM st, rho, ex""".stripMargin,
     // five unrolled exact-integer power iterations — SUM of per-edge
     // (r*17)//(20*deg) contributions is order-independent, so the rank

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -241,15 +241,26 @@ object Approx {
     StageMemo.memoized(spark, s"kmv_intersection_$k", dir)(
       kmvIntersectionBuild(spark, dir, k))
 
+  /** The two k-minimum-value sketches (event_type, h) — the shared
+    * ingest artifact of [[kmvIntersection]] and [[kmvAnotB]]: one
+    * heap-agg pass over distinct user hashes, memoized per (session,
+    * dir, k) so every set operation reads the same 2·k rows.
+    */
+  private def kmvSketches(spark: SparkSession, dir: String, k: Int): DataFrame =
+    StageMemo.memoized(spark, s"kmv_sketches_$k", dir) {
+      val ev = Tables.events(spark, dir)
+      val h = ev.filter(col("event_type").isin("view", "purchase"))
+        .select(col("event_type"), md5(col("user_id").cast("string")).as("h"))
+        .distinct()
+      Dedup.topKPerKey(h, Seq("event_type"), Seq(col("h")), k)
+        .select(col("event_type"), col("h"))
+    }
+
   private def kmvIntersectionBuild(spark: SparkSession, dir: String,
                                    k: Int): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val ev = Tables.events(spark, dir)
-    val h = ev.filter(col("event_type").isin("view", "purchase"))
-      .select(col("event_type"), md5(col("user_id").cast("string")).as("h"))
-      .distinct()
-    val sk = Dedup.topKPerKey(h, Seq("event_type"), Seq(col("h")), k)
-      .select(col("event_type"), col("h"))
+    val sk = kmvSketches(spark, dir, k)
       .persist(MEMORY_AND_DISK) // feeds the merge and both ρ probes
     val merged = sk.select(col("h")).distinct()
       .orderBy(col("h")).limit(k)
@@ -280,4 +291,56 @@ object Approx {
           .as("kmv_estimate"),
         col("exact_inter"))
   }
+
+  /** KMV theta-sketch A-NOT-B — set DIFFERENCE, completing the sketch
+    * set-operation triad (HLL merge = union, [[kmvIntersection]] =
+    * intersection, this = difference; the DataSketches theta AnotB):
+    * estimated |view-users \ purchase-users| next to the exact answer.
+    * θ = min(θ_A, θ_B) where an UNSATURATED sketch's θ is 1 (2^60 in
+    * the 60-bit integer domain — it holds its whole set); retained
+    * ρ_d = A-sketch entries strictly below θ and absent from B's
+    * sketch (sound: every B hash < θ_B is IN B's sketch, so absence
+    * below θ means absence from B); estimate = ρ_d/θ, degenerating to
+    * exact ρ_d when both sketches are complete. All hashes are md5 and
+    * the estimate's operation tree is mirrored in the oracle, so the
+    * sketch itself — not just its contract — is value-exact.
+    *
+    * Scale: same k-bounded story as the intersection — both sketches
+    * ride the shared [[kmvSketches]] memo; everything downstream is
+    * ≤ 2·k rows of arithmetic.
+    */
+  def kmvAnotB(spark: SparkSession, dir: String, k: Int = 64): DataFrame =
+    StageMemo.memoized(spark, s"kmv_anotb_$k", dir) {
+      val two60 = 1152921504606846976L // 2^60
+      val ev = Tables.events(spark, dir)
+      val sk = kmvSketches(spark, dir, k)
+      def hInt(c: Column) =
+        conv(substring(c, 1, 15), 16, 10).cast("bigint")
+      val a = sk.filter(col("event_type") === "view").select(col("h"))
+      val b = sk.filter(col("event_type") === "purchase").select(col("h"))
+      val aStats = a.agg(count(lit(1)).as("n_a"), max(col("h")).as("hk_a"))
+      val bStats = b.agg(count(lit(1)).as("n_b"), max(col("h")).as("hk_b"))
+      val stats = aStats.crossJoin(broadcast(bStats)).select(
+        col("n_a"), col("n_b"),
+        least(
+          when(col("n_a") < k, lit(two60)).otherwise(hInt(col("hk_a"))),
+          when(col("n_b") < k, lit(two60)).otherwise(hInt(col("hk_b"))))
+          .as("theta"))
+      val rhoD = a.join(b, Seq("h"), "left_anti")
+        .crossJoin(broadcast(stats.select(col("theta"))))
+        .filter(hInt(col("h")) < col("theta"))
+        .agg(count(lit(1)).as("rho_d"))
+      val exact = ev.filter(col("event_type") === "view").select(col("user_id"))
+        .except(ev.filter(col("event_type") === "purchase").select(col("user_id")))
+        .agg(count(lit(1)).as("exact_diff"))
+      stats.crossJoin(broadcast(rhoD)).crossJoin(broadcast(exact))
+        .select(
+          lit(k.toLong).as("k"),
+          col("n_a"), col("n_b"), col("rho_d"),
+          when(col("n_a") < k && col("n_b") < k, col("rho_d").cast("double"))
+            .otherwise(col("rho_d").cast("double") *
+              (lit(two60.toDouble) / col("theta").cast("double")))
+            .as("anotb_estimate"),
+          col("exact_diff"))
+    }
 }

@@ -90,4 +90,23 @@ class ApproxSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"),
       "CMS estimate join degraded to a shuffle join")
   }
+
+  test("KMV A-not-B: retained bound, scale-up monotonicity, unsaturated degeneracy") {
+    val r = Approx.kmvAnotB(spark, sfDir).collect().head
+    val (k, nA, nB, rhoD, est, exact) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getLong(5))
+    assert(k === 64L && nA <= 64L && nB <= 64L)
+    assert(rhoD >= 0L && rhoD <= nA, "retained entries live inside A's sketch")
+    // θ ≤ 2^60 ⇒ the estimate only ever scales ρ_d UP; when both
+    // sketches are complete sets (unsaturated) it degenerates to the
+    // exact count — seed-independent invariants, safe under corpus
+    // regeneration
+    assert(est >= rhoD.toDouble - 1e-9)
+    if (nA < 64L && nB < 64L) {
+      assert(est === rhoD.toDouble)
+      assert(rhoD === exact, "complete sketches must answer exactly")
+    }
+    assert(exact >= 0L)
+  }
 }
