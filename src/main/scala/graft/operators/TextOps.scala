@@ -1183,6 +1183,59 @@ object TextOps {
     mergesFor(spark, dir, merges); ()
   }
 
+  /** PERSISTED TOKENIZER ARTIFACT — the deployment seam the session
+    * memo cannot provide: real pipelines train a tokenizer ONCE and
+    * ship the vocabulary as a durable artifact every later job loads
+    * (HuggingFace's `tokenizer.json`, tiktoken's `.tiktoken` files).
+    * The trained merge list persists as a parquet table under the
+    * warehouse with a completion marker carrying the input corpus's
+    * fingerprint ([[graft.sources.FsPaths.dirFingerprint]] — the
+    * cross-JVM-store discipline of the stream-matrix sink): a later
+    * JVM LOADS the 8-row table instead of re-running the corpus-sized
+    * training loop, and a regenerated corpus rebuilds instead of being
+    * served a stale vocabulary. Loaded merges are fed into the same
+    * per-JVM cache [[mergesFor]] trains into, so every encode path
+    * (`bpeEncode`, the packers, [[maxMatchEncode]]) is artifact-backed
+    * with zero code change at the call sites.
+    */
+  def ensureBpeVocabStore(spark: SparkSession, dir: String,
+                          merges: Int = 8): Seq[BpeMerge] = {
+    import graft.sources.FsPaths
+    val path = FsPaths.warehouseTablePath(spark,
+      s"graft_bpe_vocab_${merges}_" + Search.dirHash(dir))
+    val marker = new org.apache.hadoop.fs.Path(path, "_GRAFT_COMPLETE")
+    vocabStoreLock.synchronized {
+      val fp = FsPaths.dirFingerprint(spark, s"$dir/documents.parquet")
+      if (FsPaths.readString(spark, marker).contains(fp)) {
+        bpeMergeCache.computeIfAbsent((dir, merges), _ =>
+          spark.read.parquet(path.toString)
+            .orderBy(col("rank")).collect().toSeq.map(r => BpeMerge(
+              r.getAs[Int]("rank"), r.getAs[String]("pair"),
+              r.getAs[String]("newChar"), r.getAs[String]("left"),
+              r.getAs[String]("right"), r.getAs[String]("token"),
+              r.getAs[Long]("n"))))
+      } else {
+        val ms = mergesFor(spark, dir, merges)
+        FsPaths.deleteRecursively(spark, path)
+        import spark.implicits._
+        ms.toDF("rank", "pair", "newChar", "left", "right", "token", "n")
+          .coalesce(1).write.mode("overwrite").parquet(path.toString)
+        FsPaths.writeString(spark, marker, fp)
+        ms
+      }
+    }
+  }
+  private val vocabStoreLock = new Object
+
+  /** Spec seam: forget the per-JVM trained merges for `dir`, forcing
+    * the next [[ensureBpeVocabStore]] through the LOAD path (a fresh
+    * JVM's view of a persisted artifact).
+    */
+  private[graft] def clearBpeCacheFor(dir: String): Unit = {
+    val it = bpeMergeCache.keySet.iterator
+    while (it.hasNext) if (it.next()._1 == dir) it.remove()
+  }
+
   /** Greedy MAXIMAL-MUNCH tokenization count (`text_maxmatch_tokens`) —
     * WordPiece's inference algorithm (the MaxMatch / longest-match-first
     * segmentation BERT's tokenizer runs; Song et al. 2021 "Fast
