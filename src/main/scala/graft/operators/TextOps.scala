@@ -670,16 +670,24 @@ object TextOps {
   /** [[decontaminateCut]] over an explicit (doc_id, split, text) frame —
     * the spec seam (unstaged).
     */
-  private[graft] def decontaminateCutOf(docs: DataFrame, n: Int = 13): DataFrame = {
-    val trainBase = docs.filter(col("split") === "train")
-      .select(col("doc_id"), tokens(col("text")).as("t"))
+  private[graft] def decontaminateCutOf(docs: DataFrame, n: Int = 13): DataFrame =
+    decontaminateCutBatch(
+      docs.filter(col("split") === "train").select(col("doc_id"), col("text")),
+      gramsetOf(docs.filter(col("split") =!= "train")
+        .select(col("doc_id"), col("text")), n).select(col("gh")).distinct(), n)
+
+  /** The cut pipeline over an explicit all-train (doc_id, text) frame
+    * and a prepared eval gram SET — the unit the streaming twin runs
+    * per micro-batch.
+    */
+  private[graft] def decontaminateCutBatch(docs: DataFrame, evalSet: DataFrame,
+                                           n: Int = 13): DataFrame = {
+    val base = docs.select(col("doc_id"), tokens(col("text")).as("t"))
       .withColumn("nn", size(col("t")))
-    val evalSet = gramsetOf(docs.filter(col("split") =!= "train")
-      .select(col("doc_id"), col("text")), n).select(col("gh")).distinct()
-    val covered = positionalGrams(trainBase, n).join(evalSet, Seq("gh"))
+    val covered = positionalGrams(base, n).join(evalSet, Seq("gh"))
       .select(col("doc_id"), explode(sequence(col("i"), col("i") + (n - 1))).as("pos"))
       .distinct()
-    deconCutTailFrom(trainBase, covered)
+    deconCutTailFrom(base, covered)
   }
 
   /** Positional (doc_id, i, gh) word n-grams of a tokenized frame —

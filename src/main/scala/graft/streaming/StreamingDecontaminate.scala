@@ -49,4 +49,30 @@ object StreamingDecontaminate {
       }
       .option("checkpointLocation", checkpointDir)
       .start()
+
+  /** One micro-batch's SPAN CUTS: the [[graft.operators.TextOps
+    * .decontaminateCut]] tail over arriving train docs vs the static
+    * eval set — per-doc scrubbed text, same zero-state argument as
+    * [[flagBatch]] (coverage depends only on the doc's own positional
+    * grams and the static set).
+    */
+  def cutBatch(batch: DataFrame, evalGrams: DataFrame, n: Int = 13): DataFrame =
+    TextOps.decontaminateCutBatch(batch, evalGrams, n)
+
+  /** Wire an incoming train stream into a parquet sink of scrubbed
+    * docs — the admission gate that ships CLEAN text downstream.
+    */
+  def cutsIntoSink(spark: SparkSession, incoming: DataFrame,
+                   evalGrams: DataFrame, sinkDir: String,
+                   checkpointDir: String, n: Int = 13): StreamingQuery =
+    incoming.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          cutBatch(batch.localCheckpoint(true), evalGrams, n)
+            .write.mode("append").parquet(sinkDir)
+          ()
+        }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
 }
