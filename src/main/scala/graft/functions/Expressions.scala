@@ -145,9 +145,13 @@ object ExpressionKernels extends Serializable {
     * one pass, first-occurrence order (same contents as
     * array_distinct(transform(sequence…, concat_ws(element_at…)))), which
     * chains four non-codegen higher-order functions to do the same thing.
+    * Split keeps trailing empty tokens (limit -1), matching Spark's
+    * `split(col, " ")` and DuckDB's string_split, so gram sets derived
+    * here agree with positional grams built from `TextOps.tokens` and
+    * with the SQL oracle on texts with trailing whitespace.
     */
   def wordShingles(text: UTF8String, k: Int): ArrayData = {
-    val toks = text.toString.split(' ')
+    val toks = text.toString.split(" ", -1)
     val n = toks.length - (k - 1)
     if (n <= 0) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
     val seen = new java.util.LinkedHashSet[String]()

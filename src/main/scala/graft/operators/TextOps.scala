@@ -1224,11 +1224,15 @@ object TextOps {
               r.getAs[Long]("n"))))
       } else {
         val ms = mergesFor(spark, dir, merges)
-        FsPaths.deleteRecursively(spark, path)
         import spark.implicits._
-        ms.toDF("rank", "pair", "newChar", "left", "right", "token", "n")
-          .coalesce(1).write.mode("overwrite").parquet(path.toString)
-        FsPaths.writeString(spark, marker, fp)
+        // temp-dir build + rename: a concurrent cross-JVM reader never
+        // sees the store between delete and rewrite (ADVICE r12)
+        FsPaths.replaceDirAtomically(spark, path) { tmp =>
+          ms.toDF("rank", "pair", "newChar", "left", "right", "token", "n")
+            .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          FsPaths.writeString(spark,
+            new org.apache.hadoop.fs.Path(tmp, "_GRAFT_COMPLETE"), fp)
+        }
         ms
       }
     }

@@ -104,12 +104,10 @@ object CdcMerge {
     val survived = merged.select(col("event_date")).distinct()
       .collect().map(_.getDate(0).toString).toSet
     days.filterNot(d => survived(d.toString)).foreach { d =>
-      val dir = java.nio.file.Paths.get(storeDir, s"event_date=$d")
-      if (java.nio.file.Files.exists(dir)) {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
-          .foreach(java.nio.file.Files.deleteIfExists(_))
-      }
+      // through the store path's OWN filesystem, not java.nio — the
+      // store lives wherever fs.defaultFS says on a real deployment
+      FsPaths.deleteRecursively(spark,
+        new org.apache.hadoop.fs.Path(storeDir, s"event_date=$d"))
     }
     days
   }
@@ -153,32 +151,48 @@ object CdcMerge {
     */
   private[graft] def resetWindow(spark: SparkSession, dir: String, store: String,
                           from: String, until: String): Unit = {
-    import java.nio.file.{Files, Path, Paths}
-    import scala.jdk.CollectionConverters._
+    import org.apache.hadoop.fs.{FileUtil, Path}
+    val conf = spark.sparkContext.hadoopConfiguration
     val src = TimePartitionedStore.ensureDatedLayout(spark, dir)
     val (lo, hi) = (s"event_date=$from", s"event_date=$until")
-    def windowDays(root: String): Seq[Path] =
-      Files.list(Paths.get(root)).iterator().asScala
-        .filter { p =>
-          val n = p.getFileName.toString
-          n.startsWith("event_date=") && n >= lo && n <= hi
-        }.toSeq
-    windowDays(store).foreach { d =>
-      Files.walk(d).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
-    }
-    windowDays(src).foreach { d =>
-      val tgt = Paths.get(store, d.getFileName.toString)
-      Files.walk(d).iterator().asScala.foreach { p =>
-        val rel = tgt.resolve(d.relativize(p).toString)
-        if (Files.isDirectory(p)) Files.createDirectories(rel)
-        else { Files.createDirectories(rel.getParent); Files.copy(p, rel) }
+    // through each path's OWN Hadoop filesystem, not java.nio: the
+    // scratch store and the pristine layout live wherever fs.defaultFS
+    // points on a real deployment (the same local-FS/defaultFS
+    // divergence the stream-matrix sink fix closed)
+    def windowDays(root: String): Seq[Path] = {
+      val rp = new Path(root)
+      val fs = rp.getFileSystem(conf)
+      if (!fs.exists(rp)) Seq.empty
+      else fs.listStatus(rp).toSeq.map(_.getPath).filter { p =>
+        val n = p.getName
+        n.startsWith("event_date=") && n >= lo && n <= hi
       }
+    }
+    windowDays(store).foreach(d => FsPaths.deleteRecursively(spark, d))
+    val storeFs = new Path(store).getFileSystem(conf)
+    windowDays(src).foreach { d =>
+      FileUtil.copy(d.getFileSystem(conf), d, storeFs,
+        new Path(store, d.getName), false, conf)
     }
   }
 
+  /** Per-scratch-dir monitor: [[cdcMergeSummary]] mutates the shared
+    * scratch (resetWindow → merge → read); two unserialized callers on
+    * the same dir would interleave restore and overwrite and corrupt
+    * both stores.
+    */
+  private val mergeLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   def cdcMergeSummary(spark: SparkSession, dir: String,
                       from: String = "2024-01-08",
-                      until: String = "2024-01-10"): DataFrame = {
+                      until: String = "2024-01-10"): DataFrame =
+    mergeLocks.computeIfAbsent(dir, _ => new Object).synchronized {
+      cdcMergeSummaryLocked(spark, dir, from, until)
+    }
+
+  private def cdcMergeSummaryLocked(spark: SparkSession, dir: String,
+                                    from: String, until: String): DataFrame = {
     val store = ensureMergeScratch(spark, dir)
     resetWindow(spark, dir, store, from, until)
     val windowed = spark.read.parquet(store)
@@ -220,5 +234,9 @@ object CdcMerge {
         sum((col("value").cast("decimal(18,2)") * 100).cast("bigint"))
           .as("value_cents"))
       .orderBy(col("event_date"))
+      // materialize the per-day summary (≤ days rows) while we still
+      // hold the lock — a lazily-escaping plan would re-read the store
+      // after a later caller has mutated it
+      .localCheckpoint(true)
   }
 }

@@ -59,6 +59,30 @@ object FsPaths {
     }
   }
 
+  /** Atomically (re)build a directory artifact: `build` writes the full
+    * contents — data files AND completion marker — into a fresh sibling
+    * temp dir, which is then renamed into place (dir rename is a
+    * metadata op on HDFS/local FS). A JVM-local lock can only serialize
+    * one process; this closes the cross-JVM window where a concurrent
+    * reader could observe the target between delete and rewrite, or a
+    * second builder could interleave its writes with ours: the target
+    * either holds the previous complete artifact, is briefly absent, or
+    * holds the new complete artifact — never a partial one.
+    */
+  def replaceDirAtomically(spark: SparkSession, target: Path)
+                          (build: Path => Unit): Unit = {
+    val h = fs(spark, target)
+    val qualified = h.makeQualified(target)
+    val tmp = new Path(qualified.getParent,
+      qualified.getName + "__build_" + java.util.UUID.randomUUID().toString.take(8))
+    try {
+      build(tmp)
+      h.delete(qualified, true)
+      if (!h.rename(tmp, qualified))
+        throw new java.io.IOException(s"rename $tmp -> $qualified failed")
+    } finally h.delete(tmp, true) // no-op after a successful rename
+  }
+
   /** Content fingerprint of an input dataset DIRECTORY: md5 over the
     * sorted (relative name, size, mtime) listing — cheap (metadata
     * only), and any regeneration of the inputs moves it. Cross-JVM
@@ -68,13 +92,19 @@ object FsPaths {
   def dirFingerprint(spark: SparkSession, dir: String): String = {
     val p = new Path(dir)
     val h = fs(spark, p)
+    // Strip against the QUALIFIED root: listFiles returns scheme-qualified
+    // paths (file:/...), so stripping the caller's possibly-unqualified
+    // string would be a no-op and leak the absolute location into the
+    // hash — equivalent dir spellings would fingerprint differently and
+    // force spurious store rebuilds.
+    val root = h.makeQualified(p).toString
     val entries = scala.collection.mutable.ArrayBuffer.empty[String]
     if (h.exists(p)) {
       val it = h.listFiles(p, true)
       while (it.hasNext) {
         val f = it.next()
         if (!f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
-          entries += s"${f.getPath.toString.stripPrefix(p.toString)}|${f.getLen}|${f.getModificationTime}"
+          entries += s"${f.getPath.toString.stripPrefix(root)}|${f.getLen}|${f.getModificationTime}"
       }
     }
     val md = java.security.MessageDigest.getInstance("MD5")

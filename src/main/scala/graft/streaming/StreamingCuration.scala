@@ -154,10 +154,14 @@ object StreamingCuration {
       // of being served stale rows
       val fp = FsPaths.dirFingerprint(spark, s"$dir/documents.parquet")
       if (!FsPaths.readString(spark, marker).contains(fp)) {
-        FsPaths.deleteRecursively(spark, path)
-        matrixReportEndToEnd(spark, dir)
-          .write.mode("overwrite").parquet(path.toString)
-        FsPaths.writeString(spark, marker, fp)
+        // temp-dir build + rename: cross-JVM readers never observe the
+        // sink between delete and rewrite (ADVICE r12)
+        FsPaths.replaceDirAtomically(spark, path) { tmp =>
+          matrixReportEndToEnd(spark, dir)
+            .write.mode("overwrite").parquet(tmp.toString)
+          FsPaths.writeString(spark,
+            new org.apache.hadoop.fs.Path(tmp, "_GRAFT_COMPLETE"), fp)
+        }
       }
     }
     path.toString
