@@ -75,6 +75,7 @@ object SparkEntry {
         Similarity.cosineTopK(s, d).count(); MinHash.corpusSized(s, d).count(); () }),
       "text_bpe_encode"         -> ((s, d) => TextOps.ensureBpeMerges(s, d)),
       "text_maxmatch_tokens"    -> ((s, d) => TextOps.ensureBpeMerges(s, d)),
+      "text_unigram_tokens"     -> ((s, d) => TextOps.ensureBpeMerges(s, d)),
       "text_bpe_bytes_encode"   -> ((s, d) => TextOps.ensureBpeByteMerges(s, d)),
       "text_pack_bpe_bytes"     -> ((s, d) => TextOps.ensureBpeByteMerges(s, d)),
       "text_dsir_topk"          -> ((s, d) => TextOps.ensureDsirStages(s, d)),
@@ -292,6 +293,10 @@ object SparkEntry {
     // WordPiece-inference greedy maximal munch over the trained vocab —
     // a third segmentation semantics beside the two BPE replace chains
     "text_maxmatch_tokens" -> ((s, d) => TextOps.maxMatchEncode(s, d)),
+    // SentencePiece unigram-LM inference: Viterbi over frequency-
+    // weighted vocab (fewest tokens, then highest frequency sum) —
+    // completes the tokenizer-algorithm triad (BPE / WordPiece / unigram)
+    "text_unigram_tokens" -> ((s, d) => TextOps.unigramEncode(s, d)),
     "text_pack_bpe"      -> ((s, d) => TextOps.packAssignBpe(s, d)),
     // BYTE-LEVEL BPE (GPT-2/tiktoken lineage): same trainer/encoder
     // over the 256-byte alphabet (byte b ↦ U+0100+b) — merges cross
@@ -866,6 +871,61 @@ object SparkEntry {
        |  COALESCE(CAST(SUM(dw.n_occ) AS BIGINT), 0) AS n_ws_tokens,
        |  COALESCE(CAST(SUM(dw.n_occ * s.n_tok) AS BIGINT), 0) AS n_maxmatch_tokens
        |FROM documents d LEFT JOIN dw USING (doc_id) LEFT JOIN steps s USING (word)
+       |GROUP BY 1 ORDER BY doc_id""".stripMargin
+  }
+
+  /** Unigram-LM Viterbi oracle ([[graft.operators.TextOps.unigramEncode]]):
+    * the trained vocab tokens with their merge counts, a per-(word, end)
+    * CANDIDATE table (every token match ending at `e`, plus the
+    * single-char fallback at frequency 0 — so every boundary is
+    * reachable), and the DP itself as a recursive CTE advancing one
+    * boundary per iteration, carrying the best-cost vector as a LIST
+    * (one row per word per iteration — never a path explosion). Costs
+    * are T-encoded (k·T − s, T = 10^12): the single bigint min IS the
+    * lexicographic (fewest tokens, then highest frequency sum) optimum
+    * while s < T, and both outputs decode from it exactly.
+    */
+  private def unigramSql(merges: Int): String = {
+    val T = "1000000000000"
+    def expand(k: Int, e: String): String =
+      (k - 1 to 1 by -1).foldLeft(e)((acc, j) =>
+        s"replace($acc, ${bpeChar(j)}, (SELECT pair FROM b$j))")
+    val tokRows = (1 to merges)
+      .map(k => s"SELECT ${expand(k, s"(SELECT pair FROM b$k)")} AS tok, (SELECT n FROM b$k) AS n")
+      .mkString("\nUNION ALL\n")
+    s"""WITH RECURSIVE ${bpeRoundsCte(merges)},
+       |toks AS ($tokRows),
+       |dw AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS n_occ FROM (
+       |         SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+       |       WHERE length(word) > 0 GROUP BY 1, 2),
+       |w AS (SELECT DISTINCT word FROM dw),
+       |pos AS (SELECT word, CAST(i AS INTEGER) AS i
+       |        FROM w, unnest(range(1, length(word) + 1)) u(i)),
+       |cand0 AS (
+       |  SELECT word, i + 1 AS e, i AS s, CAST(0 AS BIGINT) AS f FROM pos
+       |  UNION ALL
+       |  SELECT p.word, p.i + length(t.tok) AS e, p.i AS s, t.n AS f
+       |  FROM pos p JOIN toks t ON substring(p.word, p.i, length(t.tok)) = t.tok),
+       |cands AS (SELECT word, e, list(struct_pack(s := s, f := f)) AS cs
+       |          FROM cand0 GROUP BY 1, 2),
+       |dp(word, e, bv) AS (
+       |  SELECT word, 1, [CAST(0 AS BIGINT)] FROM w
+       |  UNION ALL
+       |  SELECT d.word, d.e + 1,
+       |    list_append(d.bv, list_min(list_transform(c.cs,
+       |      x -> d.bv[x.s] + $T - x.f)))
+       |  FROM dp d JOIN cands c ON c.word = d.word AND c.e = d.e + 1
+       |  WHERE d.e <= length(d.word)),
+       |res AS (
+       |  SELECT word, (val - 1) // $T + 1 AS k,
+       |         ((val - 1) // $T + 1) * $T - val AS s
+       |  FROM (SELECT word, bv[length(word) + 1] AS val FROM dp
+       |        WHERE e = length(word) + 1))
+       |SELECT d.doc_id,
+       |  COALESCE(CAST(SUM(dw.n_occ) AS BIGINT), 0) AS n_ws_tokens,
+       |  COALESCE(CAST(SUM(dw.n_occ * r.k) AS BIGINT), 0) AS n_unigram_tokens,
+       |  COALESCE(CAST(SUM(dw.n_occ * r.s) AS BIGINT), 0) AS unigram_freq
+       |FROM documents d LEFT JOIN dw USING (doc_id) LEFT JOIN res r USING (word)
        |GROUP BY 1 ORDER BY doc_id""".stripMargin
   }
 
@@ -2268,6 +2328,7 @@ object SparkEntry {
     "text_bpe_train" -> bpeTrainSql(8),
     "text_bpe_encode" -> bpeEncodeSql(8),
     "text_maxmatch_tokens" -> maxMatchSql(8),
+    "text_unigram_tokens" -> unigramSql(8),
     "text_bpe_bytes" -> bpeByteTrainSql(8),
     "text_bpe_bytes_encode" -> bpeByteEncodeSql(8),
     "text_pack_bpe" -> bpePackSql(8, 2048),

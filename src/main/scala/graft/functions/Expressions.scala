@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -241,6 +241,85 @@ object ExpressionKernels extends Serializable {
       wi += 1
     }
     total
+  }
+
+  /** Unigram-LM (SentencePiece-style) Viterbi segmentation — the third
+    * tokenizer-inference algorithm beside the BPE replace chain and
+    * WordPiece's maximal munch ([[maxMatchCount]]). Kudo 2018 segments
+    * by Viterbi over per-token log-probabilities; to stay bit-exact
+    * across engines the additive score is the LOG-FREE integer
+    * surrogate cost(t) = T − freq(t) (single-char fallback freq 0),
+    * whose minimization is exactly the lexicographic objective
+    * (fewest tokens, then highest total token frequency). The DP here
+    * runs that lexicographic form directly in exact integers — no T,
+    * no overflow at any corpus scale; the SQL oracle carries the
+    * T-encoded cost (valid while any word's frequency sum < T = 10^12,
+    * guarded loudly in the lane builder).
+    *
+    * Genuinely diverges from maximal munch: vocab {ab, bcd}, word
+    * "abcd" → munch takes "ab" then falls back twice (3 tokens);
+    * Viterbi finds [a, bcd] (2 tokens). UnigramSpec constructs this.
+    *
+    * Positions are UTF-16 code units with single-char steps advancing
+    * one CODE POINT ([[maxMatchCount]]'s discipline), so counts match
+    * the oracle's code-point DP on supplementary-plane text.
+    *
+    * Returns (n_tokens, freq_sum) summed over the row's words.
+    */
+  def unigramViterbi(text: UTF8String, vocab: ArrayData, freqs: ArrayData): InternalRow = {
+    val words = text.toString.split(' ')
+    val nv = vocab.numElements()
+    val toks = new Array[String](nv)
+    val fr = new Array[Long](nv)
+    var j = 0
+    while (j < nv) {
+      toks(j) = vocab.getUTF8String(j).toString
+      fr(j) = freqs.getLong(j)
+      j += 1
+    }
+    var totK = 0L
+    var totS = 0L
+    var wi = 0
+    while (wi < words.length) {
+      val w = words(wi)
+      val L = w.length
+      if (L > 0) {
+        // forward DP over boundaries; non-code-point-boundary positions
+        // stay unreachable (every reachable advance lands on a boundary)
+        val bk = new Array[Long](L + 1)
+        val bs = new Array[Long](L + 1)
+        java.util.Arrays.fill(bk, Long.MaxValue)
+        bk(0) = 0L
+        var i = 0
+        while (i < L) {
+          if (bk(i) != Long.MaxValue) {
+            val ki = bk(i); val si = bs(i)
+            // single-code-point fallback, frequency 0
+            val nxt = i + Character.charCount(w.codePointAt(i))
+            if (ki + 1 < bk(nxt) || (ki + 1 == bk(nxt) && si > bs(nxt))) {
+              bk(nxt) = ki + 1; bs(nxt) = si
+            }
+            var k = 0
+            while (k < nv) {
+              val t = toks(k)
+              if (w.startsWith(t, i)) {
+                val e = i + t.length
+                val s2 = si + fr(k)
+                if (ki + 1 < bk(e) || (ki + 1 == bk(e) && s2 > bs(e))) {
+                  bk(e) = ki + 1; bs(e) = s2
+                }
+              }
+              k += 1
+            }
+          }
+          i += 1
+        }
+        totK += bk(L)
+        totS += bs(L)
+      }
+      wi += 1
+    }
+    InternalRow(totK, totS)
   }
 
   def dsirScore(text: UTF8String, wts: ArrayData): Long = {
@@ -637,6 +716,26 @@ case class MaxMatchCount(left: Expression, right: Expression) extends BinaryExpr
     copy(left = l, right = r)
 }
 
+/** unigram_viterbi(text, vocab, freqs) → struct(n_tokens, freq_sum):
+  * lexicographic Viterbi segmentation over a frequency-weighted
+  * vocabulary — see [[ExpressionKernels.unigramViterbi]].
+  */
+case class UnigramViterbi(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("freq_sum", LongType, nullable = false)))
+  override def nullSafeEval(t: Any, v: Any, f: Any): Any =
+    ExpressionKernels.unigramViterbi(t.asInstanceOf[UTF8String],
+      v.asInstanceOf[ArrayData], f.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, v, f) =>
+      s"graft.functions.ExpressionKernels.unigramViterbi($t, $v, $f)")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+}
+
 /** jl_sketch(array<float>, dPrime) → struct(proj_checksum, proj_norm2). */
 case class JlSketch(child: Expression, dPrime: Int) extends UnaryExpression {
   override def dataType: DataType = StructType(Seq(
@@ -772,6 +871,9 @@ object functions {
     toColumn(DsirScore(toExpression(text), toExpression(weights)))
   def max_match_count(text: Column, vocab: Column): Column =
     toColumn(MaxMatchCount(toExpression(text), toExpression(vocab)))
+  def unigram_viterbi(text: Column, vocab: Column, freqs: Column): Column =
+    toColumn(UnigramViterbi(toExpression(text), toExpression(vocab),
+      toExpression(freqs)))
   def jl_sketch(emb: Column, dPrime: Int): Column =
     toColumn(JlSketch(toExpression(emb), dPrime))
   def minhash_sig(shingles: Column, k: Int): Column =

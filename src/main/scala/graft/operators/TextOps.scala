@@ -1279,6 +1279,45 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Unigram-LM segmentation (`text_unigram_tokens`) — the THIRD
+    * tokenizer-inference algorithm beside the BPE replace chain and
+    * WordPiece maximal munch: SentencePiece (Kudo 2018) picks the
+    * segmentation maximizing the summed per-token score by Viterbi.
+    * Scores here are the log-free integer surrogate freq(t) (trained
+    * merge counts; single-char fallback 0), minimized lexicographically
+    * as (token count asc, frequency sum desc) ≡ min Σ (T − freq) — see
+    * [[graft.functions.ExpressionKernels.unigramViterbi]]. Emits per
+    * doc the whitespace-token count, the Viterbi token count, and the
+    * Viterbi frequency sum (the tie-break evidence, pinning the full
+    * DP — not just its length — against the oracle).
+    *
+    * Scale: one codegen kernel pass per row, vocabulary as ONE array
+    * literal pair, zero joins/shuffles — a bare projection at any
+    * corpus size (the [[maxMatchEncode]] plan shape). The oracle
+    * re-derives the DP per distinct word with a recursive CTE carrying
+    * the cost vector as a list, T-encoded (k·T − s, T = 10^12) — the
+    * `require` below fails loudly at the corpus size where a word's
+    * frequency sum could reach T and the encoding would go ambiguous.
+    */
+  def unigramEncode(spark: SparkSession, dir: String,
+                    merges: Int = 8): DataFrame = {
+    val ms = mergesFor(spark, dir, merges)
+    require(ms.map(_.n).max < 1000000000L,
+      s"unigram oracle T-encoding headroom exhausted: max merge count ${ms.map(_.n).max}")
+    val vocab = typedLit(ms.map(_.token))
+    val freqs = typedLit(ms.map(_.n))
+    Tables.documents(spark, dir)
+      .withColumn("__uv",
+        graft.functions.functions.unigram_viterbi(col("text"), vocab, freqs))
+      .select(
+        col("doc_id"),
+        size(filter(tokens(col("text")), w => length(w) > lit(0)))
+          .cast("bigint").as("n_ws_tokens"),
+        col("__uv.n_tokens").as("n_unigram_tokens"),
+        col("__uv.freq_sum").as("unigram_freq"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Byte-level vocabulary rows (`text_bpe_bytes`): one row per merge,
     * left/right/new_token in the mapped-byte alphabet — see
     * [[bpeByteMergesOf]]. The oracle unrolls the identical loop with
