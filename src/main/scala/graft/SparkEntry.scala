@@ -93,9 +93,10 @@ object SparkEntry {
       "ann_ivfadc_topk"         -> ((s, d) => Similarity.ensureAnnStages(s, d)),
       "ann_ivfadc_recall"       -> ((s, d) => Similarity.ensureAnnStages(s, d)),
       "ann_ivfadc_rerank"       -> ((s, d) => Similarity.ensureAnnStages(s, d)),
-      "dedup_decontaminate"     -> ((s, d) => { TextOps.deconGrams(s, d).count(); () }),
+      "dedup_decontaminate"     -> ((s, d) => {
+        TextOps.ensureDeconStores(s, d); TextOps.deconGrams(s, d).count(); () }),
       "dedup_decontaminate_cut" -> ((s, d) => {
-        TextOps.deconGrams(s, d).count(); TextOps.deconCutCovered(s, d).count(); () }),
+        TextOps.ensureDeconStores(s, d); TextOps.deconCutCovered(s, d).count(); () }),
       "ann_lsh_recall"          -> ((s, d) => Similarity.ensureAnnStages(s, d)),
       "ann_hnsw_topk"           -> ((s, d) => operators.Hnsw.ensureHnswStages(s, d)),
       "ann_hnsw_recall"         -> ((s, d) => operators.Hnsw.ensureHnswStages(s, d)),

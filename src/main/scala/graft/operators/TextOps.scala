@@ -589,7 +589,10 @@ object TextOps {
     * cannot be flagged — exactly the published semantics.
     */
   def decontaminate(spark: SparkSession, dir: String, n: Int = 13): DataFrame =
-    deconFrom(deconGrams(spark, dir, n))
+    deconFlags(
+      deconGrams(spark, dir, n).filter(col("split") === "train")
+        .select(col("doc_id"), col("gh")),
+      loadDeconEvalGrams(spark, dir, n))
 
   /** [[decontaminate]] over an explicit (doc_id, split, text) frame —
     * the spec seam (splits injectable; the content-addressed rule
@@ -653,13 +656,71 @@ object TextOps {
   private[graft] def deconCutCovered(spark: SparkSession, dir: String,
                                      n: Int = 13): DataFrame =
     StageMemo.memoized(spark, s"deconcut_covered_$n", dir) {
-      val tgrams = positionalGrams(trainTokenized(spark, dir), n)
-      val evalSet = deconGrams(spark, dir, n)
-        .filter(col("split") =!= "train").select(col("gh")).distinct()
-      tgrams.join(evalSet, Seq("gh"))
-        .select(col("doc_id"), explode(sequence(col("i"), col("i") + (n - 1))).as("pos"))
-        .distinct()
+      spark.read.parquet(ensureDeconStores(spark, dir, n)._2)
     }
+
+  /** The covered-position computation itself (one train gram explode
+    * joined to the eval set) — the build half of the persisted store,
+    * and the value the store must equal (DeconStoreSpec pins parity).
+    */
+  private[graft] def deconCutCoveredCompute(spark: SparkSession, dir: String,
+                                            n: Int = 13): DataFrame = {
+    val tgrams = positionalGrams(trainTokenized(spark, dir), n)
+    val evalSet = deconGrams(spark, dir, n)
+      .filter(col("split") =!= "train").select(col("gh")).distinct()
+    tgrams.join(evalSet, Seq("gh"))
+      .select(col("doc_id"), explode(sequence(col("i"), col("i") + (n - 1))).as("pos"))
+      .distinct()
+  }
+
+  /** PERSISTED DECONTAMINATION ARTIFACTS — the durable face of the
+    * session-staged eval gram set and covered-position frame: real
+    * pipelines materialize both ONCE per eval-set release (GPT-3
+    * Appendix C scrubs against a fixed benchmark suite), then every
+    * later job — a fresh JVM, a streaming ingest — loads the small
+    * store instead of re-paying the corpus gram explode. Two warehouse
+    * parquet tables (the eval splits' distinct md5 grams; the train
+    * docs' covered token positions), fingerprint-gated on the input
+    * corpus and (re)built atomically via temp-dir + rename — the
+    * [[ensureBpeVocabStore]] discipline verbatim. Returns
+    * (evalGramsPath, coveredPath).
+    */
+  def ensureDeconStores(spark: SparkSession, dir: String,
+                        n: Int = 13): (String, String) = {
+    import graft.sources.FsPaths
+    import org.apache.hadoop.fs.Path
+    val evalPath = FsPaths.warehouseTablePath(spark,
+      s"graft_decon_evalgrams_${n}_" + Search.dirHash(dir))
+    val covPath = FsPaths.warehouseTablePath(spark,
+      s"graft_decon_covered_${n}_" + Search.dirHash(dir))
+    deconStoreLock.synchronized {
+      val fp = FsPaths.dirFingerprint(spark, s"$dir/documents.parquet")
+      if (!FsPaths.readString(spark, new Path(evalPath, "_GRAFT_COMPLETE")).contains(fp)) {
+        FsPaths.replaceDirAtomically(spark, evalPath) { tmp =>
+          deconGrams(spark, dir, n).filter(col("split") =!= "train")
+            .select(col("gh")).distinct()
+            .write.mode("overwrite").parquet(tmp.toString)
+          FsPaths.writeString(spark, new Path(tmp, "_GRAFT_COMPLETE"), fp)
+        }
+      }
+      if (!FsPaths.readString(spark, new Path(covPath, "_GRAFT_COMPLETE")).contains(fp)) {
+        FsPaths.replaceDirAtomically(spark, covPath) { tmp =>
+          deconCutCoveredCompute(spark, dir, n)
+            .write.mode("overwrite").parquet(tmp.toString)
+          FsPaths.writeString(spark, new Path(tmp, "_GRAFT_COMPLETE"), fp)
+        }
+      }
+    }
+    (evalPath.toString, covPath.toString)
+  }
+  private val deconStoreLock = new Object
+
+  /** The persisted eval gram set as a frame — the static side a fresh
+    * JVM or a streaming ingest flags against without any corpus pass.
+    */
+  def loadDeconEvalGrams(spark: SparkSession, dir: String,
+                         n: Int = 13): DataFrame =
+    spark.read.parquet(ensureDeconStores(spark, dir, n)._1)
 
   private def trainTokenized(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
