@@ -520,17 +520,73 @@ object Hnsw {
       .groupBy(col("shard"))
       .agg(collect_list(struct(col("q_id"), col("q_emb"))).as("qs"))
     val p = params
+    // the cache key's mtime component: the store's completion marker
+    // moves on every rebuild, so a rebuilt store can never be served
+    // stale graphs (resolved driver-side, a long in the closure)
+    val storeVersion = storeMarkerMtime(spark, table)
     shardBlobs.join(qGrouped.hint("merge"), Seq("shard"))
       .select(col("shard"), col("nodes"), col("qs"))
       .as[ShardProbe]
       .flatMap { sp =>
-        val g = reconstruct(sp.nodes.map(n =>
-          Node(sp.shard, n.vec_id, n.level, n.nbrs, n.embedding)).toArray, p)
+        val g = cachedShardGraph(table, sp.shard, storeVersion) {
+          reconstruct(sp.nodes.map(n =>
+            Node(sp.shard, n.vec_id, n.level, n.nbrs, n.embedding)).toArray, p)
+        }
         sp.qs.iterator.flatMap(q =>
           g.search(normalize(q.q_emb), p.efSearch).iterator
             .filter(_ != q.q_id).map(v => (q.q_id, v)))
       }
       .toDF("q_id", "vec_id")
+  }
+
+  // ── Executor-resident graph cache: [[probeBucketedStore]] is the
+  // repeat-batch SERVING path, and reconstructing every shard's
+  // adjacency + renormalizing its vectors per batch was its remaining
+  // per-batch corpus cost. Reconstructed graphs are cached per
+  // executor JVM keyed (table, shard, store version), SOFT references
+  // so memory pressure evicts graphs before anything OOMs (an evicted
+  // shard just reconstructs on its next probe). Graphs are read-only
+  // after construction (search allocates all per-call state), so
+  // concurrent probe tasks can share one instance safely. ──
+
+  private val shardGraphCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Int, Long), java.lang.ref.SoftReference[Graph]]()
+
+  /** Probe-path reconstructions since JVM start — HnswStoreSpec counts
+    * these across batches (second batch = 0) and across a rebuild.
+    */
+  private[operators] val probeReconstructs =
+    new java.util.concurrent.atomic.AtomicLong(0)
+
+  private def cachedShardGraph(table: String, shard: Int, version: Long)
+                              (build: => Graph): Graph = {
+    val key = (table, shard, version)
+    val ref = shardGraphCache.get(key)
+    val hit = if (ref != null) ref.get() else null
+    if (hit != null) hit
+    else {
+      val g = build
+      probeReconstructs.incrementAndGet()
+      // drop superseded versions of this shard before publishing the
+      // new one — a rebuilt store must not pin the old graphs alive
+      val it = shardGraphCache.keySet.iterator()
+      while (it.hasNext) {
+        val k = it.next()
+        if (k._1 == table && k._2 == shard && k._3 != version) it.remove()
+      }
+      shardGraphCache.put(key, new java.lang.ref.SoftReference(g))
+      g
+    }
+  }
+
+  /** The serving store's version stamp: its completion marker's mtime
+    * (0 when absent — e.g. a spec probing an unmarked table; such a
+    * probe still caches consistently within that store state).
+    */
+  private def storeMarkerMtime(spark: SparkSession, table: String): Long = {
+    val p = storeMarker(spark, table)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.getFileStatus(p).getModificationTime else 0L
   }
 
   private val graphStoreNames =

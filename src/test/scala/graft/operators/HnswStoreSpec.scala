@@ -94,4 +94,32 @@ class HnswStoreSpec extends SparkSpec {
   test("store name is injective across dirs (dirHash rides the slug)") {
     assert(Search.dirHash("/a/b") !== Search.dirHash("/a_b"))
   }
+
+  test("executor-resident graph cache: second batch reconstructs ZERO shards, rebuild invalidates") {
+    val table = Hnsw.ensureBucketedGraphStore(spark, sfDir)
+    def probeOnce(): Long =
+      Hnsw.probeBucketedStore(spark, table,
+        graft.Tables.embeddings(spark, sfDir), 50, Hnsw.Params()).count()
+    val r0 = probeOnce() // warm: populates the per-JVM cache for this store version
+    val c1 = Hnsw.probeReconstructs.get()
+    val r1 = probeOnce()
+    assert(r1 === r0)
+    assert(Hnsw.probeReconstructs.get() === c1,
+      "second batch re-reconstructed shard graphs despite an unchanged store")
+    // rebuild: drop the completion marker, ensure again — the marker's
+    // mtime (the cache's version stamp) moves, so the next probe must
+    // reconstruct fresh graphs instead of serving the old store's
+    val marker = new org.apache.hadoop.fs.Path(
+      graft.sources.FsPaths.warehouseTablePath(spark, table), "_GRAFT_GROWN")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val oldMtime = fs.getFileStatus(marker).getModificationTime
+    fs.delete(marker, false)
+    Thread.sleep(5) // marker mtime must tick past the old stamp
+    assert(Hnsw.ensureBucketedGraphStore(spark, sfDir) === table)
+    assert(fs.getFileStatus(marker).getModificationTime !== oldMtime)
+    val r2 = probeOnce()
+    assert(r2 === r0, "rebuilt store changed probe results")
+    assert(Hnsw.probeReconstructs.get() > c1,
+      "probe served graphs cached from the SUPERSEDED store version")
+  }
 }
