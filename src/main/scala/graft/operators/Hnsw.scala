@@ -413,21 +413,36 @@ object Hnsw {
   def buildGraphStore(spark: SparkSession, base: DataFrame, storeDir: String,
                       shards: Int, params: Params = Params()): Unit = {
     import spark.implicits._
-    base.select(col("vec_id"), col("embedding"))
-      .withColumn("shard", (col("vec_id") % shards).cast("int"))
-      .repartition(shards, col("shard"))
-      .as[(Long, Seq[Float], Int)]
+    builtShardNodes(spark,
+      base.select(col("vec_id"), col("embedding"))
+        .withColumn("shard", (col("vec_id") % shards).cast("int"))
+        .as[(Long, Seq[Float], Int)], shards, params)
+      .toDF()
+      .write.mode("overwrite").partitionBy("shard").parquet(storeDir)
+  }
+
+  /** Per-shard from-scratch graph construction (vec_id-order inserts) —
+    * shared by the initial build and by compaction, so a compacted
+    * shard is node-for-node the graph a fresh build on the remainder
+    * would produce.
+    */
+  private def builtShardNodes(spark: SparkSession,
+                              rows: org.apache.spark.sql.Dataset[(Long, Seq[Float], Int)],
+                              shards: Int, params: Params)
+      : org.apache.spark.sql.Dataset[Node] = {
+    import spark.implicits._
+    // `as[T]` keeps source column names — address the shard column
+    // (always third) positionally
+    rows.repartition(shards, col(rows.columns(2)))
       .mapPartitions { it =>
         it.toArray.groupBy(_._3).toSeq.sortBy(_._1).iterator.flatMap {
           case (shard, rowsUnsorted) =>
-            val rows = rowsUnsorted.sortBy(_._1)
+            val sorted = rowsUnsorted.sortBy(_._1)
             val g = new Graph(params.m, params.efConstruction)
-            rows.foreach { case (id, v, _) => g.insert(id, normalize(v)) }
-            emitNodes(shard, g, rows.map(_._2).toIndexedSeq)
+            sorted.foreach { case (id, v, _) => g.insert(id, normalize(v)) }
+            emitNodes(shard, g, sorted.map(_._2).toIndexedSeq)
         }
       }
-      .toDF()
-      .write.mode("overwrite").partitionBy("shard").parquet(storeDir)
   }
 
   /** Insert a vector batch into the store — HNSW's native ingest at
@@ -475,15 +490,101 @@ object Hnsw {
       .partitionBy("shard").parquet(storeDir)
   }
 
-  /** Exact top-k probe of the store (same contract as the gate lane). */
+  /** Exact top-k probe of the store (same contract as the gate lane).
+    * Tombstoned vec_ids are filtered from the CANDIDATES — dead nodes
+    * keep routing (graph connectivity is untouched until compaction,
+    * the Lucene deleted-doc / Faiss remove_ids-deferred discipline)
+    * but can never surface as results.
+    */
   def probeGraphStore(spark: SparkSession, storeDir: String, dir: String,
                       k: Int = 5, queryStride: Int = 50,
                       params: Params = Params()): DataFrame = {
     val store = spark.read.parquet(storeDir)
       .select(col("shard"), col("vec_id"), col("level"), col("nbrs"), col("embedding"))
-    rerank(spark, dir,
-      searchGraph(spark, store, Tables.embeddings(spark, dir), queryStride, params),
-      k, queryStride)
+    val raw = searchGraph(spark, store, Tables.embeddings(spark, dir),
+      queryStride, params)
+    // a tombstone-free store (the compacted steady state) keeps its
+    // probe plan join-free
+    val cand =
+      if (!graft.sources.FsPaths.exists(spark,
+          new org.apache.hadoop.fs.Path(tombstoneDir(storeDir)))) raw
+      else raw.join(graphTombstones(spark, storeDir).select(col("vec_id")),
+        Seq("vec_id"), "left_anti")
+    rerank(spark, dir, cand, k, queryStride)
+  }
+
+  // ── Tombstoned DELETE (the Faiss remove_ids / Lucene delete-doc
+  // analog): removal appends (vec_id, shard) tombstone rows to a
+  // sidecar directory — O(batch), no store file touched; probes
+  // anti-join the (small, between-compactions) tombstone set out of
+  // their candidates; compaction rebuilds ONLY tombstone-bearing
+  // shards from their live rows and clears the sidecar. ──
+
+  private def tombstoneDir(storeDir: String): String =
+    storeDir.stripSuffix("/") + "_tombstones"
+
+  /** The store's pending tombstones — empty frame when none recorded. */
+  private[operators] def graphTombstones(spark: SparkSession,
+                                         storeDir: String): DataFrame = {
+    val d = tombstoneDir(storeDir)
+    if (graft.sources.FsPaths.exists(spark, new org.apache.hadoop.fs.Path(d)))
+      spark.read.parquet(d).select(col("vec_id"), col("shard"))
+    else {
+      import spark.implicits._
+      spark.emptyDataset[(Long, Int)].toDF("vec_id", "shard")
+    }
+  }
+
+  /** Delete a batch of vec_ids from the store: tombstone rows only —
+    * the shard comes from the same modulo rule every ingest uses, so
+    * compaction knows exactly which shards bear deletes without a
+    * store read. Deleting an absent id is a harmless no-op tombstone.
+    */
+  def removeFromGraphStore(spark: SparkSession, storeDir: String,
+                           ids: DataFrame, shards: Int): Unit =
+    ids.select(col("vec_id").cast("long"))
+      .withColumn("shard", (col("vec_id") % shards).cast("int"))
+      .write.mode("append").parquet(tombstoneDir(storeDir))
+
+  /** Fold pending tombstones into the store: ONLY the shards bearing
+    * tombstones are rebuilt — from scratch on their live rows, in
+    * vec_id insert order ([[builtShardNodes]], the initial build's
+    * construction), so a compacted shard is node-for-node what a fresh
+    * build on the remainder produces. Untouched shards keep their
+    * files byte-identical (dynamic partition overwrite; pinned in
+    * HnswDeleteSpec). A shard whose rows all died is dropped
+    * explicitly (dynamic overwrite writes nothing for it — the
+    * [[graft.sources.CdcMerge]] emptied-partition discipline).
+    */
+  def compactGraphStore(spark: SparkSession, storeDir: String, shards: Int,
+                        params: Params = Params()): Unit = {
+    import spark.implicits._
+    val dead = graphTombstones(spark, storeDir)
+    val touched = dead.select(col("shard")).distinct()
+      .collect().map(_.getInt(0)) // ≤ shards — bounded planning metadata
+    if (touched.nonEmpty) {
+      val live = spark.read.parquet(storeDir)
+        .filter(col("shard").isin(touched.map(Integer.valueOf): _*))
+        .join(dead.select(col("vec_id")), Seq("vec_id"), "left_anti")
+        .select(col("vec_id"), col("embedding"), col("shard"))
+        .as[(Long, Seq[Float], Int)]
+      val rebuilt = builtShardNodes(spark, live, shards, params)
+        .toDF()
+        // materialize before the overwrite starts deleting the very
+        // directories this plan reads
+        .localCheckpoint(true)
+      rebuilt.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("shard").parquet(storeDir)
+      val survived = rebuilt.select(col("shard")).distinct()
+        .collect().map(_.getInt(0)).toSet
+      touched.filterNot(survived).foreach { s =>
+        graft.sources.FsPaths.deleteRecursively(spark,
+          new org.apache.hadoop.fs.Path(storeDir, s"shard=$s"))
+      }
+    }
+    graft.sources.FsPaths.deleteRecursively(spark,
+      new org.apache.hadoop.fs.Path(tombstoneDir(storeDir)))
   }
 
   // ── Bucketed graph store (the repeat-batch SERVING layout):

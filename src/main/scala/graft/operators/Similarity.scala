@@ -532,13 +532,96 @@ object Similarity {
     val probes = ivfProbes(spark, dir, queryStride, codebookK, nProbe)
     val probedLists = probes.select(col("list_id")).distinct()
       .collect().map(_.getLong(0)) // ≤ codebookK (constant) by construction
-    val lists = spark.read.parquet(indexDir)
+    val lists = ivfLiveRows(spark, indexDir)
       .filter(col("list_id").isin(probedLists: _*))
     topKBySim(
       probes.join(lists, Seq("list_id"))
         .filter(col("vec_id") =!= col("q_id"))
         .select(col("q_id"), col("vec_id"),
           round(cosine(col("q_emb"), col("embedding")), 6).as("sim")), k)
+  }
+
+  // ── Tombstoned DELETE for the on-disk IVF index (the [[graft
+  // .operators.Hnsw]] graph-store discipline on the list layout):
+  // deletion appends (vec_id, list_id) tombstones to a sidecar dir,
+  // every probe reads LIVE rows (anti-join, broadcast-small between
+  // compactions), and compaction rebuilds only tombstone-bearing
+  // lists. ──
+
+  private def ivfTombstoneDir(indexDir: String): String =
+    indexDir.stripSuffix("/") + "_tombstones"
+
+  private[operators] def ivfTombstones(spark: SparkSession,
+                                       indexDir: String): DataFrame = {
+    val d = ivfTombstoneDir(indexDir)
+    if (graft.sources.FsPaths.exists(spark, new org.apache.hadoop.fs.Path(d)))
+      spark.read.parquet(d)
+        .select(col("vec_id"), col("list_id").cast("long").as("list_id"))
+    else {
+      import spark.implicits._
+      spark.emptyDataset[(Long, Long)].toDF("vec_id", "list_id")
+    }
+  }
+
+  /** The index's rows minus its pending tombstones — what every probe
+    * scans. The anti-join's right side is the between-compactions
+    * delete backlog, broadcast-sized by operational construction; a
+    * tombstone-free index (the compacted steady state) keeps its plan
+    * join-free.
+    */
+  private def ivfLiveRows(spark: SparkSession, indexDir: String): DataFrame = {
+    val rows = spark.read.parquet(indexDir)
+    if (!graft.sources.FsPaths.exists(spark,
+        new org.apache.hadoop.fs.Path(ivfTombstoneDir(indexDir)))) rows
+    else rows.join(ivfTombstones(spark, indexDir).select(col("vec_id")),
+      Seq("vec_id"), "left_anti")
+  }
+
+  /** Delete a batch of vec_ids: the victims' list_ids are looked up IN
+    * the index (not re-derived from the codebook), so tombstones stay
+    * correct even for rows assigned under an older codebook; absent
+    * ids simply match nothing. O(deleted rows) written, no index file
+    * touched.
+    */
+  def deleteFromIvfIndex(spark: SparkSession, indexDir: String,
+                         ids: DataFrame): Unit =
+    // list_id cast: a re-read partition column infers as int from the
+    // directory names — tombstones carry it as long uniformly
+    spark.read.parquet(indexDir)
+      .select(col("vec_id"), col("list_id").cast("long").as("list_id"))
+      .join(ids.select(col("vec_id").cast("long")), Seq("vec_id"))
+      .distinct()
+      .write.mode("append").parquet(ivfTombstoneDir(indexDir))
+
+  /** Fold pending tombstones in: ONLY tombstone-bearing lists are
+    * rewritten (their live rows, dynamic partition overwrite —
+    * untouched lists keep their files byte-identical), a fully-died
+    * list's directory is dropped explicitly, and the sidecar clears.
+    * Rows are per-row codebook assignments, so a compacted index is
+    * row-identical to a fresh build on the remainder.
+    */
+  def compactIvfIndex(spark: SparkSession, indexDir: String): Unit = {
+    val dead = ivfTombstones(spark, indexDir)
+    val touched = dead.select(col("list_id")).distinct()
+      .collect().map(_.getLong(0)) // ≤ codebookK — bounded planning metadata
+    if (touched.nonEmpty) {
+      val live = spark.read.parquet(indexDir)
+        .filter(col("list_id").isin(touched.map(java.lang.Long.valueOf): _*))
+        .join(dead.select(col("vec_id")), Seq("vec_id"), "left_anti")
+        // materialize before the overwrite deletes the dirs this reads
+        .localCheckpoint(true)
+      live.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("list_id").parquet(indexDir)
+      val survived = live.select(col("list_id").cast("long")).distinct()
+        .collect().map(_.getLong(0)).toSet
+      touched.filterNot(survived).foreach { l =>
+        graft.sources.FsPaths.deleteRecursively(spark,
+          new org.apache.hadoop.fs.Path(indexDir, s"list_id=$l"))
+      }
+    }
+    graft.sources.FsPaths.deleteRecursively(spark,
+      new org.apache.hadoop.fs.Path(ivfTombstoneDir(indexDir)))
   }
 
   /** Product-quantization ANN (the third classic index besides LSH and
