@@ -71,6 +71,7 @@ object SparkEntry {
       "search_tfidf_topk"       -> ((s, d) => operators.Search.ensureSearchStages(s, d)),
       "search_hybrid_rrf"       -> ((s, d) => operators.Search.ensureSearchStages(s, d)),
       "search_eval_mrr"         -> ((s, d) => operators.Search.ensureSearchStages(s, d)),
+      "search_eval_ndcg"        -> ((s, d) => operators.Search.ensureSearchStages(s, d)),
       "search_related_hybrid"   -> ((s, d) => {
         Similarity.cosineTopK(s, d).count(); MinHash.corpusSized(s, d).count(); () }),
       "text_bpe_encode"         -> ((s, d) => TextOps.ensureBpeMerges(s, d)),
@@ -447,6 +448,8 @@ object SparkEntry {
     "search_tfidf_topk"  -> ((s, d) => operators.Search.tfidfTopK(s, d)),
     "search_hybrid_rrf"  -> ((s, d) => operators.Search.hybridRrfTopK(s, d)),
     "search_eval_mrr"    -> ((s, d) => operators.Search.evalRankers(s, d)),
+    // nDCG@10 over the same staged run — the trec_eval triad complete
+    "search_eval_ndcg"   -> ((s, d) => operators.Search.evalNdcg(s, d)),
     // query-by-document hybrid retrieval: exact-cosine semantic
     // neighbors RRF-fused with df-capped n-gram-Jaccard lexical
     // neighbors over asymmetric candidate universes (all-integer
@@ -1166,6 +1169,74 @@ object SparkEntry {
   /** TF-IDF CTE chain over the shared core frames, ending in
     * `tscores(query_id, doc_id, score)`.
     */
+  /** Rank lists + qrels shared by the retrieval-eval metric rows
+    * (MRR/P@k and nDCG@k score the SAME run — the harness never
+    * re-retrieves per metric, mirroring [[graft.operators.Search
+    * .rankedStage]]).
+    */
+  private lazy val evalRankedCtes: String =
+    s"""$bm25ScoreCtes,
+       |$tfidfScoreCtes,
+       |brank AS (SELECT query_id, doc_id, rk FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rk
+       |  FROM scores) WHERE rk <= 10),
+       |trank AS (SELECT query_id, doc_id, rk FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rk
+       |  FROM tscores) WHERE rk <= 10),
+       |fused AS (SELECT COALESCE(a.query_id, b.query_id) AS query_id,
+       |                 COALESCE(a.doc_id, b.doc_id) AS doc_id,
+       |                 COALESCE(1000000 // (60 + a.rk), 0)
+       |                   + COALESCE(1000000 // (60 + b.rk), 0) AS rrf_score
+       |          FROM brank a FULL JOIN trank b
+       |            ON a.query_id = b.query_id AND a.doc_id = b.doc_id),
+       |rrank AS (SELECT query_id, doc_id, rk FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rrf_score DESC, doc_id) AS rk
+       |  FROM fused) WHERE rk <= 10),
+       |ranked AS (SELECT 'bm25' AS ranker, * FROM brank
+       |           UNION ALL SELECT 'rrf', * FROM rrank
+       |           UNION ALL SELECT 'tfidf', * FROM trank),
+       |qn AS (SELECT query_id, count(*) AS n_terms FROM qt GROUP BY 1),
+       |qrels AS (SELECT qt.query_id, tf.doc_id
+       |          FROM qt JOIN tf USING (term) JOIN qn USING (query_id)
+       |          WHERE tf.tf >= 3
+       |          GROUP BY qt.query_id, tf.doc_id, qn.n_terms
+       |          HAVING count(*) = qn.n_terms),
+       |nrel AS (SELECT query_id, count(*) AS n_rel FROM qrels GROUP BY 1)""".stripMargin
+
+  /** nDCG@k oracle: the discount and ideal-prefix tables enter as
+    * integer VALUES literals generated from the SAME Scala array the
+    * engine plan embeds ([[graft.operators.Search.ndcgDiscountsMicro]])
+    * — the log never crosses engines.
+    */
+  private def ndcgSql(k: Int): String = {
+    val disc = operators.Search.ndcgDiscountsMicro(k)
+    val discRows = disc.zipWithIndex
+      .map { case (d, i) => s"(${i + 1}, $d)" }.mkString(", ")
+    val pfxRows = disc.scanLeft(0L)(_ + _).tail.zipWithIndex
+      .map { case (p, i) => s"(${i + 1}, $p)" }.mkString(", ")
+    s"""WITH $evalRankedCtes,
+       |disc AS (SELECT * FROM (VALUES $discRows) t(rk, d)),
+       |pfx AS (SELECT * FROM (VALUES $pfxRows) t(n, p)),
+       |dcg AS (SELECT r.ranker, r.query_id, CAST(SUM(d.d) AS BIGINT) AS dcg
+       |        FROM ranked r
+       |        JOIN qrels qr ON r.query_id = qr.query_id AND r.doc_id = qr.doc_id
+       |        JOIN disc d ON d.rk = r.rk
+       |        GROUP BY 1, 2)
+       |SELECT g.ranker AS ranker, CAST(g.query_id AS BIGINT) AS query_id,
+       |       CAST(COALESCE(n.n_rel, 0) AS BIGINT) AS n_rel,
+       |       CAST(COALESCE(c.dcg, 0) AS BIGINT) AS dcg_micro,
+       |       CAST(COALESCE(p.p, 0) AS BIGINT) AS idcg_micro,
+       |       CAST(CASE WHEN COALESCE(p.p, 0) > 0
+       |            THEN (1000 * COALESCE(c.dcg, 0)) // p.p ELSE 0 END AS BIGINT)
+       |         AS ndcg_permille
+       |FROM (SELECT r.ranker, q.query_id
+       |      FROM (VALUES ('bm25'), ('rrf'), ('tfidf')) r(ranker), q) g
+       |LEFT JOIN nrel n ON n.query_id = g.query_id
+       |LEFT JOIN pfx p ON p.n = LEAST(n.n_rel, $k)
+       |LEFT JOIN dcg c ON c.ranker = g.ranker AND c.query_id = g.query_id
+       |ORDER BY 1, 2""".stripMargin
+  }
+
   private val tfidfScoreCtes: String =
     """stn AS (SELECT count(DISTINCT doc_id) AS n FROM tf),
       |idfv AS (SELECT dfq.term,
@@ -2218,33 +2289,7 @@ object SparkEntry {
     // AND over the shared postings frame); hit_rank / rr_micro /
     // precision@k numerator all integer, per (ranker, query)
     "search_eval_mrr" ->
-      s"""WITH $bm25ScoreCtes,
-         |$tfidfScoreCtes,
-         |brank AS (SELECT query_id, doc_id, rk FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rk
-         |  FROM scores) WHERE rk <= 10),
-         |trank AS (SELECT query_id, doc_id, rk FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rk
-         |  FROM tscores) WHERE rk <= 10),
-         |fused AS (SELECT COALESCE(a.query_id, b.query_id) AS query_id,
-         |                 COALESCE(a.doc_id, b.doc_id) AS doc_id,
-         |                 COALESCE(1000000 // (60 + a.rk), 0)
-         |                   + COALESCE(1000000 // (60 + b.rk), 0) AS rrf_score
-         |          FROM brank a FULL JOIN trank b
-         |            ON a.query_id = b.query_id AND a.doc_id = b.doc_id),
-         |rrank AS (SELECT query_id, doc_id, rk FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rrf_score DESC, doc_id) AS rk
-         |  FROM fused) WHERE rk <= 10),
-         |ranked AS (SELECT 'bm25' AS ranker, * FROM brank
-         |           UNION ALL SELECT 'rrf', * FROM rrank
-         |           UNION ALL SELECT 'tfidf', * FROM trank),
-         |qn AS (SELECT query_id, count(*) AS n_terms FROM qt GROUP BY 1),
-         |qrels AS (SELECT qt.query_id, tf.doc_id
-         |          FROM qt JOIN tf USING (term) JOIN qn USING (query_id)
-         |          WHERE tf.tf >= 3
-         |          GROUP BY qt.query_id, tf.doc_id, qn.n_terms
-         |          HAVING count(*) = qn.n_terms),
-         |nrel AS (SELECT query_id, count(*) AS n_rel FROM qrels GROUP BY 1),
+      s"""WITH $evalRankedCtes,
          |inlist AS (SELECT r.ranker, r.query_id,
          |             min(CASE WHEN qr.doc_id IS NOT NULL THEN r.rk END) AS first_rel,
          |             count(qr.doc_id) AS pk_hits
@@ -2261,6 +2306,7 @@ object SparkEntry {
          |LEFT JOIN nrel n ON n.query_id = g.query_id
          |LEFT JOIN inlist i ON i.ranker = g.ranker AND i.query_id = g.query_id
          |ORDER BY 1, 2""".stripMargin,
+    "search_eval_ndcg" -> ndcgSql(10),
     // query-by-document hybrid: exact-cosine semantic ranks fused with
     // integer-Jaccard lexical ranks over asymmetric universes; all sort
     // keys exact integers (jacc_micro = 1000000*inter DIV union)

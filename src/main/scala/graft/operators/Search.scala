@@ -312,23 +312,34 @@ object Search {
         .select(col("query_id"), col("doc_id"), lit(1L).as("rel"))
     }
 
+  /** The three rank lists (bm25 / rrf / tfidf), k·|queries| rows,
+    * session-staged: [[evalRankers]] and [[evalNdcg]] are two metric
+    * faces of the SAME retrieval run — a real eval harness scores one
+    * run file per ranker, it never re-retrieves per metric. Each
+    * retriever runs ONCE inside the build (the k·|queries|-row lists
+    * persist and feed both the fusion and the union; without this the
+    * RRF branch re-executes both corpus-scoring joins — measured
+    * 3.6 s → 1.5 s at sf0.1).
+    */
+  private def rankedStage(spark: SparkSession, dir: String,
+                          k: Int): DataFrame =
+    StageMemo.memoized(spark, s"search_ranked_$k", dir) {
+      import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val bm = bm25TopK(spark, dir, k).persist(MEMORY_AND_DISK)
+      val tv = tfidfTopK(spark, dir, k).persist(MEMORY_AND_DISK)
+      Seq(
+        "bm25" -> bm,
+        "rrf" -> rrfFuse(bm, tv, k),
+        "tfidf" -> tv)
+        .map { case (tag, df) =>
+          df.select(lit(tag).as("ranker"), col("query_id"), col("doc_id"), col("rnk"))
+        }.reduce(_.unionAll(_))
+    }
+
   def evalRankers(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
     import spark.implicits._
     val qrels = qrelStage(spark, dir)
-    // each retriever runs ONCE: the k·|queries|-row lists persist and
-    // feed both the fusion and the union (without this, the RRF branch
-    // re-executes both corpus-scoring joins — measured 3.6 s → 1.5 s
-    // at sf0.1)
-    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val bm = bm25TopK(spark, dir, k).persist(MEMORY_AND_DISK)
-    val tv = tfidfTopK(spark, dir, k).persist(MEMORY_AND_DISK)
-    val ranked = Seq(
-      "bm25" -> bm,
-      "rrf" -> rrfFuse(bm, tv, k),
-      "tfidf" -> tv)
-      .map { case (tag, df) =>
-        df.select(lit(tag).as("ranker"), col("query_id"), col("doc_id"), col("rnk"))
-      }.reduce(_.unionAll(_))
+    val ranked = rankedStage(spark, dir, k)
     val inList = ranked.join(qrels, Seq("query_id", "doc_id"), "left")
       .groupBy(col("ranker"), col("query_id"))
       .agg(min(when(col("rel") === 1, col("rnk"))).as("first_rel"),
@@ -344,6 +355,57 @@ object Search {
         coalesce(col("first_rel"), lit(0L)).cast("bigint").as("hit_rank"),
         coalesce(expr("1000000 DIV first_rel"), lit(0L)).cast("bigint").as("rr_micro"),
         coalesce(col("pk_hits"), lit(0L)).as("p10_hits"))
+      .orderBy(col("ranker"), col("query_id"))
+  }
+
+  /** The nDCG rank-discount table, pre-scaled to exact integers:
+    * d(r) = ⌊10⁶ / log₂(1+r)⌋ for r = 1..k. Computed ONCE here and
+    * embedded as literals in BOTH the engine plan and the oracle SQL
+    * (the floats never cross engines — the DSIR log-free discipline
+    * applied to the one metric whose definition demands a logarithm).
+    */
+  private[graft] def ndcgDiscountsMicro(k: Int): Seq[Long] =
+    (1 to k).map(r =>
+      math.floor(1e6 / (math.log(1.0 + r) / math.log(2.0))).toLong)
+
+  /** nDCG@k over the same retrieval run — completes the trec_eval
+    * triad beside [[evalRankers]]'s MRR and P@k. Binary relevance
+    * (the qrel contract), so DCG@k = Σ d(rank) over in-list relevant
+    * docs and the ideal DCG is the discount prefix sum at
+    * min(n_rel, k); both ship as exact micro-scaled integers plus the
+    * ‰ ratio (integer division — 0 when the query has no relevant
+    * docs, trec_eval's convention).
+    *
+    * Scale: two broadcast-sized joins over the staged k·|queries| rank
+    * lists ([[rankedStage]] — shared with the MRR lane, retrievers
+    * never re-run per metric); the discount table enters as one
+    * k-entry array literal.
+    */
+  def evalNdcg(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    import spark.implicits._
+    val qrels = qrelStage(spark, dir)
+    val ranked = rankedStage(spark, dir, k)
+    val disc = ndcgDiscountsMicro(k)
+    val discLit = typedLit(disc)
+    val prefixLit = typedLit(disc.scanLeft(0L)(_ + _).tail)
+    val dcg = ranked.join(qrels, Seq("query_id", "doc_id"))
+      .groupBy(col("ranker"), col("query_id"))
+      .agg(sum(element_at(discLit, col("rnk").cast("int"))).as("dcg_micro"))
+    val nRel = qrels.groupBy(col("query_id")).agg(count(lit(1)).as("n_rel"))
+    val grid = Seq("bm25", "rrf", "tfidf").toDF("ranker")
+      .crossJoin(Queries.toDF("query_id", "qtext").select(col("query_id")))
+    grid
+      .join(broadcast(nRel), Seq("query_id"), "left")
+      .join(broadcast(dcg), Seq("ranker", "query_id"), "left")
+      .select(col("ranker"), col("query_id"),
+        coalesce(col("n_rel"), lit(0L)).as("n_rel"),
+        coalesce(col("dcg_micro"), lit(0L)).as("dcg_micro"),
+        coalesce(when(col("n_rel") > 0,
+          element_at(prefixLit, least(col("n_rel"), lit(k.toLong)).cast("int"))),
+          lit(0L)).as("idcg_micro"))
+      .withColumn("ndcg_permille",
+        when(col("idcg_micro") > 0,
+          expr("(1000 * dcg_micro) DIV idcg_micro")).otherwise(lit(0L)))
       .orderBy(col("ranker"), col("query_id"))
   }
 

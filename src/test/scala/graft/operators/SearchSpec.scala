@@ -207,6 +207,48 @@ class SearchSpec extends SparkSpec {
     assert(out.forall(_.getLong(2) > 0))
   }
 
+  test("evalNdcg: DCG/IDCG recompute from raw docs + the rank lists") {
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def qrels(qtext: String): Set[Long] = {
+      val terms = qtext.split(" ").distinct.toSeq
+      docs.filter { case (_, text) =>
+        val tf = text.split(" ").groupBy(identity).map { case (t, v) => t -> v.length }
+        terms.forall(t => tf.getOrElse(t, 0) >= Search.RelevanceTf)
+      }.keySet
+    }
+    def ranks(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Long]] =
+      df.collect().groupBy(_.getLong(0)).map { case (q, rows) =>
+        q -> rows.sortBy(_.getLong(3)).map(_.getLong(1)).toSeq
+      }
+    val lists = Map(
+      "bm25" -> ranks(Search.bm25TopK(spark, sfDir)),
+      "tfidf" -> ranks(Search.tfidfTopK(spark, sfDir)),
+      "rrf" -> ranks(Search.hybridRrfTopK(spark, sfDir)))
+    val disc = Search.ndcgDiscountsMicro(10)
+    val queries = Search.Queries.toMap
+    val out = Search.evalNdcg(spark, sfDir).collect()
+    assert(out.length === 3 * Search.Queries.size)
+    out.foreach { r =>
+      val (ranker, qid) = (r.getString(0), r.getLong(1))
+      val rel = qrels(queries(qid))
+      val list = lists(ranker)(qid)
+      val dcg = list.zipWithIndex
+        .collect { case (d, i) if rel.contains(d) => disc(i) }.sum
+      val idcg = disc.take(math.min(rel.size, 10)).sum
+      assert(r.getLong(2) === rel.size, s"$ranker q$qid n_rel")
+      assert(r.getLong(3) === dcg, s"$ranker q$qid dcg_micro")
+      assert(r.getLong(4) === idcg, s"$ranker q$qid idcg_micro")
+      assert(r.getLong(5) === (if (idcg == 0) 0L else 1000L * dcg / idcg),
+        s"$ranker q$qid ndcg_permille")
+      assert(r.getLong(5) <= 1000L, "nDCG cannot exceed 1")
+    }
+    // non-vacuous: the metric separates — somewhere strictly between
+    // a miss and a perfect list
+    assert(out.exists(r => r.getLong(5) > 0 && r.getLong(5) < 1000))
+  }
+
   test("relatedHybridTopK: fusion recomputes from the cosine and jaccard rank lists") {
     val k = 5
     val sem = Similarity.cosineTopK(spark, sfDir, k, 50).collect()
