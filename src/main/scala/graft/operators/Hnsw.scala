@@ -273,9 +273,13 @@ object Hnsw {
 
   /** One shard's probe work unit off the bucketed store: the shard's
     * serialized nodes (shard-local collect_list) + its query slice.
+    * `ver` is the log-structured store's row version — reconstruction
+    * keeps only the latest row per vec_id (see
+    * [[insertIntoBucketedStore]]).
     */
   final case class StoredNode(vec_id: Long, level: Int,
-                              nbrs: Seq[Seq[Long]], embedding: Seq[Float])
+                              nbrs: Seq[Seq[Long]], embedding: Seq[Float],
+                              ver: Long)
   final case class QVec(q_id: Long, q_emb: Seq[Float])
   final case class ShardProbe(shard: Int, nodes: Seq[StoredNode], qs: Seq[QVec])
 
@@ -613,7 +617,8 @@ object Hnsw {
     val store = spark.table(table)
     val shardBlobs = store.groupBy(col("shard"))
       .agg(collect_list(struct(
-        col("vec_id"), col("level"), col("nbrs"), col("embedding"))).as("nodes"))
+        col("vec_id"), col("level"), col("nbrs"), col("embedding"),
+        col("ver"))).as("nodes"))
     val shardIds = store.select(col("shard")).distinct() // ≤ shards rows
     val qGrouped = emb.filter(col("vec_id") % queryStride === 0)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
@@ -622,22 +627,43 @@ object Hnsw {
       .agg(collect_list(struct(col("q_id"), col("q_emb"))).as("qs"))
     val p = params
     // the cache key's mtime component: the store's completion marker
-    // moves on every rebuild, so a rebuilt store can never be served
-    // stale graphs (resolved driver-side, a long in the closure)
+    // moves on every rebuild AND every insert, so a changed store can
+    // never be served stale graphs (resolved driver-side, a long in
+    // the closure)
     val storeVersion = storeMarkerMtime(spark, table)
     shardBlobs.join(qGrouped.hint("merge"), Seq("shard"))
       .select(col("shard"), col("nodes"), col("qs"))
       .as[ShardProbe]
       .flatMap { sp =>
         val g = cachedShardGraph(table, sp.shard, storeVersion) {
-          reconstruct(sp.nodes.map(n =>
-            Node(sp.shard, n.vec_id, n.level, n.nbrs, n.embedding)).toArray, p)
+          reconstruct(latestNodes(sp.shard, sp.nodes), p)
         }
         sp.qs.iterator.flatMap(q =>
           g.search(normalize(q.q_emb), p.efSearch).iterator
             .filter(_ != q.q_id).map(v => (q.q_id, v)))
       }
       .toDF("q_id", "vec_id")
+  }
+
+  /** Collapse a shard's log-structured rows to the latest version per
+    * vec_id — the read half of [[insertIntoBucketedStore]]'s
+    * append-only maintenance.
+    */
+  private def latestNodes(shard: Int, rows: Seq[StoredNode]): Array[Node] = {
+    val latest = new java.util.HashMap[Long, StoredNode]()
+    rows.foreach { n =>
+      val prev = latest.get(n.vec_id)
+      if (prev == null || n.ver > prev.ver) latest.put(n.vec_id, n)
+    }
+    val out = new Array[Node](latest.size)
+    val it = latest.values().iterator()
+    var i = 0
+    while (it.hasNext) {
+      val n = it.next()
+      out(i) = Node(shard, n.vec_id, n.level, n.nbrs, n.embedding)
+      i += 1
+    }
+    out
   }
 
   // ── Executor-resident graph cache: [[probeBucketedStore]] is the
@@ -703,9 +729,12 @@ object Hnsw {
                                params: Params = Params(),
                                targetShardRows: Int = 4096): String = {
     import graft.sources.FsPaths
+    // _v2: the log-structured schema (ver column) — a fresh slug, so a
+    // warehouse carrying the pre-ver layout rebuilds instead of failing
+    // the probe's ver select
     val name = graphStoreNames.computeIfAbsent(
       (dir, params.m, params.efConstruction, targetShardRows),
-      _ => s"graft_hnsw_store_${params.m}_${params.efConstruction}_" +
+      _ => s"graft_hnsw_store_v2_${params.m}_${params.efConstruction}_" +
         s"${targetShardRows}_" + Search.dirHash(dir))
     graphStoreNames.synchronized {
       if (!spark.catalog.tableExists(name) ||
@@ -713,11 +742,120 @@ object Hnsw {
         if (spark.catalog.tableExists(name)) spark.sql(s"DROP TABLE $name")
         FsPaths.deleteRecursively(spark, FsPaths.warehouseTablePath(spark, name))
         graft.sources.BucketedTables.writeBucketed(
-          ensureGraph(spark, dir, params, targetShardRows), name, "shard")
+          ensureGraph(spark, dir, params, targetShardRows)
+            .withColumn("ver", lit(0L)), name, "shard")
         FsPaths.touch(spark, storeMarker(spark, name))
       }
     }
     name
+  }
+
+  /** Insert a vector batch into the BUCKETED serving store — the
+    * catalog-table counterpart of [[insertIntoGraphStore]], under the
+    * constraint that a bucketed table supports only APPEND maintenance
+    * (no per-partition overwrite): the store is log-structured. The
+    * batch narrows to never-seen vec_ids (replay ⇒ zero writes), the
+    * touched shards' latest graphs are reconstructed and the rows
+    * inserted, and the append ships ONLY the new nodes plus the
+    * existing nodes the inserts REWIRED, stamped with the next version;
+    * probes collapse to the latest row per vec_id ([[latestNodes]]).
+    * Pre-existing bucket files stay byte-identical (append-only — the
+    * [[graft.sources.BucketedTables.appendBucketed]] contract), and the
+    * completion marker is re-touched so the executor graph cache's
+    * version stamp moves. [[compactBucketedStore]] bounds the log.
+    */
+  def insertIntoBucketedStore(spark: SparkSession, table: String,
+                              batch: DataFrame,
+                              params: Params = Params()): Unit = {
+    import spark.implicits._
+    val store = spark.table(table)
+    val meta = store.agg(
+      max(col("shard")).as("max_shard"), max(col("ver")).as("max_ver")).head
+    val shards = meta.getInt(0) + 1
+    val nextVer = meta.getLong(1) + 1L
+    val fresh = batch.select(col("vec_id"), col("embedding"))
+      .join(store.select(col("vec_id")), Seq("vec_id"), "left_anti")
+      .withColumn("shard", (col("vec_id") % shards).cast("int"))
+      .as[(Long, Seq[Float], Int)]
+    val touched = fresh.select(col("shard")).distinct()
+      .collect().map(_.getInt(0)) // ≤ shards — bounded planning metadata
+    if (touched.isEmpty) return
+    val existing = store
+      .filter(col("shard").isin(touched.map(Integer.valueOf): _*))
+      .select(col("shard"), col("vec_id"), col("level"), col("nbrs"),
+        col("embedding"), col("ver"))
+    val p = params
+    val delta = existing.as[(Int, Long, Int, Seq[Seq[Long]], Seq[Float], Long)]
+      .groupByKey(_._1)
+      .cogroup(fresh.groupByKey(_._3)) { (shard, nodesIt, batchIt) =>
+        val latest = latestNodes(shard,
+          nodesIt.map(r => StoredNode(r._2, r._3, r._4, r._5, r._6)).toSeq)
+        val before = latest.map(n => n.vec_id -> (n.level, n.nbrs)).toMap
+        val adds = batchIt.toArray.sortBy(_._1)
+        val g = reconstruct(latest, p)
+        adds.foreach { case (id, v, _) => g.insert(id, normalize(v)) }
+        val embs = latest.sortBy(_.vec_id).map(_.embedding) ++ adds.map(_._2)
+        // ship only what changed: new nodes, plus rewired existing ones
+        emitNodes(shard, g, embs.toIndexedSeq).filter { n =>
+          before.get(n.vec_id) match {
+            case None => true
+            case Some((lvl, nb)) => lvl != n.level || nb != n.nbrs
+          }
+        }
+      }
+    graft.sources.BucketedTables.appendBucketed(
+      delta.toDF().withColumn("ver", lit(nextVer)), table, "shard")
+    // bump the executor graph cache's version stamp
+    graft.sources.FsPaths.touch(spark, storeMarker(spark, table))
+  }
+
+  /** Build a bucketed serving store from an arbitrary base vector set —
+    * [[buildGraphStore]]'s counterpart on the catalog layout, and the
+    * seam the streaming ingest twin grows from.
+    */
+  def buildBucketedStore(spark: SparkSession, base: DataFrame, table: String,
+                         shards: Int, params: Params = Params()): Unit = {
+    import spark.implicits._
+    if (spark.catalog.tableExists(table)) spark.sql(s"DROP TABLE $table")
+    graft.sources.FsPaths.deleteRecursively(spark,
+      graft.sources.FsPaths.warehouseTablePath(spark, table))
+    graft.sources.BucketedTables.writeBucketed(
+      builtShardNodes(spark,
+        base.select(col("vec_id"), col("embedding"))
+          .withColumn("shard", (col("vec_id") % shards).cast("int"))
+          .as[(Long, Seq[Float], Int)], shards, params)
+        .toDF().withColumn("ver", lit(0L)), table, "shard")
+    graft.sources.FsPaths.touch(spark, storeMarker(spark, table))
+  }
+
+  /** Exact top-k probe of an arbitrary bucketed store table — the
+    * [[hnswServedTopK]] tail without the ensure (the grown/streamed
+    * stores' probe seam).
+    */
+  def servedTopKOf(spark: SparkSession, table: String, dir: String,
+                   k: Int = 5, queryStride: Int = 50,
+                   params: Params = Params()): DataFrame =
+    rerank(spark, dir,
+      probeBucketedStore(spark, table, Tables.embeddings(spark, dir),
+        queryStride, params),
+      k, queryStride)
+
+  /** Collapse the log: rewrite the table keeping only the latest row
+    * per vec_id — the periodic maintenance bounding
+    * [[insertIntoBucketedStore]]'s append history. Probe results are
+    * unchanged by construction (probes already read through
+    * [[latestNodes]]).
+    */
+  def compactBucketedStore(spark: SparkSession, table: String): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("ver").desc)
+    val latest = spark.table(table)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+      // materialize before overwriting the table this plan reads
+      .localCheckpoint(true)
+    graft.sources.BucketedTables.writeBucketed(latest, table, "shard")
+    graft.sources.FsPaths.touch(spark, storeMarker(spark, table))
   }
 
   private def storeMarker(spark: SparkSession, name: String): org.apache.hadoop.fs.Path =

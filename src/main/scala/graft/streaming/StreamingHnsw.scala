@@ -42,4 +42,27 @@ object StreamingHnsw {
       }
     checkpoint.fold(writer)(c => writer.option("checkpointLocation", c)).start()
   }
+
+  /** Streaming ingest into the BUCKETED serving store (the
+    * `ann_hnsw_served` catalog table) — the streaming face the r12
+    * layout lacked: each micro-batch rides
+    * [[Hnsw.insertIntoBucketedStore]]'s log-structured append (new +
+    * rewired node rows under the next version, pre-existing bucket
+    * files untouched), and the same anti-join narrowing makes a
+    * replayed batch write NOTHING — store content is exactly-once
+    * under at-least-once delivery, the [[insertSink]] contract on the
+    * serving layout. Each insert also re-touches the store marker, so
+    * standing probes' executor graph caches roll forward per batch.
+    */
+  def bucketedInsertSink(spark: SparkSession, table: String,
+                         vectors: DataFrame,
+                         params: Hnsw.Params = Hnsw.Params(),
+                         checkpoint: Option[String] = None): StreamingQuery = {
+    val writer = vectors.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        Hnsw.insertIntoBucketedStore(spark, table, batch.toDF(), params)
+      }
+    checkpoint.fold(writer)(c => writer.option("checkpointLocation", c)).start()
+  }
 }
