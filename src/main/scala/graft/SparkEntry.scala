@@ -55,6 +55,7 @@ object SparkEntry {
       "dedup_contamination"     -> ((s, d) => TextOps.ensureWinnowIndex(s, d)),
       "ann_ivf_pruned"          -> ((s, d) => { Similarity.ensureIvfIndex(s, d); () }),
       "ann_ivf_append"          -> ((s, d) => { Similarity.ensureGrownIvfIndex(s, d); () }),
+      "ann_ivf_deleted"         -> ((s, d) => { Similarity.ensureDeletedIvfIndex(s, d); () }),
       "source_rollup_incremental" -> ((s, d) => { sources.TimePartitionedStore.ensureDailyRollup(s, d); () }),
       "source_time_partitioned" -> ((s, d) => { sources.TimePartitionedStore.ensureDatedLayout(s, d); () }),
       "source_cdc_merge"        -> ((s, d) => { sources.CdcMerge.ensureMergeScratch(s, d); () }),
@@ -509,6 +510,10 @@ object SparkEntry {
     // their lists only) — append must be indistinguishable from a full
     // rebuild, so the oracle SQL is ann_ivf_topk's verbatim
     "ann_ivf_append"          -> ((s, d) => Similarity.ivfAppendTopK(s, d)),
+    // probe the DELETED-and-compacted index (tombstone → partial
+    // compaction lifecycle) — deletion must cost the survivors nothing,
+    // so the oracle is the pruned SQL minus the victims
+    "ann_ivf_deleted"         -> ((s, d) => Similarity.ivfDeletedTopK(s, d)),
     "ann_pq_recall"           -> ((s, d) => Similarity.pqRecall(s, d)),
     "ann_pq_topk"             -> ((s, d) => Similarity.pqTopK(s, d)),
     // IVFADC: coarse IVF probe confines the scan, PQ codes rank inside
@@ -3303,6 +3308,16 @@ object SparkEntry {
          |SELECT q_id, vec_id, sim, CAST(rk AS BIGINT) AS rnk
          |FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rk
          |      FROM s)
+         |WHERE rk <= 5""".stripMargin,
+    // deleted-and-compacted index: same probes/codebook; the victims
+    // (vec_id % 97 = 0) are simply absent from the candidate side —
+    // deletion must cost the survivors nothing
+    "ann_ivf_deleted" ->
+      s"""WITH $centCte,
+         |$ivfCtes
+         |SELECT q_id, vec_id, sim, CAST(rk AS BIGINT) AS rnk
+         |FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rk
+         |      FROM s WHERE vec_id % 97 <> 0)
          |WHERE rk <= 5""".stripMargin,
     // recall@k of the IVF index vs brute force — second index family
     // under the same exact-integer recall contract as ann_lsh_recall

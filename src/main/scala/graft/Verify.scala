@@ -12,9 +12,32 @@ object Verify {
       if (args.length > 2) args(2).split(',').map(_.trim).toSet else Set.empty
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // same DeployProfile.local map as the bench: the correctness gate
-    // verifies under the exact config the timings were recorded under
+    // verifies under the exact config the timings were recorded under.
+    // SPARK_GRAFT_MASTER overrides the master for the multi-JVM
+    // certification run (e.g. local-cluster[2,16,8192]) — real separate
+    // executor processes, proving no kernel/cache/closure silently
+    // depends on driver-singleton state. Executors are fresh JVMs, so
+    // they need the same classpath and --add-opens the driver got.
+    val masterOverride = sys.env.get("SPARK_GRAFT_MASTER").map { m =>
+      // ABSOLUTE classpath: executor processes launch from the worker
+      // dir, where the driver's relative entries resolve to nothing —
+      // the first trial run failed exactly there (kernel classes
+      // invisible to executor codegen)
+      val cp = sys.props("java.class.path")
+        .split(java.io.File.pathSeparator).filter(_.nonEmpty)
+        .map { p =>
+          if (p.endsWith("*"))
+            new java.io.File(p.dropRight(1)).getAbsolutePath + "/*"
+          else new java.io.File(p).getAbsolutePath
+        }.mkString(java.io.File.pathSeparator)
+      Map(
+        "spark.master" -> m,
+        "spark.executor.extraClassPath" -> cp,
+        "spark.executor.extraJavaOptions" ->
+          sys.env.getOrElse("SPARK_GRAFT_EXECUTOR_OPTS", ""))
+    }.getOrElse(Map.empty[String, String])
     val spark = DeployProfile.configure(
-        SparkSession.builder(), DeployProfile.local(cpus.toInt))
+        SparkSession.builder(), DeployProfile.local(cpus.toInt) ++ masterOverride)
       .withExtensions(new graft.plans.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -485,6 +485,49 @@ object Similarity {
     ivfTopKPrunedAt(spark, dir, ensureGrownIvfIndex(spark, dir, codebookK),
       k, queryStride, codebookK, nProbe)
 
+  /** One deleted-and-compacted index per (JVM, corpus dir): the
+    * [[deleteFromIvfIndex]] → [[compactIvfIndex]] lifecycle as a
+    * durable artifact — built once (fresh index, tombstone the
+    * `vec_id % delMod = 0` victims, fold them in), probed many times.
+    * The `ann_ivf_deleted` lane gates the whole path end to end: its
+    * oracle is the pruned-probe SQL minus the victims, which the
+    * compacted index must match exactly (IVF is exact within probed
+    * lists, so deletion costs no recall on the survivors).
+    */
+  private val ivfDeletedDirs =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int), String]()
+
+  def ensureDeletedIvfIndex(spark: SparkSession, dir: String,
+                            codebookK: Int = CodebookK,
+                            delMod: Int = 97): String = {
+    val p = ivfDeletedDirs.computeIfAbsent((dir, codebookK, delMod),
+      _ => graft.sources.Scratch.tempDir("graft_ivf_del_"))
+    val marker = new org.apache.hadoop.fs.Path(p, "_GRAFT_DELETED")
+    ivfDeletedDirs.synchronized {
+      if (!graft.sources.FsPaths.exists(spark, marker)) {
+        ivfAssigned(spark, dir, codebookK)
+          .repartition(col("list_id"))
+          .write.mode("overwrite").partitionBy("list_id").parquet(p)
+        deleteFromIvfIndex(spark, p,
+          Tables.embeddings(spark, dir)
+            .filter(col("vec_id") % delMod === 0).select(col("vec_id")))
+        compactIvfIndex(spark, p)
+        graft.sources.FsPaths.touch(spark, marker)
+      }
+    }
+    p
+  }
+
+  /** The `ann_ivf_deleted` registry row: pruned top-k probe of the
+    * deleted-and-compacted index.
+    */
+  def ivfDeletedTopK(spark: SparkSession, dir: String, k: Int = 5,
+                     queryStride: Int = 50, codebookK: Int = CodebookK,
+                     nProbe: Int = 4, delMod: Int = 97): DataFrame =
+    ivfTopKPrunedAt(spark, dir,
+      ensureDeletedIvfIndex(spark, dir, codebookK, delMod),
+      k, queryStride, codebookK, nProbe)
+
   /** The search half of [[ivfTopKPruned]]: probe an ALREADY-BUILT index. */
   /** FILTERED vector search — the metadata-predicate ∧ ANN combination
     * every production vector store advertises: the query probes its
