@@ -394,7 +394,10 @@ object Hnsw {
     sorted.foreach(n => g.load(n.vec_id, normalize(n.embedding), n.level))
     sorted.iterator.zipWithIndex.foreach { case (n, i) =>
       n.nbrs.iterator.zipWithIndex.foreach { case (ns, lev) =>
-        g.wire(i, lev, ns.map(index))
+        // flatMap: a neighbor id absent from the shard is a DANGLING
+        // edge left by a tombstoned delete ([[removeFromBucketedStore]])
+        // — dropped, never an error
+        g.wire(i, lev, ns.flatMap(index.get))
       }
     }
     g
@@ -647,7 +650,11 @@ object Hnsw {
 
   /** Collapse a shard's log-structured rows to the latest version per
     * vec_id — the read half of [[insertIntoBucketedStore]]'s
-    * append-only maintenance.
+    * append-only maintenance. A latest row with level < 0 is a
+    * TOMBSTONE ([[removeFromBucketedStore]]): the node is dropped and
+    * its id stripped from the survivors' adjacency (the bucketed
+    * layout cannot keep dead nodes as routers — tombstone rows carry
+    * no vector), so reconstruction never dangles.
     */
   private def latestNodes(shard: Int, rows: Seq[StoredNode]): Array[Node] = {
     val latest = new java.util.HashMap[Long, StoredNode]()
@@ -655,15 +662,48 @@ object Hnsw {
       val prev = latest.get(n.vec_id)
       if (prev == null || n.ver > prev.ver) latest.put(n.vec_id, n)
     }
-    val out = new Array[Node](latest.size)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Node]
     val it = latest.values().iterator()
-    var i = 0
     while (it.hasNext) {
       val n = it.next()
-      out(i) = Node(shard, n.vec_id, n.level, n.nbrs, n.embedding)
-      i += 1
+      if (n.level >= 0)
+        out += Node(shard, n.vec_id, n.level, n.nbrs, n.embedding)
     }
-    out
+    // survivors' adjacency may still reference the dropped ids —
+    // [[reconstruct]] treats unknown neighbors as dangling and skips
+    // them, so no stripping pass is needed here
+    out.toArray
+  }
+
+  /** Tombstoned DELETE on the bucketed serving store: one log row per
+    * victim (level = −1, no vector) under the next version — pure
+    * append, pre-existing files untouched, replay-safe by idempotence
+    * of the mark (re-marking a dead id changes nothing a probe can
+    * see). Probes drop dead nodes at reconstruction ([[latestNodes]]);
+    * [[compactBucketedStore]] physically removes both the history and
+    * the tombstone, after which the id is re-insertable — the dir
+    * store's post-compaction semantics. Until then a re-insert of a
+    * marked id is a no-op (the anti-join sees the tombstone row), the
+    * same visibility rule as the dir store between delete and compact.
+    */
+  def removeFromBucketedStore(spark: SparkSession, table: String,
+                              ids: DataFrame): Unit = {
+    import spark.implicits._
+    val store = spark.table(table)
+    val meta = store.agg(
+      max(col("shard")).as("max_shard"), max(col("ver")).as("max_ver")).head
+    val shards = meta.getInt(0) + 1
+    val nextVer = meta.getLong(1) + 1L
+    val tombs = ids.select(col("vec_id").cast("long"))
+      .distinct()
+      .select(
+        (col("vec_id") % shards).cast("int").as("shard"),
+        col("vec_id"), lit(-1).as("level"),
+        typedLit(Seq.empty[Seq[Long]]).as("nbrs"),
+        typedLit(Seq.empty[Float]).as("embedding"),
+        lit(nextVer).as("ver"))
+    graft.sources.BucketedTables.appendBucketed(tombs, table, "shard")
+    graft.sources.FsPaths.touch(spark, storeMarker(spark, table))
   }
 
   // ── Executor-resident graph cache: [[probeBucketedStore]] is the
@@ -852,9 +892,16 @@ object Hnsw {
     val latest = spark.table(table)
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
+      // tombstones compact AWAY (the id becomes re-insertable — the
+      // dir store's post-compaction semantics); their dangling edge
+      // refs stay harmless, reconstruct skips unknown neighbors
+      .filter(col("level") >= 0)
       // materialize before overwriting the table this plan reads
       .localCheckpoint(true)
     graft.sources.BucketedTables.writeBucketed(latest, table, "shard")
+    // the rewrite replaced every file — drop any cached listing before
+    // a standing reader's next probe plans against vanished parts
+    spark.catalog.refreshTable(table)
     graft.sources.FsPaths.touch(spark, storeMarker(spark, table))
   }
 

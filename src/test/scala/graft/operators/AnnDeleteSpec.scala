@@ -94,6 +94,75 @@ class AnnDeleteSpec extends SparkSpec {
       .filter(col("shard") === 0).count() === 0)
   }
 
+  test("bucketed store: tombstone row hides the vec; compaction drops it and re-insert revives it") {
+    import spark.implicits._
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val table = "graft_test_bhnsw_delete"
+    Hnsw.buildBucketedStore(spark, emb, table, shards, params)
+
+    // collected EAGERLY: this plan's file listing dies with the
+    // compaction rewrite below
+    val baseline = Hnsw.servedTopKOf(spark, table, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val victims = baseline.filter(_._1 == 0L).map(_._2).toSeq.sorted.take(2)
+    assert(victims.size === 2)
+
+    // file snapshot: deletion is pure append
+    def files() = {
+      val root = graft.sources.FsPaths.warehouseTablePath(spark, table)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(root, true)
+      val b = Map.newBuilder[String, (Long, Long)]
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet"))
+          b += f.getPath.toString -> (f.getModificationTime, f.getLen)
+      }
+      b.result()
+    }
+    val before = files()
+    Hnsw.removeFromBucketedStore(spark, table, victims.toDF("vec_id"))
+    val after = files()
+    assert(before.forall { case (f, sig) => after.get(f).contains(sig) },
+      "delete rewrote a pre-existing bucket file")
+
+    val marked = Hnsw.servedTopKOf(spark, table, sfDir)
+    assert(marked.filter(col("vec_id").isin(victims.map(Long.box): _*)).count() === 0,
+      "tombstoned vec surfaced from the bucketed store")
+
+    // exactness on the remainder: brute-force cosine top-5 (excluding
+    // the victims) recomputed in Scala from the raw embeddings
+    val vecs = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var (d, na, nb) = (0.0, 0.0, 0.0)
+      a.indices.foreach { i => d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / math.sqrt(na * nb)
+    }
+    val expected = vecs.keys.filter(_ % 50 == 0).flatMap { q =>
+      vecs.toSeq.filter { case (v, _) => v != q && !victims.contains(v) }
+        .map { case (v, e) => (v, cos(vecs(q), e)) }
+        .sortBy { case (v, s) => (-s, v) }.take(5).map { case (v, _) => (q, v) }
+    }.toSet
+    val got = marked.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === expected, "post-delete probe diverges from brute force on the remainder")
+
+    // compaction drops history + tombstones; probe rows unmoved
+    Hnsw.compactBucketedStore(spark, table)
+    assert(spark.table(table)
+      .filter(col("vec_id").isin(victims.map(Long.box): _*)).count() === 0)
+    val gotC = Hnsw.servedTopKOf(spark, table, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotC === expected)
+
+    // post-compaction re-insert revives the id
+    Hnsw.insertIntoBucketedStore(spark, table,
+      victims.map(v => (v, vecs(v))).toDF("vec_id", "embedding"), params)
+    val revived = Hnsw.servedTopKOf(spark, table, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(revived === baseline, "revived store diverges from the original probe")
+  }
+
   test("IVF index: deleted vec never surfaces; compaction ≡ remainder rows; untouched lists byte-identical") {
     import spark.implicits._
     val idx = graft.sources.Scratch.tempDir("ivf-del")
