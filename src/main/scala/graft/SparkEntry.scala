@@ -95,6 +95,9 @@ object SparkEntry {
       "ann_ivfadc_topk"         -> ((s, d) => Similarity.ensureAnnStages(s, d)),
       "ann_ivfadc_recall"       -> ((s, d) => Similarity.ensureAnnStages(s, d)),
       "ann_ivfadc_rerank"       -> ((s, d) => Similarity.ensureAnnStages(s, d)),
+      "ann_sq8_topk"            -> ((s, d) => { Similarity.sqCodes(s, d).count(); () }),
+      "ann_sq8_recall"          -> ((s, d) => {
+        Similarity.sqCodes(s, d).count(); Similarity.cosineTopK(s, d).count(); () }),
       "dedup_decontaminate"     -> ((s, d) => {
         TextOps.ensureDeconStores(s, d); TextOps.deconGrams(s, d).count(); () }),
       "dedup_decontaminate_cut" -> ((s, d) => {
@@ -524,6 +527,10 @@ object SparkEntry {
     // two-stage serving: ADC nominates a 5k pool, raw vectors re-rank —
     // exact-cosine final scores over |queries|×cand rows, never corpus
     "ann_ivfadc_rerank"       -> ((s, d) => Similarity.ivfadcRerankTopK(s, d)),
+    // SQ8: trained per-dim bounds, 4×-smaller code scan, integer
+    // asymmetric L2 — the fifth index family (Faiss IndexScalarQuantizer)
+    "ann_sq8_topk"            -> ((s, d) => Similarity.sqTopK(s, d)),
+    "ann_sq8_recall"          -> ((s, d) => Similarity.sqRecall(s, d)),
     "dedup_embedding_cosine"  -> ((s, d) => Similarity.cosineNearDupPairs(s, d)),
     // SemDeDup-style: IVF-list-confined cosine dedup, keep-lowest-id
     "dedup_semdedup"          -> ((s, d) => Similarity.semDedup(s, d)),
@@ -734,6 +741,28 @@ object SparkEntry {
       |  FROM codes c JOIN qd q ON q.s = c.s AND q.cent_id = c.code
       |  WHERE c.vec_id <> q.q_id
       |  GROUP BY 1, 2)""".stripMargin
+
+  /** SQ8 pipeline CTEs (ex/b/dec/sqs) shared by the top-k and recall
+    * rows: per-dimension micro values, trained min/max bounds, decoded
+    * candidates, and integer asymmetric squared-L2 — pure int64 with
+    * non-negative `//` operands, mirroring Similarity.sqTopK exactly.
+    */
+  private val sqCtes =
+    """dims AS (SELECT CAST(d AS INTEGER) AS d FROM unnest(range(0, 64)) t(d)),
+      |ex AS (SELECT e.vec_id, dims.d,
+      |         CAST(floor(e.embedding[dims.d + 1]::DOUBLE * 1000000) AS BIGINT) AS x
+      |       FROM embeddings e, dims),
+      |b AS (SELECT d, min(x) AS mn, max(x) AS mx FROM ex GROUP BY d),
+      |dec AS (SELECT ex.vec_id, ex.d,
+      |          CASE WHEN b.mx = b.mn THEN b.mn
+      |               ELSE b.mn + ((((ex.x - b.mn) * 255) // (b.mx - b.mn))
+      |                            * (b.mx - b.mn)) // 255 END AS v
+      |        FROM ex JOIN b USING (d)),
+      |sqs AS (SELECT qx.vec_id AS q_id, dd.vec_id AS vec_id,
+      |          CAST(SUM((qx.x - dd.v) * (qx.x - dd.v)) AS BIGINT) AS adc_dist
+      |        FROM dec dd JOIN ex qx ON qx.d = dd.d
+      |        WHERE qx.vec_id % 50 = 0 AND dd.vec_id <> qx.vec_id
+      |        GROUP BY 1, 2)""".stripMargin
 
   /** Five unrolled integer power iterations over the bidirectional
     * customer↔supplier edge list — it0 is the uniform init; each itN
@@ -3351,6 +3380,26 @@ object SparkEntry {
         |  SELECT q_id, vec_id FROM (
         |    SELECT *, row_number() OVER (PARTITION BY q_id
         |      ORDER BY adc_dist, vec_id) AS rk FROM adc)
+        |  WHERE rk <= 5),
+        |$truthCte,
+        |$recallTail""".stripMargin,
+    // SQ8: trained per-dim min/max codec, candidates reconstructed from
+    // their one-byte codes, integer asymmetric squared-L2 — the codec
+    // round-trips through SQL bit-exactly
+    "ann_sq8_topk" ->
+      s"""WITH $sqCtes
+        |SELECT q_id, vec_id, adc_dist, CAST(rk AS BIGINT) AS rnk
+        |FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+        |        ORDER BY adc_dist, vec_id) AS rk FROM sqs)
+        |WHERE rk <= 5""".stripMargin,
+    // recall@k of the SQ8 code scan vs brute force — scalar-quantization
+    // loss under the shared exact-integer recall contract
+    "ann_sq8_recall" ->
+      s"""WITH $sqCtes,
+        |apx AS (
+        |  SELECT q_id, vec_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY q_id
+        |      ORDER BY adc_dist, vec_id) AS rk FROM sqs)
         |  WHERE rk <= 5),
         |$truthCte,
         |$recallTail""".stripMargin,

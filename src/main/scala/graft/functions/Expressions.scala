@@ -66,6 +66,19 @@ object ExpressionKernels extends Serializable {
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  /** Integer squared L2 between two int64 arrays — see [[L2SqInt]]. */
+  def l2SqLL(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      val d = a.getLong(i) - b.getLong(i)
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
   /** 60-bit SimHash over DISTINCT tokens: token hash = md5Prefix60, bit b
     * set iff strictly more tokens have bit b set than clear — identical
     * to the declarative vote pipeline in MinHash.simhash's oracle SQL.
@@ -648,6 +661,23 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
     copy(left = l, right = r)
 }
 
+/** l2_sq(array<bigint>, array<bigint>) → bigint: integer squared L2 —
+  * the SQ8 asymmetric distance's hot pair loop as one codegen'd kernel
+  * call (the zip_with/aggregate chain it replaces is CodegenFallback —
+  * interpreted per candidate×query pair). Exact: micro components are
+  * |x| ≤ ~4·10⁶, so 64 squared diffs sum well under 2⁶³.
+  */
+case class L2SqInt(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    ExpressionKernels.l2SqLL(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.ExpressionKernels.l2SqLL($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** simhash60(array<string>) → long. */
 case class SimHash60(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -862,6 +892,8 @@ object functions {
   import org.apache.spark.sql.GraftColumnBridge.{toColumn, toExpression}
   def cosine_sim(a: Column, b: Column): Column =
     toColumn(CosineSim(toExpression(a), toExpression(b)))
+  def l2_sq(a: Column, b: Column): Column =
+    toColumn(L2SqInt(toExpression(a), toExpression(b)))
   def simhash60(tokens: Column): Column = toColumn(SimHash60(toExpression(tokens)))
   def word_shingles(text: Column, k: Int): Column =
     toColumn(WordShingles(toExpression(text), k))
