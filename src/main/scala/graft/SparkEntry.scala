@@ -71,6 +71,7 @@ object SparkEntry {
       "search_grown"            -> ((s, d) => { operators.Search.ensureGrownSearchIndex(s, d); () }),
       "search_tfidf_topk"       -> ((s, d) => operators.Search.ensureSearchStages(s, d)),
       "search_hybrid_rrf"       -> ((s, d) => operators.Search.ensureSearchStages(s, d)),
+      "search_rm3_topk"         -> ((s, d) => operators.Search.ensureSearchStages(s, d)),
       "search_eval_mrr"         -> ((s, d) => operators.Search.ensureSearchStages(s, d)),
       "search_eval_ndcg"        -> ((s, d) => operators.Search.ensureSearchStages(s, d)),
       "search_related_hybrid"   -> ((s, d) => {
@@ -451,6 +452,9 @@ object SparkEntry {
     // terminal float expression) + RRF fusion of the two rank lists
     "search_tfidf_topk"  -> ((s, d) => operators.Search.tfidfTopK(s, d)),
     "search_hybrid_rrf"  -> ((s, d) => operators.Search.hybridRrfTopK(s, d)),
+    // RM3 pseudo-relevance feedback: BM25 → mine expansion terms from
+    // the top-3 docs → re-retrieve with the 2:1-weighted expanded query
+    "search_rm3_topk"    -> ((s, d) => operators.Search.bm25Rm3TopK(s, d)),
     "search_eval_mrr"    -> ((s, d) => operators.Search.evalRankers(s, d)),
     // nDCG@10 over the same staged run — the trec_eval triad complete
     "search_eval_ndcg"   -> ((s, d) => operators.Search.evalNdcg(s, d)),
@@ -1199,6 +1203,54 @@ object SparkEntry {
       |       (20.0 * tf.tf * st.ltot + 6.0 * st.ltot + 18.0 * dl.dl * st.n))) AS BIGINT) AS s
       |  FROM qt JOIN tf USING (term) JOIN dl USING (doc_id) JOIN dfq USING (term), st),
       |scores AS (SELECT query_id, doc_id, CAST(SUM(s) AS BIGINT) AS score FROM ts GROUP BY 1, 2)""".stripMargin
+
+  /** The BM25 per-(term, doc) integer score with explicit table refs —
+    * RM3's CTEs score two different driving frames (feedback-doc terms,
+    * then the expanded query), so the formula is generated, not
+    * repeated (mirrors Search.bm25S).
+    */
+  private def bm25SSql(tf: String, dl: String, df: String): String =
+    s"""CAST(floor(1000000.0 *
+       |      ((2.0 * st.n - 2 * $df + 1) / (2 * $df + 1)) *
+       |      ((44.0 * $tf * st.ltot) /
+       |       (20.0 * $tf * st.ltot + 6.0 * st.ltot + 18.0 * $dl * st.n))) AS BIGINT)""".stripMargin
+
+  /** RM3 CTE chain over the shared BM25 core frames: feedback docs →
+    * mined expansion pool (original terms excluded) → top-5 expansion
+    * terms → 2:1-weighted expanded query → rescoring, ending in
+    * `scores2(query_id, doc_id, score)`.
+    */
+  private lazy val rm3Ctes: String =
+    s"""fb AS (
+       |  SELECT query_id, doc_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rk
+       |    FROM scores)
+       |  WHERE rk <= 3),
+       |mined AS (
+       |  SELECT fb.query_id, tf.term,
+       |    CAST(SUM(${bm25SSql("tf.tf", "dl.dl", "dfq.df")}) AS BIGINT) AS w
+       |  FROM fb JOIN tf ON tf.doc_id = fb.doc_id
+       |  JOIN dl ON dl.doc_id = tf.doc_id
+       |  JOIN dfq ON dfq.term = tf.term, st
+       |  WHERE NOT EXISTS (SELECT 1 FROM qt
+       |                    WHERE qt.query_id = fb.query_id AND qt.term = tf.term)
+       |  GROUP BY 1, 2),
+       |etop AS (
+       |  SELECT query_id, term FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY w DESC, term) AS rk
+       |    FROM mined)
+       |  WHERE rk <= 5),
+       |wq AS (SELECT query_id, term, CAST(2 AS BIGINT) AS qw FROM qt
+       |       UNION ALL
+       |       SELECT query_id, term, CAST(1 AS BIGINT) AS qw FROM etop),
+       |ts2 AS (
+       |  SELECT wq.query_id, tf.doc_id,
+       |    wq.qw * ${bm25SSql("tf.tf", "dl.dl", "dfq.df")} AS s
+       |  FROM wq JOIN tf ON tf.term = wq.term
+       |  JOIN dl ON dl.doc_id = tf.doc_id
+       |  JOIN dfq ON dfq.term = tf.term, st),
+       |scores2 AS (SELECT query_id, doc_id, CAST(SUM(s) AS BIGINT) AS score
+       |            FROM ts2 GROUP BY 1, 2)""".stripMargin
 
   /** TF-IDF CTE chain over the shared core frames, ending in
     * `tscores(query_id, doc_id, score)`.
@@ -2317,6 +2369,18 @@ object SparkEntry {
          |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, rrf_score, CAST(rk AS BIGINT) AS rnk
          |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rrf_score DESC, doc_id) AS rk
          |      FROM fused)
+         |WHERE rk <= 10
+         |ORDER BY query_id, rnk""".stripMargin,
+    // RM3 pseudo-relevance feedback: the feedback loop re-derived CTE
+    // by CTE (feedback docs, mined pool, expansion top-5, weighted
+    // rescoring) — all-integer scores, so the two-pass loop is
+    // hash-exact end to end
+    "search_rm3_topk" ->
+      s"""WITH $bm25ScoreCtes,
+         |$rm3Ctes
+         |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score, CAST(rk AS BIGINT) AS rnk
+         |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rk
+         |      FROM scores2)
          |WHERE rk <= 10
          |ORDER BY query_id, rnk""".stripMargin,
     // retrieval eval: qrels = docs covering EVERY query term (Boolean

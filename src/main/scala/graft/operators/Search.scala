@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -123,6 +123,22 @@ object Search {
     bm25Scores(tf, dl, st, dfT, k)
   }
 
+  /** The per-(term, doc) BM25 integer score — floor(10⁶·idf·tfpart)
+    * over columns (tf, dl, df, n, ltot): one double division per
+    * factor, multiplied left-to-right, floored to int64 (identical
+    * expression shape as the oracle SQL). Shared by the plain scoring
+    * join and RM3's expansion-term mining, so "the same score" is one
+    * expression, not two maintained copies.
+    */
+  private def bm25S: Column = {
+    val idf = (lit(2.0) * col("n") - lit(2) * col("df") + lit(1)) /
+      (lit(2) * col("df") + lit(1))
+    val tfpart = (lit(44.0) * col("tf") * col("ltot")) /
+      (lit(20.0) * col("tf") * col("ltot") + lit(6.0) * col("ltot") +
+        lit(18.0) * col("dl") * col("n"))
+    floor(lit(1000000.0) * idf * tfpart)
+  }
+
   /** The BM25 scoring join over index-artifact frames — ONE code path
     * shared by the session-staged index ([[bm25TopK]]) and the
     * persisted store ([[bm25TopKStored]]), so probe ≡ full-rebuild
@@ -135,24 +151,92 @@ object Search {
     val qt = Queries.toDF("query_id", "qtext")
       .select(col("query_id"), explode(split(col("qtext"), " ")).as("term"))
       .distinct()
-    // identical expression shape as the oracle SQL: one double division
-    // per factor, multiplied left-to-right, floored to int64
-    val idf = (lit(2.0) * col("n") - lit(2) * col("df") + lit(1)) /
-      (lit(2) * col("df") + lit(1))
-    val tfpart = (lit(44.0) * col("tf") * col("ltot")) /
-      (lit(20.0) * col("tf") * col("ltot") + lit(6.0) * col("ltot") +
-        lit(18.0) * col("dl") * col("n"))
     val termScores = broadcast(qt).join(tf, Seq("term"))
       .join(dl, Seq("doc_id"))
       .join(dfT, Seq("term"))
       .crossJoin(broadcast(st))
-      .select(col("query_id"), col("doc_id"),
-        floor(lit(1000000.0) * idf * tfpart).as("s"))
+      .select(col("query_id"), col("doc_id"), bm25S.as("s"))
     val scores = termScores.groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("s")).as("score"))
     Dedup.topKPerKey(scores, Seq("query_id"), Seq(-col("score"), col("doc_id")), k)
       .withColumnRenamed("rk", "rnk")
       .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** RM3-style pseudo-relevance feedback (Rocchio expansion over a
+    * relevance-model term pool — the query-expansion step Anserini/
+    * Indri run as `-rm3`): retrieve with plain BM25, treat the top
+    * `fbDocs` as pseudo-relevant, mine the `fbTerms` strongest
+    * expansion terms from them, and re-retrieve with the expanded
+    * weighted query. Term strength = the SAME integer BM25 score the
+    * ranker uses, summed over the feedback docs — so the whole loop is
+    * one expression family end to end. Original terms never re-enter
+    * the expansion pool (left-anti on the query terms), and the final
+    * score interpolates origW:expW (the integer analog of RM3's λ mix).
+    *
+    * Determinism: both passes rank integer scores with doc/term
+    * tie-breaks; the mined pool is integer-weighted with a term
+    * tie-break — bit-reproducible in the DuckDB oracle.
+    *
+    * Scale: pass 1 is [[bm25TopK]] (staged index artifacts); the mining
+    * join touches only |queries|·fbDocs postings rows by doc_id
+    * (point lookups against the postings index at 100 TB); pass 2 is
+    * the plain scoring join with ≤ |orig|+fbTerms terms per query —
+    * term-filtered postings, never a corpus re-scan.
+    */
+  def bm25Rm3TopK(spark: SparkSession, dir: String, k: Int = 10,
+                  fbDocs: Int = 3, fbTerms: Int = 5,
+                  origW: Int = 2, expW: Int = 1): DataFrame = {
+    import spark.implicits._
+    val tf = tfStage(spark, dir)
+    val (dl, st, dfT) = bm25Stages(spark, dir)
+    val qt = Queries.toDF("query_id", "qtext")
+      .select(col("query_id"), explode(split(col("qtext"), " ")).as("term"))
+      .distinct()
+    val expanded = rm3ExpansionTerms(spark, dir, fbDocs, fbTerms)
+      .select(col("query_id"), col("term"), lit(expW.toLong).as("qw"))
+    val weighted = qt
+      .select(col("query_id"), col("term"), lit(origW.toLong).as("qw"))
+      .unionAll(expanded)
+    // pass 2: the expanded weighted query through the same scoring join
+    val ts = broadcast(weighted).join(tf, Seq("term"))
+      .join(dl, Seq("doc_id")).join(dfT, Seq("term"))
+      .crossJoin(broadcast(st))
+      .select(col("query_id"), col("doc_id"), (col("qw") * bm25S).as("s"))
+    val scores = ts.groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("s")).as("score"))
+    Dedup.topKPerKey(scores, Seq("query_id"), Seq(-col("score"), col("doc_id")), k)
+      .withColumnRenamed("rk", "rnk")
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** RM3's mined expansion pool: the top `fbTerms` terms per query
+    * from the `fbDocs` pseudo-relevant docs, weighted by the shared
+    * integer BM25 term score summed over the feedback docs, with the
+    * original query terms excluded (left-anti). Spec-visible so the
+    * never-re-add-original-terms property is testable directly.
+    */
+  private[graft] def rm3ExpansionTerms(spark: SparkSession, dir: String,
+                                       fbDocs: Int, fbTerms: Int): DataFrame = {
+    import spark.implicits._
+    val tf = tfStage(spark, dir)
+    val (dl, st, dfT) = bm25Stages(spark, dir)
+    val qt = Queries.toDF("query_id", "qtext")
+      .select(col("query_id"), explode(split(col("qtext"), " ")).as("term"))
+      .distinct()
+    // pass 1: plain BM25 nominates the pseudo-relevant docs
+    val fb = bm25TopK(spark, dir, fbDocs).select(col("query_id"), col("doc_id"))
+    // expansion pool: every term of every feedback doc, weighted by the
+    // shared integer term score summed over the query's feedback docs
+    val mined = tf.join(broadcast(fb), Seq("doc_id"))
+      .join(dl, Seq("doc_id")).join(dfT, Seq("term"))
+      .crossJoin(broadcast(st))
+      .select(col("query_id"), col("term"), bm25S.as("s"))
+      .groupBy(col("query_id"), col("term"))
+      .agg(sum(col("s")).as("w"))
+      .join(qt, Seq("query_id", "term"), "left_anti")
+    Dedup.topKPerKey(mined, Seq("query_id"), Seq(-col("w"), col("term")), fbTerms)
+      .select(col("query_id"), col("term"), col("w"))
   }
 
   /** The idf table and per-doc norm rollup — ingest-time artifacts of

@@ -289,4 +289,40 @@ class SearchSpec extends SparkSpec {
     // least one surfaced doc came from only one retriever's list
     assert(got.keySet.exists(key => sem.contains(key) ^ lex.contains(key)))
   }
+
+  test("rm3: expansion pool excludes original terms, fbTerms per query, integer weights") {
+    val qTerms = Search.Queries.map { case (q, t) => q -> t.split(" ").toSet }.toMap
+    val exp = Search.rm3ExpansionTerms(spark, sfDir, fbDocs = 3, fbTerms = 5)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[String]("term"), r.getAs[Long]("w")))
+    assert(exp.nonEmpty)
+    val byQ = exp.groupBy(_._1)
+    assert(byQ.keySet === qTerms.keySet)
+    byQ.foreach { case (q, rows) =>
+      assert(rows.length === 5, s"query $q expansion count")
+      rows.foreach { case (_, term, w) =>
+        assert(!qTerms(q).contains(term), s"original term '$term' re-entered query $q")
+        assert(w > 0L)
+      }
+      // weights descend under the (w desc, term asc) selection order
+      val ws = rows.sortBy { case (_, t, w) => (-w, t) }.map(_._3)
+      assert(ws.zip(ws.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("rm3: feedback actually moves the ranking; zero expansion weight degenerates to plain BM25") {
+    val bm = Search.bm25TopK(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rnk")) -> r.getAs[Long]("doc_id")).toMap
+    val rm3 = Search.bm25Rm3TopK(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rnk")) -> r.getAs[Long]("doc_id")).toMap
+    assert(rm3.keySet === bm.keySet)
+    // the expansion terms must actually change at least one ranked slot
+    assert(rm3 !== bm, "RM3 ranking identical to plain BM25 — expansion had no effect")
+    // expW=0: expansion terms contribute nothing; every slot plain BM25
+    // ranks is reproduced exactly (queries have >> k positive docs at
+    // this sf, so zero-score expansion-only docs can never surface)
+    val degenerate = Search.bm25Rm3TopK(spark, sfDir, origW = 1, expW = 0).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rnk")) -> r.getAs[Long]("doc_id")).toMap
+    assert(degenerate === bm)
+  }
 }
