@@ -484,6 +484,12 @@ object SparkEntry {
     // index-quality contract under the hash gate: per-query recall@k of
     // the LSH index vs the brute-force truth, as exact integers hits/k
     "ann_lsh_recall"          -> ((s, d) => Similarity.lshRecall(s, d)),
+    // range search (Faiss range_search): everything within the radius,
+    // not the best k — exact contract, its bucketed scale path, and
+    // the per-query integer coverage row
+    "ann_range_search"        -> ((s, d) => Similarity.rangeSearch(s, d)),
+    "ann_range_lsh"           -> ((s, d) => Similarity.rangeSearchLsh(s, d)),
+    "ann_range_recall"        -> ((s, d) => Similarity.rangeRecall(s, d)),
     "ann_ivf_topk"            -> ((s, d) => Similarity.ivfTopK(s, d)),
     // graph ANN: sharded HNSW candidates re-ranked through the shared
     // exact cosine — the oracle is the brute-force SQL, so this gate
@@ -3351,6 +3357,63 @@ object SparkEntry {
          |    WHERE b.vec_id <> a.vec_id)
          |  WHERE rk <= 5),
          |$recallTail""".stripMargin,
+    // range search: every in-radius pair (rounded sim >= 0.25), exact
+    // contract — a filter, not a ranking, so no rank column exists
+    "ann_range_search" ->
+      s"""SELECT q_id, vec_id, sim FROM (
+         |  SELECT a.vec_id AS q_id, b.vec_id AS vec_id, $cosineSql AS sim
+         |  FROM embeddings a, embeddings b
+         |  WHERE a.vec_id % 50 = 0 AND b.vec_id <> a.vec_id)
+         |WHERE sim >= 0.25""".stripMargin,
+    // bucketed range search: the same radius verify confined to the
+    // query's own + Hamming-1 LSH buckets (the multi-probe probe set)
+    "ann_range_lsh" ->
+      s"""WITH ${lshBucketCte()},
+         |pr AS (
+         |  SELECT vec_id, embedding,
+         |    CASE WHEN pp.p = 0 THEN bucket
+         |         ELSE xor(bucket, CAST(1 AS BIGINT) << (pp.p - 1)) END AS bucket
+         |  FROM emb, unnest(range(0, 9)) pp(p)
+         |  WHERE vec_id % 50 = 0)
+         |SELECT q_id, vec_id, sim FROM (
+         |  SELECT a.vec_id AS q_id, b.vec_id AS vec_id, $cosineSql AS sim
+         |  FROM pr a JOIN emb b ON a.bucket = b.bucket
+         |  WHERE b.vec_id <> a.vec_id)
+         |WHERE sim >= 0.25""".stripMargin,
+    // per-query coverage of the bucketed range vs the exact contract:
+    // hits/total integers, every stride query present (0/0 when no
+    // neighbor is in radius)
+    "ann_range_recall" ->
+      s"""WITH ${lshBucketCte()},
+         |exr AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT a.vec_id AS q_id, b.vec_id AS vec_id, $cosineSql AS sim
+         |    FROM embeddings a, embeddings b
+         |    WHERE a.vec_id % 50 = 0 AND b.vec_id <> a.vec_id)
+         |  WHERE sim >= 0.25),
+         |pr AS (
+         |  SELECT vec_id, embedding,
+         |    CASE WHEN pp.p = 0 THEN bucket
+         |         ELSE xor(bucket, CAST(1 AS BIGINT) << (pp.p - 1)) END AS bucket
+         |  FROM emb, unnest(range(0, 9)) pp(p)
+         |  WHERE vec_id % 50 = 0),
+         |apr AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT a.vec_id AS q_id, b.vec_id AS vec_id, $cosineSql AS sim
+         |    FROM pr a JOIN emb b ON a.bucket = b.bucket
+         |    WHERE b.vec_id <> a.vec_id)
+         |  WHERE sim >= 0.25),
+         |t AS (SELECT q_id, count(*) AS t FROM exr GROUP BY 1),
+         |h AS (SELECT e.q_id, count(*) AS h FROM exr e
+         |      JOIN apr a ON e.q_id = a.q_id AND e.vec_id = a.vec_id GROUP BY 1)
+         |SELECT q.vec_id AS q_id,
+         |       CAST(COALESCE(h.h, 0) AS BIGINT) AS hits,
+         |       CAST(COALESCE(t.t, 0) AS BIGINT) AS total
+         |FROM embeddings q
+         |LEFT JOIN t ON t.q_id = q.vec_id
+         |LEFT JOIN h ON h.q_id = q.vec_id
+         |WHERE q.vec_id % 50 = 0
+         |ORDER BY q_id""".stripMargin,
     // recall@k of the LSH index vs brute force, exact integers (hits, k).
     // Same truth/approx subqueries as ann_cosine_topk / ann_lsh_topk;
     // zero-candidate queries surface as hits = 0 via the left join.

@@ -898,6 +898,93 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  // ─────────────────────── Range search (radius queries) ───────────────────
+
+  /** RANGE SEARCH (Faiss `range_search`): ALL neighbors within a
+    * similarity radius — the retrieval verb top-k cannot express.
+    * Dedup-threshold sweeps, similarity-graph construction, and
+    * radius-bounded candidate generation want "everything within ε",
+    * not "the best k". Exact contract: every (query, candidate) pair
+    * with rounded cosine ≥ `tau`, self excluded — result size is a
+    * property of the data (the Faiss contract: range results are
+    * unbounded by design; callers bound tau, not k).
+    *
+    * Scale: queries broadcast, the corpus streams once, and — unlike
+    * every top-k lane — there is NO shuffle at all: the result is a
+    * filter, not a ranking, so even the k-heap exchange disappears.
+    * Default tau 0.25 sits in the i.i.d.-background tail of the
+    * synthetic corpus (~13 matches/query), like
+    * [[cosineNearDupPairs]]'s 0.35 for the all-pairs face.
+    */
+  def rangeSearch(spark: SparkSession, dir: String, tau: Double = 0.25,
+                  queryStride: Int = 50): DataFrame =
+    // result-sized memo (matches only): the exact lane and the recall
+    // row both read it, so the corpus scan runs once per knob set
+    StageMemo.memoized(spark, s"range_exact_${tau}_$queryStride", dir) {
+      val emb = Tables.embeddings(spark, dir)
+      val q = emb.filter(col("vec_id") % queryStride === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      emb.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          round(cosine(col("q_emb"), col("embedding")), 6).as("sim"))
+        .filter(col("sim") >= tau)
+        .orderBy(col("q_id"), col("sim").desc, col("vec_id"))
+    }
+
+  /** Multi-probe-LSH PREFILTERED range search — the scale path of
+    * [[rangeSearch]]: candidates are confined to the query's own
+    * bucket plus every Hamming-1 flip (the [[lshMultiProbeTopK]]
+    * probe set), then the exact radius verify runs inside the probed
+    * buckets only. At 100 TB the brute scan becomes a hash join on
+    * bucket id; the per-query work scales with probed-bucket
+    * occupancy, never the corpus. Coverage loss vs the exact contract
+    * is measured by [[rangeRecall]].
+    */
+  def rangeSearchLsh(spark: SparkSession, dir: String, tau: Double = 0.25,
+                     queryStride: Int = 50, planes: Int = NumPlanes): DataFrame =
+    StageMemo.memoized(spark, s"range_lsh_${tau}_${queryStride}_$planes", dir) {
+      val b = lshBuckets(Tables.embeddings(spark, dir), planes)
+      val probeCols = col("bucket") +:
+        (0 until planes).map(p => col("bucket").bitwiseXOR(lit(1L << p)))
+      val q = b.filter(col("vec_id") % queryStride === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          explode(array(probeCols: _*)).as("bucket"))
+      b.join(q, Seq("bucket"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          round(cosine(col("q_emb"), col("embedding")), 6).as("sim"))
+        .filter(col("sim") >= tau)
+        .orderBy(col("q_id"), col("sim").desc, col("vec_id"))
+    }
+
+  /** Per-query coverage of the bucketed range search vs the exact
+    * radius contract, as exact integers: `hits` = |bucketed ∩ exact|,
+    * `total` = |exact| — the range analog of the shared recall gate
+    * (here the denominator varies per query; a query with no
+    * in-radius neighbor reads 0/0, from the full query subset so it
+    * can never silently vanish).
+    */
+  def rangeRecall(spark: SparkSession, dir: String, tau: Double = 0.25,
+                  queryStride: Int = 50, planes: Int = NumPlanes): DataFrame = {
+    val exact = rangeSearch(spark, dir, tau, queryStride)
+      .select(col("q_id"), col("vec_id"))
+    val apx = rangeSearchLsh(spark, dir, tau, queryStride, planes)
+      .select(col("q_id"), col("vec_id"))
+    val totals = exact.groupBy(col("q_id")).agg(count(lit(1)).as("t"))
+    val hits = exact.join(apx, Seq("q_id", "vec_id"))
+      .groupBy(col("q_id")).agg(count(lit(1)).as("h"))
+    Tables.embeddings(spark, dir)
+      .filter(col("vec_id") % queryStride === 0)
+      .select(col("vec_id").as("q_id"))
+      .join(totals, Seq("q_id"), "left")
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"),
+        coalesce(col("h"), lit(0L)).as("hits"),
+        coalesce(col("t"), lit(0L)).as("total"))
+      .orderBy(col("q_id"))
+  }
+
   // ──────────────────── Scalar quantization (SQ8) index ────────────────────
 
   /** TRAINED per-dimension bounds for the SQ8 quantizer (Faiss

@@ -406,4 +406,49 @@ class SimilaritySpec extends SparkSpec {
       assert(rrHits >= rawHits, s"q$q: refined $rrHits < raw ADC $rawHits")
     }
   }
+
+  test("rangeSearch: exactly the in-radius pairs; bucketed variant is a subset; recall recomputes") {
+    val tau = 0.25
+    val exact = Similarity.rangeSearch(spark, sfDir, tau).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id")) -> r.getAs[Double]("sim"))
+    assert(exact.nonEmpty)
+    assert(exact.forall { case ((q, v), s) => s >= tau && q != v })
+    // completeness: re-derive the full in-radius set from raw vectors
+    val vecs = graft.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Float]]("embedding").toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expected = (for {
+      q <- vecs.keys if q % 50 == 0
+      v <- vecs.keys if v != q
+      s = BigDecimal(cos(vecs(q), vecs(v)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if s >= tau
+    } yield (q, v) -> s).toMap
+    assert(exact.toMap === expected)
+    // the bucketed scale path returns a strict subset of the exact set
+    val lsh = Similarity.rangeSearchLsh(spark, sfDir, tau).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
+    assert(lsh.subsetOf(exact.map(_._1).toSet))
+    // recall row: hits/total recompute from the two frames, every
+    // stride query present even with zero in-radius neighbors
+    val rec = Similarity.rangeRecall(spark, sfDir, tau).collect()
+      .map(r => r.getAs[Long]("q_id") ->
+        (r.getAs[Long]("hits"), r.getAs[Long]("total"))).toMap
+    val exactByQ = exact.map(_._1).groupBy(_._1)
+    assert(rec.keySet === vecs.keys.filter(_ % 50 == 0).toSet)
+    rec.foreach { case (q, (h, t)) =>
+      assert(t === exactByQ.get(q).map(_.length.toLong).getOrElse(0L))
+      assert(h === exactByQ.get(q).map(_.count(lsh).toLong).getOrElse(0L))
+      assert(h <= t)
+    }
+  }
 }
