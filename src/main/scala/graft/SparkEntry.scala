@@ -58,6 +58,7 @@ object SparkEntry {
       "ann_ivf_deleted"         -> ((s, d) => { Similarity.ensureDeletedIvfIndex(s, d); () }),
       "source_rollup_incremental" -> ((s, d) => { sources.TimePartitionedStore.ensureDailyRollup(s, d); () }),
       "source_time_partitioned" -> ((s, d) => { sources.TimePartitionedStore.ensureDatedLayout(s, d); () }),
+      "source_bloom_skipping"   -> ((s, d) => { sources.BloomSkipIndex.ensureBloomIndex(s, d); () }),
       "source_cdc_merge"        -> ((s, d) => { sources.CdcMerge.ensureMergeScratch(s, d); () }),
       "dedup_log_compaction"    -> ((s, d) => { sources.DedupLogStore.ensureCompactedLog(s, d); () }),
       "dedup_cdc_grown"         -> ((s, d) => { TextOps.ensureGrownChunkIndex(s, d); () }),
@@ -165,6 +166,11 @@ object SparkEntry {
     // per-file stats; one user's events via stat-matching files only
     "source_manifest_lookup" -> ((s, d) =>
       sources.FileManifest.manifestLookup(s, d)),
+    // per-file Bloom skipping: the pruning axis min/max stats cannot
+    // give a scattered high-cardinality key — probe opens only
+    // bloom-positive files, result must equal the raw-table filter
+    "source_bloom_skipping" -> ((s, d) =>
+      sources.BloomSkipIndex.bloomLookup(s, d)),
     // ── relational analytics (SURVEY §7 M3) ──
     "q1_pricing_summary"    -> (Relational.q1PricingSummary _),
     "q3_shipping_priority"  -> (Relational.q3ShippingPriority _),
@@ -1477,6 +1483,13 @@ object SparkEntry {
     "source_manifest_lookup" ->
       """SELECT event_id, ts, user_id, event_type, value
         |FROM events WHERE user_id = 7
+        |ORDER BY event_id""".stripMargin,
+    // bloom file skipping: the oracle filters the raw table on the same
+    // fixed probe workload the engine answers through per-file bit sets
+    "source_bloom_skipping" ->
+      s"""SELECT event_id, user_id, event_type, value
+        |FROM events
+        |WHERE event_id IN (${sources.BloomSkipIndex.ProbeIds.mkString(", ")})
         |ORDER BY event_id""".stripMargin,
     // time travel: the oracle replays both deterministic change batches
     // as sequential relational passes (delete beats same-key upsert;
