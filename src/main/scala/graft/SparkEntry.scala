@@ -98,6 +98,7 @@ object SparkEntry {
       "ann_ivfadc_recall"       -> ((s, d) => Similarity.ensureAnnStages(s, d)),
       "ann_ivfadc_rerank"       -> ((s, d) => Similarity.ensureAnnStages(s, d)),
       "ann_sq8_topk"            -> ((s, d) => { Similarity.sqCodes(s, d).count(); () }),
+      "ann_matryoshka_recall"   -> ((s, d) => { Similarity.cosineTopK(s, d).count(); () }),
       "ann_sq8_recall"          -> ((s, d) => {
         Similarity.sqCodes(s, d).count(); Similarity.cosineTopK(s, d).count(); () }),
       "dedup_decontaminate"     -> ((s, d) => {
@@ -494,6 +495,9 @@ object SparkEntry {
     // not the best k — exact contract, its bucketed scale path, and
     // the per-query integer coverage row
     "ann_range_search"        -> ((s, d) => Similarity.rangeSearch(s, d)),
+    // Matryoshka truncation eval: recall@k of prefix-dim cosine ranking
+    // vs the full-width truth, per (dims, query) — d=64 anchors at k/k
+    "ann_matryoshka_recall"   -> ((s, d) => Similarity.matryoshkaRecall(s, d)),
     "ann_range_lsh"           -> ((s, d) => Similarity.rangeSearchLsh(s, d)),
     "ann_range_recall"        -> ((s, d) => Similarity.rangeRecall(s, d)),
     "ann_ivf_topk"            -> ((s, d) => Similarity.ivfTopK(s, d)),
@@ -3370,6 +3374,31 @@ object SparkEntry {
          |    WHERE b.vec_id <> a.vec_id)
          |  WHERE rk <= 5),
          |$recallTail""".stripMargin,
+    // Matryoshka truncation eval: prefix-dim rankings re-derived with
+    // list_slice, measured against the full-width truth — the d=64 row
+    // is the built-in k/k anchor
+    "ann_matryoshka_recall" ->
+      s"""WITH dimset(dims) AS (VALUES (16), (32), (64)),
+         |ps AS (
+         |  SELECT dm.dims, a.vec_id AS q_id, b.vec_id AS vec_id,
+         |    ${cosSql("list_slice(a.embedding, 1, dm.dims)",
+                       "list_slice(b.embedding, 1, dm.dims)")} AS sim
+         |  FROM embeddings a, embeddings b, dimset dm
+         |  WHERE a.vec_id % 50 = 0 AND b.vec_id <> a.vec_id),
+         |apx AS (
+         |  SELECT dims, q_id, vec_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY dims, q_id ORDER BY sim DESC, vec_id) AS rk
+         |    FROM ps)
+         |  WHERE rk <= 5),
+         |$truthCte,
+         |h AS (SELECT x.dims, t.q_id, count(*) AS hits FROM truth t
+         |      JOIN apx x ON t.q_id = x.q_id AND t.vec_id = x.vec_id GROUP BY 1, 2)
+         |SELECT CAST(dm.dims AS BIGINT) AS dims, q.q_id AS q_id,
+         |       CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits, CAST(5 AS BIGINT) AS k
+         |FROM (SELECT DISTINCT q_id FROM truth) q
+         |CROSS JOIN dimset dm
+         |LEFT JOIN h ON h.q_id = q.q_id AND h.dims = dm.dims
+         |ORDER BY dims, q.q_id""".stripMargin,
     // range search: every in-radius pair (rounded sim >= 0.25), exact
     // contract — a filter, not a ranking, so no rank column exists
     "ann_range_search" ->

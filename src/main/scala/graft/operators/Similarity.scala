@@ -95,15 +95,50 @@ object Similarity {
   def cosineTopK(spark: SparkSession, dir: String, k: Int = 5,
                  queryStride: Int = 50): DataFrame =
     StageMemo.memoized(spark, s"cosine_topk_${k}_$queryStride", dir) {
-      val emb = Tables.embeddings(spark, dir)
-      val q = emb.filter(col("vec_id") % queryStride === 0)
-        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-      val joined = emb.crossJoin(broadcast(q))
-        .filter(col("vec_id") =!= col("q_id"))
-        .select(col("q_id"), col("vec_id"),
-          round(cosine(col("q_emb"), col("embedding")), 6).as("sim"))
-      topKBySim(joined, k)
+      bruteTopKOf(Tables.embeddings(spark, dir), k, queryStride)
     }
+
+  /** The brute-force scan+rank over an explicit embedding frame — the
+    * seam [[matryoshkaRecall]] drives with prefix-truncated vectors.
+    */
+  private def bruteTopKOf(emb: DataFrame, k: Int, queryStride: Int): DataFrame = {
+    val q = emb.filter(col("vec_id") % queryStride === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val joined = emb.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(cosine(col("q_emb"), col("embedding")), 6).as("sim"))
+    topKBySim(joined, k)
+  }
+
+  /** MATRYOSHKA / prefix-truncation recall curve — the serving eval for
+    * dimension-truncated embeddings (Kusupati et al. 2022's MRL, the
+    * "shortening" every truncatable-embedding API documents): rank by
+    * cosine over only the FIRST `d` dimensions and measure recall@k
+    * against the full-dimension truth, one row per (dims, query) under
+    * the shared exact-integer hits/k contract. The full-width entry
+    * (d = 64) is the built-in sanity anchor — prefix ≡ full there, so
+    * its recall is exactly k/k and any drift is a gate failure, while
+    * the short prefixes measure what truncation actually costs on this
+    * corpus.
+    *
+    * Scale: one brute scan per probed width over the same broadcast
+    * query set — the eval is |dims| passes of the cosineTopK shape, a
+    * fixed multiple of the baseline eval it extends; at 100 TB the
+    * truncated pass reads d/64 of the vector bytes (the whole point of
+    * serving truncated embeddings).
+    */
+  def matryoshkaRecall(spark: SparkSession, dir: String,
+                       dims: Seq[Int] = Seq(16, 32, 64), k: Int = 5,
+                       queryStride: Int = 50): DataFrame = {
+    val truth = cosineTopK(spark, dir, k, queryStride)
+    dims.map { d =>
+      val prefixed = Tables.embeddings(spark, dir)
+        .select(col("vec_id"), slice(col("embedding"), 1, d).as("embedding"))
+      recallVsTruth(truth, bruteTopKOf(prefixed, k, queryStride), k)
+        .select(lit(d.toLong).as("dims"), col("q_id"), col("hits"), col("k"))
+    }.reduce(_.unionAll(_)).orderBy(col("dims"), col("q_id"))
+  }
 
   /** Deterministic pseudo-random hyperplane weight for (plane, dim):
     * integer in [-1000, 1000] from an md5 prefix — same formula the

@@ -407,6 +407,26 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("matryoshkaRecall: full-width anchor exact, aggregate recall non-decreasing in dims") {
+    val rows = Similarity.matryoshkaRecall(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("dims"), r.getAs[Long]("q_id"),
+        r.getAs[Long]("hits"), r.getAs[Long]("k")))
+    assert(rows.nonEmpty)
+    val dims = rows.map(_._1).distinct.sorted
+    assert(dims === Array(16L, 32L, 64L))
+    // one row per (dims, truth query)
+    val nQ = rows.map(_._2).distinct.length
+    assert(rows.length === dims.length * nQ)
+    // d = 64 is prefix ≡ full: recall must be exactly k/k per query
+    rows.filter(_._1 == 64L).foreach { case (_, q, h, k) =>
+      assert(h === k, s"full-width anchor drifted at query $q")
+    }
+    // aggregate recall can only improve with more dimensions here
+    val agg = rows.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    assert(agg(16L) <= agg(32L) && agg(32L) <= agg(64L),
+      s"aggregate recall not monotone: $agg")
+  }
+
   test("rangeSearch: exactly the in-radius pairs; bucketed variant is a subset; recall recomputes") {
     val tau = 0.25
     val exact = Similarity.rangeSearch(spark, sfDir, tau).collect()
