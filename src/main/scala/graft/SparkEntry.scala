@@ -228,6 +228,9 @@ object SparkEntry {
     "q_approx_kmv_anotb" -> ((s, d) => operators.Approx.kmvAnotB(s, d)),
     // market-basket co-occurrence: top part pairs ordered together
     "q_copurchase_pairs"      -> ((s, d) => operators.Relational.qCopurchasePairs(s, d)),
+    // triangle census of the co-purchase graph: degree-ordered
+    // orientation + wedge closure (each triangle counted exactly once)
+    "q_triangle_count"        -> ((s, d) => operators.Triangles.triangleCount(s, d)),
     // integer PageRank over the customer-supplier trade graph, 5
     // iterations, exact in both engines (damping as the rational 17/20,
     // per-edge integer division) — the influence rank degree can't see
@@ -1946,6 +1949,27 @@ object SparkEntry {
     // values match the engine bit-for-bit
     "q_pagerank_trade" -> pagerankSql,
     // co-occurrence self-join keyed on the order, deterministic tie-break
+    // triangle census: orientation + wedge closure re-derived CTE by
+    // CTE; the degree orientation is part of the contract (each
+    // triangle has exactly one two-out-edge node under the total order)
+    "q_triangle_count" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e AS (SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+        |      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |      WHERE a.l_partkey < b.l_partkey),
+        |deg AS (SELECT node, count(*) AS d FROM (
+        |          SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e)
+        |        GROUP BY 1),
+        |o AS (SELECT
+        |        CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b) THEN e.a ELSE e.b END AS u,
+        |        CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b) THEN e.b ELSE e.a END AS v
+        |      FROM e JOIN deg da ON da.node = e.a JOIN deg db ON db.node = e.b),
+        |w AS (SELECT o1.v AS x, o2.v AS y
+        |      FROM o o1 JOIN o o2 ON o1.u = o2.u AND o1.v < o2.v),
+        |tri AS (SELECT count(*) AS c FROM w JOIN e ON e.a = w.x AND e.b = w.y)
+        |SELECT CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_nodes,
+        |       CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+        |       CAST((SELECT c FROM tri) AS BIGINT) AS n_triangles""".stripMargin,
     "q_copurchase_pairs" ->
       """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
         |p AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n_orders

@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Triangle counting over the part co-purchase graph — the third classic
+  * graph kernel beside [[PageRank]] and [[ConnectedComponents]], and the
+  * basis of clustering-coefficient / community-density features.
+  *
+  * Algorithm: degree-ordered orientation + wedge closure (the
+  * MapReduce-era standard — Suri & Vassilvitskii, WWW 2011; Cohen 2009):
+  * each undirected edge is oriented from its lower-(degree, id) endpoint
+  * to the higher one, wedges are pairs of out-edges at a shared source,
+  * and a wedge closes iff its endpoints are an edge. Under a TOTAL order
+  * every triangle has exactly one node with two out-edges in it, so each
+  * is counted exactly once — and out-degrees are bounded by O(√m), which
+  * keeps wedge generation O(m^1.5) instead of Σ deg² (the naive
+  * id-orientation blows up on hubs; the degree orientation is what makes
+  * the same plan survive a skewed 100-TB graph).
+  *
+  * Determinism: the orientation is a pure function of (degree, id);
+  * every emitted value is a count — bit-exact in the DuckDB oracle.
+  *
+  * Scale: three hash-partitioned equi-joins (degrees onto edges, wedges
+  * on the shared source, closure on the canonical pair) — no driver
+  * funnel, no iteration; the wedge frame is the O(m^1.5) honest cost
+  * every distributed triangle counter pays.
+  */
+object Triangles {
+
+  /** The canonical undirected co-purchase edge list (a < b, distinct). */
+  private[graft] def copurchaseEdges(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    li.select(col("l_orderkey"), col("l_partkey").as("a"))
+      .join(li.select(col("l_orderkey"), col("l_partkey").as("b")),
+        Seq("l_orderkey"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+  }
+
+  /** One row: (n_nodes, n_edges, n_triangles) of the co-purchase graph. */
+  def triangleCount(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e = copurchaseEdges(spark, dir).persist(MEMORY_AND_DISK)
+    val deg = e.select(col("a").as("node"))
+      .unionAll(e.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("d"))
+    // orientation: lower (degree, id) → higher (degree, id)
+    val da = deg.select(col("node").as("a"), col("d").as("da"))
+    val db = deg.select(col("node").as("b"), col("d").as("db"))
+    val aFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val o = e.join(da, Seq("a")).join(db, Seq("b"))
+      .select(when(aFirst, col("a")).otherwise(col("b")).as("u"),
+              when(aFirst, col("b")).otherwise(col("a")).as("v"))
+      .persist(MEMORY_AND_DISK)
+    // wedges at a shared source, endpoints canonicalized x < y
+    val w = o.select(col("u"), col("v").as("x"))
+      .join(o.select(col("u"), col("v").as("y")), Seq("u"))
+      .filter(col("x") < col("y"))
+    // closure: the wedge frame is the O(m^1.5) bulk — broadcast the
+    // edge set so those rows never shuffle (edges ≪ wedges by
+    // construction; at a scale where even edges outgrow a broadcast,
+    // bucket both sides on (a, b) instead — the plan shape otherwise
+    // stands)
+    val tri = w.join(broadcast(e), w("x") === e("a") && w("y") === e("b"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val nodes = deg.agg(count(lit(1)).as("n_nodes"))
+    val edges = e.agg(count(lit(1)).as("n_edges"))
+    nodes.crossJoin(edges).crossJoin(tri)
+      .select(col("n_nodes"), col("n_edges"), col("n_triangles"))
+  }
+}
