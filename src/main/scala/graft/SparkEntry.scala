@@ -415,6 +415,9 @@ object SparkEntry {
     // ── near-dup dedup at scale ──
     "dedup_minhash_lsh"       -> ((s, d) => MinHash.minhashDedup(s, d)),
     "dedup_minhash_survivors" -> ((s, d) => MinHash.minhashSurvivors(s, d)),
+    // LSH S-curve sweep: per (r, b) config over the same signatures,
+    // candidate volume vs verified vs missed-true-pair counts
+    "dedup_lsh_tradeoff"      -> ((s, d) => MinHash.lshTradeoff(s, d)),
     // pairs → duplicate clusters: connected components over the verified
     // pair graph (alternating large-star/small-star, O(log n) rounds)
     "dedup_clusters"          -> ((s, d) => MinHash.dedupClusters(s, d)),
@@ -618,6 +621,45 @@ object SparkEntry {
        |          FROM sh s1 JOIN sh s2 ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id
        |          JOIN cand ON cand.doc_a = s1.doc_id AND cand.doc_b = s2.doc_id
        |          GROUP BY 1, 2),""".stripMargin
+
+  /** The LSH sweep oracle: per-r banding over the shared 12-hash sig
+    * frame, candidate counts, and the banding-independent truth from
+    * the shingle inverted index — count-only, so no float crosses.
+    */
+  private lazy val lshTradeoffSql: String =
+    s"""$shingleCte,
+       |sig AS (SELECT doc_id, j, min(md5(CAST(j AS VARCHAR) || '|' || shingle)) AS h
+       |        FROM sh, unnest(range(0, 12)) v(j) GROUP BY doc_id, j),
+       |rset(r) AS (VALUES (2), (3), (4), (6)),
+       |bandr AS (SELECT rs.r AS r, doc_id, j // rs.r AS band_id,
+       |            md5(string_agg(h, '|' ORDER BY j)) AS band_key
+       |          FROM sig, rset rs GROUP BY rs.r, doc_id, j // rs.r),
+       |candr AS (SELECT DISTINCT a.r, a.doc_id AS doc_a, b.doc_id AS doc_b
+       |          FROM bandr a JOIN bandr b
+       |            ON a.r = b.r AND a.band_id = b.band_id AND a.band_key = b.band_key
+       |          WHERE a.doc_id < b.doc_id),
+       |szs AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |interall AS (SELECT s1.doc_id AS doc_a, s2.doc_id AS doc_b, count(*) AS inter
+       |             FROM sh s1 JOIN sh s2 ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id
+       |             GROUP BY 1, 2),
+       |truthp AS (SELECT i.doc_a, i.doc_b FROM interall i
+       |           JOIN szs sa ON i.doc_a = sa.doc_id
+       |           JOIN szs sb ON i.doc_b = sb.doc_id
+       |           WHERE CAST(i.inter AS DOUBLE) / CAST(sa.n + sb.n - i.inter AS DOUBLE) >= 0.5),
+       |vc AS (SELECT c.r, count(*) AS nv FROM candr c
+       |       JOIN truthp t ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b GROUP BY 1),
+       |cc AS (SELECT r, count(*) AS ncand FROM candr GROUP BY 1),
+       |nt AS (SELECT count(*) AS n FROM truthp)
+       |SELECT CAST(rs.r AS BIGINT) AS rows_per_band,
+       |       CAST(12 // rs.r AS BIGINT) AS n_bands,
+       |       CAST(COALESCE(cc.ncand, 0) AS BIGINT) AS n_candidates,
+       |       CAST(COALESCE(vc.nv, 0) AS BIGINT) AS n_verified,
+       |       CAST(nt.n - COALESCE(vc.nv, 0) AS BIGINT) AS n_missed
+       |FROM rset rs
+       |LEFT JOIN cc ON cc.r = rs.r
+       |LEFT JOIN vc ON vc.r = rs.r
+       |CROSS JOIN nt
+       |ORDER BY rows_per_band""".stripMargin
 
   /** Duplicate-cluster CTE chain: verified pairs → symmetric edges →
     * recursive reachability → min-label components (`lab`). Shared by
@@ -3085,6 +3127,8 @@ object SparkEntry {
          |  CAST(count(*) - SUM(CASE WHEN d.doc_id IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_kept
          |FROM documents LEFT JOIN drops d USING (doc_id)
          |GROUP BY 1""".stripMargin,
+    // LSH operating-curve sweep: all-integer counts per band config
+    "dedup_lsh_tradeoff" -> lshTradeoffSql,
     "dedup_minhash_survivors" ->
       s"""$shingleCte,
          |$minhashCtes

@@ -68,15 +68,73 @@ object MinHash {
   /** doc_id, band_id, band_key — one row per band; band_key = md5 of the
     * band's concatenated signature rows.
     */
-  def bands(sigs: DataFrame): DataFrame = {
-    val nBands = NumHashes / BandRows
+  def bands(sigs: DataFrame, rows: Int = BandRows): DataFrame = {
+    val nBands = NumHashes / rows
     val bandRows = (0 until nBands).map { b =>
       struct(lit(b).as("band_id"),
         md5(concat_ws("|",
-          (0 until BandRows).map(r => col("sig")(b * BandRows + r)): _*)).as("band_key"))
+          (0 until rows).map(r => col("sig")(b * rows + r)): _*)).as("band_key"))
     }
     sigs.select(col("doc_id"), explode(array(bandRows: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band_id").as("band_id"), col("bk.band_key").as("band_key"))
+  }
+
+  /** LSH OPERATING-CURVE SWEEP — the S-curve tuning artifact every
+    * near-dup deployment produces before fixing (r, b): with r rows per
+    * band and b = NumHashes/r bands, a pair of Jaccard j collides with
+    * probability 1−(1−j^r)^b, so sweeping r trades candidate volume
+    * (cost) against missed true pairs (recall). One row per divisor-r
+    * config over the SAME 12-hash signatures: candidate-pair count,
+    * verified count (candidates with true Jaccard ≥ threshold), and
+    * missed count vs a banding-independent truth (every ≥-threshold
+    * pair shares a shingle, so the shingle inverted index finds all of
+    * them). All three are exact integers — the whole curve is
+    * hash-exact in the oracle.
+    *
+    * Aligned configs nest (a 4-row band contains two whole 2-row
+    * bands, so cand(4) ⊆ cand(2); 6-row bands contain whole 2- and
+    * 3-row bands) — pinned in the spec as the S-curve's monotone side.
+    *
+    * Scale: the signatures are computed once (one kernel pass); each
+    * config re-bands the SAME signature frame (b rows per doc, never a
+    * corpus re-scan); the truth side is the eval denominator — at
+    * 100 TB it is computed on a held-out sample, exactly like every
+    * recall denominator in this registry (the sweep's job is picking
+    * (r, b) BEFORE the full-corpus run).
+    */
+  def lshTradeoff(spark: SparkSession, dir: String,
+                  rowsPerBand: Seq[Int] = Seq(2, 3, 4, 6),
+                  threshold: Double = 0.5): DataFrame = {
+    val shArr = cachedShingleArray(spark, dir)
+    // empty-shingle docs never band (the standing gotcha: they have no
+    // inverted-index rows in the oracle, and their degenerate all-empty
+    // signature would otherwise pair every empty doc with every other)
+    val sigs = memoized(spark, "tradeoff_sigs", dir)(
+      shArr.filter(size(col("shingles")) > 0)
+        .select(col("doc_id"),
+          graft.functions.functions.minhash_sig(col("shingles"), NumHashes).as("sig")))
+    val truth = memoized(spark, s"lsh_truth_$threshold", dir) {
+      val sh = shArr.select(col("doc_id"), explode(col("shingles")).as("shingle"))
+      val pairs = sh.select(col("shingle"), col("doc_id").as("doc_a"))
+        .join(sh.select(col("shingle"), col("doc_id").as("doc_b")), Seq("shingle"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b")).distinct()
+      exactJaccard(pairs, shArr).filter(col("jaccard") >= threshold)
+        .select(col("doc_a"), col("doc_b"))
+    }
+    val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+    rowsPerBand.map { r =>
+      require(NumHashes % r == 0, s"rows per band $r must divide $NumHashes")
+      val cands = candidatePairs(bands(sigs, r))
+      val verified = cands.join(truth, Seq("doc_a", "doc_b"), "left_semi")
+      cands.agg(count(lit(1)).as("n_candidates"))
+        .crossJoin(verified.agg(count(lit(1)).as("n_verified")))
+        .crossJoin(nTruth)
+        .select(lit(r.toLong).as("rows_per_band"),
+          lit((NumHashes / r).toLong).as("n_bands"),
+          col("n_candidates"), col("n_verified"),
+          (col("n_truth") - col("n_verified")).as("n_missed"))
+    }.reduce(_.unionAll(_)).orderBy(col("rows_per_band"))
   }
 
   /** Exact-duplicate classes by IDENTICAL shingle array: (doc_id, rep,

@@ -164,6 +164,31 @@ class TextSpec extends SparkSpec {
       s"LSH missed too many high-sim pairs: $missed")
   }
 
+  test("lshTradeoff: verified+missed=truth per config, aligned configs nest, S-curve non-vacuous") {
+    val rows = MinHash.lshTradeoff(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("rows_per_band"), r.getAs[Long]("n_bands"),
+        r.getAs[Long]("n_candidates"), r.getAs[Long]("n_verified"),
+        r.getAs[Long]("n_missed")))
+    assert(rows.map(_._1).toSeq === Seq(2L, 3L, 4L, 6L))
+    rows.foreach { case (r, b, nc, nv, nm) =>
+      assert(b === 12L / r)
+      assert(nv <= nc, s"r=$r: verified exceeds candidates")
+      assert(nv >= 0L && nm >= 0L)
+    }
+    // verified + missed = the banding-independent truth, same for all rows
+    val truths = rows.map { case (_, _, _, nv, nm) => nv + nm }.distinct
+    assert(truths.length === 1, s"truth count not banding-independent: $truths")
+    assert(truths.head > 0L, "vacuous sweep: no true pairs at this sf")
+    // aligned nesting: a 4-row band contains whole 2-row bands, a 6-row
+    // band whole 2- and 3-row bands → candidate sets shrink
+    val byR = rows.map(t => t._1 -> t._3).toMap
+    assert(byR(4L) <= byR(2L))
+    assert(byR(6L) <= byR(2L) && byR(6L) <= byR(3L))
+    // recall side can only degrade as bands coarsen along a nested chain
+    val vByR = rows.map(t => t._1 -> t._4).toMap
+    assert(vByR(4L) <= vByR(2L) && vByR(6L) <= vByR(3L))
+  }
+
   test("df cap bounds the jaccard self-join: hot-shingle pairs vanish, real dupes stay") {
     // 50 docs all opening with the same viral sentence (one shingle with
     // df=50 → 1225 join pairs uncapped), plus one genuine near-dup pair
