@@ -90,6 +90,7 @@ object SparkEntry {
       "ann_cosine_topk"         -> ((s, d) => Similarity.ensureAnnStages(s, d)),
       "ann_ivf_topk"            -> ((s, d) => Similarity.ensureAnnStages(s, d)),
       "ann_ivf_recall"          -> ((s, d) => Similarity.ensureAnnStages(s, d)),
+      "ann_ivf_tradeoff"        -> ((s, d) => Similarity.ensureAnnStages(s, d)),
       "ann_ivf_filtered"        -> ((s, d) => {
         Similarity.labeledLists(s, d).count(); () }),
       "ann_pq_topk"             -> ((s, d) => Similarity.ensureAnnStages(s, d)),
@@ -231,6 +232,12 @@ object SparkEntry {
     // triangle census of the co-purchase graph: degree-ordered
     // orientation + wedge closure (each triangle counted exactly once)
     "q_triangle_count"        -> ((s, d) => operators.Triangles.triangleCount(s, d)),
+    // k-core bounded peel trace over the trade graph at the data-
+    // adaptive k = median degree: per round, peeled node count +
+    // surviving nodes/edges — the convergence artifact of the dense-
+    // substructure filter (a zero-peel final round certifies the true
+    // k-core was reached)
+    "q_kcore_peel"            -> ((s, d) => operators.KCore.kcorePeel(s, d)),
     // integer PageRank over the customer-supplier trade graph, 5
     // iterations, exact in both engines (damping as the rational 17/20,
     // per-edge integer division) — the influence rank degree can't see
@@ -527,6 +534,11 @@ object SparkEntry {
     // is once more the brute-force SQL
     "ann_hnsw_served"         -> ((s, d) => operators.Hnsw.hnswServedTopK(s, d)),
     "ann_ivf_recall"          -> ((s, d) => Similarity.ivfRecall(s, d)),
+    // IVF nprobe OPERATING CURVE: candidate volume vs top-k hits per
+    // probed-list budget over the same codebook — the recall/latency
+    // sweep a deployment runs before fixing nprobe (the LSH banding
+    // sweep's twin for the clustered index family)
+    "ann_ivf_tradeoff"        -> ((s, d) => Similarity.ivfTradeoff(s, d)),
     // filtered vector search: metadata predicate pruning candidates
     // INSIDE the probed lists before distance evaluation (pre-filter —
     // exact over the matching subset; post-filter loses recall)
@@ -828,6 +840,54 @@ object SparkEntry {
       |        FROM dec dd JOIN ex qx ON qx.d = dd.d
       |        WHERE qx.vec_id % 50 = 0 AND dd.vec_id <> qx.vec_id
       |        GROUP BY 1, 2)""".stripMargin
+
+  /** R unrolled peel rounds of the k-core trace
+    * ([[graft.operators.KCore.kcorePeel]]): e0/a0 are the trade-graph
+    * edge and node sets, kv the lower-median degree (exact order
+    * statistic at rank ⌈n/2⌉ under (degree, node) order); round r
+    * computes degrees over e(r-1), keeps survivors with degree >= k,
+    * and restricts edges to them. Every emitted value is an exact
+    * count.
+    */
+  private def kcoreSql(rounds: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH e0 AS MATERIALIZED (SELECT DISTINCT o.o_custkey * 2 AS a, l.l_suppkey * 2 + 1 AS b
+        |            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+        |a0 AS MATERIALIZED (SELECT DISTINCT node FROM (
+        |         SELECT a AS node FROM e0 UNION ALL SELECT b AS node FROM e0)),
+        |dg AS MATERIALIZED (SELECT node, count(*) AS d FROM (
+        |         SELECT a AS node FROM e0 UNION ALL SELECT b AS node FROM e0)
+        |       GROUP BY 1),
+        |kv AS MATERIALIZED (SELECT d AS k FROM (
+        |         SELECT d, row_number() OVER (ORDER BY d, node) AS rn FROM dg)
+        |       WHERE rn = (SELECT (count(*) + 1) // 2 FROM dg))""".stripMargin)
+    for (r <- 1 to rounds) {
+      val p = r - 1
+      // MATERIALIZED is load-bearing: DuckDB inlines plain CTEs per
+      // reference, and each round references its predecessor three
+      // times — inlined, the unrolled chain re-expands exponentially
+      // (the sf0.01 trial died on file handles before finishing)
+      sb.append(s""",
+        |d$r AS MATERIALIZED (SELECT node, count(*) AS d FROM (
+        |          SELECT a AS node FROM e$p UNION ALL SELECT b AS node FROM e$p)
+        |        GROUP BY 1),
+        |a$r AS MATERIALIZED (SELECT x.node FROM a$p x LEFT JOIN d$r USING (node)
+        |        WHERE COALESCE(d$r.d, 0) >= (SELECT k FROM kv)),
+        |e$r AS MATERIALIZED (SELECT e.a, e.b FROM e$p e
+        |        JOIN a$r x ON e.a = x.node JOIN a$r y ON e.b = y.node)""".stripMargin)
+    }
+    val rows = (1 to rounds).map { r =>
+      val p = r - 1
+      s"""SELECT CAST($r AS BIGINT) AS round,
+         |  CAST((SELECT k FROM kv) AS BIGINT) AS k,
+         |  CAST((SELECT count(*) FROM a$p) - (SELECT count(*) FROM a$r) AS BIGINT) AS n_peeled,
+         |  CAST((SELECT count(*) FROM a$r) AS BIGINT) AS n_remaining,
+         |  CAST((SELECT count(*) FROM e$r) AS BIGINT) AS n_edges""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    sb.append("\n" + rows + "\nORDER BY round")
+    sb.toString
+  }
 
   /** Five unrolled integer power iterations over the bidirectional
     * customer↔supplier edge list — it0 is the uniform init; each itN
@@ -1994,6 +2054,10 @@ object SparkEntry {
     // triangle census: orientation + wedge closure re-derived CTE by
     // CTE; the degree orientation is part of the contract (each
     // triangle has exactly one two-out-edge node under the total order)
+    // k-core bounded peel trace: the oracle unrolls the R rounds CTE by
+    // CTE — degree over surviving edges, survivors = degree >= k, edges
+    // restricted to survivors — and emits one exact-count row per round
+    "q_kcore_peel" -> kcoreSql(6),
     "q_triangle_count" ->
       """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
         |e AS (SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
@@ -3597,6 +3661,54 @@ object SparkEntry {
          |  WHERE rk <= 5),
          |$truthCte,
          |$recallTail""".stripMargin,
+    // IVF nprobe operating curve: the probes CTE keeps the list rank
+    // (prnk <= 8) so each budget's candidate set is a pure filter;
+    // per budget: candidate count, top-5 hits vs brute truth, truth
+    // total — all exact integers, the whole curve hash-gated
+    "ann_ivf_tradeoff" ->
+      s"""WITH $centCte,
+         |assigned AS (
+         |  SELECT vec_id, embedding, cent_id AS list_id FROM (
+         |    SELECT e.vec_id, e.embedding, c.cent_id,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cosSql("e.embedding", "c.cent_emb")} DESC, c.cent_id) AS arnk
+         |    FROM embeddings e, cent c)
+         |  WHERE arnk = 1),
+         |probes8 AS (
+         |  SELECT q_id, q_emb, cent_id AS list_id, prnk FROM (
+         |    SELECT e.vec_id AS q_id, e.embedding AS q_emb, c.cent_id,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cosSql("e.embedding", "c.cent_emb")} DESC, c.cent_id) AS prnk
+         |    FROM embeddings e, cent c WHERE e.vec_id % 50 = 0)
+         |  WHERE prnk <= 8),
+         |cand AS (
+         |  SELECT p.q_id, a.vec_id, p.prnk,
+         |         ${cosSql("p.q_emb", "a.embedding")} AS sim
+         |  FROM probes8 p JOIN assigned a ON p.list_id = a.list_id
+         |  WHERE a.vec_id <> p.q_id),
+         |$truthCte,
+         |cfg AS (SELECT unnest([1, 2, 4, 8]) AS n_probe),
+         |cc AS (SELECT f.n_probe, c.q_id, c.vec_id, c.sim
+         |       FROM cfg f JOIN cand c ON c.prnk <= f.n_probe),
+         |topk AS (
+         |  SELECT n_probe, q_id, vec_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY n_probe, q_id
+         |      ORDER BY sim DESC, vec_id) AS rk FROM cc)
+         |  WHERE rk <= 5),
+         |nc AS (SELECT n_probe, count(*) AS n_candidates FROM cc GROUP BY 1),
+         |h AS (SELECT k.n_probe, count(*) AS n_hits FROM topk k
+         |      JOIN truth t ON t.q_id = k.q_id AND t.vec_id = k.vec_id
+         |      GROUP BY 1),
+         |nt AS (SELECT count(*) AS n_truth FROM truth)
+         |SELECT CAST(f.n_probe AS BIGINT) AS n_probe,
+         |       CAST(COALESCE(nc.n_candidates, 0) AS BIGINT) AS n_candidates,
+         |       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+         |       CAST(nt.n_truth AS BIGINT) AS n_truth
+         |FROM cfg f
+         |LEFT JOIN nc ON nc.n_probe = f.n_probe
+         |LEFT JOIN h ON h.n_probe = f.n_probe
+         |CROSS JOIN nt
+         |ORDER BY n_probe""".stripMargin,
     // PQ/ADC: all distances are floor(1e6·L2²) integers (identical
     // left-to-right double folds in both engines, then exact floor), so
     // argmin codes and ADC sums are pure integer arithmetic

@@ -263,6 +263,85 @@ object Similarity {
     recallVsTruth(cosineTopK(spark, dir, k, queryStride),
       ivfTopK(spark, dir, k, queryStride, cent = cent), k)
 
+  /** IVF OPERATING CURVE — the nprobe sweep every IVF deployment runs
+    * before fixing its recall/latency point (the Faiss
+    * `nprobe`-parameter study; the LSH banding sweep's twin for the
+    * clustered index family): one row per probed-list budget over the
+    * SAME codebook and inverted lists, reporting candidate volume
+    * (what a probe pays), top-k hits against the brute-force truth
+    * (what it gets back), and the truth total. All counts are exact
+    * integers, so the whole curve is hash-gated against the oracle.
+    *
+    * Staging: the candidate frame is scored ONCE at the largest budget
+    * with each candidate tagged by the rank of the list it lives in
+    * (`prnk`), then collapsed to (a) per-(query, tier) top-k — top-k
+    * over any tier-prefix union equals top-k over the union of per-tier
+    * top-ks, so every budget's ranking reads the ≤ |q|·maxP·k collapsed
+    * frame, never the full candidate set — and (b) per-tier candidate
+    * counts (budget volume = a prefix sum over ≤ maxP count rows). The
+    * sweep therefore costs one probe join + one heap-agg pass over the
+    * candidates; the |configs| enumerations touch only k-bounded rows.
+    * Scale: the scored frame is the nProbe=max probe volume — the same
+    * work the standing `ann_ivf_topk` lane pays at its fixed budget,
+    * ~2× at this sweep's ceiling; candidates-per-query stays bounded by
+    * the probed lists' size, independent of corpus row count growth
+    * once list count scales with √n.
+    */
+  def ivfTradeoff(spark: SparkSession, dir: String, k: Int = 5,
+                  queryStride: Int = 50, codebookK: Int = CodebookK,
+                  nProbes: Seq[Int] = Seq(1, 2, 4, 8)): DataFrame = {
+    val maxP = nProbes.max
+    val emb = Tables.embeddings(spark, dir)
+    val cent = hashSampleCentroids(emb, codebookK)
+    val assigned = ivfAssigned(spark, dir, codebookK)
+    val q = emb.filter(col("vec_id") % queryStride === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val wProbe = Window.partitionBy(col("q_id"))
+      .orderBy(col("qsim").desc, col("cent_id"))
+    val probes = q.crossJoin(broadcast(cent))
+      .select(col("q_id"), col("q_emb"), col("cent_id"),
+        round(cosine(col("q_emb"), col("cent_emb")), 6).as("qsim"))
+      .withColumn("prnk", row_number().over(wProbe))
+      .filter(col("prnk") <= maxP)
+      .select(col("q_id"), col("q_emb"), col("cent_id").as("list_id"),
+        col("prnk"))
+    val cand = probes.join(assigned, Seq("list_id"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), col("prnk"),
+        round(cosine(col("q_emb"), col("embedding")), 6).as("sim"))
+    // one pass over the scored candidates: per-(query, tier) top-k
+    // (dominates top-k of every tier-prefix union) + per-tier counts
+    val tierTop = StageMemo.memoized(spark, s"ivf_tradeoff_top_$maxP", dir)(
+      Dedup.topKPerKey(cand, Seq("q_id", "prnk"),
+        Seq(-col("sim"), col("vec_id")), k).drop("rk"))
+    val tierCounts = StageMemo.memoized(spark, s"ivf_tradeoff_cnt_$maxP", dir)(
+      cand.groupBy(col("prnk")).agg(count(lit(1)).as("c")))
+    val truth = cosineTopK(spark, dir, k, queryStride)
+      .select(col("q_id"), col("vec_id"))
+    val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+    // the sweep is ONE plan, not |configs| unioned sub-plans: a
+    // per-config union fires ~3 jobs per budget and scheduling
+    // overhead dominates the k-bounded arithmetic (measured 1.45 s
+    // steady-state vs 0.2 s for this shape at sf0.1)
+    val cfgDf = tierTop.sparkSession.range(1)
+      .select(explode(array(nProbes.map(p => lit(p.toLong)): _*)).as("n_probe"))
+    val top = Dedup.topKPerKey(
+      broadcast(cfgDf).join(tierTop, col("prnk") <= col("n_probe")),
+      Seq("n_probe", "q_id"), Seq(-col("sim"), col("vec_id")), k)
+    val hits = top.join(truth, Seq("q_id", "vec_id"), "left_semi")
+      .groupBy(col("n_probe")).agg(count(lit(1)).as("h"))
+    val ncand = broadcast(cfgDf)
+      .join(tierCounts, col("prnk") <= col("n_probe"))
+      .groupBy(col("n_probe")).agg(sum(col("c")).as("c"))
+    cfgDf.join(ncand, Seq("n_probe"), "left")
+      .join(hits, Seq("n_probe"), "left")
+      .crossJoin(nTruth)
+      .select(col("n_probe"),
+        coalesce(col("c"), lit(0L)).as("n_candidates"),
+        coalesce(col("h"), lit(0L)).as("n_hits"), col("n_truth"))
+      .orderBy(col("n_probe"))
+  }
+
   /** Recall@k of the PQ code scan against the brute-force truth — the
     * compressed-domain index under the same contract. PQ ranks by
     * integer ADC distance (not cosine), so its recall measures the

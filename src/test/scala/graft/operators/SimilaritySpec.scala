@@ -471,4 +471,28 @@ class SimilaritySpec extends SparkSpec {
       assert(h <= t)
     }
   }
+
+  test("ivfTradeoff: nested candidate sets, monotone hits, nProbe=4 row ≡ ivfRecall") {
+    val curve = Similarity.ivfTradeoff(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("n_probe") ->
+        (r.getAs[Long]("n_candidates"), r.getAs[Long]("n_hits"),
+          r.getAs[Long]("n_truth"))).toMap
+    assert(curve.keySet === Set(1L, 2L, 4L, 8L))
+    val truthTotals = curve.values.map(_._3).toSet
+    assert(truthTotals.size === 1 && truthTotals.head > 0)
+    // candidate sets are nested by construction ⇒ counts and hits are
+    // monotone non-decreasing in the probe budget; hits never exceed truth
+    val ordered = Seq(1L, 2L, 4L, 8L).map(curve)
+    ordered.zip(ordered.tail).foreach { case ((c1, h1, _), (c2, h2, _)) =>
+      assert(c1 <= c2); assert(h1 <= h2)
+    }
+    ordered.foreach { case (c, h, t) => assert(h <= t); assert(h <= c) }
+    // the sweep's nProbe=4 point is exactly the standing ivfRecall lane
+    // (same codebook, same lists, same truth): hits must sum identically
+    val recallSum = Similarity.ivfRecall(spark, sfDir).agg(sum(col("hits")))
+      .collect().head.getLong(0)
+    assert(curve(4L)._2 === recallSum)
+    // non-vacuous: the widest budget finds at least one true neighbor
+    assert(curve(8L)._2 > 0)
+  }
 }
