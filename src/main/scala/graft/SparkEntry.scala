@@ -91,6 +91,8 @@ object SparkEntry {
       "ann_ivf_topk"            -> ((s, d) => Similarity.ensureAnnStages(s, d)),
       "ann_ivf_recall"          -> ((s, d) => Similarity.ensureAnnStages(s, d)),
       "ann_ivf_tradeoff"        -> ((s, d) => Similarity.ensureAnnStages(s, d)),
+      "ann_hard_negatives"      -> ((s, d) => { Similarity.hardNegativesTopK(s, d).count(); () }),
+      "ann_knn_accuracy"        -> ((s, d) => { Similarity.cosineTopK(s, d).count(); () }),
       "ann_ivf_filtered"        -> ((s, d) => {
         Similarity.labeledLists(s, d).count(); () }),
       "ann_pq_topk"             -> ((s, d) => Similarity.ensureAnnStages(s, d)),
@@ -534,6 +536,13 @@ object SparkEntry {
     // is once more the brute-force SQL
     "ann_hnsw_served"         -> ((s, d) => operators.Hnsw.hnswServedTopK(s, d)),
     "ann_ivf_recall"          -> ((s, d) => Similarity.ivfRecall(s, d)),
+    // hard-negative mining (DPR/ANCE): per query, top-k most similar
+    // vectors of a DIFFERENT label — the near-the-margin contrastive
+    // training examples random negatives can't provide
+    "ann_hard_negatives"      -> ((s, d) => Similarity.hardNegativesTopK(s, d)),
+    // kNN-classifier probe eval: majority-vote label prediction over
+    // the shared truth top-k, per-class query/correct counts
+    "ann_knn_accuracy"        -> ((s, d) => Similarity.knnLabelAccuracy(s, d)),
     // IVF nprobe OPERATING CURVE: candidate volume vs top-k hits per
     // probed-list budget over the same codebook — the recall/latency
     // sweep a deployment runs before fixing nprobe (the LSH banding
@@ -3661,6 +3670,38 @@ object SparkEntry {
          |  WHERE rk <= 5),
          |$truthCte,
          |$recallTail""".stripMargin,
+    // hard-negative mining: the brute top-k contract with the label
+    // inequality narrowing candidates — same 6-decimal cosine + vec_id
+    // tie-break as every ranking lane
+    "ann_hard_negatives" ->
+      s"""SELECT q_id, vec_id, sim, CAST(rk AS BIGINT) AS rnk FROM (
+         |  SELECT a.vec_id AS q_id, b.vec_id AS vec_id, $cosineSql AS sim,
+         |    row_number() OVER (PARTITION BY a.vec_id
+         |      ORDER BY $cosineSql DESC, b.vec_id) AS rk
+         |  FROM embeddings a, embeddings b
+         |  WHERE a.vec_id % 50 = 0 AND b.vec_id <> a.vec_id
+         |    AND b.label <> a.label)
+         |WHERE rk <= 5""".stripMargin,
+    // kNN-classifier eval: majority vote over the brute truth top-5
+    // (tie-break larger count then smaller label), per-class exact
+    // query/correct counts
+    "ann_knn_accuracy" ->
+      s"""WITH $truthCte,
+         |votes AS (
+         |  SELECT t.q_id, e.label, count(*) AS c
+         |  FROM truth t JOIN embeddings e ON e.vec_id = t.vec_id
+         |  GROUP BY 1, 2),
+         |pred AS (
+         |  SELECT q_id, label AS pred_label FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY c DESC, label) AS rk FROM votes)
+         |  WHERE rk = 1)
+         |SELECT CAST(q.label AS BIGINT) AS label,
+         |       CAST(count(*) AS BIGINT) AS n_queries,
+         |       CAST(SUM(CASE WHEN p.pred_label = q.label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+         |FROM embeddings q JOIN pred p ON p.q_id = q.vec_id
+         |WHERE q.vec_id % 50 = 0
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // IVF nprobe operating curve: the probes CTE keeps the list rank
     // (prnk <= 8) so each budget's candidate set is a pure filter;
     // per budget: candidate count, top-5 hits vs brute truth, truth

@@ -371,6 +371,70 @@ object Similarity {
       .orderBy(col("q_id"))
   }
 
+  /** HARD-NEGATIVE MINING — the contrastive-training data op every
+    * dense-retriever pipeline runs between embedding and training
+    * (Karpukhin et al. 2020's DPR "hard negatives"; ANCE mines them
+    * from exactly this kind of ANN scan): for each query vector, the
+    * top-k most similar vectors of a DIFFERENT label — the
+    * near-the-margin examples that make a contrastive batch
+    * informative, where random negatives are trivially separable.
+    * Same ranking contract as every other top-k lane (6-decimal
+    * rounded cosine, vec_id tie-break).
+    *
+    * Scale: identical plan shape to the brute baseline — queries
+    * broadcast, corpus streams, per-query k-bounded heap — the label
+    * predicate only narrows candidates; at production scale the same
+    * mining runs against an ANN index instead of the full scan (ANCE's
+    * asynchronous index refresh), which is exactly the IVF/HNSW
+    * serving path the other lanes provide.
+    */
+  def hardNegativesTopK(spark: SparkSession, dir: String, k: Int = 5,
+                        queryStride: Int = 50): DataFrame =
+    StageMemo.memoized(spark, s"hard_neg_${k}_$queryStride", dir) {
+      val emb = Tables.embeddings(spark, dir)
+      val q = emb.filter(col("vec_id") % queryStride === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("label").as("q_label"))
+      topKBySim(
+        emb.crossJoin(broadcast(q))
+          .filter(col("vec_id") =!= col("q_id") &&
+            col("label") =!= col("q_label"))
+          .select(col("q_id"), col("vec_id"),
+            round(cosine(col("q_emb"), col("embedding")), 6).as("sim")), k)
+    }
+
+  /** kNN-CLASSIFIER EVAL — the standard "probe" quality measure for an
+    * embedding space (the kNN evaluation protocol of SimCLR/DINO
+    * lineage, and the classic Fix & Hodges rule): predict each query's
+    * label by majority vote over its k nearest neighbors (tie-break:
+    * larger vote count, then smaller label) and report per-class
+    * query/correct counts — exact integers under the shared truth
+    * top-k, so the whole confusion summary is hash-gated.
+    *
+    * Scale: rides the session-staged brute-force truth (the eval-once
+    * frame every recall lane shares); votes are |q|·k rows, the
+    * argmax one k-bounded heap — nothing grows with the corpus.
+    */
+  def knnLabelAccuracy(spark: SparkSession, dir: String, k: Int = 5,
+                       queryStride: Int = 50): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val votes = cosineTopK(spark, dir, k, queryStride)
+      .join(emb.select(col("vec_id"), col("label")), Seq("vec_id"))
+      .groupBy(col("q_id"), col("label"))
+      .agg(count(lit(1)).as("c"))
+    val pred = Dedup.topKPerKey(votes, Seq("q_id"),
+        Seq(-col("c"), col("label")), 1)
+      .select(col("q_id"), col("label").as("pred_label"))
+    emb.filter(col("vec_id") % queryStride === 0)
+      .select(col("vec_id").as("q_id"), col("label").cast("bigint").as("label"))
+      .join(pred, Seq("q_id"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_queries"),
+        sum(when(col("pred_label") === col("label"), 1L).otherwise(0L))
+          .as("n_correct"))
+      .orderBy(col("label"))
+  }
+
   /** Deterministic fixed-budget codebook: the `k` corpus vectors ranked
     * first by `(md5(vec_id), vec_id)` — a uniform deterministic hash
     * sample whose SIZE is a constant independent of corpus rows (pinned

@@ -472,6 +472,63 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("hardNegativesTopK: never the query's own label, ranked desc, k per query") {
+    val emb = graft.Tables.embeddings(spark, sfDir)
+      .select("vec_id", "label").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("label")).toMap
+    val rows = Similarity.hardNegativesTopK(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val q = r.getAs[Long]("q_id"); val v = r.getAs[Long]("vec_id")
+      assert(v != q)
+      assert(emb(v) != emb(q), s"neighbor $v shares query $q's label")
+    }
+    val byQ = rows.groupBy(_.getAs[Long]("q_id"))
+    byQ.foreach { case (_, rs) =>
+      assert(rs.length === 5)
+      val sims = rs.sortBy(_.getAs[Long]("rnk")).map(_.getAs[Double]("sim"))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    }
+    // the mined negatives are exactly the label-filtered brute ranking:
+    // any same-label vector more similar than a mined negative must be
+    // absent, and dropping the label filter recovers cosineTopK's rows
+    // where the truth neighbor already crosses labels
+    val truth = Similarity.cosineTopK(spark, sfDir).collect()
+    val minedByQ = byQ.map { case (q, rs) => q -> rs.map(_.getAs[Long]("vec_id")).toSet }
+    truth.filter(r => emb(r.getAs[Long]("vec_id")) != emb(r.getAs[Long]("q_id")))
+      .groupBy(_.getAs[Long]("q_id"))
+      .foreach { case (q, rs) =>
+        // cross-label truth neighbors rank at least as high in the mined
+        // list: the top cross-label truth neighbor must be mined
+        val top = rs.minBy(_.getAs[Long]("rnk"))
+        assert(minedByQ(q).contains(top.getAs[Long]("vec_id")))
+      }
+  }
+
+  test("knnLabelAccuracy: per-class counts recompute from truth votes") {
+    val emb = graft.Tables.embeddings(spark, sfDir)
+      .select("vec_id", "label").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("label").toLong).toMap
+    val truth = Similarity.cosineTopK(spark, sfDir).collect()
+      .groupBy(_.getAs[Long]("q_id"))
+    val predicted = truth.map { case (q, rs) =>
+      val votes = rs.map(r => emb(r.getAs[Long]("vec_id")))
+        .groupBy(identity).map { case (l, xs) => (l, xs.length) }
+      q -> votes.toSeq.minBy { case (l, c) => (-c, l) }._1
+    }
+    val expected = predicted.toSeq
+      .groupBy { case (q, _) => emb(q) }
+      .map { case (l, qs) =>
+        l -> (qs.length.toLong, qs.count { case (q, p) => p == emb(q) }.toLong) }
+    val got = Similarity.knnLabelAccuracy(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("label") ->
+        (r.getAs[Long]("n_queries"), r.getAs[Long]("n_correct"))).toMap
+    assert(got === expected)
+    assert(got.values.map(_._1).sum === truth.size.toLong)
+    got.values.foreach { case (n, c) => assert(c <= n) }
+    assert(got.values.map(_._2).sum > 0L, "vacuous: kNN never correct")
+  }
+
   test("ivfTradeoff: nested candidate sets, monotone hits, nProbe=4 row ≡ ivfRecall") {
     val curve = Similarity.ivfTradeoff(spark, sfDir).collect()
       .map(r => r.getAs[Long]("n_probe") ->
