@@ -80,6 +80,7 @@ object SparkEntry {
       "text_bpe_encode"         -> ((s, d) => TextOps.ensureBpeMerges(s, d)),
       "text_maxmatch_tokens"    -> ((s, d) => TextOps.ensureBpeMerges(s, d)),
       "text_unigram_tokens"     -> ((s, d) => TextOps.ensureBpeMerges(s, d)),
+      "text_tokenizer_eval"     -> ((s, d) => TextOps.ensureBpeMerges(s, d)),
       "text_bpe_bytes_encode"   -> ((s, d) => TextOps.ensureBpeByteMerges(s, d)),
       "text_pack_bpe_bytes"     -> ((s, d) => TextOps.ensureBpeByteMerges(s, d)),
       "text_dsir_topk"          -> ((s, d) => TextOps.ensureDsirStages(s, d)),
@@ -267,6 +268,10 @@ object SparkEntry {
     // matrix on int64-quantized components — one kernel pass, no shuffle
     "q_embedding_project"   -> ((s, d) => operators.Similarity.jlProjectSummary(s, d)),
     "q_events_value_stats"  -> (Relational.qEventsValueStats _),
+    // hopping-window aggregation: 1h windows sliding every 30min via
+    // the native window TVF (each event in exactly 2 windows), value
+    // as per-row micro-integers — the streaming backfill's batch plan
+    "q_events_hopping"      -> (Relational.qEventsHopping _),
     "q_events_funnel"       -> (Relational.qEventsFunnel _),
     // daily cohort × days-since retention matrix over events
     "q_cohort_retention"    -> (Relational.qCohortRetention _),
@@ -323,6 +328,10 @@ object SparkEntry {
     // weighted vocab (fewest tokens, then highest frequency sum) —
     // completes the tokenizer-algorithm triad (BPE / WordPiece / unigram)
     "text_unigram_tokens" -> ((s, d) => TextOps.unigramEncode(s, d)),
+    // tokenizer SELECTION eval: all four segmenters (whitespace / BPE /
+    // maxmatch / unigram-Viterbi) over the same vocab + docs, fertility
+    // per (tokenizer, lang) — the comparison run before fixing one
+    "text_tokenizer_eval" -> ((s, d) => TextOps.tokenizerEval(s, d)),
     "text_pack_bpe"      -> ((s, d) => TextOps.packAssignBpe(s, d)),
     // BYTE-LEVEL BPE (GPT-2/tiktoken lineage): same trainer/encoder
     // over the 256-byte alphabet (byte b ↦ U+0100+b) — merges cross
@@ -2212,6 +2221,19 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n, min(value) AS min_value,
         |  max(value) AS max_value, count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY 1""".stripMargin,
+    // hopping windows: the 2 covering 30-min-slide / 1h-width hops per
+    // event by integer floor-division on epoch micros; value summed as
+    // per-row floor(value*1e6) micro-integers
+    "q_events_hopping" ->
+      """SELECT ws AS window_start_us, event_type,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS value_micros
+        |FROM (SELECT event_type, value,
+        |        (epoch_us(ts) // 1800000000) * 1800000000
+        |          - k.k * 1800000000 AS ws
+        |      FROM events,
+        |           unnest([CAST(0 AS BIGINT), CAST(1 AS BIGINT)]) k(k))
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_events_props_keys" ->
       """SELECT event_type, k AS prop_key, count(*) AS n
         |FROM (SELECT event_type, unnest(json_keys(props)) AS k FROM events)
@@ -2634,6 +2656,30 @@ object SparkEntry {
         |ORDER BY n DESC, pair LIMIT 50""".stripMargin,
     "text_bpe_train" -> bpeTrainSql(8),
     "text_bpe_encode" -> bpeEncodeSql(8),
+    // tokenizer selection eval: the three encode statements as
+    // subqueries joined per doc (the non-PUA domain the BPE face
+    // defines), melted to (tokenizer, lang) fertility rows — every
+    // count exact, the integer tokens-per-kchar by floor division
+    "text_tokenizer_eval" ->
+      s"""WITH j AS MATERIALIZED (
+         |  SELECT b.doc_id, d.lang, b.n_chars, b.n_ws_tokens,
+         |         b.n_bpe_tokens, m.n_maxmatch_tokens, u.n_unigram_tokens
+         |  FROM (${bpeEncodeSql(8)}) b
+         |  JOIN (${maxMatchSql(8)}) m USING (doc_id)
+         |  JOIN (${unigramSql(8)}) u USING (doc_id)
+         |  JOIN documents d USING (doc_id)),
+         |melt AS (
+         |  SELECT 'whitespace' AS tokenizer, lang, n_chars, n_ws_tokens AS n FROM j
+         |  UNION ALL SELECT 'bpe', lang, n_chars, n_bpe_tokens FROM j
+         |  UNION ALL SELECT 'maxmatch', lang, n_chars, n_maxmatch_tokens FROM j
+         |  UNION ALL SELECT 'unigram', lang, n_chars, n_unigram_tokens FROM j)
+         |SELECT tokenizer, lang,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(n) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+         |  CAST(CASE WHEN SUM(n_chars) = 0 THEN 0
+         |            ELSE SUM(n) * 1000 // SUM(n_chars) END AS BIGINT) AS tokens_per_kchar
+         |FROM melt GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "text_maxmatch_tokens" -> maxMatchSql(8),
     "text_unigram_tokens" -> unigramSql(8),
     "text_bpe_bytes" -> bpeByteTrainSql(8),

@@ -851,6 +851,39 @@ object Relational {
       .orderBy(col("user_id"))
   }
 
+  /** HOPPING-WINDOW aggregation (`q_events_hopping`) — the sliding
+    * windowed-analytics verb the tumbling/session lanes don't cover
+    * (Spark's `window(ts, windowDuration, slideDuration)` TVF; the
+    * HOP() of Flink/Calcite): 1-hour windows advancing every 30
+    * minutes, so each event lands in exactly 2 overlapping windows,
+    * aggregated per (window, event_type). Uses the NATIVE window TVF —
+    * physically an Expand (row → its covering windows) feeding one
+    * hash-agg, the same plan a streaming deployment's batch backfill
+    * runs.
+    *
+    * Exactness: the window start is emitted as epoch MICROS (bigint) —
+    * the grid arithmetic both engines share — and the value rolls up
+    * as per-row floor(value·10⁶) micro-integers, never a double sum
+    * (FIXTURES.md §3). The oracle re-derives the 2 covering hops per
+    * event by integer floor-division on epoch_us.
+    *
+    * Scale: Expand doubles the row count before the partial agg —
+    * map-side combine collapses to |windows|·|types| per task before
+    * the single shuffle; window count grows with time span, not event
+    * volume.
+    */
+  def qEventsHopping(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("__ts", col("ts").cast("timestamp"))
+      .groupBy(window(col("__ts"), "1 hour", "30 minutes").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(floor(col("value") * lit(1000000.0)).cast("bigint"))
+          .as("value_micros"))
+      .select(unix_micros(col("w.start")).as("window_start_us"),
+        col("event_type"), col("n_events"), col("value_micros"))
+      .orderBy(col("window_start_us"), col("event_type"))
+
   /** Events value profile: count/min/max per type. Double min/max are
     * pure comparisons (deterministic); no double sums (FIXTURES.md §3).
     */

@@ -1379,6 +1379,51 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** TOKENIZER SELECTION EVAL (`text_tokenizer_eval`) — the
+    * compression/fertility comparison a pipeline runs before fixing
+    * its tokenizer (the tokens-per-character "fertility" study of the
+    * multilingual-tokenizer literature, e.g. Rust et al. 2021): all
+    * four segmenters this engine ships — whitespace, rank-ordered BPE,
+    * WordPiece maximal munch, unigram-LM Viterbi — over the SAME
+    * trained vocabulary and the SAME documents, rolled up per
+    * (tokenizer, language): doc count, total tokens, total characters,
+    * and integer tokens-per-1000-chars. Restricted to the char-BPE
+    * encodability domain (non-PUA docs — the only set all four cover),
+    * so every tokenizer sees identical input and the rows are directly
+    * comparable; all counts exact integers, the whole table hash-gated.
+    *
+    * Scale: three codegen kernel passes + one whitespace count over
+    * one documents scan each, melted and reduced to
+    * |tokenizers|·|langs| rows — no joins beyond doc_id equi-joins, no
+    * state; the eval costs what the three encode lanes cost.
+    */
+  def tokenizerEval(spark: SparkSession, dir: String,
+                    merges: Int = 8): DataFrame = {
+    val b = bpeEncode(spark, dir, merges)
+      .select(col("doc_id"), col("n_chars"), col("n_ws_tokens"),
+        col("n_bpe_tokens"))
+    val m = maxMatchEncode(spark, dir, merges)
+      .select(col("doc_id"), col("n_maxmatch_tokens"))
+    val u = unigramEncode(spark, dir, merges)
+      .select(col("doc_id"), col("n_unigram_tokens"))
+    val d = Tables.documents(spark, dir).select(col("doc_id"), col("lang"))
+    b.join(m, Seq("doc_id")).join(u, Seq("doc_id")).join(d, Seq("doc_id"))
+      .selectExpr("lang", "n_chars",
+        """stack(4,
+          |  'whitespace', n_ws_tokens,
+          |  'bpe', n_bpe_tokens,
+          |  'maxmatch', n_maxmatch_tokens,
+          |  'unigram', n_unigram_tokens) AS (tokenizer, n)""".stripMargin)
+      .groupBy(col("tokenizer"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"))
+      .withColumn("tokens_per_kchar",
+        when(col("n_chars") === 0L, 0L)
+          .otherwise(expr("n_tokens * 1000 DIV n_chars")))
+      .orderBy(col("tokenizer"), col("lang"))
+  }
+
   /** Byte-level vocabulary rows (`text_bpe_bytes`): one row per merge,
     * left/right/new_token in the mapped-byte alphabet — see
     * [[bpeByteMergesOf]]. The oracle unrolls the identical loop with

@@ -53,6 +53,30 @@ object StreamingDedup {
         col("window.end").as("window_end")) ++ keyCols.map(col) :+
         col("n_attempts")): _*)
 
+  /** HOPPING-window event rollup — the streaming face of
+    * `Relational.qEventsHopping` (same TVF, same output contract:
+    * window start as epoch micros, value as per-row micro-integers):
+    * overlapping windows of `windowLen` advancing every `slide`, so an
+    * event lands in windowLen/slide windows; append mode emits each
+    * window exactly once when the watermark passes its end.
+    * StreamingHoppingSpec pins stream ≡ batch row-for-row on the real
+    * events corpus — the backfill-equals-live property a deployment
+    * switching a windowed rollup from nightly batch to continuous
+    * ingest depends on.
+    */
+  def hoppingCounts(events: DataFrame, eventTimeCol: String,
+                    windowLen: String, slide: String,
+                    watermark: String): DataFrame =
+    events
+      .withWatermark(eventTimeCol, watermark)
+      .groupBy(window(col(eventTimeCol), windowLen, slide),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(floor(col("value") * lit(1000000.0)).cast("bigint"))
+          .as("value_micros"))
+      .select(unix_micros(col("window.start")).as("window_start_us"),
+        col("event_type"), col("n_events"), col("value_micros"))
+
   /** Full state lattice as a stream: emits every attempt labeled with its
     * protocol state. `GroupState[String]` holds the winning record_uuid
     * per key; `ttlMillis > 0` sets an EVENT-TIME timeout at

@@ -40,4 +40,27 @@ class RelationalSpec extends SparkSpec {
       assert(schema(c).dataType === org.apache.spark.sql.types.LongType, c)
     }
   }
+
+  test("qEventsHopping: every event in exactly 2 windows; groups recompute from raw events") {
+    val got = Relational.qEventsHopping(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("window_start_us"), r.getAs[String]("event_type")) ->
+        (r.getAs[Long]("n_events"), r.getAs[Long]("value_micros"))).toMap
+    assert(got.nonEmpty)
+    val events = graft.Tables.events(spark, sfDir)
+      .selectExpr("unix_micros(cast(ts as timestamp)) AS us", "event_type", "value")
+      .collect()
+    // driver-side reference: each event covered by the hop it starts in
+    // and the previous one (1h width, 30min slide)
+    val slide = 1800000000L
+    val expected = events.flatMap { r =>
+      val us = r.getAs[Long]("us"); val h0 = us - java.lang.Math.floorMod(us, slide)
+      Seq(h0, h0 - slide).map(w => (w, r.getAs[String]("event_type")) ->
+        (1L, math.floor(r.getAs[Double]("value") * 1000000.0).toLong))
+    }.groupBy(_._1).map { case (k, xs) =>
+      k -> (xs.map(_._2._1).sum, xs.map(_._2._2).sum) }
+    assert(got === expected)
+    assert(got.values.map(_._1).sum === 2L * events.length)
+    // window starts sit on the 30-minute grid
+    got.keys.foreach { case (w, _) => assert(w % slide === 0L) }
+  }
 }
