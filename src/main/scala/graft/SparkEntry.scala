@@ -93,6 +93,8 @@ object SparkEntry {
       "ann_ivf_recall"          -> ((s, d) => Similarity.ensureAnnStages(s, d)),
       "ann_ivf_tradeoff"        -> ((s, d) => Similarity.ensureAnnStages(s, d)),
       "ann_hard_negatives"      -> ((s, d) => { Similarity.hardNegativesTopK(s, d).count(); () }),
+      "q_triangle_count"        -> ((s, d) => { operators.Triangles.copurchaseEdges(s, d).count(); () }),
+      "q_link_prediction"       -> ((s, d) => { operators.Triangles.copurchaseEdges(s, d).count(); () }),
       "ann_knn_accuracy"        -> ((s, d) => { Similarity.cosineTopK(s, d).count(); () }),
       "ann_ivf_filtered"        -> ((s, d) => {
         Similarity.labeledLists(s, d).count(); () }),
@@ -235,6 +237,10 @@ object SparkEntry {
     // triangle census of the co-purchase graph: degree-ordered
     // orientation + wedge closure (each triangle counted exactly once)
     "q_triangle_count"        -> ((s, d) => operators.Triangles.triangleCount(s, d)),
+    // common-neighbor link prediction over the co-purchase graph, in
+    // its probe-batch serving shape: per probe node, top not-yet-
+    // connected candidates by exact shared-neighbor count
+    "q_link_prediction"       -> ((s, d) => operators.Triangles.linkPrediction(s, d)),
     // k-core bounded peel trace over the trade graph at the data-
     // adaptive k = median degree: per round, peeled node count +
     // surviving nodes/edges — the convergence artifact of the dense-
@@ -2076,6 +2082,28 @@ object SparkEntry {
     // CTE — degree over surviving edges, survivors = degree >= k, edges
     // restricted to survivors — and emits one exact-count row per round
     "q_kcore_peel" -> kcoreSql(6),
+    // link prediction (probe serving shape): 2-hop expansion from the
+    // probe nodes over the bidirectional adjacency, exact witness
+    // counts, existing edges anti-joined on the canonical pair
+    "q_link_prediction" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+        |      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |      WHERE a.l_partkey < b.l_partkey),
+        |ebi AS MATERIALIZED (
+        |  SELECT a AS u, b AS n FROM e UNION ALL SELECT b AS u, a AS n FROM e),
+        |c AS (SELECT h1.u AS p, h2.n AS y, CAST(count(*) AS BIGINT) AS n_common
+        |      FROM ebi h1 JOIN ebi h2 ON h1.n = h2.u
+        |      WHERE h1.u % 97 = 0 AND h2.n <> h1.u
+        |      GROUP BY 1, 2),
+        |nc AS (SELECT c.p, c.y, c.n_common FROM c
+        |       LEFT JOIN e ON e.a = least(c.p, c.y) AND e.b = greatest(c.p, c.y)
+        |       WHERE e.a IS NULL)
+        |SELECT p AS probe_part, y AS cand_part, n_common,
+        |  CAST(rk AS BIGINT) AS rnk
+        |FROM (SELECT *, row_number() OVER (PARTITION BY p
+        |        ORDER BY n_common DESC, y) AS rk FROM nc)
+        |WHERE rk <= 5 ORDER BY probe_part, rnk""".stripMargin,
     "q_triangle_count" ->
       """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
         |e AS (SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b

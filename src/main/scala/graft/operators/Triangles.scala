@@ -29,21 +29,76 @@ import graft.Tables
   */
 object Triangles {
 
-  /** The canonical undirected co-purchase edge list (a < b, distinct). */
-  private[graft] def copurchaseEdges(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-    li.select(col("l_orderkey"), col("l_partkey").as("a"))
-      .join(li.select(col("l_orderkey"), col("l_partkey").as("b")),
-        Seq("l_orderkey"))
-      .filter(col("a") < col("b"))
-      .select(col("a"), col("b")).distinct()
+  /** The canonical undirected co-purchase edge list (a < b, distinct) —
+    * session-staged: the triangle census and the link-prediction lane
+    * both read it, and a real graph pipeline materializes its edge
+    * list once per ingest, not once per kernel.
+    */
+  private[graft] def copurchaseEdges(spark: SparkSession, dir: String): DataFrame =
+    StageMemo.memoized(spark, "copurchase_edges", dir) {
+      val li = Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      li.select(col("l_orderkey"), col("l_partkey").as("a"))
+        .join(li.select(col("l_orderkey"), col("l_partkey").as("b")),
+          Seq("l_orderkey"))
+        .filter(col("a") < col("b"))
+        .select(col("a"), col("b")).distinct()
+    }
+
+  /** LINK PREDICTION by common-neighbor count (`q_link_prediction`) —
+    * the classic unsupervised baseline (Liben-Nowell & Kleinberg 2003;
+    * the "people you may know" / related-items primitive), in its
+    * SERVING shape: for each PROBE node, score every 2-hop candidate
+    * by the exact number of shared neighbors and keep the top-k
+    * not-yet-connected pairs. The probe-set restriction is the scale
+    * decision: exact all-pairs common-neighbor counts are inherently
+    * Σ deg² wedge facts (148M at sf0.1 — measured; the degree
+    * orientation that saves [[triangleCount]] UNDERCOUNTS here, since
+    * a shared neighbor witnesses a pair only when it orients outward
+    * to both ends), while the per-probe expansion is
+    * Σ_{u∈N(probe)} deg(u) — proportional to the probe batch, not the
+    * corpus, exactly like a query batch against the ANN stores.
+    *
+    * Determinism: scores are exact witness counts over the full
+    * (bidirectional) adjacency; existing edges leave by anti-join
+    * against the probe adjacency; ties break (score desc,
+    * candidate id); per-probe top-k is one k-bounded heap.
+    *
+    * Plan shape: the ONLY broadcast is the probe adjacency (∝ probe
+    * batch — never the corpus-sized edge list), so the bidirectional
+    * adjacency is scanned exactly once map-side with zero Exchange;
+    * the single shuffle is the per-probe wedge aggregation, itself
+    * ∝ probe batch. "Is (p,y) already an edge?" needs only edges
+    * INCIDENT TO A PROBE — i.e. the probe adjacency again — so the
+    * anti-join reuses the same small broadcast instead of the full
+    * edge set.
+    */
+  def linkPrediction(spark: SparkSession, dir: String, k: Int = 5,
+                     probeMod: Int = 97): DataFrame = {
+    val e = copurchaseEdges(spark, dir)
+    val ebi = e.select(col("a").as("u"), col("b").as("n"))
+      .unionAll(e.select(col("b").as("u"), col("a").as("n")))
+    val hop1 = ebi.filter(col("u") % probeMod === 0)
+      .select(col("u").as("p"), col("n").as("mid"))
+    val cand = broadcast(hop1)
+      .join(ebi.select(col("u").as("mid"), col("n").as("y")), Seq("mid"))
+      .filter(col("y") =!= col("p"))
+      .groupBy(col("p"), col("y")).agg(count(lit(1)).as("n_common"))
+    val pred = cand.join(
+      broadcast(hop1.select(col("p"), col("mid").as("y"))),
+      Seq("p", "y"), "left_anti")
+    Dedup.topKPerKey(
+        pred.select(col("p").as("probe_part"), col("y").as("cand_part"),
+          col("n_common")),
+        Seq("probe_part"), Seq(-col("n_common"), col("cand_part")), k)
+      .withColumnRenamed("rk", "rnk")
+      .orderBy(col("probe_part"), col("rnk"))
   }
 
   /** One row: (n_nodes, n_edges, n_triangles) of the co-purchase graph. */
   def triangleCount(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val e = copurchaseEdges(spark, dir).persist(MEMORY_AND_DISK)
+    val e = copurchaseEdges(spark, dir)
     val deg = e.select(col("a").as("node"))
       .unionAll(e.select(col("b").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("d"))
