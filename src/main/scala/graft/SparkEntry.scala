@@ -255,6 +255,10 @@ object SparkEntry {
     // sketch re-aggregation: per-day HLL sketches unioned ≡ one global
     // sketch (structural register-max property), within 5·rsd of exact
     "q_approx_distinct_daily_merge" -> ((s, d) => operators.Approx.hllDailyMergeChecked(s, d)),
+    // the quantile twin: per-day KLL sketches merged, the merged p50/p95
+    // rank-checked exactly against a full re-scan (KLL compaction is
+    // randomized, so the CONTRACT is the gate, never the sketch bits)
+    "q_approx_quantile_merge" -> ((s, d) => operators.Approx.kllDailyMergeChecked(s, d)),
     // the exact counterpart: rank-arithmetic lower median per group
     "q_exact_median"          -> (Relational.qExactMedian _),
     "q_rollup_returns"      -> (Relational.qRollupReturns _),
@@ -1990,6 +1994,15 @@ object SparkEntry {
         |  count(DISTINCT user_id) AS exact_users,
         |  true AS merged_eq_global, true AS merged_within_5rsd
         |FROM events GROUP BY 1""".stripMargin,
+    // merged-KLL quantiles: oracle recomputes the exact side (day and
+    // value counts); the rank-bound booleans are the engine-attested
+    // contract (sketch values are implementation-defined, never compared)
+    "q_approx_quantile_merge" ->
+      """SELECT event_type,
+        |  count(DISTINCT CAST(ts AS DATE)) AS n_days,
+        |  CAST(count(*) AS BIGINT) AS n_values,
+        |  true AS p50_rank_ok, true AS p95_rank_ok
+        |FROM events WHERE value IS NOT NULL GROUP BY 1""".stripMargin,
     "q_exact_median" ->
       """WITH r AS (SELECT event_type, value,
         |    row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rk,

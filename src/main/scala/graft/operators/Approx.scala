@@ -217,6 +217,68 @@ object Approx {
       .orderBy(col("event_type"))
   }
 
+  /** KLL quantile-sketch RE-AGGREGATION (`q_approx_quantile_merge`) —
+    * the [[hllDailyMergeChecked]] story for the ORDER statistic: per-day
+    * DataSketches KLL sketches (`kll_sketch_agg_bigint`, Karnin/Lang/
+    * Liberty 2016), persisted once at ingest, are MERGED
+    * (`kll_merge_agg_bigint`) to answer any later window's quantiles
+    * without rescanning the raw 100 TB — the mergeability `percentile_
+    * approx`'s Greenwald-Khanna summaries never expose. KLL compaction
+    * is RANDOMIZED (unlike HLL's per-slot maxima), so merged == global
+    * is not a sound gate; the sound contract is the published rank
+    * bound, made exact the [[approxValueQuantilesChecked]] way: re-scan
+    * the group counting strict/weak ranks of each merged-sketch
+    * quantile and attest the value's rank interval intersects
+    * [p·n − εn, p·n + εn]. k = 200 gives single-sketch normalized rank
+    * error ≈ 1.65% at 99% confidence, and KLL merge PRESERVES the
+    * k-bound error; the gate uses ε = 5% — loose enough that the
+    * driver's per-round data regeneration can never flip a healthy row
+    * (a real merge bug — dropped level, double-counted weight — misses
+    * by far more), tight enough to be non-vacuous at every p probed.
+    *
+    * Values ride as micro-integers (floor(value·10⁶), the repo-wide
+    * fixed-point discipline) so the bigint sketch variant applies; the
+    * emitted row is exact integers + contract booleans only — sketch-
+    * internal values never cross the oracle gate.
+    *
+    * Scale: one shuffle to (types × days) constant-size sketch rows,
+    * one k-bounded merge of THOSE, one validation re-scan against the
+    * ≤|types|-row broadcast — at 100 TB the daily sketch table is what
+    * a deployment persists, and re-answering a quarter's p95 touches
+    * ~90 rows per type.
+    */
+  def kllDailyMergeChecked(spark: SparkSession, dir: String,
+                           k: Int = 200): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        floor(col("value") * lit(1000000L)).cast("long").as("v"))
+    val daily = e.groupBy(col("event_type"), col("day"))
+      .agg(kll_sketch_agg_bigint(col("v"), lit(k)).as("sk"))
+    val merged = daily.groupBy(col("event_type"))
+      .agg(kll_merge_agg_bigint(col("sk"), lit(k)).as("msk"),
+           count(lit(1)).as("n_days"))
+      .select(col("event_type"), col("n_days"),
+        kll_sketch_get_quantile_bigint(col("msk"), lit(0.5)).as("q50"),
+        kll_sketch_get_quantile_bigint(col("msk"), lit(0.95)).as("q95"))
+    val j = e.join(broadcast(merged), Seq("event_type"))
+    def lt(c: String) = sum(when(col("v") < col(c), 1L).otherwise(0L))
+    def le(c: String) = sum(when(col("v") <= col(c), 1L).otherwise(0L))
+    val counted = j.groupBy(col("event_type"), col("n_days")).agg(
+      count(lit(1)).as("n"),
+      lt("q50").as("lt50"), le("q50").as("le50"),
+      lt("q95").as("lt95"), le("q95").as("le95"))
+    def rankOk(p: Double, ltc: String, lec: String) = {
+      val eps = col("n").cast("double") * 0.05 + lit(1.0)
+      val target = col("n").cast("double") * p
+      (col(ltc) + lit(1L) <= target + eps) && (col(lec) >= target - eps)
+    }
+    counted.select(col("event_type"), col("n_days"), col("n").as("n_values"),
+        rankOk(0.50, "lt50", "le50").as("p50_rank_ok"),
+        rankOk(0.95, "lt95", "le95").as("p95_rank_ok"))
+      .orderBy(col("event_type"))
+  }
+
   /** KMV (k-minimum-values) theta-sketch INTERSECTION — the set
     * operation HLL cannot do: estimated |view-users ∩ purchase-users|
     * from two k=64 sketches, next to the exact answer. Each sketch is

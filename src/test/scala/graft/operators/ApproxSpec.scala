@@ -91,6 +91,42 @@ class ApproxSpec extends SparkSpec {
       "CMS estimate join degraded to a shuffle join")
   }
 
+  test("KLL daily merge: contract booleans true, exact side recomputed, merged quantiles near exact") {
+    val rows = Approx.kllDailyMergeChecked(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val events = graft.Tables.events(spark, sfDir)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        floor(col("value") * lit(1000000L)).cast("long").as("v"))
+      .collect().map(r => (r.getString(0), r.getDate(1), r.getLong(2)))
+    rows.foreach { r =>
+      val et = r.getAs[String]("event_type")
+      val mine = events.filter(_._1 == et)
+      // exact side must match a full driver-side recompute
+      assert(r.getAs[Long]("n_days") === mine.map(_._2).distinct.length.toLong)
+      assert(r.getAs[Long]("n_values") === mine.length.toLong)
+      // the attested contract
+      assert(r.getAs[Boolean]("p50_rank_ok"), s"$et: merged p50 outside rank band")
+      assert(r.getAs[Boolean]("p95_rank_ok"), s"$et: merged p95 outside rank band")
+    }
+    // independent of the lane's own counters: the merged sketch's p50
+    // must rank inside the band against a driver-side sort too
+    val merged = graft.Tables.events(spark, sfDir)
+      .filter(col("value").isNotNull)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(kll_sketch_agg_bigint(
+        floor(col("value") * lit(1000000L)).cast("long"), lit(200)).as("sk"))
+      .groupBy(col("event_type"))
+      .agg(kll_sketch_get_quantile_bigint(
+        kll_merge_agg_bigint(col("sk"), lit(200)), lit(0.5)).as("q50"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    merged.foreach { case (et, q50) =>
+      val sorted = events.filter(_._1 == et).map(_._3).sorted
+      val rank = sorted.count(_ <= q50).toDouble / sorted.length
+      assert(rank >= 0.45 && rank <= 0.55, s"$et: merged p50=$q50 rank=$rank")
+    }
+  }
+
   test("KMV A-not-B: retained bound, scale-up monotonicity, unsaturated degeneracy") {
     val r = Approx.kmvAnotB(spark, sfDir).collect().head
     val (k, nA, nB, rhoD, est, exact) =
