@@ -104,6 +104,9 @@ object SparkEntry {
       "ann_ivfadc_recall"       -> ((s, d) => Similarity.ensureAnnStages(s, d)),
       "ann_ivfadc_rerank"       -> ((s, d) => Similarity.ensureAnnStages(s, d)),
       "ann_sq8_topk"            -> ((s, d) => { Similarity.sqCodes(s, d).count(); () }),
+      "ann_bq_topk"             -> ((s, d) => { Similarity.bqCodes(s, d).count(); () }),
+      "ann_bq_recall"           -> ((s, d) => {
+        Similarity.bqCodes(s, d).count(); Similarity.cosineTopK(s, d).count(); () }),
       "ann_matryoshka_recall"   -> ((s, d) => { Similarity.cosineTopK(s, d).count(); () }),
       "ann_sq8_recall"          -> ((s, d) => {
         Similarity.sqCodes(s, d).count(); Similarity.cosineTopK(s, d).count(); () }),
@@ -597,6 +600,10 @@ object SparkEntry {
     // asymmetric L2 — the fifth index family (Faiss IndexScalarQuantizer)
     "ann_sq8_topk"            -> ((s, d) => Similarity.sqTopK(s, d)),
     "ann_sq8_recall"          -> ((s, d) => Similarity.sqRecall(s, d)),
+    // 1-bit binary quantization: Hamming (XOR+popcount) over packed
+    // sign-vs-trained-mean codes — the 32×-compressed serving tier
+    "ann_bq_topk"             -> ((s, d) => Similarity.bqTopK(s, d)),
+    "ann_bq_recall"           -> ((s, d) => Similarity.bqRecall(s, d)),
     "dedup_embedding_cosine"  -> ((s, d) => Similarity.cosineNearDupPairs(s, d)),
     // SemDeDup-style: IVF-list-confined cosine dedup, keep-lowest-id
     "dedup_semdedup"          -> ((s, d) => Similarity.semDedup(s, d)),
@@ -868,6 +875,30 @@ object SparkEntry {
       |        FROM dec dd JOIN ex qx ON qx.d = dd.d
       |        WHERE qx.vec_id % 50 = 0 AND dd.vec_id <> qx.vec_id
       |        GROUP BY 1, 2)""".stripMargin
+
+  /** The 1-bit binary-quantization chain: per-dimension micro-sums
+    * train the mean threshold (compared by integer cross-multiply —
+    * never a division), bits pack into two non-negative 32-bit words,
+    * Hamming = popcount of the XORed halves. Mirrors
+    * [[graft.operators.Similarity.bqCodes]] term for term.
+    */
+  private val bqCtes =
+    """dims AS (SELECT CAST(d AS INTEGER) AS d FROM unnest(range(0, 64)) t(d)),
+      |ex AS (SELECT e.vec_id, dims.d,
+      |         CAST(floor(e.embedding[dims.d + 1]::DOUBLE * 1000000) AS BIGINT) AS x
+      |       FROM embeddings e, dims),
+      |tr AS (SELECT d, CAST(SUM(x) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS n
+      |       FROM ex GROUP BY d),
+      |bits AS (SELECT ex.vec_id, ex.d,
+      |           CASE WHEN ex.x * tr.n > tr.s THEN 1::BIGINT ELSE 0::BIGINT END AS b
+      |         FROM ex JOIN tr USING (d)),
+      |codes AS (SELECT vec_id,
+      |            CAST(SUM(CASE WHEN d < 32 THEN b * (1::BIGINT << d) ELSE 0 END) AS BIGINT) AS lo,
+      |            CAST(SUM(CASE WHEN d >= 32 THEN b * (1::BIGINT << (d - 32)) ELSE 0 END) AS BIGINT) AS hi
+      |          FROM bits GROUP BY 1),
+      |bqs AS (SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+      |          CAST(bit_count(xor(q.lo, c.lo)) + bit_count(xor(q.hi, c.hi)) AS BIGINT) AS ham_dist
+      |        FROM codes c JOIN codes q ON q.vec_id % 50 = 0 AND c.vec_id <> q.vec_id)""".stripMargin
 
   /** R unrolled peel rounds of the k-core trace
     * ([[graft.operators.KCore.kcorePeel]]): e0/a0 are the trade-graph
@@ -3869,6 +3900,24 @@ object SparkEntry {
         |FROM (SELECT *, row_number() OVER (PARTITION BY q_id
         |        ORDER BY adc_dist, vec_id) AS rk FROM sqs)
         |WHERE rk <= 5""".stripMargin,
+    // 1-bit Hamming top-k: trained mean bits, packed halves, XOR+popcount
+    "ann_bq_topk" ->
+      s"""WITH $bqCtes
+        |SELECT q_id, vec_id, ham_dist, CAST(rk AS BIGINT) AS rnk
+        |FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+        |        ORDER BY ham_dist, vec_id) AS rk FROM bqs)
+        |WHERE rk <= 5""".stripMargin,
+    // recall@k of the 1-bit scan vs brute force — what 32× compression
+    // costs, under the shared exact-integer recall contract
+    "ann_bq_recall" ->
+      s"""WITH $bqCtes,
+        |apx AS (
+        |  SELECT q_id, vec_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY q_id
+        |      ORDER BY ham_dist, vec_id) AS rk FROM bqs)
+        |  WHERE rk <= 5),
+        |$truthCte,
+        |$recallTail""".stripMargin,
     // recall@k of the SQ8 code scan vs brute force — scalar-quantization
     // loss under the shared exact-integer recall contract
     "ann_sq8_recall" ->

@@ -1269,6 +1269,98 @@ object Similarity {
     recallVsTruth(cosineTopK(spark, dir, k, queryStride),
       sqTopK(spark, dir, k, queryStride), k)
 
+  // ──────────────────── Binary quantization (BQ / 1-bit) index ────────────────────
+
+  /** TRAINED thresholds for the 1-BIT quantizer — the sixth index
+    * family (Faiss `IndexBinaryFlat` over sign codes; the shape behind
+    * Lucene/Elasticsearch BBQ and every "binary embedding" serving
+    * tier): one row `(n, s: array<bigint>)` — corpus row count and the
+    * per-dimension SUM of micro coordinates. The bit rule is
+    * "above the per-dimension mean", evaluated WITHOUT division as the
+    * integer cross-multiply `x_d·n > s_d` — exact int64 in both engines
+    * (micro |x| ≤ ~4·10⁶ keeps the product far under 2⁶³ at any
+    * realistic corpus), so the floor-vs-truncate division divergence on
+    * negative sums never arises. Mean-centering beats raw sign bits on
+    * anisotropic dimensions and costs the same single training scan as
+    * [[sqBounds]].
+    */
+  private[graft] def bqTrained(spark: SparkSession, dir: String): DataFrame =
+    StageMemo.memoized(spark, "bq_trained", dir) {
+      val micro = transform(col("embedding"),
+        x => floor(x.cast("double") * 1e6).cast("bigint"))
+      val aggs = count(lit(1)).as("n") +:
+        (0 until Dims).map(d => sum(element_at(col("m"), d + 1)).as(s"s_$d"))
+      Tables.embeddings(spark, dir).select(micro.as("m"))
+        .agg(aggs.head, aggs.tail: _*)
+        .select(col("n"),
+          array((0 until Dims).map(d => col(s"s_$d")): _*).as("s"))
+    }
+
+  /** BQ CODES — the 1-bit compressed corpus: 64 dims pack into TWO
+    * int64 halves (bits 0–31 → `lo`, 32–63 → `hi`; two non-negative
+    * 32-bit words rather than one sign-contested 64-bit value, so the
+    * packing is plain integer arithmetic in any engine). 32× smaller
+    * than the float vectors — at 100 TB this is the tier that keeps the
+    * WHOLE corpus scannable: 8 bytes/vector means a billion vectors fit
+    * in executor memory, and the probe below never touches a float.
+    */
+  private[graft] def bqCodes(spark: SparkSession, dir: String): DataFrame =
+    StageMemo.memoized(spark, "bq_codes", dir) {
+      val micro = transform(col("embedding"),
+        x => floor(x.cast("double") * 1e6).cast("bigint"))
+      val bits = transform(col("m"), (x, i) =>
+        when(x * col("n") > element_at(col("s"), i + 1), lit(1L))
+          .otherwise(lit(0L)))
+      val pow2 = typedLit(Array.tabulate(32)(d => 1L << d).toSeq)
+      def pack(offset: Int) = aggregate(
+        zip_with(slice(col("bits"), offset + 1, 32), pow2, (b, p) => b * p),
+        lit(0L), (acc, x) => acc + x)
+      Tables.embeddings(spark, dir)
+        .select(col("vec_id"), micro.as("m"))
+        .crossJoin(broadcast(bqTrained(spark, dir)))
+        .select(col("vec_id"), bits.as("bits"))
+        .select(col("vec_id"), pack(0).as("lo"), pack(32).as("hi"))
+    }
+
+  /** BQ Hamming top-k (`ann_bq_topk`): rank by
+    * `popcount(lo⊕lo′) + popcount(hi⊕hi′)`, vec_id tie-break — the
+    * XOR+popcount probe that makes binary indexes the cheapest serving
+    * tier in production vector search. Every distance is a small exact
+    * integer, so the whole ranking is bit-reproducible in the oracle.
+    *
+    * Scale: queries broadcast as 2 longs each; the corpus side scans
+    * only the 8-byte code table (never floats); the single shuffle is
+    * the k-bounded heap. The quantization loss is measured by
+    * [[bqRecall]] under the shared exact-integer recall contract.
+    */
+  def bqTopK(spark: SparkSession, dir: String, k: Int = 5,
+             queryStride: Int = 50): DataFrame =
+    StageMemo.memoized(spark, s"bq_topk_${k}_$queryStride", dir) {
+      val codes = bqCodes(spark, dir)
+      val q = codes.filter(col("vec_id") % queryStride === 0)
+        .select(col("vec_id").as("q_id"), col("lo").as("qlo"),
+          col("hi").as("qhi"))
+      def bc(c: Column) = call_function("bit_count", c)
+      val scored = codes.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          (bc(col("lo").bitwiseXOR(col("qlo"))) +
+            bc(col("hi").bitwiseXOR(col("qhi")))).cast("long").as("ham_dist"))
+      Dedup.topKPerKey(scored, Seq("q_id"),
+          Seq(col("ham_dist"), col("vec_id")), k)
+        .withColumnRenamed("rk", "rnk")
+        .orderBy(col("q_id"), col("rnk"))
+    }
+
+  /** Recall@k of the 1-bit Hamming scan vs the brute-force cosine
+    * truth — what 32× compression costs, under the same exact-integer
+    * recall contract as LSH/IVF/PQ/IVFADC/SQ8.
+    */
+  def bqRecall(spark: SparkSession, dir: String, k: Int = 5,
+               queryStride: Int = 50): DataFrame =
+    recallVsTruth(cosineTopK(spark, dir, k, queryStride),
+      bqTopK(spark, dir, k, queryStride), k)
+
   /** Per-label embedding stats: count and extremal quantized norms. The
     * norm² is a per-row left-to-right double fold (deterministic); the
     * cross-row reduction uses only min/max/count (order-independent), and
