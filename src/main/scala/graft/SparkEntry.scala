@@ -95,6 +95,7 @@ object SparkEntry {
       "ann_hard_negatives"      -> ((s, d) => { Similarity.hardNegativesTopK(s, d).count(); () }),
       "q_triangle_count"        -> ((s, d) => { operators.Triangles.copurchaseEdges(s, d).count(); () }),
       "q_link_prediction"       -> ((s, d) => { operators.Triangles.copurchaseEdges(s, d).count(); () }),
+      "q_bfs_hops"              -> ((s, d) => { operators.Triangles.copurchaseEdges(s, d).count(); () }),
       "ann_knn_accuracy"        -> ((s, d) => { Similarity.cosineTopK(s, d).count(); () }),
       "ann_ivf_filtered"        -> ((s, d) => {
         Similarity.labeledLists(s, d).count(); () }),
@@ -250,6 +251,9 @@ object SparkEntry {
     // substructure filter (a zero-peel final round certifies the true
     // k-core was reached)
     "q_kcore_peel"            -> ((s, d) => operators.KCore.kcorePeel(s, d)),
+    // multi-source BFS frontier trace from the probe batch over the
+    // co-purchase graph: per hop, first-discovered and cumulative reach
+    "q_bfs_hops"              -> ((s, d) => operators.Bfs.bfsHops(s, d)),
     // integer PageRank over the customer-supplier trade graph, 5
     // iterations, exact in both engines (damping as the rational 17/20,
     // per-edge integer division) — the influence rank degree can't see
@@ -943,6 +947,39 @@ object SparkEntry {
          |  CAST((SELECT count(*) FROM a$p) - (SELECT count(*) FROM a$r) AS BIGINT) AS n_peeled,
          |  CAST((SELECT count(*) FROM a$r) AS BIGINT) AS n_remaining,
          |  CAST((SELECT count(*) FROM e$r) AS BIGINT) AS n_edges""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    sb.append("\n" + rows + "\nORDER BY round")
+    sb.toString
+  }
+
+  /** R unrolled frontier rounds of the multi-source BFS
+    * ([[graft.operators.Bfs.bfsHops]]): f0 is the probe batch
+    * (co-purchase nodes ≡ 0 mod 97), fr = one-hop neighbors of the
+    * previous frontier not yet visited, vr the cumulative reach. Every
+    * emitted value is an exact count.
+    */
+  private def bfsSql(rounds: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+        |      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |      WHERE a.l_partkey < b.l_partkey),
+        |ebi AS MATERIALIZED (
+        |  SELECT a AS u, b AS n FROM e UNION ALL SELECT b AS u, a AS n FROM e),
+        |f0 AS MATERIALIZED (SELECT DISTINCT u FROM ebi WHERE u % 97 = 0),
+        |v0 AS MATERIALIZED (SELECT u FROM f0)""".stripMargin)
+    for (r <- 1 to rounds) {
+      val p = r - 1
+      sb.append(s""",
+        |f$r AS MATERIALIZED (SELECT DISTINCT e.n AS u FROM ebi e JOIN f$p f ON e.u = f.u
+        |        WHERE NOT EXISTS (SELECT 1 FROM v$p v WHERE v.u = e.n)),
+        |v$r AS MATERIALIZED (SELECT u FROM v$p UNION ALL SELECT u FROM f$r)""".stripMargin)
+    }
+    val rows = (0 to rounds).map { r =>
+      s"""SELECT CAST($r AS BIGINT) AS round,
+         |  CAST((SELECT count(*) FROM f$r) AS BIGINT) AS n_frontier,
+         |  CAST((SELECT count(*) FROM v$r) AS BIGINT) AS n_reached""".stripMargin
     }.mkString("\nUNION ALL\n")
     sb.append("\n" + rows + "\nORDER BY round")
     sb.toString
@@ -2126,6 +2163,9 @@ object SparkEntry {
     // CTE — degree over surviving edges, survivors = degree >= k, edges
     // restricted to survivors — and emits one exact-count row per round
     "q_kcore_peel" -> kcoreSql(6),
+    // multi-source BFS: R unrolled frontier/visited rounds (materialized
+    // — the unrolled chain re-expands exponentially as plain CTEs)
+    "q_bfs_hops" -> bfsSql(4),
     // link prediction (probe serving shape): 2-hop expansion from the
     // probe nodes over the bidirectional adjacency, exact witness
     // counts, existing edges anti-joined on the canonical pair
