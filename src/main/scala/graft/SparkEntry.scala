@@ -106,6 +106,7 @@ object SparkEntry {
       "ann_ivfadc_rerank"       -> ((s, d) => Similarity.ensureAnnStages(s, d)),
       "ann_sq8_topk"            -> ((s, d) => { Similarity.sqCodes(s, d).count(); () }),
       "ann_bq_topk"             -> ((s, d) => { Similarity.bqCodes(s, d).count(); () }),
+      "ann_bq_rerank"           -> ((s, d) => { Similarity.bqCodes(s, d).count(); () }),
       "ann_bq_recall"           -> ((s, d) => {
         Similarity.bqCodes(s, d).count(); Similarity.cosineTopK(s, d).count(); () }),
       "ann_matryoshka_recall"   -> ((s, d) => { Similarity.cosineTopK(s, d).count(); () }),
@@ -608,6 +609,8 @@ object SparkEntry {
     // sign-vs-trained-mean codes — the 32×-compressed serving tier
     "ann_bq_topk"             -> ((s, d) => Similarity.bqTopK(s, d)),
     "ann_bq_recall"           -> ((s, d) => Similarity.bqRecall(s, d)),
+    // two-tier serving: Hamming shortlist + exact cosine refine
+    "ann_bq_rerank"           -> ((s, d) => Similarity.bqRerankTopK(s, d)),
     "dedup_embedding_cosine"  -> ((s, d) => Similarity.cosineNearDupPairs(s, d)),
     // SemDeDup-style: IVF-list-confined cosine dedup, keep-lowest-id
     "dedup_semdedup"          -> ((s, d) => Similarity.semDedup(s, d)),
@@ -3946,6 +3949,23 @@ object SparkEntry {
         |SELECT q_id, vec_id, ham_dist, CAST(rk AS BIGINT) AS rnk
         |FROM (SELECT *, row_number() OVER (PARTITION BY q_id
         |        ORDER BY ham_dist, vec_id) AS rk FROM bqs)
+        |WHERE rk <= 5""".stripMargin,
+    // BQ + exact refine: Hamming shortlist (cand=25), float vectors
+    // fetched only for the shortlist, exact cosine re-rank to top-5
+    "ann_bq_rerank" ->
+      s"""WITH $bqCtes,
+        |pool AS (
+        |  SELECT q_id, vec_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY q_id
+        |      ORDER BY ham_dist, vec_id) AS rk FROM bqs)
+        |  WHERE rk <= 25),
+        |ref AS (
+        |  SELECT pool.q_id, pool.vec_id, ${cosSql("a.embedding", "b.embedding")} AS sim
+        |  FROM pool JOIN embeddings a ON a.vec_id = pool.q_id
+        |  JOIN embeddings b ON b.vec_id = pool.vec_id)
+        |SELECT q_id, vec_id, sim, CAST(rk AS BIGINT) AS rnk
+        |FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+        |        ORDER BY sim DESC, vec_id) AS rk FROM ref)
         |WHERE rk <= 5""".stripMargin,
     // recall@k of the 1-bit scan vs brute force — what 32× compression
     // costs, under the shared exact-integer recall contract

@@ -1361,6 +1361,29 @@ object Similarity {
     recallVsTruth(cosineTopK(spark, dir, k, queryStride),
       bqTopK(spark, dir, k, queryStride), k)
 
+  /** BQ + EXACT REFINE (`ann_bq_rerank`) — the two-tier retrieval every
+    * production binary index actually serves (Lucene BBQ's
+    * oversample-then-rescore; Faiss IndexRefineFlat over a binary
+    * coarse index): the 8-byte Hamming scan nominates a `cand`-deep
+    * shortlist, the float vectors are fetched ONLY for those ≤|q|·cand
+    * rows, and exact cosine re-ranks to the final top-k. Same
+    * exact-arithmetic shape as [[ivfadcRerankTopK]] — the refine pass
+    * costs |queries|·cand at any corpus size, so the float tier's read
+    * amplification is constant while the scan tier stays 32× compressed.
+    */
+  def bqRerankTopK(spark: SparkSession, dir: String, k: Int = 5,
+                   cand: Int = 25, queryStride: Int = 50): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val pool = bqTopK(spark, dir, cand, queryStride)
+      .select(col("q_id"), col("vec_id"))
+    val q = emb.filter(col("vec_id") % queryStride === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val scored = pool.join(emb, Seq("vec_id")).join(broadcast(q), Seq("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(cosine(col("q_emb"), col("embedding")), 6).as("sim"))
+    topKBySim(scored, k)
+  }
+
   /** Per-label embedding stats: count and extremal quantized norms. The
     * norm² is a per-row left-to-right double fold (deterministic); the
     * cross-row reduction uses only min/max/count (order-independent), and

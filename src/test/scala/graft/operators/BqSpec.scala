@@ -77,6 +77,38 @@ class BqSpec extends SparkSpec {
     assert(got.nonEmpty, "vacuous: no query produced a ranking")
   }
 
+  test("bqRerankTopK: refine re-ranks the Hamming shortlist by exact cosine") {
+    val pool = Similarity.bqTopK(spark, sfDir, k = 25)
+      .select(col("q_id"), col("vec_id")).as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val emb = graft.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .collect().toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      (0 until Similarity.Dims).foreach { i =>
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+      }
+      BigDecimal(dot / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val got = Similarity.bqRerankTopK(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"),
+        r.getAs[Long]("rnk")))
+    assert(got.nonEmpty)
+    got.groupBy(_._1).foreach { case (q, rows) =>
+      // every refined hit comes from the Hamming shortlist…
+      rows.foreach { case (_, v, _) => assert(pool(q).contains(v)) }
+      // …and is exactly the cosine-sorted prefix of that shortlist
+      val expect = pool(q).toSeq
+        .map(v => (v, cos(emb(q), emb(v))))
+        .sortBy { case (v, s) => (-s, v) }.take(5).map(_._1)
+      assert(rows.sortBy(_._3).map(_._2).toSeq === expect, s"query $q")
+    }
+  }
+
   test("bqRecall: hits are the exact intersection with the brute truth") {
     val truth = Similarity.cosineTopK(spark, sfDir)
       .select(col("q_id"), col("vec_id")).as[(Long, Long)].collect()
