@@ -407,6 +407,9 @@ object SparkEntry {
     // per-source quota cap (RefinedWeb per-domain cap): top-`cap` docs
     // per source by md5 priority, as a k-bounded heap agg — no sort
     "q_sample_quota" -> ((s, d) => TextOps.quotaSample(s, d)),
+    // weighted sampling without replacement: per-source top-k by
+    // priority w/u (one shared-shape IEEE division; integers emitted)
+    "q_sample_priority" -> ((s, d) => TextOps.prioritySample(s, d)),
     // cluster-balanced selection: per-IVF-list cap by content-addressed
     // priority — the diversity-preserving sibling of dedup_semdedup
     "q_sample_cluster" -> ((s, d) => Similarity.clusterBalancedSample(s, d)),
@@ -2868,6 +2871,21 @@ object SparkEntry {
         |        row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rk
         |      FROM pri)
         |SELECT source, doc_id, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= 15""".stripMargin,
+    // priority sampling: weight = ws-token count + 1, u from the shared
+    // md5 discipline — ONE IEEE division per row ranks identically in
+    // both engines; only integers are emitted
+    "q_sample_priority" ->
+      """WITH pri AS (SELECT source, doc_id,
+        |    CAST(len(string_split(text, ' ')) + 1 AS BIGINT) AS n_tokens,
+        |    CAST(('0x' || substr(md5('prio|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT) AS h
+        |  FROM documents),
+        |r AS (SELECT source, doc_id, n_tokens,
+        |        row_number() OVER (PARTITION BY source
+        |          ORDER BY CAST(n_tokens AS DOUBLE) / CAST(h + 1 AS DOUBLE) DESC,
+        |            doc_id) AS rk
+        |      FROM pri)
+        |SELECT source, doc_id, n_tokens, CAST(rk AS BIGINT) AS rk
+        |FROM r WHERE rk <= 15""".stripMargin,
     // DSIR selection: same hashed-bigram buckets, same centered
     // quantized-ratio weights (identical left-to-right IEEE shape),
     // same length-normalized floor — int64-exact end to end

@@ -390,6 +390,38 @@ object TextOps {
       .select(col("source"), col("doc_id"), col("rk"))
   }
 
+  /** PRIORITY SAMPLING (`q_sample_priority` — Duffield/Lund/Thorup
+    * 2007, the weighted twin of [[quotaSample]]'s uniform hash cap):
+    * per source, the top-k docs by priority `q_i = w_i / u_i` — the
+    * scheme whose k-sample supports UNBIASED subset-sum estimation,
+    * and the right way to spend a token budget ∝ document weight
+    * (here w = whitespace token count + 1, the sample-long-docs-more
+    * framing; any integer quality weight slots in unchanged).
+    *
+    * Determinism discipline: u_i derives from the engine-neutral md5
+    * hash ([[h60]]), so the priority is ONE IEEE binary64 division of
+    * exact integer operands — both engines convert the same int64 pair
+    * and divide once, bit-identical (the DSIR centered-ratio lesson:
+    * a single shared-shape float op is hash-safe; chains and
+    * transcendentals are not). Ties (astronomically unlikely) break by
+    * doc_id in both engines, and only integers are EMITTED — the float
+    * priority never crosses the gate.
+    *
+    * Scale: one scan, one k-bounded heap per source ([[Dedup.topKPerKey]]
+    * map-side combine) — no global sort, nothing driver-resident; this
+    * is the one-pass reservoir shape (priority sampling IS the
+    * mergeable weighted reservoir: union the heaps, keep the top k).
+    */
+  def prioritySample(spark: SparkSession, dir: String, k: Int = 15): DataFrame = {
+    val pri = Tables.documents(spark, dir).select(col("source"), col("doc_id"),
+      (size(split(col("text"), " ", -1)) + 1).cast("long").as("n_tokens"),
+      h60(concat(lit("prio|"), col("doc_id").cast("string"))).as("h"))
+      .withColumn("pri",
+        col("n_tokens").cast("double") / (col("h") + 1L).cast("double"))
+    Dedup.topKPerKey(pri, Seq("source"), Seq(-col("pri"), col("doc_id")), k)
+      .select(col("source"), col("doc_id"), col("n_tokens"), col("rk"))
+  }
+
   /** DSIR-shaped data selection (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling"): rank raw docs by how
     * target-like their hashed n-gram feature distribution is, where

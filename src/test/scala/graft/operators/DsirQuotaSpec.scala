@@ -77,6 +77,35 @@ class DsirQuotaSpec extends SparkSpec {
     }
   }
 
+  // ── prioritySample ──
+
+  test("priority: per-source top-k by w/u with exact weights, weighted enrichment real") {
+    val k = 15
+    val got = TextOps.prioritySample(spark, sfDir, k).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty)
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("source"), col("doc_id"), col("text"))
+      .as[(String, Long, String)].collect()
+      .map { case (src, id, t) => (src, id, t.split(" ", -1).length.toLong + 1L) }
+    // driver-side reference: same hash, same single IEEE division
+    val expected = docs.groupBy(_._1).flatMap { case (src, rows) =>
+      rows.map { case (_, id, w) =>
+        (id, w, w.toDouble / (h60(s"prio|$id") + 1L).toDouble)
+      }.sortBy { case (id, _, p) => (-p, id) }.take(k)
+        .zipWithIndex.map { case ((id, w, _), i) => (src, id, w, (i + 1).toLong) }
+        .toSeq
+    }.toSet
+    assert(got.toSet === expected)
+    // the weight does its job: the kept docs are longer on average than
+    // the corpus (weighted sampling must beat uniform on its own weight)
+    val keptIds = got.map(_._2).toSet
+    val keptW = docs.filter(d => keptIds.contains(d._2)).map(_._3)
+    val allMean = docs.map(_._3).sum.toDouble / docs.length
+    assert(keptW.sum.toDouble / keptW.length > allMean,
+      "priority sample is not length-enriched — weighting is broken")
+  }
+
   test("quota: stable under repartitioning (same kept set from a shuffled input)") {
     val base = TextOps.quotaSample(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq
