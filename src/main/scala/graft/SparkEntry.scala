@@ -48,6 +48,7 @@ object SparkEntry {
       "dedup_media_phash"       -> ((s, d) => operators.Multimodal.ensureMediaStages(s, d)),
       "dedup_media_ahash"       -> ((s, d) => operators.Multimodal.ensureMediaStages(s, d)),
       "dedup_media_vhash"       -> ((s, d) => operators.Multimodal.ensureMediaStages(s, d)),
+      "multimodal_keyframes"    -> ((s, d) => { operators.Multimodal.videoKeyframes(s, d).count(); () }),
       "dedup_incremental"       -> ((s, d) => MinHash.ensureIncrementalIndex(s, d)),
       "dedup_incremental_bucketed" -> ((s, d) => { MinHash.ensureShingleIndex(s, d); () }),
       "dedup_lsh_grown"         -> ((s, d) => { MinHash.ensureGrownShingleIndex(s, d); () }),
@@ -633,7 +634,12 @@ object SparkEntry {
       operators.Multimodal.mediaAhashPairs(s, d)),
     // temporal twin over the rendered GRV0 clip — the triad's third leg
     "dedup_media_vhash"       -> ((s, d) =>
-      operators.Multimodal.mediaVhashPairs(s, d)))
+      operators.Multimodal.mediaVhashPairs(s, d)),
+    // shot-boundary keyframes: exact inter-frame L1 per consecutive
+    // pair, boundary = strictly above the per-video mean (integer
+    // cross-multiply — the mean never materializes)
+    "multimodal_keyframes"    -> ((s, d) =>
+      operators.Multimodal.videoKeyframes(s, d)))
 
   // ───────────────────────── oracle SQL ─────────────────────────
 
@@ -4110,7 +4116,33 @@ object SparkEntry {
     "multimodal_decode" -> multimodalGeometrySql,
     "dedup_media_phash" -> mediaPhashSql,
     "dedup_media_ahash" -> mediaAhashSql,
-    "dedup_media_vhash" -> mediaVhashSql)
+    "dedup_media_vhash" -> mediaVhashSql,
+    // keyframes: frame t pixel j of the GRV0 render is
+    // text[(t·w·h + j) mod len] — the L1 chain re-derives every pixel
+    // pair from doc text, the boundary flag is the exact cross-multiply
+    "multimodal_keyframes" ->
+      """WITH vids AS (
+        |  SELECT doc_id, text,
+        |         (n_chars % 32 + 4) * (n_chars % 24 + 4) AS fl,
+        |         (n_chars % 30 + 1) AS f, strlen(text) AS len
+        |  FROM documents
+        |  WHERE strlen(text) > 0 AND strlen(text) = length(text)
+        |    AND (n_chars % 30 + 1) >= 2),
+        |l1 AS (
+        |  SELECT v.doc_id, t.t AS frame_idx,
+        |    CAST(SUM(ABS(
+        |      ord(substr(v.text, CAST((t.t * v.fl + j.j) % v.len + 1 AS BIGINT), 1)) -
+        |      ord(substr(v.text, CAST(((t.t - 1) * v.fl + j.j) % v.len + 1 AS BIGINT), 1))
+        |    )) AS BIGINT) AS l1
+        |  FROM vids v
+        |  JOIN range(1, 30) t(t) ON t.t < v.f
+        |  JOIN range(0, 1024) j(j) ON j.j < v.fl
+        |  GROUP BY 1, 2),
+        |tot AS (SELECT doc_id, SUM(l1) AS tot, COUNT(*) AS m FROM l1 GROUP BY 1)
+        |SELECT l1.doc_id, CAST(l1.frame_idx AS BIGINT) AS frame_idx, l1.l1,
+        |       (l1.l1 * tot.m > tot.tot) AS is_key
+        |FROM l1 JOIN tot USING (doc_id)
+        |ORDER BY doc_id, frame_idx""".stripMargin)
 
   private val multimodalGeometrySql: String =
     """SELECT doc_id,

@@ -285,6 +285,59 @@ object Multimodal {
     memoized(spark, s"vhash_pairs_$maxHamming", dir)(
       fingerprintPairs(renderedVideo(spark, dir), MediaCodec.vHash _, maxHamming))
 
+  /** SHOT-BOUNDARY / KEYFRAME detection (`multimodal_keyframes`) over
+    * the video column — the frame-selection step every video-text
+    * training pipeline runs before captioning/embedding (sample at
+    * shot boundaries, not uniformly: a 30-frame clip of one static
+    * shot contributes one frame, a cut-heavy clip contributes each
+    * cut). The detector is the classic pixel-domain one: per
+    * consecutive frame pair, the EXACT L1 pixel distance; a frame
+    * starts a new shot when its distance is strictly above the
+    * per-video mean — compared as the integer cross-multiply
+    * `l1·(f−1) > Σl1` (never a division; the mean never materializes).
+    * Frame 0 is implicitly a keyframe; emitted rows are frames 1..f−1
+    * with their distance and the boundary flag.
+    *
+    * Scale: one linear decode pass per payload (the ingest shape every
+    * codec lane shares — the real decoder swaps in behind the same
+    * row-to-frames seam), then one per-video aggregation over (f−1)-row
+    * groups — frame counts, never pixels, cross the shuffle.
+    */
+  def videoKeyframes(spark: SparkSession, dir: String): DataFrame =
+    memoized(spark, "video_keyframes", dir) {
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("frame_idx", LongType),
+        StructField("l1", LongType)))
+      implicit val enc: org.apache.spark.sql.Encoder[Row] =
+        org.apache.spark.sql.Encoders.row(schema)
+      val l1s = renderedVideo(spark, dir).mapPartitions { it =>
+        it.flatMap { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          val (w, h, f) = MediaCodec.decodeRawVideoHeader(bytes)
+          val fl = w * h
+          (1 until f).iterator.map { t =>
+            val cur = 16 + t * fl
+            val prev = cur - fl
+            var s = 0L
+            var j = 0
+            while (j < fl) {
+              s += math.abs((bytes(cur + j) & 0xff) - (bytes(prev + j) & 0xff))
+              j += 1
+            }
+            Row(id, t.toLong, s)
+          }
+        }
+      }
+      val tot = l1s.groupBy(col("doc_id"))
+        .agg(sum(col("l1")).as("tot"), count(lit(1)).as("m"))
+      l1s.join(tot, Seq("doc_id"))
+        .select(col("doc_id"), col("frame_idx"), col("l1"),
+          (col("l1") * col("m") > col("tot")).as("is_key"))
+        .orderBy(col("doc_id"), col("frame_idx"))
+    }
+
   /** Warm the three fingerprint-pair session stages (render + codec +
     * LSH per modality) — the ingest half of the media dedup triad,
     * bench build/probe seam (see [[MinHash.ensureNearDupStages]]).

@@ -165,6 +165,36 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet === expected.toSet)
   }
 
+  test("videoKeyframes: L1 distances match a local decode; boundary = strictly above mean") {
+    val rows = Multimodal.videoKeyframes(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("frame_idx"),
+        r.getAs[Long]("l1"), r.getAs[Boolean]("is_key")))
+    assert(rows.nonEmpty)
+    // local recomputation from the rendered payloads
+    val payloads = Multimodal.renderedVideo(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    val expected = payloads.toSeq.flatMap { case (id, bytes) =>
+      val (w, h, f) = MediaCodec.decodeRawVideoHeader(bytes)
+      val fl = w * h
+      val l1s = (1 until f).map { t =>
+        (0 until fl).map(j => math.abs(
+          (bytes(16 + t * fl + j) & 0xff) - (bytes(16 + (t - 1) * fl + j) & 0xff)
+        ).toLong).sum
+      }
+      val tot = l1s.sum
+      l1s.zipWithIndex.map { case (l1, i) =>
+        (id, (i + 1).toLong, l1, l1 * l1s.length > tot)
+      }
+    }.toSet
+    assert(rows.toSet === expected)
+    // per video, the flag can never be all-true (something must sit at
+    // or below the mean), and single-shot statics read all-false
+    rows.groupBy(_._1).foreach { case (id, rs) =>
+      assert(rs.exists(!_._4), s"video $id flagged every frame a boundary")
+    }
+    assert(rows.exists(_._4), "vacuous: no shot boundary anywhere in the corpus")
+  }
+
   test("resize: nearest-neighbor BMP scaling preserves content structure") {
     // source: 4x2 image with pixel bytes = linear ramp
     val src = MediaCodec.encodeBmp(4, 2, i => {
