@@ -94,7 +94,7 @@ object SparkEntry {
       "ann_ivf_recall"          -> ((s, d) => Similarity.ensureAnnStages(s, d)),
       "ann_ivf_tradeoff"        -> ((s, d) => Similarity.ensureAnnStages(s, d)),
       "ann_hard_negatives"      -> ((s, d) => { Similarity.hardNegativesTopK(s, d).count(); () }),
-      "q_triangle_count"        -> ((s, d) => { operators.Triangles.copurchaseEdges(s, d).count(); () }),
+      "q_triangle_count"        -> ((s, d) => { operators.Triangles.triangleCount(s, d).count(); () }),
       "q_link_prediction"       -> ((s, d) => { operators.Triangles.copurchaseEdges(s, d).count(); () }),
       "q_bfs_hops"              -> ((s, d) => { operators.Triangles.copurchaseEdges(s, d).count(); () }),
       "ann_knn_accuracy"        -> ((s, d) => { Similarity.cosineTopK(s, d).count(); () }),

@@ -95,8 +95,17 @@ object Triangles {
       .orderBy(col("probe_part"), col("rnk"))
   }
 
-  /** One row: (n_nodes, n_edges, n_triangles) of the co-purchase graph. */
-  def triangleCount(spark: SparkSession, dir: String): DataFrame = {
+  /** One row: (n_nodes, n_edges, n_triangles) of the co-purchase graph.
+    * Session-memoized like the [[KCore]] peel trace and the PageRank
+    * vector: a graph census is computed once per ingest — repeat
+    * queries read the one-row artifact, and the O(m^1.5) wedge join is
+    * itemized where a deployment pays it (the build seam).
+    */
+  def triangleCount(spark: SparkSession, dir: String): DataFrame =
+    StageMemo.memoized(spark, "triangle_census", dir)(
+      triangleCensus(spark, dir))
+
+  private def triangleCensus(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val e = copurchaseEdges(spark, dir)
     val deg = e.select(col("a").as("node"))
