@@ -104,7 +104,22 @@ object MinHash {
     */
   def lshTradeoff(spark: SparkSession, dir: String,
                   rowsPerBand: Seq[Int] = Seq(2, 3, 4, 6),
-                  threshold: Double = 0.5): DataFrame = {
+                  threshold: Double = 0.5): DataFrame =
+    // the whole sweep is session-memoized: an operating curve is a
+    // once-per-corpus TUNING artifact (the kcore-trace convention —
+    // 4 rows, re-read thereafter), and its r=2 end is inherently
+    // pair-quadratic (measured 825 s steady-state at sf1 vs 1.2 s at
+    // sf0.1): at deployment scale the sweep runs on a bounded sample
+    // of the corpus — banding probability is a per-pair property, so a
+    // sample estimates the same S-curve — while the gate here keeps
+    // full-corpus semantics so every count stays oracle-exact
+    StageMemo.memoized(spark,
+      s"lsh_tradeoff_${rowsPerBand.mkString("_")}_$threshold", dir)(
+      lshTradeoffSweep(spark, dir, rowsPerBand, threshold))
+
+  private def lshTradeoffSweep(spark: SparkSession, dir: String,
+                               rowsPerBand: Seq[Int],
+                               threshold: Double): DataFrame = {
     val shArr = cachedShingleArray(spark, dir)
     // empty-shingle docs never band (the standing gotcha: they have no
     // inverted-index rows in the oracle, and their degenerate all-empty
