@@ -137,19 +137,24 @@ object MinHash {
       exactJaccard(pairs, shArr).filter(col("jaccard") >= threshold)
         .select(col("doc_a"), col("doc_b"))
     }
-    val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+    // the trace folds to FOUR driver rows (the kcore/pagerank trace
+    // convention): each config's pair frame is persisted for exactly
+    // its two count actions, and the memoized artifact is a local
+    // relation — re-reads are free, never a re-execution of the
+    // quadratic candidate sweep
+    val nTruth = truth.count()
+    val spark2 = spark
+    import spark2.implicits._
     rowsPerBand.map { r =>
       require(NumHashes % r == 0, s"rows per band $r must divide $NumHashes")
       val cands = candidatePairs(bands(sigs, r))
-      val verified = cands.join(truth, Seq("doc_a", "doc_b"), "left_semi")
-      cands.agg(count(lit(1)).as("n_candidates"))
-        .crossJoin(verified.agg(count(lit(1)).as("n_verified")))
-        .crossJoin(nTruth)
-        .select(lit(r.toLong).as("rows_per_band"),
-          lit((NumHashes / r).toLong).as("n_bands"),
-          col("n_candidates"), col("n_verified"),
-          (col("n_truth") - col("n_verified")).as("n_missed"))
-    }.reduce(_.unionAll(_)).orderBy(col("rows_per_band"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nCands = cands.count()
+      val nVerified = cands.join(truth, Seq("doc_a", "doc_b"), "left_semi").count()
+      cands.unpersist()
+      (r.toLong, (NumHashes / r).toLong, nCands, nVerified, nTruth - nVerified)
+    }.toDF("rows_per_band", "n_bands", "n_candidates", "n_verified", "n_missed")
+      .orderBy(col("rows_per_band"))
   }
 
   /** Exact-duplicate classes by IDENTICAL shingle array: (doc_id, rep,
