@@ -66,6 +66,7 @@ object SparkEntry {
       "dedup_cdc_scrub"         -> ((s, d) => TextOps.ensureCdcStages(s, d)),
       "dedup_span_cut"          -> ((s, d) => TextOps.ensureSpanCutStages(s, d)),
       "dedup_span_runs"         -> ((s, d) => TextOps.ensureSpanCutStages(s, d)),
+      "dedup_substring_spans"   -> ((s, d) => TextOps.ensureSpanCutStages(s, d)),
       "stream_rule_matrix"      -> ((s, d) => {
         streaming.StreamingCuration.ensureStreamMatrixSink(s, d); () }),
       "pipeline_llm_corpus"     -> ((s, d) => operators.Curation.ensureLlmStages(s, d)),
@@ -389,6 +390,9 @@ object SparkEntry {
     // the paper-literal variant: only maximal repeated runs of >= 50
     // covered tokens are cut (gaps-and-islands over the same gram frame)
     "dedup_span_runs" -> ((s, d) => TextOps.spanRuns(s, d)),
+    // pairwise match extension: every maximal verbatim >=15-token span
+    // per doc pair, via diagonal gaps-and-islands over gram seeds
+    "dedup_substring_spans" -> ((s, d) => TextOps.substringSpans(s, d)),
     // CCNet-style per-language perplexity terciles over the trigram
     // likelihood proxy: head/middle/tail volume stats
     "text_ccnet_buckets" -> ((s, d) => TextOps.ccnetBuckets(s, d)),
@@ -3141,6 +3145,28 @@ object SparkEntry {
         |FROM tot t LEFT JOIN rstats r USING (doc_id) LEFT JOIN cov c USING (doc_id)
         |LEFT JOIN cut ct USING (doc_id)
         |ORDER BY t.doc_id""".stripMargin,
+    // pairwise ExactSubstr: gram seeds (df-capped buckets) chained into
+    // maximal per-(pair, diagonal) islands; spans of >= 15 tokens ship
+    "dedup_substring_spans" ->
+      """WITH base AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |grams AS (SELECT doc_id, i, md5(array_to_string(t[i:i+4], ' ')) AS h
+        |          FROM base, unnest(range(1, len(t) - 3)) u(i)),
+        |ok AS (SELECT h FROM grams GROUP BY 1 HAVING count(*) BETWEEN 2 AND 50),
+        |g AS (SELECT grams.* FROM grams JOIN ok USING (h)),
+        |seeds AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |                 a.i AS ia, b.i AS ib, a.i - b.i AS diag
+        |          FROM g a JOIN g b ON a.h = b.h AND a.doc_id < b.doc_id),
+        |isl AS (SELECT *, ia - row_number() OVER (
+        |          PARTITION BY doc_a, doc_b, diag ORDER BY ia) AS grp
+        |        FROM seeds),
+        |runs AS (SELECT doc_a, doc_b,
+        |           CAST(min(ia) AS BIGINT) AS a_pos,
+        |           CAST(min(ib) AS BIGINT) AS b_pos,
+        |           CAST(max(ia) - min(ia) + 5 AS BIGINT) AS span_tokens
+        |         FROM isl GROUP BY doc_a, doc_b, diag, grp
+        |         HAVING max(ia) - min(ia) + 5 >= 15)
+        |SELECT doc_a, doc_b, a_pos, b_pos, span_tokens FROM runs
+        |ORDER BY doc_a, doc_b, a_pos, b_pos""".stripMargin,
     // CCNet terciles: per-language ntile(3) over (avg_freq DESC, doc_id)
     "text_ccnet_buckets" ->
       """WITH tri AS (

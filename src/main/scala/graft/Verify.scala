@@ -42,13 +42,22 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // failures are COUNTED and surfaced, never swallowed: the round-13
+    // driver artifact arrived empty with exit 0 and nobody noticed
+    // until judging — summary.json + a non-zero exit make the evidence
+    // chain self-sufficient regardless of driver state
+    var nOk = 0
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only.contains(name) }
       .foreach { case (name, fn) =>
-        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
-        catch { case e: Throwable =>
+        try {
+          fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+          nOk += 1
+        } catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          failed += name
         }
       }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -66,6 +75,13 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    Files.writeString(Paths.get(s"$outDir/summary.json"),
+      s"""{"n_ok": $nOk, "n_failed": ${failed.size}, """ +
+        s""""failed": [${failed.map(q).mkString(",")}]}""")
+    if (failed.nonEmpty)
+      System.err.println(s"[verify] ${failed.size} quer${
+        if (failed.size == 1) "y" else "ies"} FAILED: ${failed.mkString(", ")}")
     spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

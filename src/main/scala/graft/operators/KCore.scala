@@ -85,10 +85,12 @@ object KCore {
       .orderBy(col("d")).as[(Long, Long)].collect()
     val n = hist.map(_._2).sum
     val kRank = (n + 1) / 2
-    var cum = 0L
-    val k = hist.collectFirst {
-      case (d, c) if { cum += c; cum >= kRank } => d
-    }.getOrElse(0L)
+    // pure cumulative walk (scanLeft) — no mutation inside a pattern
+    // guard, so correctness never hinges on single-evaluation semantics
+    val cums = hist.scanLeft(0L)(_ + _._2).tail
+    val k = hist.zip(cums)
+      .collectFirst { case ((d, _), cum) if cum >= kRank => d }
+      .getOrElse(0L)
 
     var alive = deg0.select(col("node")).localCheckpoint(true)
     var trace = Vector.empty[(Long, Long, Long, Long, Long)]

@@ -311,10 +311,14 @@ object Similarity {
         round(cosine(col("q_emb"), col("embedding")), 6).as("sim"))
     // one pass over the scored candidates: per-(query, tier) top-k
     // (dominates top-k of every tier-prefix union) + per-tier counts
-    val tierTop = StageMemo.memoized(spark, s"ivf_tradeoff_top_$maxP", dir)(
+    // memo keys carry EVERY parameter the cached frame depends on
+    // (maxP, k, queryStride, codebookK) — a same-session call with a
+    // different sweep config must miss, not silently reuse
+    val memoSuffix = s"${maxP}_${k}_${queryStride}_$codebookK"
+    val tierTop = StageMemo.memoized(spark, s"ivf_tradeoff_top_$memoSuffix", dir)(
       Dedup.topKPerKey(cand, Seq("q_id", "prnk"),
         Seq(-col("sim"), col("vec_id")), k).drop("rk"))
-    val tierCounts = StageMemo.memoized(spark, s"ivf_tradeoff_cnt_$maxP", dir)(
+    val tierCounts = StageMemo.memoized(spark, s"ivf_tradeoff_cnt_$memoSuffix", dir)(
       cand.groupBy(col("prnk")).agg(count(lit(1)).as("c")))
     val truth = cosineTopK(spark, dir, k, queryStride)
       .select(col("q_id"), col("vec_id"))

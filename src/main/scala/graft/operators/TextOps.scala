@@ -2020,6 +2020,76 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** PAIRWISE exact-substring spans (Lee et al. 2022 §ExactSubstr, the
+    * suffix-array formulation's distributed dual at PAIR granularity):
+    * for every ordered doc pair (a < b), every MAXIMAL verbatim
+    * token-span of length ≥ `minLen` they share — the match-extension
+    * step the paper's suffix array performs via LCP scans. Where
+    * [[spanRuns]] chains a doc's shared-gram starts regardless of WHO
+    * they are shared with (a run there may stitch grams shared with
+    * different partners), this lane extends along one partner at a
+    * time: seeds are (a, ia, b, ib) gram matches bucketed by gram
+    * hash, and a verbatim L-token repeat between a and b yields
+    * exactly L−k+1 seeds on one DIAGONAL (ia−ib constant, consecutive
+    * ia) — so gaps-and-islands per (a, b, diagonal) recovers each
+    * maximal span exactly (SubstringSpanSpec pins verbatim equality
+    * and two-sided maximality).
+    *
+    * Scale: rides [[spanCut]]'s staged gram frame (one explode per
+    * session); the seed join is BUCKET-LOCAL on the gram hash with a
+    * document-frequency cap (`dfCap`) bounding any bucket's pair
+    * fan-out to df² — the MinHash/n-gram-Jaccard banding discipline;
+    * boilerplate grams above the cap never seed (their long repeats
+    * still surface through their rarer flanking grams whenever any
+    * in-cap gram witnesses the diagonal). The islands pass is one
+    * window per (pair, diagonal) partition — never a global sort; no
+    * doc×doc product anywhere.
+    */
+  def substringSpans(spark: SparkSession, dir: String, k: Int = 5,
+                     minLen: Int = 15, dfCap: Int = 50): DataFrame =
+    substringSpansImpl(Tables.documents(spark, dir), k, minLen, dfCap,
+      (name, df) => StageMemo.memoized(spark, s"span_${name}_$k", dir)(df))
+
+  private[graft] def substringSpansOf(docs: DataFrame, k: Int = 5,
+                                      minLen: Int = 15,
+                                      dfCap: Int = 50): DataFrame =
+    substringSpansImpl(docs, k, minLen, dfCap, (_, df) => df)
+
+  private def substringSpansImpl(docs: DataFrame, k: Int, minLen: Int,
+                                 dfCap: Int,
+                                 stage: (String, DataFrame) => DataFrame): DataFrame = {
+    val base = docs
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .withColumn("n", size(col("t")))
+    // same stage key as spanCutImpl/spanRunsImpl: one gram frame serves
+    // all three ExactSubstr lanes per (session, dir)
+    val grams = stage("grams", base.filter(col("n") >= k)
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(1), col("n") - (k - 1))).as("i"))
+      .select(col("doc_id"), col("i"),
+        md5(array_join(slice(col("t"), col("i"), lit(k)), " ")).as("h")))
+    val ok = grams.groupBy(col("h")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2 && col("c") <= dfCap).select(col("h"))
+    val g = grams.join(ok, Seq("h"))
+    val seeds = g.select(col("h"), col("doc_id").as("doc_a"), col("i").as("ia"))
+      .join(g.select(col("h"), col("doc_id").as("doc_b"), col("i").as("ib")),
+        Seq("h"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("ia"), col("ib"),
+        (col("ia") - col("ib")).as("diag"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_a"), col("doc_b"), col("diag")).orderBy(col("ia"))
+    seeds.withColumn("grp", col("ia") - row_number().over(w))
+      .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("grp"))
+      .agg(min(col("ia")).as("a0"), min(col("ib")).as("b0"),
+        (max(col("ia")) - min(col("ia")) + k).as("len"))
+      .filter(col("len") >= minLen)
+      .select(col("doc_a"), col("doc_b"),
+        col("a0").cast("long").as("a_pos"), col("b0").cast("long").as("b_pos"),
+        col("len").cast("long").as("span_tokens"))
+      .orderBy(col("doc_a"), col("doc_b"), col("a_pos"), col("b_pos"))
+  }
+
   /** CCNet-style perplexity BUCKETING: per language, rank documents by
     * the char-trigram likelihood proxy ([[charTrigramScore]] — high
     * avg corpus-frequency = fluent) and cut into head/middle/tail

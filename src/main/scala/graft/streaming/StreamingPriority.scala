@@ -43,7 +43,13 @@ object StreamingPriority {
             .getOrElse(Seq.empty)
           val inc = it.map(d => (priority(d.doc_id, d.n_tokens),
             d.doc_id, d.n_tokens)).toSeq
-          val merged = (cur ++ inc).distinct
+          // dedupe by doc_id, latest delivery wins: a doc re-delivered
+          // with a corrected weight replaces its old entry rather than
+          // holding two kept slots — batch prioritySample sees exactly
+          // one row per doc, so the reservoir must too
+          val byId = scala.collection.mutable.LinkedHashMap[Long, (Double, Long, Long)]()
+          (cur.iterator ++ inc.iterator).foreach { t => byId(t._2) = t }
+          val merged = byId.values.toSeq
             .sortBy { case (p, id, _) => (-p, id) }.take(k)
           st.update(PState(merged.map(_._1), merged.map(_._2), merged.map(_._3)))
           Iterator(Kept(src, merged.map(_._2), merged.map(_._3)))
