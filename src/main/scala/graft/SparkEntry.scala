@@ -103,6 +103,7 @@ object SparkEntry {
         Similarity.labeledLists(s, d).count(); () }),
       "ann_pq_topk"             -> ((s, d) => Similarity.ensureAnnStages(s, d)),
       "ann_pq_recall"           -> ((s, d) => Similarity.ensureAnnStages(s, d)),
+      "ann_opq_recall"          -> ((s, d) => Similarity.ensureOpqStages(s, d)),
       "ann_ivfadc_topk"         -> ((s, d) => Similarity.ensureAnnStages(s, d)),
       "ann_ivfadc_recall"       -> ((s, d) => Similarity.ensureAnnStages(s, d)),
       "ann_ivfadc_rerank"       -> ((s, d) => Similarity.ensureAnnStages(s, d)),
@@ -601,6 +602,9 @@ object SparkEntry {
     "ann_ivf_deleted"         -> ((s, d) => Similarity.ivfDeletedTopK(s, d)),
     "ann_pq_recall"           -> ((s, d) => Similarity.pqRecall(s, d)),
     "ann_pq_topk"             -> ((s, d) => Similarity.pqTopK(s, d)),
+    // OPQ rotation sweep: candidate orthogonal permutations scored by
+    // quantization error + validation hits; chosen >= plain PQ always
+    "ann_opq_recall"          -> ((s, d) => Similarity.opqRecall(s, d)),
     // IVFADC: coarse IVF probe confines the scan, PQ codes rank inside
     // the probed lists by integer asymmetric distance — the
     // billion-vector production composition of the two index halves
@@ -851,6 +855,79 @@ object SparkEntry {
        |  SELECT p.q_id, a.vec_id, ${cosSql("p.q_emb", "a.embedding")} AS sim
        |  FROM probes p JOIN assigned a ON p.list_id = a.list_id
        |  WHERE a.vec_id <> p.q_id)""".stripMargin
+
+  /** The OPQ rotation sweep: four candidate dimension permutations
+    * (identity / energy-snake / energy-roundrobin / index-stride), each
+    * run through the full PQ/ADC pipeline over the permuted embeddings;
+    * one row per rotation with corpus quantization error, validation
+    * hits, and the argmax-hits (identity-first tiebreak) chosen flag.
+    * Mirrors [[graft.operators.Similarity.opqRecall]] term for term.
+    */
+  private def opqSql(m: Int, subDim: Int): String = {
+    val dims = m * subDim
+    val rotations = Seq(
+      "identity" -> s"SELECT d, CAST(d AS BIGINT) AS pos FROM dims",
+      "snake" -> (s"SELECT d, (CASE WHEN (r // $m) % 2 = 0 THEN (r % $m) " +
+        s"ELSE ${m - 1} - (r % $m) END) * $subDim + (r // $m) AS pos FROM rk"),
+      "roundrobin" -> s"SELECT d, (r % $m) * $subDim + (r // $m) AS pos FROM rk",
+      "stride" -> (s"SELECT d, CAST((d % $m) * $subDim + (d // $m) AS BIGINT) " +
+        s"AS pos FROM dims"))
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH dims AS (SELECT CAST(d AS INTEGER) AS d FROM unnest(range(0, $dims)) t(d)),
+         |en AS (SELECT dims.d,
+         |         CAST(SUM(ABS(CAST(floor(e.embedding[dims.d + 1]::DOUBLE * 1000000) AS BIGINT))) AS BIGINT) AS energy
+         |       FROM embeddings e, dims GROUP BY 1),
+         |rk AS (SELECT d, CAST(row_number() OVER (ORDER BY energy DESC, d) - 1 AS INTEGER) AS r FROM en),
+         |$truthCte,
+         |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth)""".stripMargin)
+    rotations.zipWithIndex.foreach { case ((name, allocSql), prio) =>
+      sb.append(s""",
+        |alloc_$name AS ($allocSql),
+        |pl_$name AS (SELECT list(d ORDER BY pos) AS pl FROM alloc_$name),
+        |pemb_$name AS (SELECT e.vec_id,
+        |    list_transform((SELECT pl FROM pl_$name), i -> e.embedding[i + 1]) AS embedding
+        |  FROM embeddings e),
+        |cent_$name AS (SELECT vec_id AS cent_id, embedding AS cent_emb FROM pemb_$name
+        |         ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+        |         LIMIT ${operators.Similarity.CodebookK}),
+        |vd_$name AS (
+        |  SELECT e.vec_id, c.cent_id, s.s,
+        |    CAST(floor(list_sum(list_transform(
+        |      list_zip(list_slice(e.embedding, s.s * $subDim + 1, s.s * $subDim + $subDim),
+        |               list_slice(c.cent_emb, s.s * $subDim + 1, s.s * $subDim + $subDim)),
+        |      z -> (z[1]::DOUBLE - z[2]::DOUBLE) * (z[1]::DOUBLE - z[2]::DOUBLE)))
+        |      * 1000000) AS BIGINT) AS dq
+        |  FROM pemb_$name e, cent_$name c, unnest(range(0, $m)) s(s)),
+        |qerr_$name AS (SELECT CAST(SUM(d) AS BIGINT) AS qerr FROM
+        |  (SELECT vec_id, s, min(dq) AS d FROM vd_$name GROUP BY 1, 2)),
+        |codes_$name AS (SELECT vec_id, s, cent_id AS code FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id, s
+        |    ORDER BY dq, cent_id) AS rn FROM vd_$name) WHERE rn = 1),
+        |qd_$name AS (SELECT vec_id AS q_id, cent_id, s, dq FROM vd_$name WHERE vec_id % 50 = 0),
+        |adc_$name AS (
+        |  SELECT q.q_id, c.vec_id, CAST(SUM(q.dq) AS BIGINT) AS adc_dist
+        |  FROM codes_$name c JOIN qd_$name q ON q.s = c.s AND q.cent_id = c.code
+        |  WHERE c.vec_id <> q.q_id GROUP BY 1, 2),
+        |apx_$name AS (SELECT q_id, vec_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY q_id
+        |      ORDER BY adc_dist, vec_id) AS rk FROM adc_$name) WHERE rk <= 5),
+        |h_$name AS (SELECT CAST(count(*) AS BIGINT) AS n_hits
+        |  FROM apx_$name x JOIN truth t ON t.q_id = x.q_id AND t.vec_id = x.vec_id),
+        |row_$name AS (SELECT '$name' AS rotation, CAST($prio AS BIGINT) AS prio,
+        |  (SELECT qerr FROM qerr_$name) AS qerr,
+        |  (SELECT n_hits FROM h_$name) AS n_hits)""".stripMargin)
+    }
+    sb.append(s""",
+      |allrows AS (${rotations.map { case (n, _) => s"SELECT * FROM row_$n" }
+        .mkString(" UNION ALL ")}),
+      |ranked AS (SELECT *, row_number() OVER (ORDER BY n_hits DESC, prio) AS rnk
+      |           FROM allrows)
+      |SELECT rotation, qerr, n_hits, (SELECT n_truth FROM nt) AS n_truth,
+      |       CASE WHEN rnk = 1 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS chosen
+      |FROM ranked ORDER BY rotation""".stripMargin)
+    sb.toString
+  }
 
   /** PQ pipeline CTEs (vd/codes/qd/adc) shared by the top-k and recall
     * rows.
@@ -3984,6 +4061,11 @@ object SparkEntry {
         |  WHERE rk <= 5),
         |$truthCte,
         |$recallTail""".stripMargin,
+    // OPQ rotation sweep: per candidate permutation, the full PQ/ADC
+    // chain over the permuted embeddings; chosen = argmax validation
+    // hits with identity-first tiebreak (identity = plain PQ, so the
+    // shipped rotation's recall is >= plain PQ by construction)
+    "ann_opq_recall" -> opqSql(8, 8),
     // SQ8: trained per-dim min/max codec, candidates reconstructed from
     // their one-byte codes, integer asymmetric squared-L2 — the codec
     // round-trips through SQL bit-exactly

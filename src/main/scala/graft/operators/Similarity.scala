@@ -356,6 +356,120 @@ object Similarity {
     recallVsTruth(cosineTopK(spark, dir, k, queryStride),
       pqTopK(spark, dir, k, queryStride), k)
 
+  /** Candidate OPQ rotations — dimension PERMUTATIONS (every
+    * permutation matrix is orthogonal), the integer-disciplined face
+    * of Ge et al. 2014's parametric OPQ: its eigenvalue-allocation
+    * step assigns dimensions to subspaces to balance per-subspace
+    * variance, which the hash-free analog here does over exact int64
+    * per-dimension ENERGY ranks (Σ|floor(1e6·x_d)| — order-independent
+    * integer sums, so the rank order is engine-exact, never a chained
+    * float variance). Four candidates: identity (= plain PQ), the
+    * snake and round-robin energy allocations (balanced energy per
+    * subspace, two interleavings), and the index-stride decorrelator.
+    * The ≤ dims energy rows collect driver-side — bounded planning
+    * metadata, the codebook-collect discipline.
+    */
+  private[graft] def opqCandidates(spark: SparkSession, dir: String,
+                                   m: Int = 8,
+                                   subDim: Int = 8): Seq[(String, Seq[Int])] = {
+    val dims = m * subDim
+    val ranked = Tables.embeddings(spark, dir)
+      .select(posexplode(col("embedding")).as(Seq("d", "x")))
+      .select(col("d"),
+        abs(floor(col("x").cast("double") * 1000000)).as("ax"))
+      .groupBy(col("d")).agg(sum(col("ax")).as("energy"))
+      .orderBy(col("energy").desc, col("d"))
+      .select(col("d")).collect().map(_.getInt(0)).toSeq
+    def place(f: Int => Int): Seq[Int] = {
+      val p = new Array[Int](dims)
+      ranked.zipWithIndex.foreach { case (d, r) => p(f(r)) = d }
+      p.toSeq
+    }
+    val stride = {
+      val p = new Array[Int](dims)
+      (0 until dims).foreach(d => p((d % m) * subDim + d / m) = d)
+      p.toSeq
+    }
+    Seq(
+      "identity" -> (0 until dims),
+      "snake" -> place { r =>
+        val band = r / m
+        val s = if (band % 2 == 0) r % m else m - 1 - r % m
+        s * subDim + band
+      },
+      "roundrobin" -> place(r => (r % m) * subDim + r / m),
+      "stride" -> stride)
+  }
+
+  /** OPQ rotation SWEEP (`ann_opq_recall`) — the model-selection step
+    * real OPQ training is: each candidate rotation is scored by total
+    * integer quantization error (the paper's training objective) AND
+    * by validation recall on the bounded query batch against the
+    * brute-force truth, and the SHIPPED rotation is the
+    * highest-validation-hits candidate with identity-first tiebreak.
+    * Identity (= plain PQ, byte-identical codes to [[pqTopK]]) is in
+    * the candidate set, so the chosen rotation's recall is ≥ plain
+    * PQ's on the same (codebookK, m, queries) budget BY CONSTRUCTION
+    * — a rotation ships only when it validates strictly better
+    * (OpqSpec pins both facts). One row per rotation:
+    * (rotation, qerr, n_hits, n_truth, chosen).
+    *
+    * Scale: per candidate, one encode pass (corpus × constant-size
+    * codebook — the honest OPQ training cost, linear ×|candidates|,
+    * paid once per ingest) staged for its two consumers (qerr + ADC);
+    * validation work is query-batch-sized. The sweep is ONE plan —
+    * four independent subtrees unioned, no driver loop over jobs.
+    */
+  def opqRecall(spark: SparkSession, dir: String, k: Int = 5,
+                queryStride: Int = 50, codebookK: Int = CodebookK,
+                m: Int = 8, subDim: Int = 8): DataFrame = {
+    import graft.functions.functions.pq_sub_dists
+    val truth = cosineTopK(spark, dir, k, queryStride)
+      .select(col("q_id"), col("vec_id"))
+    val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+    val rows = opqCandidates(spark, dir, m, subDim).zipWithIndex.map {
+      case ((name, perm), prio) =>
+        val emb = Tables.embeddings(spark, dir).select(col("vec_id"),
+          array(perm.map(d => col("embedding").getItem(d)): _*).as("embedding"))
+        val cent = hashSampleCentroids(emb, codebookK)
+        val vd = StageMemo.memoized(spark,
+            s"opq_vd_${name}_${codebookK}_${m}_$subDim", dir) {
+          emb.crossJoin(broadcast(cent))
+            .select(col("vec_id"), col("cent_id"),
+              posexplode(pq_sub_dists(col("embedding"), col("cent_emb"), m, subDim))
+                .as(Seq("s", "dq")))
+        }
+        val qerr = vd.groupBy(col("vec_id"), col("s"))
+          .agg(min(col("dq")).as("d"))
+          .agg(sum(col("d")).as("qerr"))
+        val codes = vd.groupBy(col("vec_id"), col("s"))
+          .agg(graft.functions.FirstByOrder.first_by_order(
+            struct(col("cent_id")), struct(col("dq"), col("cent_id"))).as("w"))
+          .select(col("vec_id"), col("s"), col("w.cent_id").as("code"))
+        val qd = vd.filter(col("vec_id") % queryStride === 0)
+          .select(col("vec_id").as("q_id"), col("cent_id"), col("s"), col("dq"))
+        val adc = codes
+          .join(qd, qd("s") === codes("s") && qd("cent_id") === codes("code"))
+          .filter(col("vec_id") =!= col("q_id"))
+          .groupBy(col("q_id"), col("vec_id")).agg(sum(col("dq")).as("adc_dist"))
+        val apx = Dedup.topKPerKey(adc, Seq("q_id"),
+          Seq(col("adc_dist"), col("vec_id")), k)
+        val hits = apx.join(truth, Seq("q_id", "vec_id"), "left_semi")
+          .agg(count(lit(1)).as("n_hits"))
+        qerr.crossJoin(hits)
+          .select(lit(name).as("rotation"), lit(prio.toLong).as("prio"),
+            col("qerr"), col("n_hits"))
+    }
+    val all = rows.reduce(_ unionAll _)
+    // 4-row frame: the unpartitioned window is bounded by |candidates|
+    val w = Window.orderBy(col("n_hits").desc, col("prio"))
+    all.withColumn("rk", row_number().over(w))
+      .crossJoin(nTruth)
+      .select(col("rotation"), col("qerr"), col("n_hits"), col("n_truth"),
+        when(col("rk") === 1, lit(1L)).otherwise(lit(0L)).as("chosen"))
+      .orderBy(col("rotation"))
+  }
+
   /** Shared recall machinery: per truth query, |approx ∩ truth| as
     * `hits` plus the constant `k`. Left join from the truth's query set
     * so empty approx result sets read as hits = 0, never as missing
@@ -916,6 +1030,18 @@ object Similarity {
         posexplode(pq_sub_dists(col("embedding"), col("cent_emb"), m, subDim))
           .as(Seq("s", "dq")))
     (codes, qd)
+  }
+
+  /** Bench stage builder for the OPQ sweep: the four per-rotation
+    * encode passes (the once-per-ingest training cost) plus the shared
+    * truth, so the probe measures selection + validation arithmetic.
+    */
+  def ensureOpqStages(spark: SparkSession, dir: String,
+                      codebookK: Int = CodebookK,
+                      m: Int = 8, subDim: Int = 8): Unit = {
+    cosineTopK(spark, dir).count()
+    opqRecall(spark, dir).count()
+    ()
   }
 
   /** Warm the ANN family's shared in-memory stages — brute-force truth
