@@ -125,6 +125,8 @@ object SparkEntry {
       "ann_hnsw_levels"         -> ((s, d) => operators.Hnsw.ensureHnswStages(s, d)),
       "ann_hnsw_append"         -> ((s, d) => { operators.Hnsw.ensureGrownGraph(s, d).count(); () }),
       "ann_hnsw_served"         -> ((s, d) => operators.Hnsw.ensureServedStages(s, d)),
+      "ann_hnsw_sq8_topk"       -> ((s, d) => operators.Hnsw.ensureSq8Stages(s, d)),
+      "ann_hnsw_sq8_recall"     -> ((s, d) => operators.Hnsw.ensureSq8Stages(s, d)),
       "dedup_semdedup"          -> ((s, d) => Similarity.ensureAnnStages(s, d)),
       "q_sample_cluster"        -> ((s, d) => Similarity.ensureAnnStages(s, d)))
   }
@@ -571,6 +573,13 @@ object SparkEntry {
     // HnswStoreSpec): the layout must not cost recall, so the oracle
     // is once more the brute-force SQL
     "ann_hnsw_served"         -> ((s, d) => operators.Hnsw.hnswServedTopK(s, d)),
+    // SQ8-compressed serving tier: the bucketed store holds one-byte
+    // codes (4x smaller resident), the walk runs integer asymmetric
+    // L2, the pool exact-refines — same brute-force oracle
+    "ann_hnsw_sq8_topk"       -> ((s, d) => operators.Hnsw.hnswSq8TopK(s, d)),
+    // compressed-domain approximate regime (efS=16, ranked by the SQ8
+    // walk distance itself); rows-only at the gate like ann_hnsw_recall
+    "ann_hnsw_sq8_recall"     -> ((s, d) => operators.Hnsw.hnswSq8Recall(s, d)),
     "ann_ivf_recall"          -> ((s, d) => Similarity.ivfRecall(s, d)),
     // hard-negative mining (DPR/ANCE): per query, top-k most similar
     // vectors of a DIFFERENT label — the near-the-margin contrastive
@@ -3723,6 +3732,20 @@ object SparkEntry {
     // grown graph ≡ exact top-k: structure drifts under ingest
     // (insertion order shapes adjacency), results must not
     "ann_hnsw_append" ->
+      s"""WITH s AS (
+         |  SELECT a.vec_id AS q_id, b.vec_id AS vec_id, $cosineSql AS sim
+         |  FROM embeddings a, embeddings b
+         |  WHERE a.vec_id % 50 = 0 AND b.vec_id <> a.vec_id)
+         |SELECT q_id, vec_id, sim, CAST(rk AS BIGINT) AS rnk
+         |FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rk
+         |      FROM s)
+         |WHERE rk <= 5""".stripMargin,
+    // SQ8-compressed serving tier ≡ exact top-k: the 4x-smaller code
+    // walk nominates, exact cosine refines — compression must not cost
+    // recall at the operating point (ann_hnsw_sq8_recall, the efS=16
+    // compressed-domain regime, is rows-only; HnswSq8Spec pins its
+    // floor and the store byte ratio)
+    "ann_hnsw_sq8_topk" ->
       s"""WITH s AS (
          |  SELECT a.vec_id AS q_id, b.vec_id AS vec_id, $cosineSql AS sim
          |  FROM embeddings a, embeddings b

@@ -102,8 +102,15 @@ object Hnsw {
   /** One shard's graph, built in insertion order over normalized
     * vectors. Distance = 1 − cosine on unit vectors (monotone in dot
     * product); all orderings tie-break by node index (= vec_id order).
+    *
+    * `l2 = true` switches the metric to squared L2 — the SQ8 serving
+    * tier's walk, whose vectors are decoded integer micro-values
+    * (magnitudes < 2²⁴; sums of 64 squared diffs stay < 2⁵³, so every
+    * distance is an EXACT integer-valued double and the walk is
+    * bit-deterministic like the cosine one).
     */
-  private[operators] final class Graph(m: Int, efC: Int) {
+  private[operators] final class Graph(m: Int, efC: Int,
+                                       l2: Boolean = false) {
     import scala.collection.mutable
     private val vecs = mutable.ArrayBuffer.empty[Array[Double]]
     private[operators] val ids = mutable.ArrayBuffer.empty[Long]
@@ -119,8 +126,13 @@ object Hnsw {
       val w = vecs(node)
       var s = 0.0
       var i = 0
-      while (i < v.length) { s += v(i) * w(i); i += 1 }
-      1.0 - s
+      if (l2) {
+        while (i < v.length) { val d = v(i) - w(i); s += d * d; i += 1 }
+        s
+      } else {
+        while (i < v.length) { s += v(i) * w(i); i += 1 }
+        1.0 - s
+      }
     }
 
     /** Beam search at one level: returns up to `ef` nearest (dist, node)
@@ -236,6 +248,21 @@ object Hnsw {
         lev -= 1
       }
       searchLayer(vec, eps, ef, 0).map(t => ids(t._2)).toSeq
+    }
+
+    /** [[search]] with each candidate's walk distance — the compressed
+      * tier's cross-shard merge key (exact integer-valued doubles in
+      * l2 mode, so the merge order is engine-deterministic).
+      */
+    def searchScored(vec: Array[Double], ef: Int): Seq[(Long, Double)] = {
+      if (entry < 0) return Seq.empty
+      var eps = Seq(entry)
+      var lev = maxLevel
+      while (lev > 0) {
+        eps = Seq(searchLayer(vec, eps, 1, lev).head._2)
+        lev -= 1
+      }
+      searchLayer(vec, eps, ef, 0).map(t => (ids(t._2), t._1)).toSeq
     }
 
     /** Reconstruction: register a node WITHOUT wiring (same entry rule
@@ -1046,4 +1073,195 @@ object Hnsw {
     ensureGraph(spark, dir, params)
       .groupBy(col("level")).agg(count(lit(1)).as("n_nodes"))
       .orderBy(col("level"))
+
+  // ── SQ8-COMPRESSED SERVING TIER: the production reason BBQ/SQ tiers
+  // exist (Faiss SQ8 / Lucene scalar quantization) — the bucketed
+  // serving store holds one-byte-per-dim SQ8 codes instead of float
+  // vectors (≈4× smaller at rest AND resident), the walk runs on
+  // integer asymmetric squared-L2 against decoded codes, and the
+  // probe pool exact-refines through the shared cosine re-rank (the
+  // ann_ivfadc_rerank pattern), so the gate lane stays brute-force-
+  // exact while serving memory drops 4×. Topology comes from the
+  // full-precision build (build-full / serve-compressed, the standard
+  // deployment split); the codec is [[Similarity.sqBounds]]'s trained
+  // per-dim min/max — one catalog-sized row shipped in the closure. ──
+
+  /** SQ8 store row: per-level adjacency + the one-byte codes. */
+  final case class SqStoredNode(vec_id: Long, level: Int,
+                                nbrs: Seq[Seq[Long]], code: Seq[Int],
+                                ver: Long)
+  final case class SqShardProbe(shard: Int, nodes: Seq[SqStoredNode],
+                                qs: Seq[QVec])
+
+  private val sq8StoreNames =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int, Int), String]()
+
+  /** One SQ8 bucketed store per (dir, operating point): the staged
+    * full-precision graph's topology joined to the SQ8 code table,
+    * embedding column replaced by the codes — completion-marker-gated
+    * like [[ensureBucketedGraphStore]] (whose float rows this store
+    * undercuts ~4×; HnswSq8Spec pins the byte ratio).
+    */
+  def ensureSq8GraphStore(spark: SparkSession, dir: String,
+                          params: Params = Params(),
+                          targetShardRows: Int = 4096): String = {
+    import graft.sources.FsPaths
+    val name = sq8StoreNames.computeIfAbsent(
+      (dir, params.m, params.efConstruction, targetShardRows),
+      _ => s"graft_hnsw_sq8_${params.m}_${params.efConstruction}_" +
+        s"${targetShardRows}_" + Search.dirHash(dir))
+    sq8StoreNames.synchronized {
+      if (!spark.catalog.tableExists(name) ||
+          !FsPaths.exists(spark, storeMarker(spark, name))) {
+        if (spark.catalog.tableExists(name)) spark.sql(s"DROP TABLE $name")
+        FsPaths.deleteRecursively(spark, FsPaths.warehouseTablePath(spark, name))
+        val rows = ensureGraph(spark, dir, params, targetShardRows)
+          .drop("embedding")
+          .join(Similarity.sqCodes(spark, dir), Seq("vec_id"))
+          .select(col("shard"), col("vec_id"), col("level"), col("nbrs"),
+            transform(col("codes"), c => c.cast("int")).as("code"),
+            lit(0L).as("ver"))
+        graft.sources.BucketedTables.writeBucketed(rows, name, "shard")
+        FsPaths.touch(spark, storeMarker(spark, name))
+      }
+    }
+    name
+  }
+
+  /** Probe the SQ8 store: same scatter-gather shape as
+    * [[probeBucketedStore]] (bucket-local shard reassembly, query-batch
+    * fanout, merge-hinted join, executor-resident graph cache), but the
+    * reconstructed graphs hold DECODED integer micro-vectors and walk
+    * on exact-integer squared L2; emits (q_id, vec_id, dist) so the
+    * cross-shard merge ranks on the compressed-domain distance.
+    */
+  private[operators] def probeSq8Store(spark: SparkSession, table: String,
+                                       dir: String, queryStride: Int,
+                                       params: Params): DataFrame = {
+    import spark.implicits._
+    // the trained codec: one row of 2×dims longs — bounded planning
+    // metadata shipped in the task closure
+    val bRow = Similarity.sqBounds(spark, dir).head
+    val mn = bRow.getSeq[Long](0).toArray
+    val mx = bRow.getSeq[Long](1).toArray
+    val store = spark.table(table)
+    val shardBlobs = store.groupBy(col("shard"))
+      .agg(collect_list(struct(
+        col("vec_id"), col("level"), col("nbrs"), col("code"),
+        col("ver"))).as("nodes"))
+    val shardIds = store.select(col("shard")).distinct() // ≤ shards rows
+    val qGrouped = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") % queryStride === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      .crossJoin(broadcast(shardIds))
+      .groupBy(col("shard"))
+      .agg(collect_list(struct(col("q_id"), col("q_emb"))).as("qs"))
+    val p = params
+    val storeVersion = storeMarkerMtime(spark, table)
+    shardBlobs.join(qGrouped.hint("merge"), Seq("shard"))
+      .select(col("shard"), col("nodes"), col("qs"))
+      .as[SqShardProbe]
+      .flatMap { sp =>
+        val g = cachedShardGraph(table, sp.shard, storeVersion) {
+          reconstructSq8(sp.shard, sp.nodes, p, mn, mx)
+        }
+        sp.qs.iterator.flatMap { q =>
+          // query side: the RAW micro vector (floor(1e6·x) — the same
+          // quantization sqTopK's asymmetric distance uses)
+          val qv = new Array[Double](q.q_emb.length)
+          var i = 0
+          while (i < qv.length) {
+            qv(i) = math.floor(q.q_emb(i).toDouble * 1e6); i += 1
+          }
+          g.searchScored(qv, p.efSearch).iterator
+            .filter(_._1 != q.q_id)
+            .map { case (v, d) => (q.q_id, v, d.toLong) }
+        }
+      }
+      .toDF("q_id", "vec_id", "dist")
+  }
+
+  /** Rebuild one shard's graph from SQ8 rows: latest row per vec_id,
+    * codes decoded through the trained bounds to integer micro-values
+    * (`mn_d + ⌊c_d·(mx_d−mn_d)/255⌋` — sqTopK's decode, exact int64),
+    * loaded UNNORMALIZED into an l2-metric graph.
+    */
+  private def reconstructSq8(shard: Int, rows: Seq[SqStoredNode],
+                             params: Params,
+                             mn: Array[Long], mx: Array[Long]): Graph = {
+    val latest = new java.util.HashMap[Long, SqStoredNode]()
+    rows.foreach { n =>
+      val prev = latest.get(n.vec_id)
+      if (prev == null || n.ver > prev.ver) latest.put(n.vec_id, n)
+    }
+    val alive = scala.collection.mutable.ArrayBuffer.empty[SqStoredNode]
+    val it = latest.values().iterator()
+    while (it.hasNext) { val n = it.next(); if (n.level >= 0) alive += n }
+    val sorted = alive.sortBy(_.vec_id)
+    val g = new Graph(params.m, params.efConstruction, l2 = true)
+    val index = sorted.iterator.zipWithIndex
+      .map { case (n, i) => n.vec_id -> i }.toMap
+    sorted.foreach { n =>
+      val v = new Array[Double](n.code.length)
+      var d = 0
+      while (d < v.length) {
+        val span = mx(d) - mn(d)
+        v(d) = (mn(d) + (if (span == 0) 0L else n.code(d).toLong * span / 255L))
+          .toDouble
+        d += 1
+      }
+      g.load(n.vec_id, v, n.level)
+    }
+    sorted.iterator.zipWithIndex.foreach { case (n, i) =>
+      n.nbrs.iterator.zipWithIndex.foreach { case (ns, lev) =>
+        g.wire(i, lev, ns.flatMap(index.get))
+      }
+    }
+    g
+  }
+
+  /** The registered `ann_hnsw_sq8_topk` lane: SQ8 walk nominates the
+    * pool, the shared exact-cosine re-rank finishes — same brute-force
+    * oracle as the float gate lanes (the compressed walk must not cost
+    * recall at the operating point).
+    */
+  def hnswSq8TopK(spark: SparkSession, dir: String, k: Int = 5,
+                  queryStride: Int = 50, params: Params = Params(),
+                  targetShardRows: Int = 4096): DataFrame =
+    rerank(spark, dir,
+      probeSq8Store(spark,
+        ensureSq8GraphStore(spark, dir, params, targetShardRows),
+        dir, queryStride, params)
+        .select(col("q_id"), col("vec_id")),
+      k, queryStride)
+
+  /** The compressed tier's approximate regime: efS=16 walk, candidates
+    * ranked by the INTEGER SQ8 walk distance itself (no refine — the
+    * pure compressed-domain serving cost), recall vs brute-force truth
+    * under the shared exact-integer hits/k contract. Floor pinned in
+    * HnswSq8Spec (rows-only at the gate, like `ann_hnsw_recall`).
+    */
+  def hnswSq8Recall(spark: SparkSession, dir: String, k: Int = 5,
+                    queryStride: Int = 50,
+                    params: Params = Params(efSearch = 16),
+                    targetShardRows: Int = 4096): DataFrame = {
+    val cand = probeSq8Store(spark,
+      ensureSq8GraphStore(spark, dir, Params(params.m, params.efConstruction),
+        targetShardRows),
+      dir, queryStride, params)
+    val topk = Dedup.topKPerKey(cand, Seq("q_id"),
+      Seq(col("dist"), col("vec_id")), k).select(col("q_id"), col("vec_id"))
+    Similarity.recallVsTruth(
+      Similarity.cosineTopK(spark, dir, k, queryStride), topk, k)
+  }
+
+  /** Bench stage builder for the SQ8 tier: store on disk + one warm
+    * batch (the standing-deployment regime), plus the shared truth.
+    */
+  def ensureSq8Stages(spark: SparkSession, dir: String): Unit = {
+    ensureSq8GraphStore(spark, dir)
+    hnswSq8TopK(spark, dir).count()
+    Similarity.cosineTopK(spark, dir).count()
+    ()
+  }
 }
