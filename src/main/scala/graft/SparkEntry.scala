@@ -98,6 +98,7 @@ object SparkEntry {
       "q_triangle_count"        -> ((s, d) => { operators.Triangles.triangleCount(s, d).count(); () }),
       "q_link_prediction"       -> ((s, d) => { operators.Triangles.copurchaseEdges(s, d).count(); () }),
       "q_bfs_hops"              -> ((s, d) => { operators.Triangles.copurchaseEdges(s, d).count(); () }),
+      "q_ppr_topk"              -> ((s, d) => { operators.Ppr.pprTopK(s, d).count(); () }),
       "ann_knn_accuracy"        -> ((s, d) => { Similarity.cosineTopK(s, d).count(); () }),
       "ann_ivf_filtered"        -> ((s, d) => {
         Similarity.labeledLists(s, d).count(); () }),
@@ -260,6 +261,9 @@ object SparkEntry {
     // multi-source BFS frontier trace from the probe batch over the
     // co-purchase graph: per hop, first-discovered and cumulative reach
     "q_bfs_hops"              -> ((s, d) => operators.Bfs.bfsHops(s, d)),
+    // push-PPR related-items ranker in the link-prediction serving
+    // shape: walk mass from each probe, not-yet-connected top-k
+    "q_ppr_topk"              -> ((s, d) => operators.Ppr.pprTopK(s, d)),
     // integer PageRank over the customer-supplier trade graph, 5
     // iterations, exact in both engines (damping as the rational 17/20,
     // per-edge integer division) — the influence rank degree can't see
@@ -1084,6 +1088,50 @@ object SparkEntry {
          |  CAST((SELECT count(*) FROM v$r) AS BIGINT) AS n_reached""".stripMargin
     }.mkString("\nUNION ALL\n")
     sb.append("\n" + rows + "\nORDER BY round")
+    sb.toString
+  }
+
+  /** Unrolled synchronous PPR push from the probe batch: per round,
+    * absorb (r·3)//20 into the score and push (r·17)//(20·deg) to each
+    * neighbor — pure int64 truncating division on non-negative
+    * operands, mirroring [[graft.operators.Ppr.pprTopK]] term for
+    * term; MATERIALIZED CTEs (the bfsSql/kcore lesson).
+    */
+  private def pprSql(rounds: Int, k: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+        |      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |      WHERE a.l_partkey < b.l_partkey),
+        |ebi AS MATERIALIZED (
+        |  SELECT a AS u, b AS n FROM e UNION ALL SELECT b AS u, a AS n FROM e),
+        |deg AS MATERIALIZED (SELECT u, CAST(count(*) AS BIGINT) AS d FROM ebi GROUP BY 1),
+        |hop1 AS MATERIALIZED (SELECT u AS p, n AS y FROM ebi WHERE u % 97 = 0),
+        |r0 AS MATERIALIZED (SELECT DISTINCT u AS p, u, CAST(1000000000000 AS BIGINT) AS r
+        |      FROM ebi WHERE u % 97 = 0),
+        |a0 AS (SELECT p, u, (r * 3) // 20 AS m FROM r0)""".stripMargin)
+    for (t <- 1 until rounds) {
+      val pv = t - 1
+      sb.append(s""",
+        |r$t AS MATERIALIZED (SELECT r.p, e.n AS u, CAST(SUM((r.r * 17) // (20 * d.d)) AS BIGINT) AS r
+        |      FROM r$pv r JOIN deg d ON d.u = r.u JOIN ebi e ON e.u = r.u
+        |      GROUP BY 1, 2),
+        |a$t AS (SELECT p, u, (r * 3) // 20 AS m FROM r$t)""".stripMargin)
+    }
+    val unions = (0 until rounds).map(t => s"SELECT * FROM a$t")
+      .mkString(" UNION ALL ")
+    sb.append(s""",
+      |score AS (SELECT p, u, CAST(SUM(m) AS BIGINT) AS score
+      |          FROM ($unions) GROUP BY 1, 2
+      |          HAVING SUM(m) > 0),
+      |pred AS (SELECT s.p, s.u, s.score FROM score s
+      |         WHERE s.u <> s.p AND NOT EXISTS (
+      |           SELECT 1 FROM hop1 h WHERE h.p = s.p AND h.y = s.u))
+      |SELECT p AS probe_part, u AS cand_part, score, CAST(rk AS BIGINT) AS rnk
+      |FROM (SELECT *, row_number() OVER (PARTITION BY p
+      |        ORDER BY score DESC, u) AS rk FROM pred)
+      |WHERE rk <= $k ORDER BY probe_part, rnk""".stripMargin)
     sb.toString
   }
 
@@ -2268,6 +2316,9 @@ object SparkEntry {
     // multi-source BFS: R unrolled frontier/visited rounds (materialized
     // — the unrolled chain re-expands exponentially as plain CTEs)
     "q_bfs_hops" -> bfsSql(4),
+    // personalized PageRank (push, 3 bounded rounds) from the probe
+    // batch: integer residual arithmetic, truncated power-series score
+    "q_ppr_topk" -> pprSql(3, 5),
     // link prediction (probe serving shape): 2-hop expansion from the
     // probe nodes over the bidirectional adjacency, exact witness
     // counts, existing edges anti-joined on the canonical pair
