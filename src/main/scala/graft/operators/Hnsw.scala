@@ -923,6 +923,10 @@ object Hnsw {
       // dir store's post-compaction semantics); their dangling edge
       // refs stay harmless, reconstruct skips unknown neighbors
       .filter(col("level") >= 0)
+      // a collapsed log is ONE segment: reset every surviving row to
+      // version 0 so the segment count (distinct ver — the automated
+      // merge policy's metric) reads 1, and the next insert stamps 1
+      .withColumn("ver", lit(0L))
       // materialize before overwriting the table this plan reads
       .localCheckpoint(true)
     graft.sources.BucketedTables.writeBucketed(latest, table, "shard")

@@ -57,11 +57,20 @@ object StreamingHnsw {
   def bucketedInsertSink(spark: SparkSession, table: String,
                          vectors: DataFrame,
                          params: Hnsw.Params = Hnsw.Params(),
-                         checkpoint: Option[String] = None): StreamingQuery = {
+                         checkpoint: Option[String] = None,
+                         policy: Option[graft.operators.Compaction.Policy] = None)
+      : StreamingQuery = {
     val writer = vectors.writeStream
       .outputMode("append")
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
         Hnsw.insertIntoBucketedStore(spark, table, batch.toDF(), params)
+        // the streaming face of the automated merge policy: every
+        // micro-batch runs the same cheap health check the batch face
+        // does, so an unattended ingest stream keeps its own log
+        // bounded (compaction is result-preserving — probes read
+        // through latest-per-vec_id either way)
+        policy.foreach(p =>
+          graft.operators.Compaction.maybeCompactBucketed(spark, table, p))
       }
     checkpoint.fold(writer)(c => writer.option("checkpointLocation", c)).start()
   }
