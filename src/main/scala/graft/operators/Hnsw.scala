@@ -804,6 +804,12 @@ object Hnsw {
       _ => s"graft_hnsw_store_v2_${params.m}_${params.efConstruction}_" +
         s"${targetShardRows}_" + Search.dirHash(dir))
     graphStoreNames.synchronized {
+      // cross-JVM file lock beside the table dir: two processes
+      // sharing the warehouse serialize the (re)build; the marker
+      // re-check inside makes the loser a no-op
+      val tp = FsPaths.warehouseTablePath(spark, name)
+      FsPaths.withFileLock(spark,
+        new org.apache.hadoop.fs.Path(tp.getParent, tp.getName + ".lock")) {
       if (!spark.catalog.tableExists(name) ||
           !FsPaths.exists(spark, storeMarker(spark, name))) {
         if (spark.catalog.tableExists(name)) spark.sql(s"DROP TABLE $name")
@@ -812,6 +818,7 @@ object Hnsw {
           ensureGraph(spark, dir, params, targetShardRows)
             .withColumn("ver", lit(0L)), name, "shard")
         FsPaths.touch(spark, storeMarker(spark, name))
+      }
       }
     }
     name
@@ -1115,6 +1122,9 @@ object Hnsw {
       _ => s"graft_hnsw_sq8_${params.m}_${params.efConstruction}_" +
         s"${targetShardRows}_" + Search.dirHash(dir))
     sq8StoreNames.synchronized {
+      val tp = FsPaths.warehouseTablePath(spark, name)
+      FsPaths.withFileLock(spark,
+        new org.apache.hadoop.fs.Path(tp.getParent, tp.getName + ".lock")) {
       if (!spark.catalog.tableExists(name) ||
           !FsPaths.exists(spark, storeMarker(spark, name))) {
         if (spark.catalog.tableExists(name)) spark.sql(s"DROP TABLE $name")
@@ -1127,6 +1137,7 @@ object Hnsw {
             lit(0L).as("ver"))
         graft.sources.BucketedTables.writeBucketed(rows, name, "shard")
         FsPaths.touch(spark, storeMarker(spark, name))
+      }
       }
     }
     name

@@ -725,7 +725,13 @@ object TextOps {
       s"graft_decon_evalgrams_${n}_" + Search.dirHash(dir))
     val covPath = FsPaths.warehouseTablePath(spark,
       s"graft_decon_covered_${n}_" + Search.dirHash(dir))
+    // JVM-local monitor (cheap intra-process serialization) + the
+    // cross-JVM file lock: two processes sharing one warehouse
+    // serialize their builds; the fingerprint re-check inside the lock
+    // makes the loser a no-op load
     deconStoreLock.synchronized {
+      FsPaths.withFileLock(spark,
+        new Path(evalPath.getParent, evalPath.getName + ".lock")) {
       val fp = FsPaths.dirFingerprint(spark, s"$dir/documents.parquet")
       if (!FsPaths.readString(spark, new Path(evalPath, "_GRAFT_COMPLETE")).contains(fp)) {
         FsPaths.replaceDirAtomically(spark, evalPath) { tmp =>
@@ -741,6 +747,7 @@ object TextOps {
             .write.mode("overwrite").parquet(tmp.toString)
           FsPaths.writeString(spark, new Path(tmp, "_GRAFT_COMPLETE"), fp)
         }
+      }
       }
     }
     (evalPath.toString, covPath.toString)
@@ -1305,7 +1312,11 @@ object TextOps {
     val path = FsPaths.warehouseTablePath(spark,
       s"graft_bpe_vocab_${merges}_" + Search.dirHash(dir))
     val marker = new org.apache.hadoop.fs.Path(path, "_GRAFT_COMPLETE")
+    // JVM monitor + cross-JVM file lock (the ensureDeconStores
+    // discipline): warehouse-shared builds never interleave
     vocabStoreLock.synchronized {
+      FsPaths.withFileLock(spark,
+        new org.apache.hadoop.fs.Path(path.getParent, path.getName + ".lock")) {
       val fp = FsPaths.dirFingerprint(spark, s"$dir/documents.parquet")
       if (FsPaths.readString(spark, marker).contains(fp)) {
         bpeMergeCache.computeIfAbsent((dir, merges), _ =>
@@ -1327,6 +1338,7 @@ object TextOps {
             new org.apache.hadoop.fs.Path(tmp, "_GRAFT_COMPLETE"), fp)
         }
         ms
+      }
       }
     }
   }

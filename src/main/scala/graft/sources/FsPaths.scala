@@ -83,6 +83,70 @@ object FsPaths {
     } finally h.delete(tmp, true) // no-op after a successful rename
   }
 
+  /** CROSS-JVM advisory mutex on a filesystem path — the lock that
+    * JVM-local monitors cannot be: two processes sharing one warehouse
+    * serialize their artifact (re)builds through an exclusive-create
+    * lock file instead of interleaving them. Acquisition is the
+    * filesystem's own atomic create-if-absent (HDFS `create(p, false)`
+    * is atomic server-side; the local scheme uses `File.createNewFile`
+    * — O_CREAT|O_EXCL — because Hadoop's local `create` is a racy
+    * check-then-act). The holder's pid@host is the payload for
+    * debugging; release deletes the file. A lock older than
+    * `staleMillis` is broken (crash recovery: a builder that died
+    * mid-hold must not wedge every future JVM), after which the
+    * next create race picks exactly one new holder.
+    *
+    * Pair with the existing marker-gated, temp-dir+rename build
+    * discipline: the lock serializes BUILDERS, the completion marker
+    * re-check inside the lock makes the second builder a no-op, and
+    * the atomic rename keeps READERS safe even across the break
+    * window.
+    */
+  def withFileLock[T](spark: SparkSession, lock: Path,
+                      staleMillis: Long = 600000L)(body: => T): T =
+    withFileLockRaw(spark.sparkContext.hadoopConfiguration, lock,
+      staleMillis)(body)
+
+  /** [[withFileLock]] without a session — the forked-worker seam. */
+  def withFileLockRaw[T](conf: org.apache.hadoop.conf.Configuration,
+                         lock: Path, staleMillis: Long)(body: => T): T = {
+    val h = lock.getFileSystem(conf)
+    if (lock.getParent != null) h.mkdirs(lock.getParent)
+    val payload =
+      java.lang.management.ManagementFactory.getRuntimeMXBean.getName
+    var acquired = false
+    while (!acquired) {
+      acquired = tryCreateExclusive(h, lock, payload)
+      if (!acquired) {
+        try {
+          val st = h.getFileStatus(lock)
+          if (System.currentTimeMillis() - st.getModificationTime > staleMillis)
+            h.delete(lock, false) // break a crashed holder's lock
+        } catch { case _: java.io.FileNotFoundException => () }
+        Thread.sleep(25)
+      }
+    }
+    try body finally h.delete(lock, false)
+  }
+
+  private def tryCreateExclusive(h: FileSystem, p: Path,
+                                 payload: String): Boolean = h match {
+    case _: org.apache.hadoop.fs.LocalFileSystem |
+         _: org.apache.hadoop.fs.RawLocalFileSystem =>
+      val f = new java.io.File(p.toUri.getPath)
+      Option(f.getParentFile).foreach(_.mkdirs())
+      if (f.createNewFile()) {
+        java.nio.file.Files.write(f.toPath, payload.getBytes("UTF-8"))
+        true
+      } else false
+    case _ =>
+      try {
+        val out = h.create(p, false)
+        try out.write(payload.getBytes("UTF-8")) finally out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+  }
+
   /** Content fingerprint of an input dataset DIRECTORY: md5 over the
     * sorted (relative name, size, mtime) listing — cheap (metadata
     * only), and any regeneration of the inputs moves it. Cross-JVM

@@ -147,6 +147,11 @@ object StreamingCuration {
       "graft_stream_matrix_sink_" + graft.operators.Search.dirHash(dir))
     val marker = new org.apache.hadoop.fs.Path(path, "_GRAFT_COMPLETE")
     matrixSinkLock.synchronized {
+      // JVM monitor + cross-JVM file lock (the ensureDeconStores
+      // discipline): two warehouse-sharing processes serialize the
+      // build, and the fingerprint re-check makes the loser a no-op
+      FsPaths.withFileLock(spark,
+        new org.apache.hadoop.fs.Path(path.getParent, path.getName + ".lock")) {
       // unlike the catalog-table stores (whose in-memory catalog forgets
       // them per JVM, forcing a rebuild), a bare parquet sink SURVIVES
       // across JVMs — so the completion marker carries the input
@@ -162,6 +167,7 @@ object StreamingCuration {
           FsPaths.writeString(spark,
             new org.apache.hadoop.fs.Path(tmp, "_GRAFT_COMPLETE"), fp)
         }
+      }
       }
     }
     path.toString
