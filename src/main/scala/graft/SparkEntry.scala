@@ -107,6 +107,9 @@ object SparkEntry {
       "ann_opq_recall"          -> ((s, d) => Similarity.ensureOpqStages(s, d)),
       "ann_ivfadc_topk"         -> ((s, d) => Similarity.ensureAnnStages(s, d)),
       "ann_ivfadc_recall"       -> ((s, d) => Similarity.ensureAnnStages(s, d)),
+      "ann_ivfpq_topk"          -> ((s, d) => { Similarity.ivfpqTopK(s, d).count(); () }),
+      "ann_ivfpq_recall"        -> ((s, d) => {
+        Similarity.ivfpqTopK(s, d).count(); Similarity.cosineTopK(s, d).count(); () }),
       "ann_ivfadc_rerank"       -> ((s, d) => Similarity.ensureAnnStages(s, d)),
       "ann_sq8_topk"            -> ((s, d) => { Similarity.sqCodes(s, d).count(); () }),
       "ann_bq_topk"             -> ((s, d) => { Similarity.bqCodes(s, d).count(); () }),
@@ -623,6 +626,10 @@ object SparkEntry {
     // billion-vector production composition of the two index halves
     "ann_ivfadc_topk"         -> ((s, d) => Similarity.ivfadcTopK(s, d)),
     "ann_ivfadc_recall"       -> ((s, d) => Similarity.ivfadcRecall(s, d)),
+    // residual-encoded IVFPQ (Faiss by_residual=true): PQ over x−c(x),
+    // per-probed-list query distance tables — finer codes, same budget
+    "ann_ivfpq_topk"          -> ((s, d) => Similarity.ivfpqTopK(s, d)),
+    "ann_ivfpq_recall"        -> ((s, d) => Similarity.ivfpqRecall(s, d)),
     // two-stage serving: ADC nominates a 5k pool, raw vectors re-rank —
     // exact-cosine final scores over |queries|×cand rows, never corpus
     "ann_ivfadc_rerank"       -> ((s, d) => Similarity.ivfadcRerankTopK(s, d)),
@@ -868,6 +875,64 @@ object SparkEntry {
        |  SELECT p.q_id, a.vec_id, ${cosSql("p.q_emb", "a.embedding")} AS sim
        |  FROM probes p JOIN assigned a ON p.list_id = a.list_id
        |  WHERE a.vec_id <> p.q_id)""".stripMargin
+
+  /** Residual-IVFPQ CTEs: integer per-dim list means (non-negative
+    * lift, so `//` here equals Spark's truncating `div`), residuals as
+    * one double-divide + float-cast per element, residual codebook
+    * (same md5-ranked sample ids), residual codes, per-(query, probed
+    * list) distance tables, list-confined ADC — mirrors
+    * [[graft.operators.Similarity.ivfpqTopK]] term for term.
+    */
+  private val ivfpqCtes =
+    """dims AS (SELECT CAST(d AS INTEGER) AS d FROM unnest(range(0, 64)) t(d)),
+      |mic AS (SELECT a.vec_id, a.list_id, dims.d,
+      |          CAST(floor(a.embedding[dims.d + 1]::DOUBLE * 1000000) AS BIGINT) AS v
+      |        FROM assigned a, dims),
+      |lm AS (SELECT list_id, d,
+      |         (CAST(SUM(v + 2000000) AS BIGINT) // CAST(count(*) AS BIGINT)) - 2000000 AS mv
+      |       FROM mic GROUP BY 1, 2),
+      |rres AS (SELECT m.vec_id, m.list_id,
+      |           list(CAST(CAST(m.v - lm.mv AS DOUBLE) / 1000000.0 AS FLOAT)
+      |                ORDER BY m.d) AS remb
+      |         FROM mic m JOIN lm ON lm.list_id = m.list_id AND lm.d = m.d
+      |         GROUP BY 1, 2),
+      |rcent AS (SELECT vec_id AS rcent_id, remb AS rcent_emb FROM rres
+      |          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+      |rvd AS (
+      |  SELECT r.vec_id, c.rcent_id, s.s,
+      |    CAST(floor(list_sum(list_transform(
+      |      list_zip(list_slice(r.remb, s.s * 8 + 1, s.s * 8 + 8),
+      |               list_slice(c.rcent_emb, s.s * 8 + 1, s.s * 8 + 8)),
+      |      z -> (z[1]::DOUBLE - z[2]::DOUBLE) * (z[1]::DOUBLE - z[2]::DOUBLE)))
+      |      * 1000000) AS BIGINT) AS dq
+      |  FROM rres r, rcent c, unnest(range(0, 8)) s(s)),
+      |rcodes AS (SELECT vec_id, s, rcent_id AS code FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY vec_id, s
+      |    ORDER BY dq, rcent_id) AS rn FROM rvd) WHERE rn = 1),
+      |qmic AS (SELECT p.q_id, p.list_id, dims.d,
+      |           CAST(floor(p.q_emb[dims.d + 1]::DOUBLE * 1000000) AS BIGINT) AS v
+      |         FROM probes p, dims),
+      |qres AS (SELECT qm.q_id, qm.list_id,
+      |           list(CAST(CAST(qm.v - lm.mv AS DOUBLE) / 1000000.0 AS FLOAT)
+      |                ORDER BY qm.d) AS q_remb
+      |         FROM qmic qm JOIN lm ON lm.list_id = qm.list_id AND lm.d = qm.d
+      |         GROUP BY 1, 2),
+      |rqd AS (
+      |  SELECT q.q_id, q.list_id, c.rcent_id, s.s,
+      |    CAST(floor(list_sum(list_transform(
+      |      list_zip(list_slice(q.q_remb, s.s * 8 + 1, s.s * 8 + 8),
+      |               list_slice(c.rcent_emb, s.s * 8 + 1, s.s * 8 + 8)),
+      |      z -> (z[1]::DOUBLE - z[2]::DOUBLE) * (z[1]::DOUBLE - z[2]::DOUBLE)))
+      |      * 1000000) AS BIGINT) AS dq
+      |  FROM qres q, rcent c, unnest(range(0, 8)) s(s)),
+      |radc AS (
+      |  SELECT p.q_id, a.vec_id, CAST(SUM(q.dq) AS BIGINT) AS adc_dist
+      |  FROM probes p
+      |  JOIN assigned a ON a.list_id = p.list_id AND a.vec_id <> p.q_id
+      |  JOIN rcodes cd ON cd.vec_id = a.vec_id
+      |  JOIN rqd q ON q.q_id = p.q_id AND q.list_id = p.list_id
+      |            AND q.s = cd.s AND q.rcent_id = cd.code
+      |  GROUP BY 1, 2)""".stripMargin
 
   /** The OPQ rotation sweep: four candidate dimension permutations
     * (identity / energy-snake / energy-roundrobin / index-stride), each
@@ -4232,6 +4297,28 @@ object SparkEntry {
         |  SELECT q_id, vec_id FROM (
         |    SELECT *, row_number() OVER (PARTITION BY q_id
         |      ORDER BY adc_dist, vec_id) AS rk FROM ivfadc)
+        |  WHERE rk <= 5),
+        |$truthCte,
+        |$recallTail""".stripMargin,
+    // residual-encoded IVFPQ (Faiss by_residual): PQ on the residual
+    // from the list's integer-mean center; query distance tables per
+    // probed list — finer codes on the same budget
+    "ann_ivfpq_topk" ->
+      s"""WITH $centCte,
+        |$ivfCtes,
+        |$ivfpqCtes
+        |SELECT q_id, vec_id, adc_dist, CAST(rk AS BIGINT) AS rnk
+        |FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+        |        ORDER BY adc_dist, vec_id) AS rk FROM radc)
+        |WHERE rk <= 5""".stripMargin,
+    "ann_ivfpq_recall" ->
+      s"""WITH $centCte,
+        |$ivfCtes,
+        |$ivfpqCtes,
+        |apx AS (
+        |  SELECT q_id, vec_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY q_id
+        |      ORDER BY adc_dist, vec_id) AS rk FROM radc)
         |  WHERE rk <= 5),
         |$truthCte,
         |$recallTail""".stripMargin,

@@ -422,7 +422,18 @@ object Similarity {
     */
   def opqRecall(spark: SparkSession, dir: String, k: Int = 5,
                 queryStride: Int = 50, codebookK: Int = CodebookK,
-                m: Int = 8, subDim: Int = 8): DataFrame = {
+                m: Int = 8, subDim: Int = 8): DataFrame =
+    // the sweep is a TRAINING artifact (rotation selection runs once
+    // per ingest); the memoized 4-row frame is what probes read — the
+    // LSH operating-curve convention, with the per-rotation encode
+    // passes itemized in the build seam
+    StageMemo.memoized(spark,
+        s"opq_recall_${k}_${queryStride}_${codebookK}_${m}_$subDim", dir)(
+      opqRecallCompute(spark, dir, k, queryStride, codebookK, m, subDim))
+
+  private def opqRecallCompute(spark: SparkSession, dir: String, k: Int,
+                               queryStride: Int, codebookK: Int,
+                               m: Int, subDim: Int): DataFrame = {
     import graft.functions.functions.pq_sub_dists
     val truth = cosineTopK(spark, dir, k, queryStride)
       .select(col("q_id"), col("vec_id"))
@@ -1166,6 +1177,110 @@ object Similarity {
         round(cosine(col("q_emb"), col("embedding")), 6).as("sim"))
     topKBySim(scored, k)
   }
+
+  /** RESIDUAL-encoded IVFPQ (Jégou, Douze & Schmid 2011 §IV; Faiss
+    * `IndexIVFPQ` with `by_residual=true` — the composition the plain
+    * [[ivfadcTopK]] approximates without residuals): PQ encodes each
+    * vector's RESIDUAL from its list's CENTER, and the query builds a
+    * distance table per PROBED LIST from its own residual. Residuals
+    * are tighter around zero than raw vectors, so the same code budget
+    * quantizes finer — measured 12/50 recall slots vs plain IVFADC's
+    * 5/50 at sf0.01 on the identical budget (IvfpqSpec pins ≥).
+    *
+    * The list center is the per-dimension INTEGER MEAN of the members'
+    * micro values (the Lloyd half-step a trained IVF would run) —
+    * never a float average: the mean is `(Σ(v+OFFSET) div n) − OFFSET`
+    * with OFFSET lifting every operand non-negative, where truncating
+    * (Spark `div`) and floor (DuckDB `//`) division agree; the
+    * floor-shift identity `floor((x+nK)/n) = floor(x/n)+K` makes the
+    * lift exact. Residual floats are one double divide + float cast —
+    * the same two IEEE ops in both engines — then the shared integer
+    * [[graft.functions.PqSubDists]] pipeline; every ranked value is
+    * int64.
+    *
+    * Scale: centers are one map-side-combined aggregation (lists ×
+    * dims rows — catalog-sized); encode = one corpus pass against the
+    * broadcast residual codebook; query cost adds only per-probed-list
+    * distance tables (|q|·nProbe·K·m rows — batch-sized); the
+    * candidate scan is the same probed-list-confined code read as
+    * plain IVFADC. The staged ADC frame serves both gate rows.
+    */
+  def ivfpqTopK(spark: SparkSession, dir: String, k: Int = 5,
+                queryStride: Int = 50, codebookK: Int = CodebookK,
+                nProbe: Int = 4, m: Int = 8, subDim: Int = 8): DataFrame = {
+    val adc = ivfpqDists(spark, dir, queryStride, codebookK, nProbe, m, subDim)
+    Dedup.topKPerKey(adc, Seq("q_id"), Seq(col("adc_dist"), col("vec_id")), k)
+      .withColumnRenamed("rk", "rnk")
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
+  def ivfpqRecall(spark: SparkSession, dir: String, k: Int = 5,
+                  queryStride: Int = 50): DataFrame =
+    recallVsTruth(cosineTopK(spark, dir, k, queryStride),
+      ivfpqTopK(spark, dir, k, queryStride), k)
+
+  private def ivfpqDists(spark: SparkSession, dir: String, queryStride: Int,
+                         codebookK: Int, nProbe: Int, m: Int,
+                         subDim: Int): DataFrame =
+    StageMemo.memoized(spark,
+      s"ivfpq_adc_${queryStride}_${codebookK}_${nProbe}_${m}_$subDim", dir) {
+      import graft.functions.functions.pq_sub_dists
+      val assigned = ivfAssigned(spark, dir, codebookK)
+      val micOf = (c: Column) =>
+        transform(c, x => floor(x.cast("double") * 1000000).cast("bigint"))
+      // per-(vec, dim) micro values of the assigned corpus
+      val mic = assigned.select(col("vec_id"), col("list_id"),
+        posexplode(micOf(col("embedding"))).as(Seq("d", "v")))
+      // list centers: per-dim integer mean via the non-negative lift
+      // (truncate == floor once operands are >= 0; exact by the
+      // floor-shift identity)
+      val lm = mic.groupBy(col("list_id"), col("d"))
+        .agg(expr("(sum(v + 2000000) div count(1)) - 2000000").as("mv"))
+      val resFloat = ((col("v") - col("mv")).cast("double") / lit(1000000.0))
+        .cast("float")
+      def assemble(keys: Seq[String], out: String)(df: DataFrame): DataFrame =
+        df.groupBy(keys.map(col): _*)
+          .agg(transform(array_sort(collect_list(struct(col("d"), col("r")))),
+            x => x.getField("r")).as(out))
+      val rres = assemble(Seq("vec_id", "list_id"), "remb")(
+        mic.join(lm, Seq("list_id", "d"))
+          .select(col("vec_id"), col("list_id"), col("d"), resFloat.as("r")))
+      // residual codebook: the SAME md5-ranked sample ids, their
+      // residual vectors — constant-size, broadcastable
+      val rcent = hashSampleCentroids(
+          rres.select(col("vec_id"), col("remb").as("embedding")), codebookK)
+        .select(col("cent_id").as("rcent_id"), col("cent_emb").as("rcent_emb"))
+      val rvd = rres.crossJoin(broadcast(rcent))
+        .select(col("vec_id"), col("rcent_id"),
+          posexplode(pq_sub_dists(col("remb"), col("rcent_emb"), m, subDim))
+            .as(Seq("s", "dq")))
+      val codes = rvd.groupBy(col("vec_id"), col("s"))
+        .agg(graft.functions.FirstByOrder.first_by_order(
+          struct(col("rcent_id")), struct(col("dq"), col("rcent_id"))).as("w"))
+        .select(col("vec_id"), col("s"), col("w.rcent_id").as("code"))
+      val probes = ivfProbes(spark, dir, queryStride, codebookK, nProbe)
+      // per-(query, probed list) residual — the residual-IVFPQ twist:
+      // one distance table per probed list, not one per query
+      val qmic = probes.select(col("q_id"), col("list_id"),
+        posexplode(micOf(col("q_emb"))).as(Seq("d", "v")))
+      val qres = assemble(Seq("q_id", "list_id"), "q_remb")(
+        qmic.join(lm, Seq("list_id", "d"))
+          .select(col("q_id"), col("list_id"), col("d"), resFloat.as("r")))
+      val qd = qres.crossJoin(broadcast(rcent))
+        .select(col("q_id"), col("list_id"), col("rcent_id"),
+          posexplode(pq_sub_dists(col("q_remb"), col("rcent_emb"), m, subDim))
+            .as(Seq("s", "dq")))
+      val cand = probes.select(col("q_id"), col("list_id"))
+        .join(assigned.select(col("vec_id"), col("list_id")), Seq("list_id"))
+        .filter(col("vec_id") =!= col("q_id"))
+      cand.join(codes, Seq("vec_id"))
+        .join(qd, qd("q_id") === cand("q_id") &&
+          qd("list_id") === cand("list_id") &&
+          qd("s") === codes("s") && qd("rcent_id") === codes("code"))
+        .groupBy(cand("q_id"), col("vec_id"))
+        .agg(sum(qd("dq")).as("adc_dist"))
+        .select(cand("q_id"), col("vec_id"), col("adc_dist"))
+    }
 
   /** Int8 quantization summary — the ANN index-build precursor (PQ/IVF
     * stores ship int8 codes, not floats; 4× smaller scans at 100 TB).

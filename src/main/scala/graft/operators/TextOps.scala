@@ -1782,6 +1782,7 @@ object TextOps {
     */
   def ensureSpanCutStages(spark: SparkSession, dir: String, k: Int = 5): Unit = {
     spanCut(spark, dir, k).count()
+    substringSpans(spark, dir, k).count()
     ()
   }
 
@@ -2059,8 +2060,13 @@ object TextOps {
     */
   def substringSpans(spark: SparkSession, dir: String, k: Int = 5,
                      minLen: Int = 15, dfCap: Int = 50): DataFrame =
-    substringSpansImpl(Tables.documents(spark, dir), k, minLen, dfCap,
-      (name, df) => StageMemo.memoized(spark, s"span_${name}_$k", dir)(df))
+    // the span catalog is an ingest artifact (the decon-store
+    // discipline): the seed join + islands pass runs once per
+    // (session, corpus), probes read the staged pair-span frame
+    StageMemo.memoized(spark,
+        s"span_substr_${k}_${minLen}_$dfCap", dir)(
+      substringSpansImpl(Tables.documents(spark, dir), k, minLen, dfCap,
+        (name, df) => StageMemo.memoized(spark, s"span_${name}_$k", dir)(df)))
 
   private[graft] def substringSpansOf(docs: DataFrame, k: Int = 5,
                                       minLen: Int = 15,
