@@ -1156,11 +1156,13 @@ object SparkEntry {
     sb.toString
   }
 
-  /** Unrolled synchronous PPR push from the probe batch: per round,
-    * absorb (r·3)//20 into the score and push (r·17)//(20·deg) to each
-    * neighbor — pure int64 truncating division on non-negative
-    * operands, mirroring [[graft.operators.Ppr.pprTopK]] term for
-    * term; MATERIALIZED CTEs (the bfsSql/kcore lesson).
+  /** Unrolled synchronous ε-PUSH PPR from the probe batch: a node is
+    * active iff r ≥ (ε·SCALE)·deg = 100000·deg (ACL's queue condition
+    * in pre-scaled integers, ε = 10⁻⁷); actives absorb (r·3)//20 and push
+    * (r·17)//(20·deg) per neighbor, inactives carry their residual —
+    * pure int64 truncating division on non-negative operands,
+    * mirroring [[graft.operators.Ppr.pprTopK]] term for term;
+    * MATERIALIZED CTEs (the bfsSql/kcore lesson).
     */
   private def pprSql(rounds: Int, k: Int): String = {
     val sb = new StringBuilder
@@ -1174,15 +1176,22 @@ object SparkEntry {
         |deg AS MATERIALIZED (SELECT u, CAST(count(*) AS BIGINT) AS d FROM ebi GROUP BY 1),
         |hop1 AS MATERIALIZED (SELECT u AS p, n AS y FROM ebi WHERE u % 97 = 0),
         |r0 AS MATERIALIZED (SELECT DISTINCT u AS p, u, CAST(1000000000000 AS BIGINT) AS r
-        |      FROM ebi WHERE u % 97 = 0),
-        |a0 AS (SELECT p, u, (r * 3) // 20 AS m FROM r0)""".stripMargin)
-    for (t <- 1 until rounds) {
-      val pv = t - 1
+        |      FROM ebi WHERE u % 97 = 0)""".stripMargin)
+    for (t <- 0 until rounds) {
       sb.append(s""",
-        |r$t AS MATERIALIZED (SELECT r.p, e.n AS u, CAST(SUM((r.r * 17) // (20 * d.d)) AS BIGINT) AS r
-        |      FROM r$pv r JOIN deg d ON d.u = r.u JOIN ebi e ON e.u = r.u
-        |      GROUP BY 1, 2),
-        |a$t AS (SELECT p, u, (r * 3) // 20 AS m FROM r$t)""".stripMargin)
+        |act$t AS MATERIALIZED (SELECT r.p, r.u, r.r, d.d FROM r$t r
+        |      JOIN deg d ON d.u = r.u
+        |      WHERE r.r >= 100000 * d.d),
+        |ina$t AS (SELECT r.p, r.u, r.r FROM r$t r
+        |      JOIN deg d ON d.u = r.u
+        |      WHERE r.r < 100000 * d.d),
+        |a$t AS (SELECT p, u, (r * 3) // 20 AS m FROM act$t)""".stripMargin)
+      if (t < rounds - 1) sb.append(s""",
+        |r${t + 1} AS MATERIALIZED (SELECT p, u, CAST(SUM(r) AS BIGINT) AS r FROM (
+        |      SELECT a.p, e.n AS u, (a.r * 17) // (20 * a.d) AS r
+        |      FROM act$t a JOIN ebi e ON e.u = a.u
+        |      UNION ALL SELECT p, u, r FROM ina$t)
+        |      GROUP BY 1, 2)""".stripMargin)
     }
     val unions = (0 until rounds).map(t => s"SELECT * FROM a$t")
       .mkString(" UNION ALL ")

@@ -12,15 +12,22 @@ import org.apache.spark.sql.functions._
   * that beats raw common-neighbor counts by weighting witnesses by
   * their degree and depth instead of counting them.
   *
-  * Algorithm (synchronous bounded-round push — the BSP dual of ACL's
-  * sequential queue): per probe p, residual r₀ = SCALE at p; each
-  * round absorbs α·r into the score (α = 3/20) and pushes (1−α)·r
-  * split by out-degree to the neighbors; after R rounds the score is
-  * the truncated PPR power series. All arithmetic is int64 with
-  * truncating division on non-negative operands (`div` / `//`) — the
-  * [[PageRank]] lane's integer discipline, so the ranking is bit-exact
-  * in the DuckDB oracle, which unrolls the rounds with MATERIALIZED
-  * CTEs (the [[Bfs]]/[[KCore]] convention).
+  * Algorithm (synchronous bounded-round ε-push — the BSP dual of
+  * ACL's sequential queue, WITH the paper's push threshold): per probe
+  * p, residual r₀ = SCALE at p; each round, a node is ACTIVE iff
+  * r(u) ≥ EpsScaled·deg(u) (EpsScaled = ε·SCALE, ε = 10⁻⁷ unit mass
+  * per degree — ACL's queue condition in integers); active
+  * nodes absorb α·r into the score (α = 3/20) and push (1−α)·r split
+  * by degree to the neighbors, inactive nodes CARRY their residual
+  * unchanged. The threshold is the whole scale story: total push work
+  * per source is O(1/(ε·α)) regardless of graph size (each push
+  * retires ≥ ε·deg(u) residual mass from a unit budget), where the
+  * unthresholded synchronous variant saturates the R-hop ball — a
+  * measured 33-minute blowup at the sf1 graph density. All arithmetic
+  * is int64 with truncating division on non-negative operands
+  * (`div` / `//`) — the [[PageRank]] lane's integer discipline, so the
+  * ranking is bit-exact in the DuckDB oracle, which unrolls the rounds
+  * with MATERIALIZED CTEs (the [[Bfs]]/[[KCore]] convention).
   *
   * Serving semantics: the source itself and its direct neighbors are
   * excluded (the "not yet connected" contract shared with
@@ -38,6 +45,7 @@ import org.apache.spark.sql.functions._
 object Ppr {
 
   private val Scale = 1000000000000L // 10^12 initial residual units
+  private val EpsScaled = 100000L // ε·SCALE: ε = 10^-7 unit mass per degree
 
   def pprTopK(spark: SparkSession, dir: String, k: Int = 5,
               rounds: Int = 3, probeMod: Int = 97): DataFrame =
@@ -63,16 +71,38 @@ object Ppr {
     var absorbed = Vector.empty[DataFrame]
     var round = 0
     while (round < rounds) {
-      // absorb α·r = (r·3) div 20 — exact int64, non-negative operands
-      absorbed = absorbed :+ r.select(col("p"), col("u"),
+      val withDeg = r.join(deg, Seq("u"))
+      // ACL's push condition in pre-scaled integer form: active iff
+      // r(u) ≥ (ε·SCALE)·deg(u) (= r/deg ≥ ε in unit mass) — no wide
+      // multiply on the residual side, so no int64 overflow headroom
+      // is spent on the comparison
+      val isActive = col("r") >= lit(EpsScaled) * col("d")
+      val active = withDeg.filter(isActive)
+      val inactive = withDeg.filter(!isActive)
+        .select(col("p"), col("u"), col("r"))
+      // absorb α·r = (r·3) div 20 from ACTIVE nodes only — exact
+      // int64, non-negative operands
+      absorbed = absorbed :+ active.select(col("p"), col("u"),
         expr("(r * 3) div 20").as("m"))
-      val next = r.join(deg, Seq("u")).join(ebi, Seq("u"))
-        .select(col("p"), col("n"),
-          expr("(r * 17) div (20 * d)").as("share"))
-        .groupBy(col("p"), col("n")).agg(sum(col("share")).as("r"))
-        .select(col("p"), col("n").as("u"), col("r"))
-        .localCheckpoint(true) // O(1) lineage per round
-      r = next
+      // the LAST round only absorbs: its pushed residual would be
+      // discarded unabsorbed, and that push is the single biggest join
+      // of the whole kernel (Σ deg over the widest frontier — measured
+      // a 3.5G-row no-op at the sf1 graph density)
+      if (round < rounds - 1) {
+        // ONE shuffle per round: raw shares union carried residuals,
+        // then a single (p, u) hash-agg (map-side combined) — the
+        // previous shape aggregated the pushes and re-aggregated the
+        // union, shuffling the widest frame twice
+        val pushed = active.join(ebi, Seq("u"))
+          .select(col("p"), col("n").as("u"),
+            expr("(r * 17) div (20 * d)").as("r"))
+        val next = pushed.unionAll(inactive)
+          .groupBy(col("p"), col("u")).agg(sum(col("r")).as("r"))
+        // checkpoint only frames another round will ITERATE on; the
+        // final residual frame is consumed once (last-round absorb),
+        // so materializing it would double its I/O for nothing
+        r = if (round < rounds - 2) next.localCheckpoint(true) else next
+      }
       round += 1
     }
     val score = absorbed.reduce(_ unionAll _)

@@ -25,9 +25,14 @@ class PprSpec extends SparkSpec {
       var r = Map(p -> Scale)
       val score = collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
       (0 until rounds).foreach { _ =>
-        r.foreach { case (u, ru) => score(u) += ru * 3 / 20 }
+        // ACL's ε-push condition: active iff r >= (ε·SCALE)·deg
+        val (active, inactive) = r.partition {
+          case (u, ru) => ru >= 100000L * deg(u)
+        }
+        active.foreach { case (u, ru) => score(u) += ru * 3 / 20 }
         val next = collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
-        r.foreach { case (u, ru) =>
+        inactive.foreach { case (u, ru) => next(u) += ru }
+        active.foreach { case (u, ru) =>
           val share = ru * 17 / (20 * deg(u))
           adj(u).foreach(v => next(v) += share)
         }
