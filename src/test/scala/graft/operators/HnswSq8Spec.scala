@@ -35,6 +35,26 @@ class HnswSq8Spec extends SparkSpec {
     assert(recall >= 0.85, s"recall=$recall")
   }
 
+  test("sf1 residual: at most one slot in 800 misses (the float gate's measured limit)") {
+    // the fixed-ef decay at 10x corpus — the float lane's Params
+    // scaladoc documents exactly one slot in 800 at efS=128, knob-
+    // insensitive; the SQ8 walk must not widen that residual
+    val sf1Dir = sys.props.getOrElse(
+      "graft.sf1.dir", "/root/repo/target/gendata/sf1")
+    assume(new java.io.File(s"$sf1Dir/embeddings.parquet").exists(),
+      s"sf1 drill corpus absent at $sf1Dir")
+    val truth = Similarity.cosineTopK(spark, sf1Dir)
+      .select(col("q_id"), col("vec_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Hnsw.hnswSq8TopK(spark, sf1Dir)
+      .select(col("q_id"), col("vec_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val missed = truth -- got
+    info(s"sf1 sq8 gate: ${missed.size} of ${truth.size} slots missed")
+    assert(missed.size <= 1,
+      s"sq8 sf1 residual widened: ${missed.size} slots missed")
+  }
+
   test("SQ8 store bytes < float store bytes over the same graph") {
     import graft.sources.FsPaths
     val sq8 = Hnsw.ensureSq8GraphStore(spark, sfDir)
