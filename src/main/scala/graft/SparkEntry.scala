@@ -504,6 +504,9 @@ object SparkEntry {
     // all four families
     "pipeline_crossmodal"     -> (operators.Curation.crossModalCuration(_, _)),
     "dedup_ngram_jaccard"     -> ((s, d) => MinHash.ngramJaccardPairs(s, d)),
+    // weighted Jaccard (integer 1/df rarity weights): shared rare
+    // content dominates, shared boilerplate buys ~nothing
+    "dedup_weighted_jaccard"  -> ((s, d) => MinHash.weightedJaccardPairs(s, d)),
     // one-sided containment: the partial-duplication detector (short
     // doc quoted inside a long one) Jaccard misses; both orientations
     "dedup_ngram_containment" -> ((s, d) => MinHash.ngramContainmentPairs(s, d)),
@@ -3751,6 +3754,30 @@ object SparkEntry {
          |  JOIN (SELECT doc_id, count(*) AS n FROM shc GROUP BY 1) sa ON i.doc_a = sa.doc_id
          |  JOIN (SELECT doc_id, count(*) AS n FROM shc GROUP BY 1) sb ON i.doc_b = sb.doc_id)
          |SELECT doc_a, doc_b, jaccard FROM pairj WHERE jaccard >= 0.5""".stripMargin,
+    // weighted Jaccard over the same df-capped index: integer 1000//df
+    // rarity weights, one IEEE division for the emitted score
+    "dedup_weighted_jaccard" ->
+      s"""$shingleCte,
+         |shc AS (SELECT sh.doc_id, sh.shingle FROM sh
+         |        JOIN (SELECT shingle FROM sh GROUP BY 1 HAVING count(*) <= 128) ok
+         |        USING (shingle)),
+         |dfw AS (SELECT shingle, 1000 // count(*) AS w FROM shc GROUP BY 1),
+         |shw AS (SELECT shc.doc_id, shc.shingle, dfw.w FROM shc JOIN dfw USING (shingle)),
+         |inter AS (SELECT s1.doc_id AS doc_a, s2.doc_id AS doc_b,
+         |            CAST(SUM(s1.w) AS BIGINT) AS inter_w
+         |          FROM shw s1 JOIN shw s2 ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id
+         |          GROUP BY 1, 2),
+         |sz AS (SELECT doc_id, CAST(SUM(w) AS BIGINT) AS wsum FROM shw GROUP BY 1),
+         |pairw AS (
+         |  SELECT i.doc_a, i.doc_b, i.inter_w,
+         |         CAST(sa.wsum + sb.wsum - i.inter_w AS BIGINT) AS union_w,
+         |         CAST(i.inter_w AS DOUBLE) /
+         |           CAST(sa.wsum + sb.wsum - i.inter_w AS DOUBLE) AS w_jaccard
+         |  FROM inter i
+         |  JOIN sz sa ON i.doc_a = sa.doc_id
+         |  JOIN sz sb ON i.doc_b = sb.doc_id)
+         |SELECT doc_a, doc_b, inter_w, union_w, w_jaccard FROM pairw
+         |WHERE w_jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
     // one-sided containment |A∩B|/|A| over the same df-capped index —
     // both orientations of each intersecting pair, threshold 0.8
     "dedup_ngram_containment" ->

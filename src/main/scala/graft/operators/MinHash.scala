@@ -802,18 +802,59 @@ object MinHash {
     val hot = shAll.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       .filter(col("df") > dfCap)
       .select(col("shingle"))
+    // rarity weight over the LIVE universe: w = 1000 div df — the
+    // integer ∝1/df idf surrogate the weighted-Jaccard row ranks by
+    // (log-idf would break the integer oracle discipline). Carried on
+    // every shingle row so ONE inverted-index self-join serves the
+    // unweighted, containment, AND weighted rows.
+    val dfw = shAll.join(hot, Seq("shingle"), "left_anti")
+      .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .select(col("shingle"), expr("1000 div df").as("w"))
     val sh = shAll.join(hot, Seq("shingle"), "left_anti")
+      .join(dfw, Seq("shingle"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val inter = sh.select(col("doc_id").as("doc_a"), col("shingle"))
+    val inter = sh.select(col("doc_id").as("doc_a"), col("shingle"), col("w"))
       .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("shingle"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("inter"))
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("inter"), sum(col("w")).as("inter_w"))
+    val sizes = sh.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n"), sum(col("w")).as("wsum"))
     inter
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), Seq("doc_a"))
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), Seq("doc_b"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a"),
+        col("wsum").as("w_a")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b"),
+        col("wsum").as("w_b")), Seq("doc_b"))
   }
+
+  /** WEIGHTED n-gram Jaccard pairs (Chum, Philbin & Zisserman 2008's
+    * weighted set similarity, with the integer ∝1/df rarity weight):
+    * J_w(A,B) = Σ_{s∈A∩B} w(s) / Σ_{s∈A∪B} w(s) — shared BOILERPLATE
+    * shingles (high df, weight ≈ tiny) no longer buy similarity, while
+    * shared RARE content dominates, the ranking unweighted Jaccard
+    * inverts on template-heavy corpora. Rides the same df-capped
+    * inverted-index stage as the unweighted and containment rows (one
+    * self-join serves all three); every sum is int64 and the emitted
+    * score is ONE IEEE division of int64 operands — hash-exact.
+    */
+  def weightedJaccardPairs(spark: SparkSession, dir: String,
+                           threshold: Double = 0.5,
+                           dfCap: Int = DfCap): DataFrame =
+    weightedFromSized(corpusSized(spark, dir, dfCap), threshold)
+
+  private[graft] def weightedJaccardPairsOf(docs: DataFrame,
+                                            threshold: Double = 0.5,
+                                            dfCap: Int = DfCap): DataFrame =
+    weightedFromSized(sizedOf(docs, dfCap), threshold)
+
+  private def weightedFromSized(sized: DataFrame,
+                                threshold: Double): DataFrame =
+    sized.select(col("doc_a"), col("doc_b"), col("inter_w"),
+        (col("w_a") + col("w_b") - col("inter_w")).as("union_w"))
+      .withColumn("w_jaccard",
+        col("inter_w").cast("double") / col("union_w").cast("double"))
+      .filter(col("w_jaccard") >= threshold)
+      .orderBy(col("doc_a"), col("doc_b"))
 
   private def jaccardFromSized(sized: DataFrame): DataFrame =
     sized.select(col("doc_a"), col("doc_b"),
