@@ -804,14 +804,15 @@ object MinHash {
       .select(col("shingle"))
     // rarity weight over the LIVE universe: w = 1000 div df — the
     // integer ∝1/df idf surrogate the weighted-Jaccard row ranks by
-    // (log-idf would break the integer oracle discipline). Carried on
-    // every shingle row so ONE inverted-index self-join serves the
+    // (log-idf would break the integer oracle discipline). Derived with
+    // a per-shingle WINDOW count so the live frame is scanned exactly
+    // once (a groupBy+self-join would double the shingle subtree in
+    // every fresh-session plan — PlanSnapshotSpec caught it), and
+    // carried on every row so ONE inverted-index self-join serves the
     // unweighted, containment, AND weighted rows.
-    val dfw = shAll.join(hot, Seq("shingle"), "left_anti")
-      .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-      .select(col("shingle"), expr("1000 div df").as("w"))
     val sh = shAll.join(hot, Seq("shingle"), "left_anti")
-      .join(dfw, Seq("shingle"))
+      .withColumn("w",
+        expr("1000 div count(1) over (partition by shingle)"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val inter = sh.select(col("doc_id").as("doc_a"), col("shingle"), col("w"))
       .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("shingle"))
